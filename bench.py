@@ -1,0 +1,68 @@
+"""Benchmark harness (TimingUtils analog — /root/reference runner
+TimingUtils.scala:15-21: wall-clock wrapper per pass).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "flagship_report",
+    "proj_paths",
+    "agg_groupby_multi",
+    "join_equi_inner",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_sim_search",
+    "ext_text_stats",
+    "ext_window_agg",
+    "ext_window_rank",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from proto_to_avro_ql_spark.entry_queries import QUERIES
+    from proto_to_avro_ql_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footer caches with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full pipeline
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

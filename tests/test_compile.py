@@ -1,0 +1,178 @@
+"""Projection-compiler tests mirroring the reference's test ideas
+(SURVEY.md §5): schema pruning, extracted values, user mappings,
+defaults/normalization (§1.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from proto_to_avro_ql_spark.plans.compile import (
+    Constant,
+    Scalar,
+    SynthStruct,
+    compile_projection,
+    projected_schema,
+    reference_ordering,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    """Analog of the reference's synthetic GoogleAdsRow
+    (ProtoToAvroMappingTest.scala:12-41): descriptive_name is junk that
+    pruning must drop."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "customer",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("descriptive_name", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "campaign",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("status", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "segments",
+                T.StructType([T.StructField("date", T.StringType())]),
+            ),
+            T.StructField(
+                "metrics",
+                T.StructType(
+                    [
+                        T.StructField("impressions", T.LongType()),
+                        T.StructField("clicks", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [
+        Row(
+            customer=Row(id=123, descriptive_name="ignored_junk"),
+            campaign=Row(id=456, name="camp", status="ENABLED"),
+            segments=Row(date="2021-01-01"),
+            metrics=Row(impressions=10, clicks=None),
+        ),
+        Row(customer=Row(id=7, descriptive_name=""), campaign=None,
+            segments=Row(date=""), metrics=Row(impressions=None, clicks=3)),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def field_names(schema: T.StructType, path: str) -> list[str]:
+    dt = schema
+    for part in path.split("."):
+        dt = dt[part].dataType
+    return [f.name for f in dt.fields]
+
+
+class TestPruning:
+    def test_exact_field_lists(self, fixture_df):
+        out = compile_projection(
+            fixture_df,
+            ["customer.id", "campaign.id", "campaign.name", "segments.date"],
+        )
+        # pruning assertion analog (ProtoToAvroMappingTest.scala:96-100)
+        assert field_names(out.schema, "customer") == ["id"]
+        assert field_names(out.schema, "campaign") == ["id", "name"]
+        assert "descriptive_name" not in str(out.schema)
+
+    def test_subtree_includes_all_fields(self, fixture_df):
+        out = compile_projection(fixture_df, ["campaign"])
+        assert field_names(out.schema, "campaign") == ["id", "name", "status"]
+
+    def test_values(self, fixture_df):
+        out = compile_projection(fixture_df, ["customer.id", "campaign.id"]).collect()
+        r = next(x for x in out if x.customer.id == 123)
+        assert r.campaign.id == 456
+
+    def test_nested_fields_name_sorted(self, fixture_df):
+        out = compile_projection(fixture_df, ["campaign.status", "campaign.id"])
+        assert field_names(out.schema, "campaign") == ["id", "status"]
+
+
+class TestDefaults:
+    def test_numeric_null_to_zero(self, fixture_df):
+        out = compile_projection(fixture_df, ["metrics.impressions", "metrics.clicks"]).collect()
+        r = next(x for x in out if x.metrics.clicks == 3)
+        assert r.metrics.impressions == 0  # unset int → 0
+
+    def test_empty_string_to_null(self, fixture_df):
+        out = compile_projection(fixture_df, ["customer.descriptive_name", "segments.date"]).collect()
+        r = next(x for x in out if x.customer.descriptive_name is None)
+        assert r.segments.date is None  # '' → null
+
+    def test_unset_message_stays_null(self, fixture_df):
+        out = compile_projection(fixture_df, ["campaign.id", "customer.id"]).collect()
+        r = next(x for x in out if x.customer.id == 7)
+        assert r.campaign is None  # null parent stays null, not defaults
+
+
+class TestValidation:
+    def test_unknown_field(self, fixture_df):
+        with pytest.raises(ValueError, match="has no field"):
+            compile_projection(fixture_df, ["campaign.nonexistent"])
+
+    def test_unknown_top_level(self, fixture_df):
+        with pytest.raises(ValueError, match="has no field"):
+            compile_projection(fixture_df, ["nope.id"])
+
+    def test_descend_into_scalar(self, fixture_df):
+        with pytest.raises(ValueError, match="not a message"):
+            compile_projection(fixture_df, ["customer.id.deeper"])
+
+    def test_empty_query(self, fixture_df):
+        with pytest.raises(ValueError, match="at least one"):
+            compile_projection(fixture_df, [])
+
+
+class TestMappings:
+    def test_constant_scalar_synth(self, fixture_df):
+        out = compile_projection(
+            fixture_df,
+            ["segments.date"],
+            mappings={
+                "version": Constant(3, "int"),
+                "nullable_const": Constant(None, "string"),
+                "campaign_id": Scalar("campaign.id"),
+                "metadata": SynthStruct(
+                    {"author": Constant("Ben"), "report_date": Scalar("segments.date")}
+                ),
+            },
+        )
+        r = next(x for x in out.collect() if x.campaign_id == 456)
+        assert r.version == 3
+        assert r.nullable_const is None
+        assert r.metadata.author == "Ben"
+        assert r.metadata.report_date == "2021-01-01"
+
+    def test_ordering_ids_first_metadata_last(self, fixture_df):
+        out = compile_projection(
+            fixture_df,
+            ["segments.date"],
+            mappings={
+                "campaign_id": Scalar("campaign.id"),
+                "metadata": SynthStruct({"author": Constant("Ben")}),
+            },
+            ordering=reference_ordering,
+        )
+        assert out.columns[0] == "campaign_id"
+        assert out.columns[-1] == "metadata"
+
+    def test_schema_infer_no_action(self, fixture_df):
+        schema = projected_schema(fixture_df, ["customer.id"])
+        assert [f.name for f in schema["customer"].dataType.fields] == ["id"]
