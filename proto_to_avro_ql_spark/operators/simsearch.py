@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9
+ext_sim_search): brute-force cosine top-k as the exactness baseline,
+random-hyperplane-LSH bucketing as the scale path, and
+embedding-cosine near-dup pairs.
+
+Scale design:
+- The query side is tiny and explicitly ``broadcast()`` — the corpus
+  side never shuffles for brute force (map-side nested loop over
+  broadcast queries + per-partition top-k via window).
+- Dot products are pure ``zip_with``/``aggregate`` expressions (JVM,
+  codegen) over array<float> cast to double — no Python, no UDF.
+- The LSH variant buckets corpus vectors by sign-pattern against a
+  fixed set of hyperplanes; queries probe only their own bucket
+  (+ optional multi-probe), turning top-k from O(N·Q) into
+  O(N·Q/2^planes) at a recall cost. Hyperplanes are deterministic
+  (seeded) literals, so plans are reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+    Queries broadcast; ties broken by neighbor id for determinism."""
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id against fixed hyperplanes."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        h = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot(vec, h) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+    2^planes buckets ⇒ ~N/2^planes candidates per query. Recall is
+    approximate by design (the driver records rows-only for this one;
+    exactness is the brute-force variant's job)."""
+    hp = _hyperplanes(dim, planes)
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), hp).alias("bucket")
+    )
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), F.col("bucket")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold).
+
+    exact=True: full O(n²) self-join — only for oracle-scale data.
+    exact=False (default): LSH-bucketed self-join; high-cosine pairs
+    land in the same sign bucket with high probability.
+    """
+    emb = embeddings.select(F.col(id_col), F.col(vec_col))
+    if not exact:
+        hp = _hyperplanes(dim, planes)
+        emb = emb.select("*", lsh_bucket(F.col(vec_col), hp).alias("bucket"))
+        join_keys = ["bucket"]
+        a = emb.select(
+            *[F.col(c).alias(f"{c}_a") for c in (id_col, vec_col)], "bucket"
+        )
+        b = emb.select(
+            *[F.col(c).alias(f"{c}_b") for c in (id_col, vec_col)], "bucket"
+        )
+        joined = a.join(b, join_keys)
+    else:
+        a = emb.select(*[F.col(c).alias(f"{c}_a") for c in (id_col, vec_col)])
+        b = emb.select(*[F.col(c).alias(f"{c}_b") for c in (id_col, vec_col)])
+        joined = a.crossJoin(b)
+    return (
+        joined.where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            F.round(cosine(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

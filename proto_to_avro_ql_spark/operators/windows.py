@@ -1,0 +1,52 @@
+"""Event-time window operators (SURVEY.md §2.9 ext_window_agg /
+ext_window_rank) — the batch forms; the streaming variants live in
+proto_to_avro_ql_spark.streaming.
+
+Scale notes: tumbling-window agg shuffles once on (window, event_type)
+with map-side partials; the ranking window shuffles once on user_id.
+Both keys are high-cardinality and unskewed here; for skewed users
+(bot traffic) AQE skew-join/salting applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): count, sum(value), avg(value).
+    Window rendered as ISO string start for portability."""
+    w = F.window("ts", duration)
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """ext_window_rank: per-user latest event (row_number over ts desc,
+    event_id desc tiebreak for determinism)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "event_type",
+            "value",
+        )
+    )

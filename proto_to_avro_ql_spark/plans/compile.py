@@ -158,10 +158,15 @@ def _group_by_head(paths: Sequence[Sequence[str]]) -> dict[str, list[list[str]]]
     return grouped
 
 
-def _full_subtree(col: Column, dtype: T.DataType) -> Column:
+def _full_subtree(col: Column, dtype: T.DataType, full_path: str, explicit: bool = False) -> Column:
     """A path ending at a message includes ALL of its fields
     (ProtoMessageToAvroMappings.scala:100, 135), with defaults applied
-    at every leaf and nested fields name-sorted."""
+    at every leaf and nested fields name-sorted.
+
+    val_empty_struct: an *explicitly* queried empty message errors;
+    empty messages encountered while expanding a parent are silently
+    skipped (ProtoMessageToAvroMappings.scala:94-97, 129-133, 138).
+    """
     st = _struct_type(dtype)
     if st is None:
         if isinstance(dtype, T.ArrayType):
@@ -169,12 +174,24 @@ def _full_subtree(col: Column, dtype: T.DataType) -> Column:
             if _struct_type(elem) is not None:
                 # repeated message: elements kept whole below the array
                 # (README.md:209-211), pruned per element.
-                built = F.transform(col, lambda x: _full_subtree(x, elem))
+                built = F.transform(col, lambda x: _full_subtree(x, elem, full_path))
             else:
                 built = col
             return F.coalesce(built, F.array().cast(T.ArrayType(elem)))
         return _leaf_column(col, dtype)
-    children = [_full_subtree(col[f.name], f.dataType).alias(f.name) for f in sorted(st.fields, key=lambda f: f.name)]
+    if not st.fields:
+        if explicit:
+            raise ValueError(f"Explicitly queried message at '{full_path}' has no fields")
+        return None  # silently skipped by the caller
+    children = []
+    for f in sorted(st.fields, key=lambda f: f.name):
+        child = _full_subtree(col[f.name], f.dataType, f"{full_path}.{f.name}")
+        if child is not None:
+            children.append(child.alias(f.name))
+    if not children:
+        if explicit:
+            raise ValueError(f"Explicitly queried message at '{full_path}' has no fields")
+        return None
     # Unset optional message → null record, never a record of defaults
     # (ProtoMessageToAvroMappings.scala:314-319).
     return F.when(col.isNotNull(), F.struct(*children))
@@ -189,12 +206,10 @@ def _build_node(
     """buildChildren analog: recurse into a message keeping only the
     queried branches (ProtoMessageToAvroMappings.scala:115-145)."""
     if any(len(p) == 0 for p in sub_paths):
-        # Path terminates here → whole subtree (or leaf).
-        if not all(len(p) == 0 for p in sub_paths):
-            # e.g. both "campaign" and "campaign.id" queried — the
-            # terminating path wins and includes everything.
-            pass
-        return _full_subtree(col, dtype)
+        # Path terminates here → whole subtree (or leaf). If both
+        # "campaign" and "campaign.id" are queried, the terminating
+        # path wins and includes everything.
+        return _full_subtree(col, dtype, full_path, explicit=True)
 
     st = _struct_type(dtype)
     if isinstance(dtype, T.ArrayType) and _struct_type(dtype.elementType) is not None:

@@ -42,7 +42,21 @@ TABLES = (
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """src_parquet_scan: columnar scan; filters/column pruning push down
-    via Catalyst (check ``.explain``: PushedFilters / ReadSchema)."""
+    via Catalyst (check ``.explain``: PushedFilters / ReadSchema).
+
+    The events table carries TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; we read nanos as long (runtime conf) and
+    truncate to a microsecond TimestampType column. Session timezone is
+    pinned to UTC so rendered timestamps agree with DuckDB's wall-clock
+    TIMESTAMP_NS regardless of host timezone.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
