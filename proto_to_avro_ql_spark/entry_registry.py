@@ -761,3 +761,290 @@ def q_join_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
         )
     )
+
+
+# ===========================================================================
+# §2.9 — training-data pipeline extensions
+# ===========================================================================
+
+
+@register(
+    "ext_dedup_exact",
+    """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM documents GROUP BY text""",
+)
+def q_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.dedup_exact(docs)
+
+
+@register(
+    "ext_dedup_near",
+    r"""SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+              MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM documents GROUP BY 1""",
+)
+def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-after-normalize dedup: hash the canonical text so the wide
+    text column never shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.dedup_near_hash(docs)
+
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    r"""WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(t) >= 3
+          THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+          ELSE [array_to_string(t, ' ')] END) AS shingle_set
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(shingle_set) AS n_sh, unnest(shingle_set) AS shingle FROM sh
+    ), cold AS (
+      SELECT * FROM ex WHERE shingle NOT IN (
+        SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) > 100)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS inter
+      FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.2""",
+)
+def q_ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard with inverted-index blocking and
+    hot-shingle suppression."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.2, max_df=100)
+
+
+@register("ext_dedup_minhash")  # LSH internals: rows-only + pytest self-check
+def q_ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs (exact-Jaccard verified). The banding
+    internals aren't SQL-portable; accuracy is pinned in tests against
+    the exact ngram_jaccard operator."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.2)
+
+
+@register("ext_dedup_simhash")  # rows-only + pytest self-check
+def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 32 bits, banded blocking)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs)
+
+
+@register(
+    "ext_dedup_embed",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.2""",
+)
+def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact mode for the oracle;
+    the LSH-bucketed scale path is ext_dedup_embed_lsh."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=True)
+
+
+@register("ext_dedup_embed_lsh")  # approximate by design: rows-only
+def q_ext_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=False)
+
+
+@register(
+    "ext_sim_search",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5""",
+)
+def q_ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact baseline; query side broadcast)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.brute_force_topk(emb, query_ids=[0, 1, 2], k=5)
+
+
+@register("ext_sim_search_lsh")  # approximate by design: rows-only
+def q_ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN variant (recall tested against brute force in
+    pytest, not hash-compared)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.lsh_topk(emb, query_ids=[0, 1, 2], k=5)
+
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "ext_text_stats",
+    f"""SELECT doc_id,
+         length(text) AS n_chars_actual,
+         CASE WHEN {_NORM} = '' THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END AS n_tokens_ws,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens_word,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                         / length(text), 6) END AS punct_ratio
+       FROM documents""",
+)
+def q_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.char_length(F.col("text")).alias("n_chars_actual"),
+        TX.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        TX.token_count_word(F.col("text")).alias("n_tokens_word"),
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+
+
+_STOP_FILTER = "x -> x IN ('the', 'a', 'and', 'of', 'to')"
+
+
+@register(
+    "ext_quality_score",
+    f"""WITH s AS (
+      SELECT doc_id, text,
+        length(text) AS n,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                        / length(text), 6) END AS punct,
+        CASE WHEN {_NORM} = '' THEN 0.0
+             ELSE ROUND(CAST(len(list_filter(string_split({_NORM}, ' '), {_STOP_FILTER})) AS DOUBLE)
+                        / len(string_split({_NORM}, ' ')), 6) END AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+      ROUND(CAST((CASE WHEN n BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN punct < 0.1 THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+    FROM s""",
+)
+def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+_LANG_COUNTS = {
+    lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+    for lang, pat in TX.LANG_MARKERS.items()
+}
+_LANG_BEST = "greatest(" + ", ".join(f"c_{lang}" for lang in TX.LANG_MARKERS) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(TX.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "ext_lang_id",
+    f"""WITH c AS (
+      SELECT doc_id, lang AS lang_label,
+        {', '.join(f'{expr} AS c_{lang}' for lang, expr in _LANG_COUNTS.items())}
+      FROM documents
+    ), b AS (
+      SELECT *, {_LANG_BEST} AS best FROM c
+    )
+    SELECT doc_id, lang_label, {_LANG_CASE} AS lang_pred FROM b""",
+)
+def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-n-gram language ID; ties broken by language-code order."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "ext_fingerprint",
+    f"""SELECT doc_id, md5({_NORM}) AS fp FROM documents""",
+)
+def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "ext_window_agg",
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 4) AS sum_value,
+         ROUND(AVG(value), 6) AS avg_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_ext_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return W.tumbling_window_agg(ev, "1 hour")
+
+
+@register(
+    "ext_window_rank",
+    """SELECT user_id, event_id,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+         event_type, value
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) = 1""",
+)
+def q_ext_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return W.latest_event_per_user(ev)
+
+
+@register(
+    "ext_multimodal",
+    """SELECT event_id,
+         'application/json' AS media_type,
+         octet_length(encode(props)) AS n_bytes,
+         sha256(props) AS checksum
+       FROM events""",
+)
+def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal envelope: opaque binary payload + typed, queryable
+    metadata (decode stays stubbed; plumbing is real)."""
+    ev = read_table(spark, sf_dir, "events")
+    packed = MM.pack_blob(ev, "props", "application/json")
+    return packed.select(
+        "event_id",
+        F.col("blob_meta.media_type").alias("media_type"),
+        F.col("blob_meta.n_bytes").alias("n_bytes"),
+        F.col("blob_meta.checksum").alias("checksum"),
+    )
+
+
+@register("ext_multimodal_features")  # Arrow/mapInPandas plumbing: rows-only
+def q_ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow
+    batches); decode step is the documented deterministic stub."""
+    ev = read_table(spark, sf_dir, "events")
+    packed = MM.pack_blob(ev, "props", "application/json")
+    feats = MM.extract_features(packed)
+    return feats.select(
+        "event_id", "n_bytes", F.round(F.element_at("feat", 1), 6).alias("feat0")
+    )

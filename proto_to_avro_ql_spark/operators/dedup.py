@@ -204,26 +204,24 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
         zero,
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(bits)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(F.get(counts, i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
 
 
 def simhash_pairs(

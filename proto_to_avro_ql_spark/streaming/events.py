@@ -1,0 +1,94 @@
+"""Structured Streaming layer (SURVEY.md §2.9 ext_window_agg streaming
+variant; reference analog: the lazy gRPC row stream, Main.scala:60-66).
+
+The reference consumes a server-side stream as a lazy iterator with no
+state or watermarks; the Spark-native upgrade is a real readStream with
+event-time tumbling windows and late-data watermarking. Tests drive it
+with ``trigger(availableNow=True)`` over the parquet events table and
+assert the result equals the batch operator — the Kappa-architecture
+consistency check.
+
+Scale notes: watermark + append output keeps state bounded (windows
+close and evict); the aggregation shuffles on (window, event_type) with
+partial aggregation, identical to the batch plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see sources.io.read_table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source streaming — the
+    local analog of a Kafka/Kinesis source; swap `.format` in prod)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file stream sources monitor a directory; select just the events
+    # table out of the shared sf_dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_window_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with late-data watermark.
+    Same output schema as operators.windows.tumbling_window_agg."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    w = F.window("ts", duration)
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "stream_window_agg"
+) -> DataFrame:
+    """Execute the streaming agg with availableNow (process everything
+    currently available, then stop) into an in-memory sink; returns the
+    materialized result. Complete mode: windowed agg without append
+    finalization dependency."""
+    q = (
+        stream_tumbling_window_agg(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table_name)

@@ -1,0 +1,103 @@
+"""Self-checks for the dedup tier: planted duplicates must be found.
+
+These pin the correctness of the operators whose internals aren't
+SQL-portable (MinHash LSH, SimHash) by testing recall/precision against
+planted near-duplicates and against the exact n-gram Jaccard operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from proto_to_avro_ql_spark.operators import dedup as DD
+from proto_to_avro_ql_spark.operators import simsearch as SS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    near = base.replace("warm", "cold")  # one-token change → high jaccard
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "COMPLETELY   different text about spark query engines and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactAndNear:
+    def test_exact(self, docs):
+        out = {r.keep_id: r.n_dups for r in DD.dedup_exact(docs).collect()}
+        assert out[1] == 2  # docs 1,2 collapse
+        assert out[4] == 1 and out[5] == 1  # case diff ≠ exact dup
+
+    def test_near_hash_normalizes(self, docs):
+        out = {r.keep_id: r.n_dups for r in DD.dedup_near_hash(docs).collect()}
+        assert out[1] == 2
+        assert out[4] == 2  # 4,5 collapse after normalize
+
+
+class TestJaccard:
+    def test_exact_pairs(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.ngram_jaccard_pairs(docs, threshold=0.3, max_df=10).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert pairs[(1, 3)] > 0.6  # one-token change in a 22-token doc
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_finds_planted(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in DD.minhash_lsh_pairs(docs, threshold=0.3).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs  # LSH must recall the near-dup
+        # verification step guarantees no false positives below threshold
+        assert all(j >= 0.3 for j in pairs.values())
+
+    def test_minhash_agrees_with_exact(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in DD.ngram_jaccard_pairs(docs, threshold=0.3, max_df=100).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in DD.minhash_lsh_pairs(docs, threshold=0.3).collect()
+        }
+        # LSH pairs are a subset of exact pairs (verify step) with high recall
+        assert lsh <= exact
+        if exact:
+            assert len(lsh) / len(exact) >= 0.8
+
+
+class TestSimhash:
+    def test_exact_dup_zero_hamming(self, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in DD.simhash_pairs(docs).collect()}
+        assert pairs[(1, 2)] == 0
+        assert pairs[(4, 5)] == 0  # normalization collapses case/whitespace
+
+
+class TestEmbedDedup:
+    def test_lsh_subset_of_exact(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=True).collect()
+        }
+        approx = {
+            (r.id_a, r.id_b)
+            for r in SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=False).collect()
+        }
+        assert approx <= exact

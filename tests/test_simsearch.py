@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+from proto_to_avro_ql_spark.operators import simsearch as SS
+from proto_to_avro_ql_spark.sources.io import read_table
+
+
+class TestBruteForce:
+    def test_topk_shape_and_order(self, spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        out = SS.brute_force_topk(emb, query_ids=[0, 1], k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rows in by_q.items():
+            assert len(rows) == 3
+            sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r.neighbor_id != q for r in rows)
+
+    def test_self_similarity_excluded_and_bounded(self, spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        out = SS.brute_force_topk(emb, query_ids=[5], k=10).collect()
+        assert all(-1.0 <= r.cos_sim <= 1.0 for r in out)
+
+
+class TestLsh:
+    def test_lsh_recall_vs_brute_force(self, spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        exact = SS.brute_force_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+        approx = SS.lsh_topk(emb, query_ids=[0, 1, 2], k=5, planes=2).collect()
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+        # with 2 planes (4 buckets) recall should be substantial
+        assert len(approx_set & exact_set) / len(exact_set) >= 0.4
+        # every approx hit must carry the exact cosine (scores aren't approximated)
+        exact_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+        for r in approx:
+            if (r.query_id, r.neighbor_id) in exact_scores:
+                assert abs(r.cos_sim - exact_scores[(r.query_id, r.neighbor_id)]) < 1e-9
