@@ -1048,3 +1048,92 @@ def q_ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "event_id", "n_bytes", F.round(F.element_at("feat", 1), 6).alias("feat0")
     )
+
+
+# ===========================================================================
+# §2.3/§2.7/§2.8 — cache-hit predicate, field binding, UDF surface
+# ===========================================================================
+
+
+@register(
+    "filter_cache_hit",
+    """SELECT * FROM (VALUES
+         (0, FALSE), (1, TRUE), (2, FALSE)
+       ) t(step, hit)""",
+)
+def q_filter_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-hit equality predicate on exact query text: miss before
+    write, hit after, different text still a miss."""
+    cache = QueryCache(spark, tempfile.mkdtemp(prefix="qcache_hit_"))
+    q1 = "SELECT a FROM t WHERE x"
+    q2 = "SELECT a FROM t WHERE y"
+    steps = [(0, cache.hit(q1))]
+    cache.run(q1, lambda: spark.range(3).toDF("a"))
+    steps.append((1, cache.hit(q1)))
+    steps.append((2, cache.hit(q2)))
+    return spark.createDataFrame(steps, "step int, hit boolean")
+
+
+@register(
+    "compile_field_bind",
+    """SELECT * FROM (VALUES
+         ('campaign.id', 'bigint'),
+         ('customer.descriptive_name', 'string'),
+         ('metrics.conversions', 'double'),
+         ('segments.date', 'string')
+       ) t(path, bound_type)""",
+)
+def q_compile_field_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer-style binding: each dot-path resolved against the schema
+    (the 'descriptor'), returning its bound type — no data read."""
+    from proto_to_avro_ql_spark.plans.compile import _path_type
+
+    df = ads_row(spark, sf_dir)
+    paths = [
+        "campaign.id",
+        "customer.descriptive_name",
+        "metrics.conversions",
+        "segments.date",
+    ]
+    rows = [(p, _path_type(df.schema, p.split(".")).simpleString()) for p in paths]
+    return spark.createDataFrame(rows, "path string, bound_type string")
+
+
+@register(
+    "udf_pandas_scalar",
+    """SELECT doc_id,
+         CAST(length(text) * 2 + 7 AS BIGINT) AS scored
+       FROM documents""",
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UserDefinedProtoToAvroNode analog: user-supplied computed
+    column with declared return schema, as a vectorized Arrow
+    pandas_udf (the sanctioned slow-path for genuinely opaque logic;
+    reference UserDefinedMappings.scala:21-33)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def user_score(text):  # no annotations: module uses postponed eval
+        # stand-in for arbitrary user Python; vectorized over Arrow batches
+        return text.str.len() * 2 + 7
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", user_score(F.col("text")).alias("scored"))
+
+
+@register(
+    "ext_stream_window",
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 4) AS sum_value,
+         ROUND(AVG(value), 6) AS avg_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg (readStream + watermark +
+    availableNow into a memory sink) — must equal the batch oracle."""
+    from proto_to_avro_ql_spark.streaming.events import run_stream_to_memory
+
+    return run_stream_to_memory(spark, sf_dir, table_name="q_stream_window")

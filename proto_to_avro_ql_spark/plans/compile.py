@@ -158,7 +158,13 @@ def _group_by_head(paths: Sequence[Sequence[str]]) -> dict[str, list[list[str]]]
     return grouped
 
 
-def _full_subtree(col: Column, dtype: T.DataType, full_path: str, explicit: bool = False) -> Column:
+def _full_subtree(
+    col: Column,
+    dtype: T.DataType,
+    full_path: str,
+    explicit: bool = False,
+    nullable: bool = True,
+) -> Column:
     """A path ending at a message includes ALL of its fields
     (ProtoMessageToAvroMappings.scala:100, 135), with defaults applied
     at every leaf and nested fields name-sorted.
@@ -185,7 +191,9 @@ def _full_subtree(col: Column, dtype: T.DataType, full_path: str, explicit: bool
         return None  # silently skipped by the caller
     children = []
     for f in sorted(st.fields, key=lambda f: f.name):
-        child = _full_subtree(col[f.name], f.dataType, f"{full_path}.{f.name}")
+        child = _full_subtree(
+            col[f.name], f.dataType, f"{full_path}.{f.name}", nullable=f.nullable
+        )
         if child is not None:
             children.append(child.alias(f.name))
     if not children:
@@ -193,8 +201,13 @@ def _full_subtree(col: Column, dtype: T.DataType, full_path: str, explicit: bool
             raise ValueError(f"Explicitly queried message at '{full_path}' has no fields")
         return None
     # Unset optional message → null record, never a record of defaults
-    # (ProtoMessageToAvroMappings.scala:314-319).
-    return F.when(col.isNotNull(), F.struct(*children))
+    # (ProtoMessageToAvroMappings.scala:314-319). Only wrap when the
+    # source struct is actually nullable: the isNotNull guard references
+    # the WHOLE struct, which would defeat Catalyst's nested-column
+    # pruning (un-queried sibling fields get computed just to feed the
+    # null check) — a real scan-width regression at 100 TB.
+    struct_col = F.struct(*children)
+    return F.when(col.isNotNull(), struct_col) if nullable else struct_col
 
 
 def _build_node(
@@ -202,6 +215,7 @@ def _build_node(
     dtype: T.DataType,
     sub_paths: list[list[str]],
     full_path: str,
+    nullable: bool = True,
 ) -> Column:
     """buildChildren analog: recurse into a message keeping only the
     queried branches (ProtoMessageToAvroMappings.scala:115-145)."""
@@ -209,7 +223,7 @@ def _build_node(
         # Path terminates here → whole subtree (or leaf). If both
         # "campaign" and "campaign.id" are queried, the terminating
         # path wins and includes everything.
-        return _full_subtree(col, dtype, full_path, explicit=True)
+        return _full_subtree(col, dtype, full_path, explicit=True, nullable=nullable)
 
     st = _struct_type(dtype)
     if isinstance(dtype, T.ArrayType) and _struct_type(dtype.elementType) is not None:
@@ -232,9 +246,15 @@ def _build_node(
     for name in sorted(grouped):  # nested fields name-sorted (:281-285)
         f = _resolve_field(st, name, f"{full_path}.{name}")
         children.append(
-            _build_node(col[f.name], f.dataType, grouped[name], f"{full_path}.{name}").alias(name)
+            _build_node(
+                col[f.name], f.dataType, grouped[name], f"{full_path}.{name}",
+                nullable=f.nullable,
+            ).alias(name)
         )
-    return F.when(col.isNotNull(), F.struct(*children))
+    # See _full_subtree: null-guard only genuinely nullable parents so
+    # nested-column pruning survives.
+    struct_col = F.struct(*children)
+    return F.when(col.isNotNull(), struct_col) if nullable else struct_col
 
 
 def compile_projection(
@@ -259,7 +279,9 @@ def compile_projection(
     out: dict[str, Column] = {}
     for head, subs in grouped.items():
         f = _resolve_field(df.schema, head, head)
-        out[head] = _build_node(F.col(head), f.dataType, subs, head).alias(head)
+        out[head] = _build_node(
+            F.col(head), f.dataType, subs, head, nullable=f.nullable
+        ).alias(head)
 
     for name, m in (mappings or {}).items():
         out[name] = m.to_column(df).alias(name)

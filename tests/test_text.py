@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proto_to_avro_ql_spark.functions import text as TX
+
+
+def one(spark, text, col_fn):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(col_fn(F.col("t")).alias("v")).first().v
+
+
+class TestTokens:
+    def test_ws_count(self, spark):
+        assert one(spark, "a  b\tc", TX.token_count_ws) == 3
+        assert one(spark, "", TX.token_count_ws) == 0
+        assert one(spark, "   ", TX.token_count_ws) == 0
+
+    def test_word_count(self, spark):
+        assert one(spark, "don't stop-me now", TX.token_count_word) == 5
+
+    def test_punct_ratio_empty(self, spark):
+        assert one(spark, "", TX.punct_ratio) == 0.0
+
+    def test_punct_ratio(self, spark):
+        assert one(spark, "ab!?", TX.punct_ratio) == 0.5
+
+
+class TestLangId:
+    def test_english(self, spark):
+        assert one(spark, "the cat and the dog of the house", TX.lang_id) == "en"
+
+    def test_german(self, spark):
+        assert one(spark, "der hund und die katze ist nicht da", TX.lang_id) == "de"
+
+    def test_chinese(self, spark):
+        assert one(spark, "这是一个中文句子", TX.lang_id) == "zh"
+
+    def test_undetermined(self, spark):
+        assert one(spark, "xyzzy plugh 42", TX.lang_id) == "und"
+
+
+class TestFingerprint:
+    def test_normalization_invariance(self, spark):
+        a = one(spark, "Hello   World", TX.fingerprint)
+        b = one(spark, "hello world", TX.fingerprint)
+        c = one(spark, "hello worlds", TX.fingerprint)
+        assert a == b
+        assert a != c
+
+
+class TestQuality:
+    def test_good_doc(self, spark):
+        text = "the quick brown fox jumps over the lazy dog " * 3
+        assert one(spark, text, TX.quality_score) == 1.0
+
+    def test_short_junk(self, spark):
+        assert one(spark, "!!!", TX.quality_score) == 0.0
