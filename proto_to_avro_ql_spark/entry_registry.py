@@ -1137,3 +1137,33 @@ def q_ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proto_to_avro_ql_spark.streaming.events import run_stream_to_memory
 
     return run_stream_to_memory(spark, sf_dir, table_name="q_stream_window")
+
+
+@register(
+    "ext_vocab",
+    r"""WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS freq
+    FROM toks WHERE tok <> ''
+    GROUP BY tok
+    QUALIFY row_number() OVER (ORDER BY freq DESC, tok ASC) <= 50""",
+)
+def q_ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (the tokenizer-
+    training precursor). Token explode → hash agg (map-side combined)
+    → tiny global top-k; deterministic (freq desc, token asc)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("tok", "freq")
+    )

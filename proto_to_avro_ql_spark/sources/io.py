@@ -47,12 +47,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The events table carries TIMESTAMP(NANOS) which Spark's vectorized
     parquet reader rejects; we read nanos as long (runtime conf) and
     truncate to a microsecond TimestampType column. Session timezone is
-    pinned to UTC so rendered timestamps agree with DuckDB's wall-clock
-    TIMESTAMP_NS regardless of host timezone.
+    pinned to UTC for every read: timestamp→date casts and date_format
+    are session-tz-sensitive, and the oracle (DuckDB) renders wall-clock
+    values — UTC keeps the two engines in agreement regardless of the
+    host/driver session timezone.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
