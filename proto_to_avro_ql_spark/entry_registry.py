@@ -1167,3 +1167,79 @@ def q_ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("tok", "freq")
     )
+
+
+# ===========================================================================
+# §2.9 capstones — cluster resolution and the composed cleaning pipeline
+# ===========================================================================
+
+
+@register("ext_dedup_cluster")  # iterative algorithm: rows-only + pytest
+def q_ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected-component clusters (iterative label
+    propagation; one shuffle per round, diameter-bounded)."""
+    from proto_to_avro_ql_spark.operators.clustering import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.2, max_df=100)
+    return connected_components(pairs).orderBy("id")
+
+
+_QUALITY_EXPR = f"""ROUND(CAST((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+             ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                        / length(text), 6) END) < 0.1 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN (CASE WHEN {_NORM} = '' THEN 0.0
+             ELSE ROUND(CAST(len(list_filter(string_split({_NORM}, ' '), {_STOP_FILTER})) AS DOUBLE)
+                        / len(string_split({_NORM}, ' ')), 6) END) > 0.01 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2)"""
+
+_LANG_PRED_EXPR = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN {expr} = greatest({', '.join(_LANG_COUNTS.values())}) "
+        f"AND greatest({', '.join(_LANG_COUNTS.values())}) > 0 THEN '{lang}'"
+        for lang, expr in sorted(_LANG_COUNTS.items())
+    )
+    + " ELSE 'und' END)"
+)
+
+_CORPUS_SQL = f"""WITH dedup AS (
+      SELECT doc_id, text,
+             sha256({_NORM}) AS text_hash
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id ASC) = 1
+    ), scored AS (
+      SELECT doc_id,
+        {_QUALITY_EXPR} AS quality,
+        {_LANG_PRED_EXPR} AS lang_pred,
+        CASE WHEN {_NORM} = '' THEN 0
+             ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+      FROM dedup
+    )
+    SELECT * FROM scored
+    WHERE quality >= 0.7 AND lang_pred IN ('en')"""
+
+
+@register("ext_corpus_pipeline", _CORPUS_SQL)
+def q_ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline: normalize-dedup → quality ≥ 0.7 →
+    lang='en' → token accounting, one declarative plan."""
+    from proto_to_avro_ql_spark.operators.corpus import clean_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    return clean_corpus(docs, min_quality=0.7, langs=("en",))
+
+
+@register(
+    "ext_corpus_stats",
+    f"""WITH clean AS ({_CORPUS_SQL})
+    SELECT COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(n_tokens), 6) AS avg_tokens
+    FROM clean""",
+)
+def q_ext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from proto_to_avro_ql_spark.operators.corpus import clean_corpus, corpus_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_stats(clean_corpus(docs, min_quality=0.7, langs=("en",)))
