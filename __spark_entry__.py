@@ -9,12 +9,20 @@ rounded on both sides so the driver's value hash is bit-stable.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from proto_to_avro_ql_spark.entry_queries import ORACLES, QUERIES
-from proto_to_avro_ql_spark.operators.reports import flagship_report
+# The driver may import this file by path from any CWD; make the
+# package resolvable regardless.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from proto_to_avro_ql_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
+from proto_to_avro_ql_spark.operators.reports import flagship_report  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
