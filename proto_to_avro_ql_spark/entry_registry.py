@@ -1243,3 +1243,53 @@ def q_ext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return corpus_stats(clean_corpus(docs, min_quality=0.7, langs=("en",)))
+
+
+# ===========================================================================
+# §2.9 — sessionization, salting, bucketing (scale-strategy operators)
+# ===========================================================================
+
+
+@register(
+    "ext_sessionize",
+    """WITH s AS (
+      SELECT user_id, event_id,
+        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts_str,
+      SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_str, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM s""",
+)
+def q_ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via shared-shuffle windows."""
+    ev = read_table(spark, sf_dir, "events")
+    return W.sessionize(ev, gap_minutes=30)
+
+
+@register(
+    "ext_salted_agg",
+    """SELECT event_type,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 4) AS sum_value
+       FROM events GROUP BY event_type""",
+)
+def q_ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 aggregates
+    (key, salt) spreading a hot key over N reducers; stage 2 merges the
+    partials. Result is identical to the direct groupBy — the oracle
+    proves it. event_type (5 values, 32 partitions) IS a skewed-key
+    shape: unsalted, at most 5 reducers do all the work."""
+    ev = read_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 4).alias("sum_value")
+    )

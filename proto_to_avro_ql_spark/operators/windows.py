@@ -50,3 +50,46 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
             "value",
         )
     )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. session_seq is the running
+    count of session starts per user (classic lag + cumulative sum —
+    two window passes over one shuffle on user_id).
+
+    Scale notes: both windows share the (user_id, ts) partitioning/sort,
+    so Catalyst plans ONE exchange + sort; state per group is O(1).
+    """
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_order)
+    is_start = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.sum(is_start).over(w_cum).alias("session_seq"),
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session aggregates over the sessionized stream."""
+    s = sessionize(events, gap_minutes)
+    joined = s.join(
+        events.select("event_id", "value"), "event_id"
+    )
+    return joined.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_str").alias("session_start"),
+        F.max("ts_str").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -91,3 +91,34 @@ class TestAggregation:
         plan = physical_plan(df)
         assert plan.count("HashAggregate") >= 2
         assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir):
+        """Both sides staged bucketed on the join key → zero-shuffle
+        sort-merge join (the 100 TB join strategy)."""
+        from proto_to_avro_ql_spark.operators.bucketing import bucketed_equi_join
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        try:
+            l = read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            )
+            o = read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            )
+            joined = bucketed_equi_join(
+                spark, l, o, "l_orderkey", "o_orderkey",
+                names=("t_bkt_l", "t_bkt_o"),
+            )
+            joined.collect()
+            plan = physical_plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            # row parity with the plain join
+            plain = l.join(o, l.l_orderkey == o.o_orderkey).count()
+            assert joined.count() == plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_o")

@@ -20,3 +20,29 @@ class TestStreamingWindowAgg:
         }
         assert streamed == batch
         assert len(batch) > 0
+
+
+class TestStatefulSessionize:
+    def test_stream_sessionize_equals_batch(self, spark, sf_dir):
+        """applyInPandasWithState sessionization must reproduce the
+        batch window-function sessionization exactly."""
+        import shutil
+
+        from proto_to_avro_ql_spark.operators.windows import sessionize
+        from proto_to_avro_ql_spark.streaming.sessionize import (
+            run_stream_sessionize_to_memory,
+        )
+
+        shutil.rmtree("/tmp/ckpt_t_sessions", ignore_errors=True)
+        streamed = {
+            (r.user_id, r.event_id): r.session_seq
+            for r in run_stream_sessionize_to_memory(
+                spark, sf_dir, table_name="t_sessions"
+            ).collect()
+        }
+        batch = {
+            (r.user_id, r.event_id): r.session_seq
+            for r in sessionize(read_table(spark, sf_dir, "events"), 30).collect()
+        }
+        assert len(streamed) == len(batch) > 0
+        assert streamed == batch
