@@ -1,0 +1,174 @@
+"""Property-based parity: a row-at-a-time Python interpreter of the
+reference semantics (the spirit of ProtoToAvroTranslator.translate)
+fuzzed against the compiled Catalyst plan — hypothesis generates nested
+rows with nulls/empties; both executions must agree exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from proto_to_avro_ql_spark.plans.compile import compile_projection
+
+SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "a",
+            T.StructType(
+                [
+                    T.StructField("i", T.LongType()),
+                    T.StructField("s", T.StringType()),
+                    T.StructField("b", T.BooleanType()),
+                    T.StructField(
+                        "inner",
+                        T.StructType(
+                            [
+                                T.StructField("x", T.LongType()),
+                                T.StructField("y", T.StringType()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+        T.StructField("top", T.StringType()),
+    ]
+)
+
+PATH_POOL = ["a.i", "a.s", "a.b", "a.inner.x", "a.inner.y", "a.inner", "a", "arr", "top"]
+
+
+def interpret_leaf(value, dtype):
+    """Reference getRowField semantics (§1.3)."""
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        return 0 if value is None else value
+    if isinstance(dtype, T.BooleanType):
+        return False if value is None else value
+    if isinstance(dtype, T.StringType):
+        return None if value in (None, "") else value
+    if isinstance(dtype, T.ArrayType):
+        return [] if value is None else value
+    raise AssertionError(dtype)
+
+
+def interpret_struct(value, struct: T.StructType, keep: dict):
+    """keep: {field_name: sub_keep_or_None}; None → full subtree."""
+    if value is None:
+        return None
+    out = {}
+    for name in sorted(keep):
+        f = struct[name]
+        sub = keep[name]
+        v = value.get(name) if isinstance(value, dict) else getattr(value, name)
+        if isinstance(f.dataType, T.StructType):
+            sub_keep = sub if sub is not None else {
+                c.name: None for c in f.dataType.fields
+            }
+            out[name] = interpret_struct(v, f.dataType, sub_keep)
+        else:
+            out[name] = interpret_leaf(v, f.dataType)
+    return out
+
+
+def interpret(row: dict, paths: list[str]):
+    keep: dict = {}
+    for p in paths:
+        parts = p.split(".")
+        node = keep
+        for i, part in enumerate(parts):
+            if i == len(parts) - 1:
+                node[part] = None  # terminating path → full subtree wins
+            else:
+                if node.get(part) is None and part in node:
+                    break  # already full subtree
+                node = node.setdefault(part, {})
+    result = {}
+    for head in sorted(keep):
+        f = SCHEMA[head]
+        v = row.get(head)
+        if isinstance(f.dataType, T.StructType):
+            sub = keep[head] if keep[head] is not None else {
+                c.name: None for c in f.dataType.fields
+            }
+            result[head] = interpret_struct(v, f.dataType, sub)
+        else:
+            result[head] = interpret_leaf(v, f.dataType)
+    return result
+
+
+def spark_value(v):
+    if isinstance(v, Row):
+        return {k: spark_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [spark_value(x) for x in v]
+    return v
+
+
+row_strategy = st.fixed_dictionaries(
+    {
+        "a": st.one_of(
+            st.none(),
+            st.fixed_dictionaries(
+                {
+                    "i": st.one_of(st.none(), st.integers(-100, 100)),
+                    "s": st.one_of(st.none(), st.sampled_from(["", "x", "hello"])),
+                    "b": st.one_of(st.none(), st.booleans()),
+                    "inner": st.one_of(
+                        st.none(),
+                        st.fixed_dictionaries(
+                            {
+                                "x": st.one_of(st.none(), st.integers(-5, 5)),
+                                "y": st.one_of(st.none(), st.sampled_from(["", "z"])),
+                            }
+                        ),
+                    ),
+                }
+            ),
+        ),
+        "arr": st.one_of(st.none(), st.lists(st.integers(0, 9), max_size=3)),
+        "top": st.one_of(st.none(), st.sampled_from(["", "t"])),
+    }
+)
+
+paths_strategy = st.lists(
+    st.sampled_from(PATH_POOL), min_size=1, max_size=5, unique=True
+).filter(
+    # "a" (full subtree) combined with deeper a.* paths is allowed — the
+    # terminating path wins; the interpreter models that, keep both.
+    lambda ps: True
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestInterpreterParity:
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(row_strategy, min_size=1, max_size=4), paths=paths_strategy)
+    def test_compiled_plan_matches_interpreter(self, spark, rows, paths):
+        df = spark.createDataFrame(
+            [self.to_row(r) for r in rows], SCHEMA
+        )
+        out = compile_projection(df, paths)
+        got = [
+            {k: spark_value(v) for k, v in r.asDict().items()}
+            for r in out.collect()
+        ]
+        expected = [interpret(r, paths) for r in rows]
+        assert got == expected
+
+    @staticmethod
+    def to_row(d):
+        def conv(v):
+            if isinstance(v, dict):
+                return Row(**{k: conv(x) for k, x in v.items()})
+            return v
+
+        return Row(**{k: conv(v) for k, v in d.items()})
