@@ -1293,3 +1293,37 @@ def q_ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 4).alias("sum_value")
     )
+
+
+@register(
+    "ext_asof_join",
+    """SELECT l.event_id, l.user_id,
+         strftime(CAST(l.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+         r.event_id AS event_id_asof,
+         r.value AS value_asof
+       FROM (SELECT * FROM events WHERE event_type = 'error') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the user's most recent
+    click at-or-before it — union+window composition, one shuffle."""
+    from proto_to_avro_ql_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors, clicks, key="user_id", ts="ts", right_payload=("event_id", "value")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("event_id_asof"),
+        F.col("value_asof"),
+    )
