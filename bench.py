@@ -36,8 +36,16 @@ def main() -> None:
     from proto_to_avro_ql_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm the JVM + parquet footer caches with a trivial action
+    # Warm-up pass (untimed): JVM JIT, codegen compilation, parquet
+    # footer caches. The reference's numbers are steady-state translate
+    # throughput on a warm JVM (README.md:214: timings measured around
+    # each pass after the stream was already cached locally), so the
+    # measured pass below is the comparable one.
     spark.range(1).count()
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None:
+            fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
