@@ -1,0 +1,67 @@
+"""Regenerate PLANS.md — physical-plan audit of headline queries."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from proto_to_avro_ql_spark.entry_queries import QUERIES  # noqa: E402
+from proto_to_avro_ql_spark.session import get_spark  # noqa: E402
+
+AUDIT = {
+    "flagship_report": "projection + filters + grouped sums + ratios (the reference's whole pipeline)",
+    "src_parquet_scan": "predicate + column pushdown",
+    "proj_paths": "nested projection over the synthesized view",
+    "join_equi_inner": "dimension join",
+    "ext_dedup_near": "normalize+hash dedup",
+    "ext_sim_search": "brute-force cosine top-k",
+    "ext_window_rank": "per-user latest event",
+    "ext_sessionize": "gap sessionization",
+    "ext_asof_join": "as-of join via union+window",
+}
+
+CODEGEN_RE = re.compile(r"\*\((\d+)\)")
+SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\]")
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = [
+        "# PLANS — physical-plan audit of headline queries (sf0.01, generated)",
+        "",
+        "Regenerate with `python tools/gen_plans.py`. Summary metrics per",
+        "query: exchanges (shuffles), broadcast joins, sort-merge joins,",
+        "hash aggregates, codegen spans, scan width. Hard assertions live",
+        "in tests/test_plans.py.",
+        "",
+    ]
+    for name, desc in AUDIT.items():
+        df = QUERIES[name](spark, sf)
+        df.count()  # finalize the adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_codegen = len(set(CODEGEN_RE.findall(plan)))
+        out.append(f"## {name} — {desc}\n")
+        out.append(
+            f"- exchanges: {plan.count('Exchange hashpartitioning')}"
+            f" | broadcast joins: {plan.count('BroadcastHashJoin')}"
+            f" | sort-merge joins: {plan.count('SortMergeJoin')}"
+            f" | hash aggregates: {plan.count('HashAggregate')}"
+            f" | codegen spans: {n_codegen}"
+        )
+        for s in SCAN_RE.findall(plan)[:4]:
+            cols = [c.split("#")[0] for c in s.split(",")]
+            shown = ", ".join(cols[:6]) + (", …" if len(cols) > 6 else "")
+            out.append(f"- scan: {len(cols)} cols [{shown}]")
+        out.append("")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(AUDIT)} queries)")
+
+
+if __name__ == "__main__":
+    main()
