@@ -1327,3 +1327,32 @@ def q_ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_asof"),
         F.col("value_asof"),
     )
+
+
+@register(
+    "gaql_roundtrip",
+    f"""WITH f AS ({ADS_FLAT_SQL})
+    SELECT campaign_id, segments_date, metrics_impressions, metrics_clicks
+    FROM f
+    WHERE segments_date BETWEEN '1995-01-01' AND '1995-06-30'
+      AND metrics_impressions > 5""",
+)
+def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's text query surface end-to-end: GAQL-style string
+    → parse → bind → pruned projection → Catalyst-pushed WHERE."""
+    from proto_to_avro_ql_spark.plans.gaql import run_gaql
+
+    out = run_gaql(
+        spark,
+        """SELECT campaign.id, segments.date, metrics.impressions, metrics.clicks
+           FROM ads_row
+           WHERE segments.date BETWEEN '1995-01-01' AND '1995-06-30'
+             AND metrics.impressions > 5""",
+        resolve_table=lambda name: {"ads_row": ads_row(spark, sf_dir)}[name],
+    )
+    return out.select(
+        F.col("campaign.id").alias("campaign_id"),
+        F.col("segments.date").alias("segments_date"),
+        F.col("metrics.impressions").alias("metrics_impressions"),
+        F.col("metrics.clicks").alias("metrics_clicks"),
+    )

@@ -176,3 +176,36 @@ class TestMappings:
     def test_schema_infer_no_action(self, fixture_df):
         schema = projected_schema(fixture_df, ["customer.id"])
         assert [f.name for f in schema["customer"].dataType.fields] == ["id"]
+
+
+class TestGaql:
+    def test_parse_roundtrip_text(self):
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        q = parse_gaql(
+            "SELECT campaign.id, metrics.clicks FROM ads_row WHERE metrics.clicks > 0"
+        )
+        assert q.fields == ("campaign.id", "metrics.clicks")
+        assert q.resource == "ads_row"
+        assert q.text == (
+            "SELECT campaign.id, metrics.clicks FROM ads_row WHERE metrics.clicks > 0"
+        )
+
+    def test_parse_errors(self):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        with _pytest.raises(ValueError, match="Cannot parse"):
+            parse_gaql("DELETE FROM x")
+
+    def test_run_gaql_binds_and_filters(self, fixture_df):
+        from proto_to_avro_ql_spark.plans.gaql import run_gaql
+
+        out = run_gaql(
+            fixture_df.sparkSession,
+            "SELECT campaign.id, customer.id FROM t WHERE customer.id = 123",
+            resolve_table=lambda n: fixture_df,
+        )
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].campaign.id == 456
