@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from proto_to_avro_ql_spark.entry_queries import register
+from proto_to_avro_ql_spark.operators.reports import FLAGSHIP_SQL_TEMPLATE
 from proto_to_avro_ql_spark.fixtures import (
     ADS_FLAT_SQL,
     ENUM_SYMBOLS,
@@ -1355,4 +1356,34 @@ def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("segments.date").alias("segments_date"),
         F.col("metrics.impressions").alias("metrics_impressions"),
         F.col("metrics.clicks").alias("metrics_clicks"),
+    )
+
+
+@register(
+    "sink_partitioned",
+    f"""WITH flag AS ({FLAGSHIP_SQL_TEMPLATE.format(ads_flat=ADS_FLAT_SQL, date_from='1994-01-01', date_to='1996-12-31')})
+    SELECT * FROM flag WHERE campaign_status = 'F'""",
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned read-back: the
+    lake layout for 100 TB outputs. The filter on the partition column
+    becomes a PartitionFilter — pruned directories are never listed,
+    let alone read (asserted in tests/test_plans.py)."""
+    from proto_to_avro_ql_spark.operators.reports import flagship_report
+
+    path = tempfile.mkdtemp(prefix="sink_part_")
+    flagship_report(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "campaign_status"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.where(F.col("campaign_status") == "F").select(
+        "segments_date",
+        "campaign_status",
+        "sum_impressions",
+        "sum_clicks",
+        "sum_cost_micros",
+        "sum_conversions",
+        "n_campaigns",
+        "ctr",
+        "average_cpc",
     )

@@ -122,3 +122,20 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE IF EXISTS t_bkt_l")
             spark.sql("DROP TABLE IF EXISTS t_bkt_o")
+
+
+class TestPartitionPruning:
+    def test_partition_filter_reaches_scan(self, spark, sf_dir):
+        import tempfile
+
+        from proto_to_avro_ql_spark.operators.reports import flagship_report
+
+        path = tempfile.mkdtemp(prefix="part_prune_")
+        flagship_report(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "campaign_status"
+        ).parquet(path)
+        back = spark.read.parquet(path).where(F.col("campaign_status") == "F")
+        plan = optimized_plan(back)
+        scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters" in scan_line
+        assert "campaign_status" in scan_line.split("PartitionFilters")[1][:120]
