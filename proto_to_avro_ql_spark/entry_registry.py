@@ -1387,3 +1387,83 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ctr",
         "average_cpc",
     )
+
+
+@register(
+    "ext_frame_sample",
+    # props is pure-ASCII JSON, so DuckDB's character substring equals
+    # Spark's byte substring on the binary payload.
+    """WITH idx AS (
+      SELECT event_id, props,
+             unnest(range(0, greatest(CAST(ceil(octet_length(encode(props)) / 4.0) AS INTEGER), 1))) AS frame_idx
+      FROM events
+    )
+    SELECT event_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           sha256(substring(props, CAST(frame_idx * 4 + 1 AS INTEGER), 4)) AS frame_checksum,
+           octet_length(encode(substring(props, CAST(frame_idx * 4 + 1 AS INTEGER), 4))) AS frame_len
+    FROM idx""",
+)
+def q_ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many multimodal frame sampling: fixed-size frames +
+    per-frame checksums from each binary payload."""
+    ev = read_table(spark, sf_dir, "events")
+    packed = MM.pack_blob(ev, "props", "application/json")
+    frames = MM.sample_frames(packed, frame_bytes=4)
+    return frames.select(
+        "event_id",
+        "frame_idx",
+        "frame_checksum",
+        F.length("frame").alias("frame_len"),
+    )
+
+
+@register(
+    "ext_json_parse",
+    """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         json_valid(props) AS is_valid
+       FROM events""",
+)
+def q_ext_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: schema-on-read JSON extraction with
+    validity flag (PERMISSIVE-mode tolerance for corrupt records)."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k bigint")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed.isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "src_schema_evolution",
+    """WITH merged AS (
+      SELECT n_nationkey AS id, n_name AS name, NULL AS region FROM nation
+      UNION ALL
+      SELECT n_nationkey + 100 AS id, n_name AS name, n_regionkey AS region
+      FROM nation
+    )
+    SELECT id, name, COALESCE(region, 0) AS region_def FROM merged""",
+)
+def q_src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (the proto world's added-field case): an old
+    batch without `region` and a new batch with it live in one dataset;
+    mergeSchema unifies them and proto defaults fill the gap (missing
+    int → 0), so readers see one stable schema."""
+    n = read_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="evolve_")
+    n.select(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")).write.parquet(
+        f"{path}/batch=1"
+    )
+    n.select(
+        (F.col("n_nationkey") + 100).alias("id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+    ).write.parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.select(
+        "id",
+        "name",
+        apply_leaf_defaults(F.col("region"), T.IntegerType()).alias("region_def"),
+    )

@@ -91,3 +91,40 @@ def decode_image(payload: bytes):  # pragma: no cover - documented stub
     raise NotImplementedError(
         "image codecs unavailable in this environment; wire PIL/cv2 here"
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 4, id_col: str = "event_id") -> DataFrame:
+    """One-to-many frame sampling over binary payloads (the video
+    frame-extraction shape): each blob yields ceil(n/frame_bytes)
+    fixed-size frames with per-frame checksums.
+
+    Implemented with native expressions (sequence + transform + explode
+    of cheap index ranges — NOT explode of a computed frame array, per
+    the Generate pitfall), so it stays JVM-side; a real codec would swap
+    the substring slicing for a decoder inside mapInPandas.
+    """
+    n_frames = F.ceil(F.length("blob") / F.lit(frame_bytes)).cast("int")
+    idx = df.select(
+        id_col,
+        "blob",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias(
+            "frame_idx"
+        ),
+    )
+    frame = F.expr(f"substring(blob, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+    return idx.select(
+        F.col(id_col),
+        F.col("frame_idx"),
+        frame.alias("frame"),
+        F.sha2(frame, 256).alias("frame_checksum"),
+    )
