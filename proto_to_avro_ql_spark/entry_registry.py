@@ -1467,3 +1467,101 @@ def q_src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         apply_leaf_defaults(F.col("region"), T.IntegerType()).alias("region_def"),
     )
+
+
+@register(
+    "ext_data_split",
+    """SELECT doc_id,
+         CASE WHEN substring(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+              WHEN substring(md5(text), 1, 1) IN ('c','d') THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents""",
+)
+def q_ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~75/12.5/12.5):
+    stable across runs, engines, and partitionings — the reproducible-
+    split requirement for training pipelines. No RNG, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    first = F.substring(F.md5("text"), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(first.isin(*"0123456789ab"), "train")
+        .when(first.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "ext_pii_redact",
+    r"""SELECT e.event_id,
+         regexp_replace(
+           regexp_replace(e.synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+       FROM (
+         SELECT event_id,
+           'contact user' || user_id || '@example.com or 555-867-530' || (event_id % 10)
+             || ' ref ' || props AS synth
+         FROM events
+       ) e""",
+)
+def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone regex redaction over synthesized text
+    (pure regexp_replace — JVM-side, no UDF)."""
+    ev = read_table(spark, sf_dir, "events")
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com or 555-867-530"),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(" ref "),
+        F.col("props"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            synth, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\b\d{3}-\d{3}-\d{4}\b",
+        "<PHONE>",
+    )
+    return ev.select("event_id", redacted.alias("redacted"))
+
+
+@register(
+    "ext_token_pack",
+    r"""WITH toks AS (
+      SELECT doc_id,
+        CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+             ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS n_tokens,
+        doc_id % 8 AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+      CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS pack_id
+    FROM toks""",
+)
+def q_ext_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: within each shard, docs are
+    greedily packed into ~512-token bins via running-sum bucketing —
+    one window per shard, no driver loop."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / 512).cast("bigint").alias("pack_id"),
+    )
