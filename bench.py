@@ -25,6 +25,9 @@ HEADLINE = [
     "ext_text_stats",
     "ext_window_agg",
     "ext_window_rank",
+    "ext_asof_join",
+    "ext_sessionize",
+    "ext_corpus_pipeline",
 ]
 
 

@@ -25,17 +25,25 @@ from proto_to_avro_ql_spark.plans.compile import (
     Scalar,
     SynthStruct,
     compile_projection,
+    projected_schema,
     reference_ordering,
 )
+from proto_to_avro_ql_spark.plans.gaql import parse_gaql, run_gaql
 from proto_to_avro_ql_spark.session import get_spark
+from proto_to_avro_ql_spark.sources.io import QueryCache, read_table
 
 __all__ = [
     "Constant",
+    "QueryCache",
     "Scalar",
     "SynthStruct",
     "compile_projection",
     "get_spark",
+    "parse_gaql",
+    "projected_schema",
+    "read_table",
     "reference_ordering",
+    "run_gaql",
 ]
 
 __version__ = "0.1.0"

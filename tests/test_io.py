@@ -64,3 +64,30 @@ class TestEventsNanos:
         assert dict(ev.dtypes)["ts"] == "timestamp"
         r = ev.orderBy("event_id").first()
         assert r.ts.year >= 2024
+
+
+class TestMultimodalPlumbing:
+    def test_feature_extraction_values(self, spark):
+        """The Arrow mapInPandas path produces the documented
+        deterministic byte-histogram features."""
+        from proto_to_avro_ql_spark.operators.multimodal import (
+            extract_features,
+            pack_blob,
+        )
+
+        df = spark.createDataFrame([(1, "AAAA"), (2, "")], "event_id long, props string")
+        packed = pack_blob(df, "props", "text/plain")
+        feats = {r.event_id: r for r in extract_features(packed).collect()}
+        # 'A' = 0x41 → bin 2 (0x41 >> 5); four bytes → bin2 == 1.0
+        assert feats[1].n_bytes == 4
+        assert feats[1].feat[2] == 1.0 and sum(feats[1].feat) == 1.0
+        assert feats[2].feat == [0.0] * 8
+
+    def test_frame_sampling_reassembles(self, spark):
+        from proto_to_avro_ql_spark.operators.multimodal import pack_blob, sample_frames
+
+        df = spark.createDataFrame([(1, "abcdefghij")], "event_id long, props string")
+        frames = sample_frames(pack_blob(df, "props", "t"), frame_bytes=4).collect()
+        by_idx = sorted(frames, key=lambda r: r.frame_idx)
+        assert b"".join(bytes(r.frame) for r in by_idx) == b"abcdefghij"
+        assert [len(bytes(r.frame)) for r in by_idx] == [4, 4, 2]
