@@ -91,3 +91,32 @@ class TestMultimodalPlumbing:
         by_idx = sorted(frames, key=lambda r: r.frame_idx)
         assert b"".join(bytes(r.frame) for r in by_idx) == b"abcdefghij"
         assert [len(bytes(r.frame)) for r in by_idx] == [4, 4, 2]
+
+
+class TestIncrementalRunner:
+    def test_delta_processing(self, spark):
+        import tempfile as _tf
+
+        from proto_to_avro_ql_spark.sources.incremental import (
+            IncrementalRunner,
+            WatermarkStore,
+        )
+
+        runner = IncrementalRunner(WatermarkStore(_tf.mkdtemp(prefix="wm_")))
+        outputs = []
+
+        def sink(df):
+            outputs.extend(r.event_id for r in df.collect())
+
+        batch1 = spark.range(0, 5).toDF("event_id")
+        n1 = runner.run(batch1, "p", "event_id", lambda d: d, sink)
+        assert n1 == 5 and sorted(outputs) == [0, 1, 2, 3, 4]
+
+        # second run over a grown source processes ONLY the new rows
+        batch2 = spark.range(0, 8).toDF("event_id")
+        n2 = runner.run(batch2, "p", "event_id", lambda d: d, sink)
+        assert n2 == 3 and sorted(outputs) == [0, 1, 2, 3, 4, 5, 6, 7]
+
+        # no new data → no-op, mark unchanged
+        n3 = runner.run(batch2, "p", "event_id", lambda d: d, sink)
+        assert n3 == 0 and len(outputs) == 8
