@@ -127,7 +127,12 @@ def _resolve_path(schema: T.StructType, parts: Sequence[str], full_path: str) ->
     f = _resolve_field(schema, parts[0], full_path)
     if len(parts) == 1:
         return f
-    inner = _struct_type(f.dataType)
+    dtype = f.dataType
+    if isinstance(dtype, T.ArrayType):
+        # paths descend through repeated messages element-wise
+        # (README.md:209-211): resolve against the element type.
+        dtype = dtype.elementType
+    inner = _struct_type(dtype)
     if inner is None:
         raise ValueError(
             f"Field '{parts[0]}' is not a message; cannot descend into it "
@@ -177,13 +182,15 @@ def _full_subtree(
     if st is None:
         if isinstance(dtype, T.ArrayType):
             elem = dtype.elementType
+            # unset repeated → [] (§1.3): coalesce the INPUT (whose array
+            # type is statically known) before transforming, so the empty
+            # case flows through the same element projection.
+            coalesced = F.coalesce(col, F.array().cast(dtype))
             if _struct_type(elem) is not None:
                 # repeated message: elements kept whole below the array
                 # (README.md:209-211), pruned per element.
-                built = F.transform(col, lambda x: _full_subtree(x, elem, full_path))
-            else:
-                built = col
-            return F.coalesce(built, F.array().cast(T.ArrayType(elem)))
+                return F.transform(coalesced, lambda x: _full_subtree(x, elem, full_path))
+            return coalesced
         return _leaf_column(col, dtype)
     if not st.fields:
         if explicit:
@@ -229,8 +236,13 @@ def _build_node(
     if isinstance(dtype, T.ArrayType) and _struct_type(dtype.elementType) is not None:
         # Queried through an array of messages: can't index into arrays
         # (README.md:209-211) — prune each element by the sub-paths.
+        # Unset repeated → [] (coalesce input so the empty case shares
+        # the element projection).
         elem = dtype.elementType
-        return F.transform(col, lambda x: _build_node(x, elem, sub_paths, full_path))
+        return F.transform(
+            F.coalesce(col, F.array().cast(dtype)),
+            lambda x: _build_node(x, elem, sub_paths, full_path, nullable=False),
+        )
     if st is None:
         raise ValueError(
             f"Field at '{full_path}' is not a message; cannot descend with "

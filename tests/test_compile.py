@@ -209,3 +209,49 @@ class TestGaql:
         )
         rows = out.collect()
         assert len(rows) == 1 and rows[0].campaign.id == 456
+
+
+class TestArraysAndEnums:
+    def test_array_of_struct_pruning_through_path(self, spark):
+        """Querying through an array of messages prunes each element
+        (README.md:209-211 analog: can't index into arrays; elements
+        pruned below the array)."""
+        df = spark.createDataFrame(
+            [
+                (1, [Row(id=10, junk="x"), Row(id=11, junk="y")]),
+                (2, None),
+            ],
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField(
+                        "items",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.LongType()),
+                                    T.StructField("junk", T.StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        )
+        out = compile_projection(df, ["k", "items.id"])
+        elem = out.schema["items"].dataType.elementType
+        assert [f.name for f in elem.fields] == ["id"]  # junk pruned
+        rows = {r.k: r.items for r in out.collect()}
+        assert [e.id for e in rows[1]] == [10, 11]
+        assert rows[2] == []  # null array → [] (proto default)
+
+    def test_repeated_enum_symbols(self, spark):
+        from proto_to_avro_ql_spark.functions.defaults import enum_symbol_array
+
+        df = spark.createDataFrame([([0, 2, 4, None],)], "codes array<int>")
+        out = df.select(
+            enum_symbol_array(
+                F.col("codes"), ["UNSPECIFIED", "UNKNOWN", "ENABLED", "PAUSED", "REMOVED"]
+            ).alias("syms")
+        ).first()
+        assert out.syms == ["UNSPECIFIED", "ENABLED", "REMOVED", "UNSPECIFIED"]
