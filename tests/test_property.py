@@ -36,11 +36,25 @@ SCHEMA = T.StructType(
             ),
         ),
         T.StructField("arr", T.ArrayType(T.LongType())),
+        T.StructField(
+            "items",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("p", T.LongType()),
+                        T.StructField("q", T.StringType()),
+                    ]
+                )
+            ),
+        ),
         T.StructField("top", T.StringType()),
     ]
 )
 
-PATH_POOL = ["a.i", "a.s", "a.b", "a.inner.x", "a.inner.y", "a.inner", "a", "arr", "top"]
+PATH_POOL = [
+    "a.i", "a.s", "a.b", "a.inner.x", "a.inner.y", "a.inner", "a",
+    "arr", "top", "items", "items.p", "items.q",
+]
 
 
 def interpret_leaf(value, dtype):
@@ -54,6 +68,13 @@ def interpret_leaf(value, dtype):
     if isinstance(dtype, T.ArrayType):
         return [] if value is None else value
     raise AssertionError(dtype)
+
+
+def interpret_array_of_struct(value, elem: T.StructType, keep):
+    if value is None:
+        return []
+    sub_keep = keep if keep is not None else {c.name: None for c in elem.fields}
+    return [interpret_struct(v, elem, sub_keep) for v in value]
 
 
 def interpret_struct(value, struct: T.StructType, keep: dict):
@@ -70,6 +91,10 @@ def interpret_struct(value, struct: T.StructType, keep: dict):
                 c.name: None for c in f.dataType.fields
             }
             out[name] = interpret_struct(v, f.dataType, sub_keep)
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.StructType
+        ):
+            out[name] = interpret_array_of_struct(v, f.dataType.elementType, sub)
         else:
             out[name] = interpret_leaf(v, f.dataType)
     return out
@@ -96,6 +121,12 @@ def interpret(row: dict, paths: list[str]):
                 c.name: None for c in f.dataType.fields
             }
             result[head] = interpret_struct(v, f.dataType, sub)
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.StructType
+        ):
+            result[head] = interpret_array_of_struct(
+                v, f.dataType.elementType, keep[head]
+            )
         else:
             result[head] = interpret_leaf(v, f.dataType)
     return result
@@ -131,6 +162,18 @@ row_strategy = st.fixed_dictionaries(
             ),
         ),
         "arr": st.one_of(st.none(), st.lists(st.integers(0, 9), max_size=3)),
+        "items": st.one_of(
+            st.none(),
+            st.lists(
+                st.fixed_dictionaries(
+                    {
+                        "p": st.one_of(st.none(), st.integers(0, 9)),
+                        "q": st.one_of(st.none(), st.sampled_from(["", "w"])),
+                    }
+                ),
+                max_size=2,
+            ),
+        ),
         "top": st.one_of(st.none(), st.sampled_from(["", "t"])),
     }
 )
