@@ -1565,3 +1565,61 @@ def q_ext_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / 512).cast("bigint").alias("pack_id"),
     )
+
+
+@register(
+    "agg_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+              COUNT(*) AS n_rows
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (subtotals + grand total in one
+    pass — Catalyst expands to grouping sets, still one shuffle)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "ext_interleave",
+    """WITH tagged AS (
+      SELECT doc_id, 'web' AS ds, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 'books' AS ds, text FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, ds FROM tagged
+    WHERE (ds = 'web'   AND substring(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7'))
+       OR (ds = 'books' AND substring(md5(text), 1, 1) IN ('0','1','2','3'))""",
+)
+def q_ext_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture: two tagged sources downsampled to weights
+    (web 50%, books 25%) by deterministic content hash — reproducible
+    mixing without RNG, the training-mixture primitive."""
+    docs = read_table(spark, sf_dir, "documents")
+    web = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit("web").alias("ds"), "text"
+    )
+    books = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.lit("books").alias("ds"), "text"
+    )
+    tagged = web.unionByName(books)
+    first = F.substring(F.md5("text"), 1, 1)
+    keep = (
+        (F.col("ds") == "web") & first.isin(*"01234567")
+    ) | ((F.col("ds") == "books") & first.isin(*"0123"))
+    return tagged.where(keep).select("doc_id", "ds")
