@@ -1,0 +1,73 @@
+"""Robustness: rows-only queries must be deterministic run-to-run (the
+driver hashes results; nondeterminism = flaky gate), and operators must
+tolerate empty inputs (a filter matching nothing at some scale must not
+crash the pipeline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proto_to_avro_ql_spark.entry_queries import ORACLES, QUERIES
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+class TestRowsOnlyDeterminism:
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_same_result_twice(self, spark, sf_dir, name):
+        a = QUERIES[name](spark, sf_dir)
+        b = QUERIES[name](spark, sf_dir)
+        ra = sorted(map(str, a.collect()))
+        rb = sorted(map(str, b.collect()))
+        assert ra == rb, f"{name} is nondeterministic"
+
+
+class TestEmptyInputs:
+    def test_dedup_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators import dedup as DD
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert DD.dedup_exact(empty).count() == 0
+        assert DD.dedup_near_hash(empty).count() == 0
+        assert DD.ngram_jaccard_pairs(empty, threshold=0.2).count() == 0
+        assert DD.minhash_lsh_pairs(empty, threshold=0.2).count() == 0
+        assert DD.simhash_pairs(empty).count() == 0
+
+    def test_windows_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators.windows import (
+            latest_event_per_user,
+            sessionize,
+            tumbling_window_agg,
+        )
+
+        empty = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        assert tumbling_window_agg(empty).count() == 0
+        assert latest_event_per_user(empty).count() == 0
+        assert sessionize(empty).count() == 0
+
+    def test_corpus_pipeline_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators.corpus import clean_corpus, corpus_stats
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        clean = clean_corpus(empty)
+        assert clean.count() == 0
+        stats = corpus_stats(clean).first()
+        assert stats.n_docs == 0 and stats.total_tokens is None
+
+    def test_simsearch_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators import simsearch as SS
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+        assert SS.brute_force_topk(empty, query_ids=[1], k=3).count() == 0
+        assert SS.embedding_near_dup_pairs(empty, exact=True).count() == 0
+
+    def test_compile_on_empty(self, spark):
+        from proto_to_avro_ql_spark.plans.compile import compile_projection
+
+        empty = spark.createDataFrame([], "a struct<x: long, y: string>, k long")
+        out = compile_projection(empty, ["a.x", "k"])
+        assert out.count() == 0
+        assert [f.name for f in out.schema["a"].dataType.fields] == ["x"]
