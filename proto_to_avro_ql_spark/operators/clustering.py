@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 10,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, cluster_id) where cluster_id is the min
     node id reachable through the pair graph. Nodes present in pairs
@@ -40,7 +41,7 @@ def connected_components(
     )
     sym = sym.persist()
     labels = labels.persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
@@ -56,6 +57,11 @@ def connected_components(
             )
             .persist()
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # truncate lineage: each round stacks joins on the previous
+            # labels; past a few rounds the growing plan costs more to
+            # analyze/schedule than the data costs to copy.
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
