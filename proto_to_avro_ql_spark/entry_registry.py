@@ -1623,3 +1623,117 @@ def q_ext_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ds") == "web") & first.isin(*"01234567")
     ) | ((F.col("ds") == "books") & first.isin(*"0123"))
     return tagged.where(keep).select("doc_id", "ds")
+
+
+# ===========================================================================
+# Relational breadth: percentiles, stats, set ops, top-k, pivot, sketches
+# ===========================================================================
+
+
+@register(
+    "agg_percentile",
+    """SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). At 100 TB you'd swap in percentile_approx
+    (t-digest) — see ext_approx_distinct for the sketch pattern."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register(
+    "agg_stats",
+    """SELECT
+         ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+         ROUND(stddev_samp(l_discount), 6) AS sd_disc
+       FROM lineitem""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+    )
+
+
+@register(
+    "setop_union_except",
+    """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM big UNION SELECT * FROM seg)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (SELECT * FROM big INTERSECT SELECT * FROM seg)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (SELECT * FROM big EXCEPT SELECT * FROM seg)""",
+)
+def q_setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    big = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    seg = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rows = [
+        ("union", big.union(seg).distinct().count()),
+        ("intersect", big.intersect(seg).count()),
+        ("except", big.exceptAll(seg).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")
+
+
+@register(
+    "sort_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+)
+def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, never a full sort at scale."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "ext_pivot",
+    """SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+       FROM events GROUP BY user_id""",
+)
+def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — at scale never let pivot
+    infer values (that's an extra distinct pass over the corpus)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("n_click"),
+        F.coalesce("view", F.lit(0)).alias("n_view"),
+        F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+    )
+
+
+@register("ext_approx_distinct")  # sketch output is engine-specific: rows-only
+def q_ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct — THE cardinality primitive at
+    100 TB (fixed-size sketch, map-side mergeable, vs an exact distinct
+    whose shuffle grows with cardinality). Accuracy pinned in pytest
+    against the exact count."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )

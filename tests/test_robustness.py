@@ -71,3 +71,11 @@ class TestEmptyInputs:
         out = compile_projection(empty, ["a.x", "k"])
         assert out.count() == 0
         assert [f.name for f in out.schema["a"].dataType.fields] == ["x"]
+
+
+class TestSketchAccuracy:
+    def test_hll_within_tolerance(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        r = QUERIES["ext_approx_distinct"](spark, sf_dir).first()
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
