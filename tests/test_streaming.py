@@ -46,3 +46,39 @@ class TestStatefulSessionize:
         }
         assert len(streamed) == len(batch) > 0
         assert streamed == batch
+
+
+class TestForeachBatchIdempotentSink:
+    def test_stream_partitioned_parquet_equals_batch(self, spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from proto_to_avro_ql_spark.sources.io import read_table
+        from proto_to_avro_ql_spark.streaming.sinks import (
+            read_partitioned_output,
+            run_stream_to_partitioned_parquet,
+            windowed_agg,
+        )
+
+        out = tempfile.mkdtemp(prefix="stream_out_")
+        ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+        run_stream_to_partitioned_parquet(spark, sf_dir, out, ckpt)
+        streamed = {
+            (r.window_part, r.event_type): (r.n_events, r.sum_value)
+            for r in read_partitioned_output(spark, out).collect()
+        }
+        batch = {
+            (r.window_part, r.event_type): (r.n_events, r.sum_value)
+            for r in windowed_agg(read_table(spark, sf_dir, "events")).collect()
+        }
+        assert streamed == batch and len(batch) > 0
+
+        # idempotence: re-running from a FRESH checkpoint replays the
+        # data and converges to the same output (no duplication)
+        shutil.rmtree(ckpt)
+        run_stream_to_partitioned_parquet(spark, sf_dir, out, tempfile.mkdtemp(prefix="ck2_"))
+        again = {
+            (r.window_part, r.event_type): (r.n_events, r.sum_value)
+            for r in read_partitioned_output(spark, out).collect()
+        }
+        assert again == batch
