@@ -1737,3 +1737,43 @@ def q_ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "ext_source_stats",
+    f"""SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN {_NORM} = '' THEN 0
+             ELSE len(string_split({_NORM}, ' ')) END) AS total_tokens,
+         ROUND(AVG(length(text)), 4) AS avg_chars,
+         COUNT(DISTINCT lang) AS n_langs
+       FROM documents GROUP BY source""",
+)
+def q_ext_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus governance: doc/token/length/language stats by
+    provenance — the dataset-card numbers, one hash-agg pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count_ws(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "join_semi_anti",
+    """SELECT 'semi' AS op, COUNT(*) AS n FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       UNION ALL
+       SELECT 'anti', COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins: semi/anti carry only the probe side through the
+    join (no payload duplication) — the scalable EXISTS/NOT EXISTS."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame([("semi", semi), ("anti", anti)], "op string, n long")
