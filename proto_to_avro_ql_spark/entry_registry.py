@@ -1777,3 +1777,27 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
     return spark.createDataFrame([("semi", semi), ("anti", anti)], "op string, n long")
+
+
+@register(
+    "gaql_orderby_limit",
+    f"""WITH f AS ({ADS_FLAT_SQL})
+    SELECT campaign_id, metrics_cost_micros FROM f
+    WHERE metrics_impressions > 0
+    ORDER BY metrics_cost_micros DESC, campaign_id ASC LIMIT 20""",
+)
+def q_gaql_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAQL ORDER BY + LIMIT → top-k plan (TakeOrderedAndProject)."""
+    from proto_to_avro_ql_spark.plans.gaql import run_gaql
+
+    out = run_gaql(
+        spark,
+        """SELECT campaign.id, metrics.cost_micros FROM ads_row
+           WHERE metrics.impressions > 0
+           ORDER BY metrics.cost_micros DESC, campaign.id ASC LIMIT 20""",
+        resolve_table=lambda name: ads_row(spark, sf_dir),
+    )
+    return out.select(
+        F.col("campaign.id").alias("campaign_id"),
+        F.col("metrics.cost_micros").alias("metrics_cost_micros"),
+    )

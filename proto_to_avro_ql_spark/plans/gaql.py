@@ -21,7 +21,9 @@ from proto_to_avro_ql_spark.plans.compile import compile_projection
 
 _GAQL_RE = re.compile(
     r"^\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<resource>\S+)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$",
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -31,13 +33,36 @@ class GaqlQuery:
     fields: tuple[str, ...]
     resource: str
     where: str | None
+    order_by: tuple[tuple[str, str], ...] = ()  # (path, 'ASC'|'DESC')
+    limit: int | None = None
 
     @property
     def text(self) -> str:
         """Canonical query text (fields.mkString(',') analog) — the
         cache key (Main.scala:69-77)."""
         q = f"SELECT {', '.join(self.fields)} FROM {self.resource}"
-        return q + (f" WHERE {self.where}" if self.where else "")
+        if self.where:
+            q += f" WHERE {self.where}"
+        if self.order_by:
+            q += " ORDER BY " + ", ".join(f"{p} {d}" for p, d in self.order_by)
+        if self.limit is not None:
+            q += f" LIMIT {self.limit}"
+        return q
+
+
+def _parse_order(order: str | None) -> tuple[tuple[str, str], ...]:
+    if not order:
+        return ()
+    out = []
+    for item in order.split(","):
+        parts = item.split()
+        if not parts:
+            continue
+        direction = parts[1].upper() if len(parts) > 1 else "ASC"
+        if direction not in ("ASC", "DESC"):
+            raise ValueError(f"Bad ORDER BY direction in {item!r}")
+        out.append((parts[0], direction))
+    return tuple(out)
 
 
 def parse_gaql(query: str) -> GaqlQuery:
@@ -47,7 +72,14 @@ def parse_gaql(query: str) -> GaqlQuery:
     fields = tuple(f.strip() for f in m.group("fields").split(",") if f.strip())
     if not fields:
         raise ValueError("Report query selects no fields")
-    return GaqlQuery(fields, m.group("resource"), m.group("where"))
+    limit = m.group("limit")
+    return GaqlQuery(
+        fields,
+        m.group("resource"),
+        m.group("where"),
+        _parse_order(m.group("order")),
+        int(limit) if limit is not None else None,
+    )
 
 
 def run_gaql(
@@ -60,7 +92,22 @@ def run_gaql(
     scan exactly like programmatic filters."""
     q = parse_gaql(query)
     df = resolve_table(q.resource)
-    out = compile_projection(df, list(q.fields))
     if q.where:
-        out = out.where(F.expr(q.where))
+        # WHERE may reference non-selected paths (the reference filters
+        # server-side over full rows): filter the SOURCE, then project.
+        # Catalyst pushes the predicate to the scan either way.
+        df = df.where(F.expr(q.where))
+    out = compile_projection(df, list(q.fields))
+    # GAQL convention: ORDER BY attributes must be selected.
+    if q.order_by:
+        out = out.orderBy(
+            *[
+                F.col(p).desc() if d == "DESC" else F.col(p).asc()
+                for p, d in q.order_by
+            ]
+        )
+    if q.limit is not None:
+        # ORDER BY + LIMIT plans as TakeOrderedAndProject (top-k, no
+        # global sort) — the scalable form.
+        out = out.limit(q.limit)
     return out

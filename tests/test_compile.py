@@ -255,3 +255,13 @@ class TestArraysAndEnums:
             ).alias("syms")
         ).first()
         assert out.syms == ["UNSPECIFIED", "ENABLED", "REMOVED", "UNSPECIFIED"]
+
+    def test_parse_order_limit(self):
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        q = parse_gaql(
+            "SELECT a.b FROM t WHERE a.b > 1 ORDER BY a.b DESC, a.c LIMIT 7"
+        )
+        assert q.order_by == (("a.b", "DESC"), ("a.c", "ASC"))
+        assert q.limit == 7
+        assert q.text.endswith("ORDER BY a.b DESC, a.c ASC LIMIT 7")
