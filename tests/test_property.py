@@ -215,3 +215,76 @@ class TestInterpreterParity:
             return v
 
         return Row(**{k: conv(v) for k, v in d.items()})
+
+
+# ---- user-defined mapping surface (Constant / Scalar / SynthStruct) ----
+
+from proto_to_avro_ql_spark.plans.compile import Constant, Scalar, SynthStruct  # noqa: E402
+
+SCALAR_PATHS = ["a.i", "a.s", "a.inner.x", "top"]
+
+
+def leaf_dtype(path: str):
+    dt = SCHEMA
+    for part in path.split("."):
+        dt = dt[part].dataType
+    return dt
+
+
+def interpret_scalar(row: dict, path: str):
+    v = row
+    for part in path.split("."):
+        if v is None:
+            break
+        v = v.get(part)
+    return interpret_leaf(v, leaf_dtype(path))
+
+
+mapping_strategy = st.dictionaries(
+    keys=st.sampled_from(["m_const", "m_lift", "m_meta"]),
+    values=st.none(),
+    max_size=3,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestMappingParity:
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(row_strategy, min_size=1, max_size=3),
+        const_val=st.one_of(st.none(), st.integers(-9, 9)),
+        lift_path=st.sampled_from(SCALAR_PATHS),
+        meta_path=st.sampled_from(SCALAR_PATHS),
+    )
+    def test_mappings_match_interpreter(self, spark, rows, const_val, lift_path, meta_path):
+        df = spark.createDataFrame(
+            [TestInterpreterParity.to_row(r) for r in rows], SCHEMA
+        )
+        out = compile_projection(
+            df,
+            ["a.b"],
+            mappings={
+                "m_const": Constant(const_val, "long"),
+                "m_lift": Scalar(lift_path),
+                "m_meta": SynthStruct(
+                    {"author": Constant("Ben"), "lifted": Scalar(meta_path)}
+                ),
+            },
+        )
+        got = [
+            {k: spark_value(v) for k, v in r.asDict().items()} for r in out.collect()
+        ]
+        expected = [
+            {
+                "a": (None if r["a"] is None else {"b": interpret_leaf(r["a"]["b"], T.BooleanType())}),
+                "m_const": const_val,
+                "m_lift": interpret_scalar(r, lift_path),
+                "m_meta": {"author": "Ben", "lifted": interpret_scalar(r, meta_path)},
+            }
+            for r in rows
+        ]
+        assert got == expected
