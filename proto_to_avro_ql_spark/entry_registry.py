@@ -1801,3 +1801,16 @@ def q_gaql_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("campaign.id").alias("campaign_id"),
         F.col("metrics.cost_micros").alias("metrics_cost_micros"),
     )
+
+
+@register("ext_approx_quantile")  # sketch values are engine-specific: rows-only
+def q_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna / t-digest family) —
+    the quantile primitive at 100 TB (bounded-memory mergeable sketch
+    vs exact percentile's full sort per group). Accuracy pinned in
+    pytest against the exact interpolated quantile."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+    )

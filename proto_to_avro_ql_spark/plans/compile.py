@@ -296,6 +296,13 @@ def compile_projection(
         ).alias(head)
 
     for name, m in (mappings or {}).items():
+        if name in out:
+            # reference mappings are PREPENDED, never silently override a
+            # projected message (UserDefinedMappings.scala:27-38 keeps
+            # them disjoint); a collision is a user error here.
+            raise ValueError(
+                f"User mapping '{name}' collides with a projected top-level field"
+            )
         out[name] = m.to_column(df).alias(name)
 
     ordered = sorted(out, key=ordering)

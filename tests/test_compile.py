@@ -265,3 +265,11 @@ class TestArraysAndEnums:
         assert q.order_by == (("a.b", "DESC"), ("a.c", "ASC"))
         assert q.limit == 7
         assert q.text.endswith("ORDER BY a.b DESC, a.c ASC LIMIT 7")
+
+
+class TestMappingCollision:
+    def test_mapping_name_collision_raises(self, fixture_df):
+        with pytest.raises(ValueError, match="collides"):
+            compile_projection(
+                fixture_df, ["campaign.id"], mappings={"campaign": Constant(1, "int")}
+            )

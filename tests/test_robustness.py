@@ -79,3 +79,9 @@ class TestSketchAccuracy:
 
         r = QUERIES["ext_approx_distinct"](spark, sf_dir).first()
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
+
+    def test_approx_quantile_within_tolerance(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        r = QUERIES["ext_approx_quantile"](spark, sf_dir).first()
+        assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.02
