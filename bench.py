@@ -31,6 +31,32 @@ HEADLINE = [
 ]
 
 
+def sink_comparison(spark, sf_dir: str) -> None:
+    """Reference-runner parity (Main.scala:200-246): time the same
+    report through three encoders — columnar (parquet), json-lines,
+    and in-plan to_json — printed per pass like TimingUtils."""
+    import tempfile
+
+    from proto_to_avro_ql_spark.entry_queries import QUERIES
+    from proto_to_avro_ql_spark.sources.io import sink_json_direct
+
+    df = QUERIES["flagship_report"](spark, sf_dir)
+    df.count()  # warm
+    passes = {
+        "sink_parquet": lambda: df.write.mode("overwrite").parquet(
+            tempfile.mkdtemp(prefix="bench_pq_")
+        ),
+        "sink_json": lambda: df.write.mode("overwrite").json(
+            tempfile.mkdtemp(prefix="bench_js_")
+        ),
+        "sink_to_json": lambda: sink_json_direct(df).count(),
+    }
+    for name, fn in passes.items():
+        t0 = time.perf_counter()
+        fn()
+        print(f"# {name}: {round(time.perf_counter() - t0, 3)}s", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -60,6 +86,9 @@ def main() -> None:
         n = df.count()  # materialize the full pipeline
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SINKS"):
+        sink_comparison(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
