@@ -1814,3 +1814,11 @@ def q_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
     )
+
+
+@register("ext_sim_search_ivf")  # approximate by design: rows-only
+def q_ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 nearest label-cells per query (recall vs
+    brute force pinned in pytest)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.ivf_topk(emb, query_ids=[0, 1, 2], k=5, probes=3)

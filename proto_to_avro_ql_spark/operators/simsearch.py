@@ -176,3 +176,109 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _mean_vectors(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """(cell, vec) → (cell, centroid=mean vec): posexplode → per-(cell,
+    pos) avg → re-assemble. All map-side-combined aggregates."""
+    pos = assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+    per_dim = pos.groupBy("cell", "pos").agg(F.avg("val").alias("avg"))
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "avg"))).alias("dims"))
+        .select("cell", F.transform("dims", lambda d: d["avg"]).alias("centroid"))
+    )
+
+
+def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Each vector → nearest centroid by cosine (deterministic tiebreak)."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("centroid")).alias("sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd's iterations with
+    deterministic seeds (the k lowest-id vectors — no RNG, reproducible
+    plans). Each iteration: one broadcast assignment pass + one
+    aggregate; centroids stay tiny and driver-free."""
+    cents = embeddings.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(embeddings, cents, id_col, vec_col)
+        cents = _mean_vectors(assigned, vec_col)
+    return _assign_cells(embeddings, cents, id_col, vec_col).join(
+        cents, "cell"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    probes: int = 2,
+    k_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: search only the ``probes`` inverted lists whose
+    centroids are nearest each query. At 100 TB the corpus is
+    partitioned by cell, so a query touches ~probes/k_cells of the
+    data; centroids are tiny and broadcast; the quantizer is trained
+    once and reused across queries."""
+    assigned = kmeans_cells(embeddings, k=k_cells, id_col=id_col, vec_col=vec_col).persist()
+    cents = assigned.select("cell", "centroid").distinct()
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # rank cells per query by centroid cosine; keep top `probes`
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "cell",
+            cosine(F.col("qvec"), F.col("centroid")).alias("cent_sim"),
+        )
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("cent_sim"), F.asc("cell"))
+    probed = (
+        qc.withColumn("cell_rank", F.row_number().over(w_cell))
+        .where(F.col("cell_rank") <= probes)
+        .select("query_id", "qvec", "cell")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        "cell",
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

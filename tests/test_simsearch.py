@@ -37,3 +37,25 @@ class TestLsh:
         for r in approx:
             if (r.query_id, r.neighbor_id) in exact_scores:
                 assert abs(r.cos_sim - exact_scores[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+class TestIvf:
+    def test_ivf_recall_and_exact_scores(self, spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        exact = SS.brute_force_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+        approx = SS.ivf_topk(emb, query_ids=[0, 1, 2], k=5, probes=3).collect()
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+        assert len(approx_set & exact_set) / len(exact_set) >= 0.4
+        scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+        for r in approx:
+            if (r.query_id, r.neighbor_id) in scores:
+                assert abs(r.cos_sim - scores[(r.query_id, r.neighbor_id)]) < 1e-9
+
+    def test_kmeans_cells(self, spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        assigned = SS.kmeans_cells(emb, k=8).collect()
+        assert len(assigned) == emb.count()  # every vector assigned
+        cells = {r.cell for r in assigned}
+        assert 1 < len(cells) <= 8
+        assert all(len(r.centroid) == 64 for r in assigned)
