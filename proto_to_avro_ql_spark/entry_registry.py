@@ -1822,3 +1822,54 @@ def q_ext_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force pinned in pytest)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SS.ivf_topk(emb, query_ids=[0, 1, 2], k=5, probes=3)
+
+
+@register("ext_kmeans")  # iterative + float-avg centroids: rows-only
+def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over embeddings: per-cell sizes
+    (the clustering building block behind IVF and data-curation
+    stratification)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = SS.kmeans_cells(emb, k=8)
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@register(
+    "agg_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "ext_moving_avg",
+    """SELECT event_id, user_id,
+         ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+       FROM events""",
+)
+def q_ext_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event moving average (bounded window frame — O(1)
+    state per row, one shuffle on user_id)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma5")
+    )
