@@ -1873,3 +1873,44 @@ def q_ext_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma5")
     )
+
+
+@register(
+    "ext_session_window",
+    """WITH s AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    )
+    SELECT user_id,
+      strftime(CAST(MIN(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 4) AS sum_value
+    FROM numbered GROUP BY user_id, session_seq""",
+)
+def q_ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (dynamic gap-merged windows — the
+    streaming-ready form of sessionization; works under watermarks in
+    readStream identically)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

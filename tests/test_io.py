@@ -120,3 +120,43 @@ class TestIncrementalRunner:
         # no new data → no-op, mark unchanged
         n3 = runner.run(batch2, "p", "event_id", lambda d: d, sink)
         assert n3 == 0 and len(outputs) == 8
+
+
+class TestAsofEdges:
+    def test_no_right_rows_yields_nulls(self, spark):
+        from proto_to_avro_ql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "2024-01-01 01:00:00")], "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [], "event_id long, user_id long, ts timestamp, value double"
+        )
+        out = asof_join(left, right, key="user_id", ts="ts", right_payload=("value",)).first()
+        assert out.value_asof is None
+
+    def test_right_at_exact_ts_visible(self, spark):
+        from proto_to_avro_ql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "2024-01-01 01:00:00")], "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [(2, 10, "2024-01-01 01:00:00", 7.5)],
+            "event_id long, user_id long, ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = asof_join(left, right, key="user_id", ts="ts", right_payload=("value",)).first()
+        assert out.value_asof == 7.5
+
+    def test_later_right_rows_invisible(self, spark):
+        from proto_to_avro_ql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "2024-01-01 01:00:00")], "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [(2, 10, "2024-01-01 02:00:00", 9.9)],
+            "event_id long, user_id long, ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = asof_join(left, right, key="user_id", ts="ts", right_payload=("value",)).first()
+        assert out.value_asof is None
