@@ -150,11 +150,18 @@ def minhash_signature(sh: Column, num_hashes: int = 32) -> Column:
     hashing the string k times."""
     base = F.transform(sh, lambda s: F.xxhash64(s))
     return F.array(
-        *[
-            F.array_min(F.transform(base, lambda h, k=k: F.xxhash64(F.lit(k), h)))
-            for k in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(base, _rehash(k))) for k in range(num_hashes)]
     )
+
+
+def _rehash(k: int):
+    """Seeded long re-hash as a ONE-argument transform lambda.
+
+    Must be a closure, not ``lambda h, k=k: …``: PySpark dispatches on
+    lambda arity, and a two-parameter lambda receives the ARRAY INDEX as
+    its second argument — silently shadowing the bound seed and
+    collapsing all k hash functions into one."""
+    return lambda h: F.xxhash64(F.lit(k), h)
 
 
 def minhash_signature_table(
@@ -164,22 +171,28 @@ def minhash_signature_table(
     n: int,
     num_hashes: int,
 ) -> DataFrame:
-    """(id, sh, sig) via explode + hash-once + groupBy-min aggregation.
+    """(id, sh, sig) as ONE narrow per-row projection — zero shuffles.
 
-    The columnar-friendly formulation: one row per (doc, shingle), one
-    string hash each, then ``num_hashes`` cheap long re-hashes feeding
-    min() aggregates with map-side partial aggregation. The shingle set
-    (for exact verification) and the signature come out of ONE groupBy —
-    a single shuffle on id, pre-partitioned by exploded_shingles so it
-    is in fact shuffle-free."""
-    ex = exploded_shingles(docs, text_col, id_col, n)
-    hashed = ex.select("id", "shingle", F.xxhash64("shingle").alias("h"))
-    agg = hashed.groupBy("id").agg(
-        F.collect_set("shingle").alias("sh"),
-        *[F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"m{k}") for k in range(num_hashes)],
+    Both outputs are per-document functions of the text, so there is
+    nothing to aggregate: the distinct shingle set is an array
+    expression and the signature is hash-once (xxhash64 of each shingle
+    string) + ``num_hashes`` cheap long re-hashes reduced by
+    ``array_min`` — all inside whole-stage codegen. The earlier
+    explode + distinct + groupBy formulation paid two full shuffles of
+    the exploded shingle rows for the same result; at 100 TB this
+    version shuffles nothing at all until banding."""
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
-    return agg.select(
-        "id", "sh", F.array(*[f"m{k}" for k in range(num_hashes)]).alias("sig")
+    hashed = base.select(
+        "id", "sh", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    return hashed.select(
+        "id",
+        "sh",
+        F.array(
+            *[F.array_min(F.transform("hs", _rehash(k))) for k in range(num_hashes)]
+        ).alias("sig"),
     )
 
 
