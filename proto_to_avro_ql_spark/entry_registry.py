@@ -1140,6 +1140,27 @@ def q_ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, table_name="q_stream_window")
 
 
+@register("ext_stream_append_sink")  # append-mode finalization: rows-only
+def q_ext_stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native parquet file sink in APPEND output mode with watermark
+    finalization — each window emitted exactly once when the watermark
+    passes its end (state for closed windows evicted; the only output
+    mode viable for an unbounded 100 TB stream). Subset-and-equality vs
+    the batch agg is pinned in tests/test_streaming.py; emission timing
+    is watermark-dependent, hence rows-only here."""
+    import tempfile
+
+    from proto_to_avro_ql_spark.streaming.sinks import run_stream_append_parquet
+
+    return run_stream_append_parquet(
+        spark,
+        sf_dir,
+        tempfile.mkdtemp(prefix="q_app_stage_"),
+        tempfile.mkdtemp(prefix="q_app_out_"),
+        tempfile.mkdtemp(prefix="q_app_ckpt_"),
+    )
+
+
 @register(
     "ext_vocab",
     r"""WITH toks AS (

@@ -82,3 +82,50 @@ class TestForeachBatchIdempotentSink:
             for r in read_partitioned_output(spark, out).collect()
         }
         assert again == batch
+
+
+class TestAppendModeFileSink:
+    def test_append_sink_emits_only_finalized_windows(self, spark, sf_dir):
+        """Native parquet sink, append mode: emitted windows are (a) a
+        non-empty subset of the batch result, (b) value-identical to
+        their batch counterparts, and (c) all strictly finalized — no
+        window past the final watermark ever reaches the sink."""
+        import datetime
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.sources.io import read_table
+        from proto_to_avro_ql_spark.streaming.sinks import run_stream_append_parquet
+
+        staging = tempfile.mkdtemp(prefix="app_stage_")
+        out = tempfile.mkdtemp(prefix="app_out_")
+        ckpt = tempfile.mkdtemp(prefix="app_ckpt_")
+        emitted_df = run_stream_append_parquet(spark, sf_dir, staging, out, ckpt)
+        emitted = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value, r.window_end)
+            for r in emitted_df.collect()
+        }
+
+        ev = read_table(spark, sf_dir, "events")
+        batch = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in ev.groupBy(
+                F.window("ts", "1 hour").alias("w"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+            .collect()
+        }
+        assert len(emitted) > 0
+        for key, (n, s, _end) in emitted.items():
+            assert batch[key] == (n, s)
+
+        # no premature emission: every emitted window closed before the
+        # final watermark (max event time - 2h delay)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        final_wm = max_ts - datetime.timedelta(hours=2)
+        assert all(end <= final_wm for (_, _, end) in emitted.values())
