@@ -1514,6 +1514,68 @@ def q_ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_stratified_sample",
+    """SELECT event_id, event_type
+       FROM events
+       WHERE CASE event_type
+         WHEN 'click' THEN ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT % 100 < 10
+         WHEN 'error' THEN ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT % 100 < 100
+         WHEN 'view'  THEN ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT % 100 < 5
+         ELSE FALSE END""",
+)
+def q_ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (class rebalancing): keep 10%
+    of clicks, 5% of views, all errors, drop the rest — membership a
+    pure content-hash function, identical across engines/partitionings
+    (no RNG). Narrow filter, absorbed by the scan."""
+    from proto_to_avro_ql_spark.operators.sampling import stratified_sample
+
+    ev = read_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev.select("event_id", "event_type"),
+        strata_col="event_type",
+        key_col="event_id",
+        rates={"click": 0.10, "error": 1.0, "view": 0.05},
+    )
+
+
+@register(
+    "ext_range_join",
+    """WITH inc AS (
+         SELECT event_id AS incident_id, CAST(ts AS TIMESTAMP) AS start_ts,
+                CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS end_ts
+         FROM events WHERE event_type = 'error'
+         ORDER BY value DESC, event_id LIMIT 20)
+       SELECT i.incident_id, e.event_id, e.event_type
+       FROM events e JOIN inc i
+         ON CAST(e.ts AS TIMESTAMP) >= i.start_ts AND CAST(e.ts AS TIMESTAMP) <= i.end_ts""",
+)
+def q_ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (no equi key) via bin-join: events
+    falling inside any of the top-20 'incident' windows (2h after the
+    highest-value error events). The binned equi-join replaces the
+    BroadcastNestedLoopJoin Spark would otherwise plan — one shuffle per
+    side on the bin key, each match produced exactly once."""
+    from proto_to_avro_ql_spark.operators.ranges import range_join_binned
+
+    ev = read_table(spark, sf_dir, "events")
+    inc = (
+        ev.where(F.col("event_type") == "error")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+    )
+    joined = range_join_binned(
+        ev.select("event_id", "event_type", "ts"), inc
+    )
+    return joined.select("incident_id", "event_id", "event_type")
+
+
+@register(
     "ext_pii_redact",
     r"""SELECT e.event_id,
          regexp_replace(

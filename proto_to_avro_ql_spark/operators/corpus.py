@@ -22,22 +22,37 @@ def clean_corpus(
 ) -> DataFrame:
     """One representative per normalized-text hash (min doc_id), quality
     ≥ threshold, predicted language in ``langs``; returns doc ids with
-    audit columns + token counts for downstream budgeting."""
-    h = F.sha2(TX.normalize_text(F.col("text")), 256)
-    w = Window.partitionBy("text_hash").orderBy(F.asc("doc_id"))
-    deduped = (
-        docs.select("doc_id", "text", h.alias("text_hash"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    scored = deduped.select(
+    audit columns + token counts for downstream budgeting.
+
+    Shuffle design: hash AND scores are computed in one narrow
+    projection BEFORE the dedup aggregate, so the only bytes that ever
+    cross the wire are (hash, doc_id, 3 score columns) — the text
+    itself never shuffles. The earlier formulation deduped first (a
+    sort-window partitioned on text_hash carrying the full text) and
+    scored after; at 100 TB that shuffles the corpus. Scoring the
+    duplicates too costs a little extra CPU in the scan stage and saves
+    the shuffle — the right trade at any scale. ``min_by`` makes the
+    representative pick a hash aggregate with map-side partials (no
+    sort, hot hashes benign)."""
+    from proto_to_avro_ql_spark.sources.io import ensure_min_parallelism
+
+    scored = ensure_min_parallelism(docs).select(
         "doc_id",
+        F.sha2(TX.normalize_text(F.col("text")), 256).alias("text_hash"),
         TX.quality_score(F.col("text")).alias("quality"),
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.token_count_ws(F.col("text")).alias("n_tokens"),
     )
-    return scored.where(
+    rep = (
+        scored.groupBy("text_hash")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "quality", "lang_pred", "n_tokens"), F.col("doc_id")
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.quality", "r.lang_pred", "r.n_tokens")
+    )
+    return rep.where(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
     )
 

@@ -181,6 +181,11 @@ def minhash_signature_table(
     explode + distinct + groupBy formulation paid two full shuffles of
     the exploded shingle rows for the same result; at 100 TB this
     version shuffles nothing at all until banding."""
+    from proto_to_avro_ql_spark.sources.io import ensure_min_parallelism
+
+    # Local-mode only (no-op on a real lake): detach the CPU-heavy
+    # shingle+hash projection from the unsplittable single-row-group scan.
+    docs = ensure_min_parallelism(docs)
     base = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )

@@ -72,6 +72,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan currently has fewer
+    partitions than the session's core count.
+
+    Why: parquet can only split at row-group boundaries, and the
+    testdata tables are single-row-group files — every scan is ONE real
+    task regardless of ``maxPartitionBytes`` (verified: all 600k
+    lineitem rows in one spark_partition_id). Any CPU-heavy expression
+    fused into such a scan stage serializes on one core. Calling this
+    between the read and the heavy projection detaches the work into a
+    parallel stage for the cost of shuffling the (tiny, local) input.
+    On a real lake the scan has hundreds of splits, the condition is
+    false, and this is a no-op — no exchange enters the 100 TB plan.
+    """
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def avro_supported(spark: SparkSession) -> bool:
     """True if the spark-avro data source is on the classpath."""
     try:

@@ -79,22 +79,46 @@ def run_stream_append_parquet(
     (complete re-emits all state every batch; append is what a 100 TB
     stream must use, since state for closed windows is evicted).
 
-    The bounded events table is re-staged as ``n_files`` range-
-    partitioned files so the file source (maxFilesPerTrigger=1) delivers
+    The bounded events table is re-staged as ``n_files`` time-slice
+    files so the file source (maxFilesPerTrigger=1) delivers
     time-ascending micro-batches and the watermark genuinely advances
     between them; a single-file source yields one batch whose starting
     watermark finalizes nothing.
+
+    Determinism: slice boundaries are FIXED arithmetic on (min, max) ts
+    — not repartitionByRange, whose sampled boundaries can shift
+    between runs — and each slice's file mtime is set explicitly
+    ascending, because the file source orders by mtime and a tie would
+    make the batch order (hence the watermark sequence, hence the
+    finalized set) run-dependent.
     """
+    import glob
+    import os
+
     from proto_to_avro_ql_spark.sources.io import read_table
 
     ev_batch = read_table(spark, sf_dir, "events")
-    # range-partition on ts: part-00000 holds the earliest range, so the
-    # file source (ordered by mod-time, then path) replays in time order.
-    ev_batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(staging)
+    lo, hi = ev_batch.agg(F.min("ts"), F.max("ts")).first()
+    span_s = max((hi - lo).total_seconds(), 1.0)
+    lo_epoch = int(lo.timestamp())
+    slice_expr = F.least(
+        F.lit(n_files - 1),
+        F.floor((F.unix_timestamp("ts") - lo_epoch) / (span_s / n_files)),
+    )
+    base_mtime = int(os.path.getmtime(staging)) - 2 * n_files
+    for i in range(n_files):
+        part_dir = os.path.join(staging, f"slice={i}")
+        ev_batch.where(slice_expr == i).coalesce(1).write.mode("overwrite").parquet(
+            part_dir
+        )
+        for f in glob.glob(os.path.join(part_dir, "*.parquet")):
+            os.utime(f, (base_mtime + 2 * i, base_mtime + 2 * i))
 
     ev = (
         spark.readStream.schema(ev_batch.schema)
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
         .parquet(staging)
         .withWatermark("ts", watermark)
     )
