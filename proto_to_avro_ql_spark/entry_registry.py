@@ -1886,6 +1886,32 @@ def q_gaql_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gaql_implicit_agg",
+    f"""WITH f AS ({ADS_FLAT_SQL})
+    SELECT segments_date, campaign_status,
+           SUM(metrics_impressions) AS metrics_impressions,
+           SUM(metrics_clicks) AS metrics_clicks
+    FROM f WHERE metrics_impressions > 0
+    GROUP BY segments_date, campaign_status
+    ORDER BY segments_date ASC, campaign_status ASC LIMIT 50""",
+)
+def q_gaql_implicit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAQL with the server's implicit report aggregation performed
+    natively: metrics summed over the selected segment dimensions
+    (SURVEY.md §2.4) — the full report round trip in one query string."""
+    from proto_to_avro_ql_spark.plans.gaql import run_gaql
+
+    return run_gaql(
+        spark,
+        """SELECT segments.date, campaign.status, metrics.impressions, metrics.clicks
+           FROM ads_row WHERE metrics.impressions > 0
+           ORDER BY segments.date ASC, campaign.status ASC LIMIT 50""",
+        resolve_table=lambda name: ads_row(spark, sf_dir),
+        implicit_agg=True,
+    )
+
+
 @register("ext_approx_quantile")  # sketch values are engine-specific: rows-only
 def q_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna / t-digest family) —

@@ -82,14 +82,29 @@ def parse_gaql(query: str) -> GaqlQuery:
     )
 
 
+def _flat(path: str) -> str:
+    return path.replace(".", "_")
+
+
 def run_gaql(
     spark: SparkSession,
     query: str,
     resolve_table: Callable[[str], DataFrame],
+    implicit_agg: bool = False,
 ) -> DataFrame:
     """Parse → resolve resource → compile projection → apply WHERE.
     Predicates go through Catalyst unchanged, so they push down to the
-    scan exactly like programmatic filters."""
+    scan exactly like programmatic filters.
+
+    ``implicit_agg=True`` reproduces the report semantics the Google
+    Ads SERVER applies to a GAQL query (SURVEY.md §2.4: "metrics.* are
+    aggregates over the selected segments.* dimensions" — the reference
+    receives rows already grouped, CampaignCriterionStructureReport
+    .scala:15-45): every selected ``metrics.`` path is SUMmed, grouped
+    by all other selected paths, output columns flattened
+    (``segments.date`` → ``segments_date``). WHERE keeps this engine's
+    documented pre-projection semantics and therefore filters
+    pre-aggregation rows. One shuffle, map-side partials."""
     q = parse_gaql(query)
     df = resolve_table(q.resource)
     if q.where:
@@ -97,12 +112,22 @@ def run_gaql(
         # server-side over full rows): filter the SOURCE, then project.
         # Catalyst pushes the predicate to the scan either way.
         df = df.where(F.expr(q.where))
-    out = compile_projection(df, list(q.fields))
+    mets = [f for f in q.fields if f.startswith("metrics.")]
+    if implicit_agg and mets:
+        dims = [f for f in q.fields if not f.startswith("metrics.")]
+        proj = compile_projection(df, list(q.fields))
+        out = proj.groupBy(*[F.col(d).alias(_flat(d)) for d in dims]).agg(
+            *[F.sum(F.col(m)).alias(_flat(m)) for m in mets]
+        )
+        name = _flat
+    else:
+        out = compile_projection(df, list(q.fields))
+        name = lambda p: p  # noqa: E731
     # GAQL convention: ORDER BY attributes must be selected.
     if q.order_by:
         out = out.orderBy(
             *[
-                F.col(p).desc() if d == "DESC" else F.col(p).asc()
+                F.col(name(p)).desc() if d == "DESC" else F.col(name(p)).asc()
                 for p, d in q.order_by
             ]
         )
