@@ -1514,6 +1514,40 @@ def q_ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_bm25_search",
+    r"""WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ), tok AS (SELECT * FROM toks WHERE t <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok
+           WHERE t IN ('join', 'filter', 'stream') GROUP BY doc_id, t),
+    dft AS (SELECT t, COUNT(DISTINCT doc_id) AS dft FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((stats.n - dft.dft + 0.5) / (dft.dft + 0.5) + 1)
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+)
+def q_ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-20 for the query 'join filter stream' — the
+    term-based complement to embedding similarity search. isin prunes
+    the exploded token stream BEFORE the tf shuffle; idf/corpus stats
+    are broadcast single-row tables."""
+    from proto_to_avro_ql_spark.operators.lexical import bm25_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["join", "filter", "stream"])
+
+
+@register(
     "ext_stratified_sample",
     """SELECT event_id, event_type
        FROM events

@@ -56,3 +56,23 @@ class TestQuality:
 
     def test_short_junk(self, spark):
         assert one(spark, "!!!", TX.quality_score) == 0.0
+
+
+class TestBM25:
+    def test_ranking_semantics(self, spark):
+        from proto_to_avro_ql_spark.operators.lexical import bm25_search
+
+        docs = spark.createDataFrame(
+            [
+                (1, "join join join filter stream"),  # all terms, high tf
+                (2, "join filter padding padding padding"),
+                (3, "join padding padding padding padding"),
+                (4, "padding words only no match"),
+            ],
+            "doc_id long, text string",
+        )
+        out = bm25_search(docs, ["join", "filter", "stream"], top_k=10).collect()
+        ranked = [r.doc_id for r in out]
+        assert ranked == [1, 2, 3]  # 4 has no query terms → absent
+        scores = {r.doc_id: r.bm25 for r in out}
+        assert scores[1] > scores[2] > scores[3] > 0
