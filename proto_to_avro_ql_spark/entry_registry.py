@@ -1514,6 +1514,35 @@ def q_ext_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_contamination",
+    r"""WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+        THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+        ELSE [array_to_string(t, ' ')] END) AS ss
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(ss) AS shingle FROM sh
+    ), ev AS (
+      SELECT DISTINCT shingle FROM ex WHERE doc_id % 17 = 0
+    ), corpus AS (
+      SELECT * FROM ex WHERE doc_id % 17 <> 0
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared
+    FROM corpus c JOIN ev USING (shingle)
+    GROUP BY c.doc_id""",
+)
+def q_ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 8-gram with
+    the eval slice (doc_id % 17 == 0) + distinct shared-shingle counts.
+    Eval shingles broadcast; only the per-doc count shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.contamination_check(docs, F.col("doc_id") % 17 == 0)
+
+
+@register(
     "ext_bm25_search",
     r"""WITH toks AS (
       SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t

@@ -265,6 +265,39 @@ def minhash_lsh_pairs(
     return verified
 
 
+def contamination_check(
+    docs: DataFrame,
+    eval_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 word n-gram
+    with the eval set (``eval_pred`` marks eval rows), with the count
+    of distinct shared n-grams per contaminated doc.
+
+    Scale: the eval shingle set is broadcast — eval sets are small by
+    construction (benchmarks, not corpora) — so the corpus side joins
+    map-side with no shuffle of the exploded corpus tokens; the only
+    shuffle is the final per-doc count aggregation on doc_id.
+    """
+    from proto_to_avro_ql_spark.sources.io import ensure_min_parallelism
+
+    base = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        eval_pred.alias("_is_eval"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    ex = base.select(id_col, "_is_eval", F.explode("_sh").alias("shingle"))
+    ev = ex.where(F.col("_is_eval")).select("shingle").distinct()
+    corpus = ex.where(~F.col("_is_eval"))
+    return (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 32

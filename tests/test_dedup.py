@@ -101,3 +101,24 @@ class TestEmbedDedup:
             for r in SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=False).collect()
         }
         assert approx <= exact
+
+
+class TestContamination:
+    def test_planted_overlap(self, spark):
+        from pyspark.sql import functions as F
+
+        span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        docs = spark.createDataFrame(
+            [
+                (0, f"EVAL {span} more eval words here"),       # eval (id%2==0... use explicit pred)
+                (1, f"corpus prefix {span} corpus suffix"),     # contaminated
+                (2, "totally different words with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.n_shared
+            for r in DD.contamination_check(docs, F.col("doc_id") == 0).collect()
+        }
+        assert 1 in out and out[1] >= 1
+        assert 2 not in out
