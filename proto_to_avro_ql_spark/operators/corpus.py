@@ -43,6 +43,12 @@ def clean_corpus(
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.token_count_ws(F.col("text")).alias("n_tokens"),
     )
+    # min_by carries a string in its aggregation buffer, so Spark plans
+    # a SortAggregate (hash aggregation needs all-primitive mutable
+    # buffers). That sort is per-partition over the narrow scored rows
+    # — the claim that matters at 100 TB is the shuffle PAYLOAD (hash +
+    # scores, never text) and partial aggregation (duplicates collapse
+    # map-side), both of which hold; asserted in tests/test_plans.py.
     rep = (
         scored.groupBy("text_hash")
         .agg(

@@ -139,3 +139,68 @@ class TestPartitionPruning:
         scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
         assert "PartitionFilters" in scan_line
         assert "campaign_status" in scan_line.split("PartitionFilters")[1][:120]
+
+
+class TestSession2OperatorPlans:
+    def test_range_join_avoids_nested_loop(self, spark, sf_dir):
+        """The binned formulation must plan as a hash/SMJ equi join on
+        the bin key — never BroadcastNestedLoopJoin."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_range_join"](spark, sf_dir)
+        df.count()
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bm25_small_sides_broadcast(self, spark, sf_dir):
+        """idf and corpus-stats joins broadcast; no SMJ of the token
+        stream against single-digit-row tables."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_bm25_search"](spark, sf_dir)
+        df.count()
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_contamination_eval_side_broadcasts(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_contamination"](spark, sf_dir)
+        df.count()
+        assert "BroadcastHashJoin" in physical_plan(df)
+
+    def test_corpus_pipeline_shuffles_scores_not_text(self, spark, sf_dir):
+        """The dedup is a partial-aggregated min_by keyed on text_hash:
+        no Window node, exactly one hash-partitioning exchange, and the
+        exchange's schema carries hash+scores — never the text column."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_corpus_pipeline"](spark, sf_dir)
+        df.count()
+        plan = physical_plan(df)
+        assert "Window" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_min_by" in plan  # map-side combine before the shuffle
+        exchange_line = next(
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        )
+        assert "text#" not in exchange_line
+
+    def test_minhash_signatures_have_no_hash_shuffle(self, spark, sf_dir):
+        """The signature table is a narrow per-row projection: zero
+        hash-partitioning exchanges (only the local-mode round-robin
+        from ensure_min_parallelism may appear)."""
+        from proto_to_avro_ql_spark.operators.dedup import minhash_signature_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        sig = minhash_signature_table(docs, "text", "doc_id", 3, 32)
+        plan = physical_plan(sig)
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_stratified_sample_is_scan_absorbed(self, spark, sf_dir):
+        """Membership filter is a narrow expression — no exchange at all."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_stratified_sample"](spark, sf_dir)
+        assert "Exchange" not in physical_plan(df)

@@ -21,6 +21,11 @@ AUDIT = {
     "ext_window_rank": "per-user latest event",
     "ext_sessionize": "gap sessionization",
     "ext_asof_join": "as-of join via union+window",
+    "ext_range_join": "binned interval join (no nested loop)",
+    "ext_bm25_search": "BM25 lexical top-k (broadcast idf)",
+    "ext_corpus_pipeline": "score-then-dedup corpus cleaning",
+    "ext_contamination": "8-gram eval-overlap check (broadcast eval)",
+    "ext_stratified_sample": "deterministic hash sampling (no exchange)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
