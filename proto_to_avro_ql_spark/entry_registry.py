@@ -1005,6 +1005,28 @@ def q_ext_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_window_sliding",
+    """WITH e AS (
+         SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                        date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws,
+                event_type, value
+         FROM events)
+       SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type,
+              COUNT(*) AS n_events,
+              ROUND(SUM(value), 4) AS sum_value,
+              ROUND(AVG(value), 6) AS avg_value
+       FROM e GROUP BY ws, event_type""",
+)
+def q_ext_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping window (2h window, 1h hop): each event lands in
+    exactly two hourly-aligned windows — the oracle enumerates both
+    window starts per event and aggregates identically."""
+    ev = read_table(spark, sf_dir, "events")
+    return W.sliding_window_agg(ev, "2 hours", "1 hour")
+
+
+@register(
     "ext_window_rank",
     """SELECT user_id, event_id,
          strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,

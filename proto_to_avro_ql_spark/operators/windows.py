@@ -35,6 +35,32 @@ def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFram
     )
 
 
+def sliding_window_agg(
+    events: DataFrame, duration: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Hopping-window aggregation: each event contributes to
+    duration/slide overlapping windows (Spark's window() generates the
+    window set per row — a bounded explode, factor = duration/slide;
+    the aggregation itself is the same map-side-partial hash agg as
+    tumbling). Same output schema as tumbling_window_agg."""
+    w = F.window("ts", duration, slide)
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """ext_window_rank: per-user latest event (row_number over ts desc,
     event_id desc tiebreak for determinism)."""

@@ -92,3 +92,22 @@ class TestRangeJoinBinned:
         )
         out = range_join_binned(ev, inc, bin_seconds=60)  # 120+ bins/interval
         assert out.count() == out.select("iid", "event_id").distinct().count()
+
+
+class TestSamplingProperties:
+    def test_rates_partition_the_keyspace(self, spark):
+        """For any rate r, the kept set at rate r is a subset of the
+        kept set at any higher rate (buckets are nested prefixes)."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(2000).select(
+            F.col("id").alias("k"), F.lit("s").alias("g")
+        )
+        kept = {}
+        for r in (0.05, 0.25, 0.60, 1.0):
+            kept[r] = {
+                row.k
+                for row in stratified_sample(df, "g", "k", {"s": r}).collect()
+            }
+        assert kept[0.05] <= kept[0.25] <= kept[0.60] <= kept[1.0]
+        assert len(kept[1.0]) == 2000
