@@ -1997,6 +1997,27 @@ def q_gaql_implicit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gaql_catalog",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'click'
+       ORDER BY value DESC, event_id ASC LIMIT 25""",
+)
+def q_gaql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAQL text query addressed at a catalog resource (raw events
+    table) via the default resolver — FROM picks any known resource,
+    unknown names raise (pinned in tests)."""
+    from proto_to_avro_ql_spark.plans.gaql import default_catalog, run_gaql
+
+    return run_gaql(
+        spark,
+        """SELECT event_id, user_id, value FROM events
+           WHERE event_type = 'click'
+           ORDER BY value DESC, event_id ASC LIMIT 25""",
+        resolve_table=default_catalog(spark, sf_dir),
+    )
+
+
 @register("ext_approx_quantile")  # sketch values are engine-specific: rows-only
 def q_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna / t-digest family) —

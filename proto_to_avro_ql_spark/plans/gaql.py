@@ -86,6 +86,27 @@ def _flat(path: str) -> str:
     return path.replace(".", "_")
 
 
+def default_catalog(
+    spark: SparkSession, sf_dir: str
+) -> Callable[[str], DataFrame]:
+    """The engine's standard resource resolver: the synthesized
+    ``ads_row`` report view plus every raw testdata table — so GAQL
+    text queries address the whole catalog, not one pre-bound resource
+    (the reference binds FROM to Google Ads resources the same way;
+    CampaignCriterionStructureReport.scala:48-51)."""
+    from proto_to_avro_ql_spark.fixtures import ads_row
+    from proto_to_avro_ql_spark.sources.io import TABLES, read_table
+
+    def resolve(name: str) -> DataFrame:
+        if name == "ads_row":
+            return ads_row(spark, sf_dir)
+        if name in TABLES:
+            return read_table(spark, sf_dir, name)
+        raise ValueError(f"Unknown resource {name!r}; know ads_row + {TABLES}")
+
+    return resolve
+
+
 def run_gaql(
     spark: SparkSession,
     query: str,

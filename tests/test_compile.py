@@ -273,3 +273,17 @@ class TestMappingCollision:
             compile_projection(
                 fixture_df, ["campaign.id"], mappings={"campaign": Constant(1, "int")}
             )
+
+
+class TestGaqlCatalog:
+    def test_unknown_resource_raises(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.plans.gaql import default_catalog, run_gaql
+
+        with _pytest.raises(ValueError, match="Unknown resource"):
+            run_gaql(
+                spark,
+                "SELECT x FROM no_such_table",
+                resolve_table=default_catalog(spark, sf_dir),
+            )
