@@ -2018,6 +2018,26 @@ def q_gaql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ext_approx_freq")  # sketch internals engine-specific: rows-only
+def q_ext_approx_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates per event type — the third
+    mergeable sketch alongside HLL (ext_approx_distinct) and quantile
+    (ext_approx_quantile). The sketch is built distributed (map-side
+    partial merge, one tiny binary per partition crosses the wire);
+    point queries read the merged sketch driver-side. Accuracy vs exact
+    counts is pinned in pytest (eps * total bound)."""
+    ev = read_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("s")
+    ).first()[0]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    types = ["click", "error", "purchase", "signup", "view"]
+    return spark.createDataFrame(
+        [(t, cms.estimateCount(t)) for t in types],
+        "event_type string, est_count long",
+    )
+
+
 @register("ext_approx_quantile")  # sketch values are engine-specific: rows-only
 def q_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna / t-digest family) —

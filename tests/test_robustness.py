@@ -85,3 +85,16 @@ class TestSketchAccuracy:
 
         r = QUERIES["ext_approx_quantile"](spark, sf_dir).first()
         assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.02
+
+    def test_cms_within_eps_bound(self, spark, sf_dir):
+        """CMS overestimates by at most eps * total (w.h.p.); never
+        underestimates."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        exact = dict(ev.groupBy("event_type").count().collect())
+        total = sum(exact.values())
+        for r in QUERIES["ext_approx_freq"](spark, sf_dir).collect():
+            assert r.est_count >= exact[r.event_type]
+            assert r.est_count - exact[r.event_type] <= 0.001 * total + 1
