@@ -43,12 +43,15 @@ def register(
 # + agg_groupby_sum + agg_derived_ratio in one pipeline.
 # ---------------------------------------------------------------------------
 
-register(
+@register(
     "flagship_report",
     FLAGSHIP_SQL_TEMPLATE.format(
         ads_flat=ADS_FLAT_SQL, date_from="1994-01-01", date_to="1996-12-31"
     ),
-)(lambda spark, sf_dir: flagship_report(spark, sf_dir))
+)
+def q_flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-0 flagship: dot-path projection + range/cmp filters + grouped sums + derived ratios."""
+    return flagship_report(spark, sf_dir)
 
 # Widened per-operator registrations live in entry_registry.py (imported
 # for side effects).

@@ -130,6 +130,7 @@ def q_proj_flatten_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f""",
 )
 def q_proj_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant column with declared type (user-defined mapping Constant)."""
     out = compile_projection(
         ads_row(spark, sf_dir),
         ["ad_group.id"],
@@ -257,6 +258,7 @@ def q_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pd""",
 )
 def q_null_empty_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference normalization: empty string → null (nullif)."""
     pd = proto_defaults(spark, sf_dir)
     return pd.select(
         "id",
@@ -386,6 +388,7 @@ def q_val_unknown_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT 'Explicitly queried message at ''empty_msg'' has no fields' AS error_message""",
 )
 def q_val_empty_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly queried empty message errors; non-explicit empties skipped."""
     df = ads_row(spark, sf_dir).withColumn(
         "empty_msg", F.lit(None).cast(T.StructType([]))
     )
@@ -539,6 +542,7 @@ def q_sink_json_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE segments_date BETWEEN '1995-02-01' AND '1995-03-01'""",
 )
 def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN range predicate on the ISO date string, pushed to the scan."""
     out = compile_projection(
         ads_row(spark, sf_dir), ["campaign.id", "ad_group.id", "segments.date"]
     ).where(F.col("segments.date").between("1995-02-01", "1995-03-01"))
@@ -556,6 +560,7 @@ def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE metrics_impressions > 30""",
 )
 def q_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicate (metrics.impressions > 0) pushed to the scan."""
     out = compile_projection(
         ads_row(spark, sf_dir), ["campaign.id", "metrics.impressions"]
     ).where(F.col("metrics.impressions") > 30)
@@ -574,6 +579,7 @@ def q_filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND metrics_impressions > 10 AND campaign_status = 'F'""",
 )
 def q_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-conjunction of range + comparison predicates, both pushed down."""
     out = compile_projection(
         ads_row(spark, sf_dir),
         ["campaign.id", "campaign.status", "segments.date", "metrics.impressions"],
@@ -603,6 +609,7 @@ def q_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM lineitem GROUP BY l_returnflag""",
 )
 def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive metrics summed per dimension (map-side partial aggregation)."""
     l = read_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
@@ -621,6 +628,7 @@ def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 )
 def q_agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed sum/count/min/max/avg in one hash-aggregate pass."""
     l = read_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
@@ -668,6 +676,7 @@ def q_agg_derived_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM orders""",
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct dimension values — report identity: one row per segment combination."""
     o = read_table(spark, sf_dir, "orders")
     return o.agg(
         F.count_distinct("o_custkey").alias("n_customers"),
@@ -775,6 +784,7 @@ def q_join_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM documents GROUP BY text""",
 )
 def q_ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per identical text, with cluster size."""
     docs = read_table(spark, sf_dir, "documents")
     return DD.dedup_exact(docs)
 
@@ -858,6 +868,7 @@ def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ext_dedup_embed_lsh")  # approximate by design: rows-only
 def q_ext_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH buckets (pair search only within buckets)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=False)
 
@@ -908,6 +919,7 @@ _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
        FROM documents""",
 )
 def q_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text stats: char length, token counts, punctuation ratio."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -941,6 +953,7 @@ _STOP_FILTER = "x -> x IN ('the', 'a', 'and', 'of', 'to')"
     FROM s""",
 )
 def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length/punct/stopword signals) per document."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
@@ -986,6 +999,7 @@ def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""SELECT doc_id, md5({_NORM}) AS fp FROM documents""",
 )
 def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 document fingerprint over normalized text."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
@@ -1000,6 +1014,7 @@ def q_ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM events GROUP BY 1, 2""",
 )
 def q_ext_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows: count/sum/avg per (window, type)."""
     ev = read_table(spark, sf_dir, "events")
     return W.tumbling_window_agg(ev, "1 hour")
 
@@ -1036,6 +1051,7 @@ def q_ext_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ts DESC, event_id DESC) = 1""",
 )
 def q_ext_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest event via ranking window (row_number desc ts)."""
     ev = read_table(spark, sf_dir, "events")
     return W.latest_event_per_user(ev)
 
@@ -1283,6 +1299,7 @@ def q_ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM clean""",
 )
 def q_ext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget summary (docs, total/avg tokens) over the cleaned corpus."""
     from proto_to_avro_ql_spark.operators.corpus import clean_corpus, corpus_stats
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1825,6 +1842,7 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM lineitem""",
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/skewness/kurtosis per group."""
     l = read_table(spark, sf_dir, "lineitem")
     return l.agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
@@ -1844,6 +1862,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'except', COUNT(*) FROM (SELECT * FROM big EXCEPT SELECT * FROM seg)""",
 )
 def q_setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: UNION / EXCEPT with distinct semantics."""
     c = read_table(spark, sf_dir, "customer")
     big = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
     seg = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
