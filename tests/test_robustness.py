@@ -98,3 +98,50 @@ class TestSketchAccuracy:
         for r in QUERIES["ext_approx_freq"](spark, sf_dir).collect():
             assert r.est_count >= exact[r.event_type]
             assert r.est_count - exact[r.event_type] <= 0.001 * total + 1
+
+
+class TestUnicodeText:
+    def test_text_ops_handle_unicode(self, spark):
+        """CJK / emoji / combining marks must not break normalization,
+        shingles, hashing, or sampling buckets."""
+        from proto_to_avro_ql_spark.functions.text import (
+            fingerprint,
+            normalize_text,
+            quality_score,
+            token_count_ws,
+        )
+        from proto_to_avro_ql_spark.operators.dedup import shingles
+        from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+        docs = spark.createDataFrame(
+            [
+                (1, "héllo wörld  naïve   café"),
+                (2, "日本語 テスト 文書 です ね"),
+                (3, "emoji 🚀 rocket 🌖 moon test"),
+                (4, "á combining é marks ó here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = docs.select(
+            "doc_id",
+            normalize_text(F.col("text")).alias("norm"),
+            fingerprint(F.col("text")).alias("fp"),
+            token_count_ws(F.col("text")).alias("ntok"),
+            quality_score(F.col("text")).alias("q"),
+            F.size(shingles(F.col("text"), 3)).alias("nsh"),
+            hash_bucket(F.col("text")).alias("bucket"),
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.norm and r.fp and r.ntok > 0 and r.nsh > 0
+            assert 0 <= r.bucket < 100
+
+    def test_unicode_dedup_exact_groups_identical_texts(self, spark):
+        from proto_to_avro_ql_spark.operators.dedup import dedup_exact
+
+        docs = spark.createDataFrame(
+            [(1, "日本語 テスト"), (2, "日本語 テスト"), (3, "🚀 🚀 🚀")],
+            "doc_id long, text string",
+        )
+        out = {r.keep_id: r.n_dups for r in dedup_exact(docs).collect()}
+        assert out == {1: 2, 3: 1}

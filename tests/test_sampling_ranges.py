@@ -111,3 +111,44 @@ class TestSamplingProperties:
             }
         assert kept[0.05] <= kept[0.25] <= kept[0.60] <= kept[1.0]
         assert len(kept[1.0]) == 2000
+
+
+class TestRangeJoinProperty:
+    def test_random_intervals_equal_naive(self, spark):
+        """Hypothesis-style sweep: for several seeded random interval
+        sets (varying widths incl. zero-length and bin-straddling), the
+        binned join equals the naive inequality join."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        rng = random.Random(1234)
+        base = [(i, 1_700_000_000 + rng.randint(0, 400_000)) for i in range(300)]
+        ev = spark.createDataFrame(base, "event_id long, epoch long").select(
+            "event_id", F.timestamp_seconds("epoch").alias("ts")
+        )
+        for trial in range(3):
+            ivs = []
+            for j in range(12):
+                s = 1_700_000_000 + rng.randint(0, 400_000)
+                width = rng.choice([0, 59, 3600, 7200, 13_000])
+                ivs.append((j, s, s + width))
+            inc = spark.createDataFrame(
+                ivs, "iid long, s long, e long"
+            ).select(
+                "iid",
+                F.timestamp_seconds("s").alias("start"),
+                F.timestamp_seconds("e").alias("end"),
+            )
+            binned = {
+                (r.iid, r.event_id)
+                for r in range_join_binned(ev, inc, bin_seconds=3600).collect()
+            }
+            naive = {
+                (r.iid, r.event_id)
+                for r in ev.join(
+                    inc,
+                    (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")),
+                ).collect()
+            }
+            assert binned == naive, f"trial {trial} mismatch"
