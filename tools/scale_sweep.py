@@ -1,0 +1,60 @@
+"""Scale sweep: warm wall-clock of representative queries across the
+100× span sf0.001 → sf0.01 → sf0.1 — the empirical backing for the
+linearity claims in SCALE.md (a plan whose cost curve bends quadratic
+would show it across two decades).
+
+Run:  python tools/scale_sweep.py
+One JSON line per (sf, query) on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from proto_to_avro_ql_spark.entry_queries import QUERIES  # noqa: E402
+from proto_to_avro_ql_spark.session import get_spark  # noqa: E402
+
+SWEEP = [
+    "flagship_report",
+    "ext_dedup_minhash",
+    "ext_corpus_pipeline",
+    "ext_sim_search",
+    "ext_window_agg",
+    "ext_asof_join",
+]
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    spark = get_spark("scale_sweep")
+    spark.range(1).count()
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        for name in SWEEP:
+            fn = QUERIES[name]
+            fn(spark, sf_dir).count()  # warm (codegen + caches)
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            print(
+                json.dumps(
+                    {
+                        "sf": float(sf),
+                        "query": name,
+                        "wall_s": round(time.perf_counter() - t0, 3),
+                        "rows": n,
+                    }
+                )
+            )
+        # persisted intermediates (minhash signature tables etc.) are
+        # keyed on the sf path; clear between scales so each scale pays
+        # its own compute.
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
