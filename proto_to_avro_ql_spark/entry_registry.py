@@ -1497,6 +1497,49 @@ def q_ext_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_map_type",
+    """SELECT event_id,
+         len(json_keys(props)) AS n_keys,
+         CAST(props->>'$.k' AS BIGINT) AS k_val
+       FROM events""",
+)
+def q_ext_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType (the Spark-native bonus over the reference's type system,
+    SURVEY §1.2: proto map fields are unsupported there): parse props
+    as map<string,bigint>, expose cardinality and a key lookup — all
+    narrow expressions."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@register(
+    "ext_topk_per_group",
+    """SELECT event_type, event_id, value
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3""",
+)
+def q_ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event type — the per-group variant of
+    the global top-k (ranking window, one shuffle on the group key;
+    deterministic tie-break on event_id)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
     "src_schema_evolution",
     """WITH merged AS (
       SELECT n_nationkey AS id, n_name AS name, NULL AS region FROM nation
