@@ -1497,6 +1497,28 @@ def q_ext_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_histogram",
+    """SELECT CAST(LEAST(19, GREATEST(0, FLOOR((l_extendedprice - 900.0) / 5205.0))) AS BIGINT) AS bucket,
+         COUNT(*) AS n,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price
+       FROM lineitem GROUP BY bucket""",
+)
+def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets over the price domain) — the
+    numeric-profiling primitive: one hash aggregate on the computed
+    bucket, map-side partials make the shuffle 20 rows per task
+    regardless of input size."""
+    l = read_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.lit(19), F.greatest(F.lit(0), F.floor((F.col("l_extendedprice") - 900.0) / 5205.0))
+    ).cast("bigint")
+    return l.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
     "ext_map_type",
     """SELECT event_id,
          len(json_keys(props)) AS n_keys,
