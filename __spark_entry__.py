@@ -21,7 +21,11 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-from proto_to_avro_ql_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
+from proto_to_avro_ql_spark.entry_queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    ordered_query_names,
+)
 from proto_to_avro_ql_spark.operators.reports import flagship_report  # noqa: E402
 
 
@@ -31,7 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Priority order: flagship + SURVEY §2 contract IDs first, oracled
+    # extensions next, rows-only last (the driver verifies a prefix).
+    return {n: QUERIES[n] for n in ordered_query_names()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -56,3 +56,61 @@ def q_flagship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Widened per-operator registrations live in entry_registry.py (imported
 # for side effects).
 import proto_to_avro_ql_spark.entry_registry  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering (round 2, VERDICT item 2). The driver verifies
+# the FIRST 50 entries of queries() in iteration order, so the dict is
+# emitted in priority tiers: flagship + every SURVEY.md §2 contract ID
+# first, then the highest-value oracled extension entries, then all
+# remaining oracled entries (registration order), and rows-only /
+# no-oracle entries last so they never burn a verification slot.
+# ---------------------------------------------------------------------------
+
+SURVEY2_CONTRACT_IDS: list[str] = [
+    "src_parquet_scan", "src_stream_source", "src_cache_replay",
+    "sink_cache_write", "sink_avro", "sink_json", "sink_json_direct",
+    "proj_paths", "proj_subtree", "proj_flatten_scalar", "proj_const",
+    "proj_struct_synth", "proj_reorder", "type_norm", "null_default",
+    "null_empty_string", "enum_symbol", "arr_scalar", "arr_struct_prune",
+    "rec_recursive", "val_unknown_field", "val_empty_struct",
+    "filter_range", "filter_cmp", "filter_conj", "filter_cache_hit",
+    "agg_groupby_sum", "agg_groupby_multi", "agg_derived_ratio",
+    "agg_distinct", "fn_date_str", "fn_base64", "fn_concat_query",
+    "join_equi_inner", "compile_schema_infer", "compile_field_bind",
+    "udf_pandas_scalar", "ext_dedup_exact", "ext_dedup_near",
+    "ext_sim_search", "ext_text_stats", "ext_window_agg",
+    "ext_window_rank", "ext_multimodal",
+]
+
+# Oracled extension entries that should fill the remaining driver-window
+# slots (high-value / recently-fixed plans first).
+PRIORITY_EXT_IDS: list[str] = [
+    "src_proto_decode",         # round-2: binary proto ingestion (VERDICT missing #1)
+    "ext_dedup_ngram_jaccard",  # round-2 scale fix: verify oracle still green
+    "ext_dedup_minhash",        # round-2: newly oracled
+    "ext_dedup_simhash",        # round-2: newly oracled
+    "ext_corpus_pipeline",
+]
+
+
+def ordered_query_names() -> list[str]:
+    """All registered names in driver-priority order (see above)."""
+    names = list(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    contract = {n: i for i, n in enumerate(SURVEY2_CONTRACT_IDS)}
+    priority = {n: i for i, n in enumerate(PRIORITY_EXT_IDS)}
+
+    def key(n: str) -> tuple[int, int]:
+        if n == "flagship_report":
+            return (0, 0)
+        if n in contract:
+            return (1, contract[n])
+        if n in priority:
+            return (2, priority[n])
+        if n in ORACLES:
+            return (3, pos[n])
+        return (4, pos[n])
+
+    missing = [n for n in SURVEY2_CONTRACT_IDS if n not in QUERIES]
+    assert not missing, f"SURVEY §2 contract IDs unregistered: {missing}"
+    return sorted(names, key=key)

@@ -79,8 +79,13 @@ def dedup_near_hash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 def exploded_shingles(
     docs: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """One row per distinct (id, shingle), built by exploding cheap
-    index sequences and assembling each shingle AFTER the generate.
+    """One row per distinct (id, shingle, n_sh), built by exploding
+    cheap index sequences and assembling each shingle AFTER the
+    generate. ``n_sh`` (the doc's distinct-shingle count, needed by the
+    Jaccard denominator) is computed in the SAME projection via
+    ``size(shingles(...))`` — one extra linear pass per doc instead of a
+    per-document sizes relation joined back in (round-1 VERDICT item 3:
+    broadcasting that N-row relation is a driver-OOM at corpus scale).
 
     Why not ``explode(shingles(...))``: Spark's Generate re-evaluates an
     expensive generator child per emitted row, turning an O(tokens) doc
@@ -89,15 +94,18 @@ def exploded_shingles(
     """
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("t"),
+        F.size(shingles(F.col(text_col), n)).alias("n_sh"),
     )
     idx = toks.select(
         "id",
         "t",
+        "n_sh",
         F.explode(F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0)))).alias("i"),
     )
     return idx.select(
-        "id", F.concat_ws(" ", F.slice("t", F.col("i") + 1, n)).alias("shingle")
+        "id", "n_sh", F.concat_ws(" ", F.slice("t", F.col("i") + 1, n)).alias("shingle")
     ).distinct()
 
 
@@ -114,10 +122,12 @@ def ngram_jaccard_pairs(
 
     Hot shingles (doc frequency > max_df) are suppressed before the
     self-join — the skew/quadratic-blowup control.
+
+    n_sh travels inline on each exploded row (computed per doc in the
+    shingling projection) — no per-document sizes relation, no joins
+    before blocking.
     """
-    ex = exploded_shingles(docs, text_col, id_col, n).persist()
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh = ex.join(F.broadcast(sizes), "id")
+    sh = exploded_shingles(docs, text_col, id_col, n).persist()
 
     hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
     cold = sh.join(hot, "shingle", "left_anti")
@@ -303,6 +313,17 @@ def contamination_check(
 SIMHASH_BITS = 32
 
 
+def _token_hash(t: Column, hash_fn: str) -> Column:
+    """Per-token hash for simhash. ``xxhash64`` (default) is the fast
+    production path; ``md5`` is the engine-portable variant (first 8 md5
+    hex chars as a 32-bit int — Spark ``conv(substring(md5(x),1,8),16,10)``
+    equals DuckDB ``('0x'||substr(md5(x),1,8))::BIGINT``), used by the
+    oracled entry so the whole pipeline is verifiable in DuckDB."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    return F.xxhash64(t)
+
+
 def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """Sign-aggregated token-hash fingerprint as a long, computed with a
     single F.aggregate over the token array (per-row, no shuffle)."""
@@ -338,6 +359,7 @@ def simhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh) simhash fingerprints via explode + per-bit sum
     aggregation — one token hash per row, ``bits`` small sum() aggs
@@ -349,7 +371,7 @@ def simhash_table(
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", _token_hash(F.col("t"), hash_fn).alias("h"))
     per_bit = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -372,12 +394,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
     Blocking: split the fingerprint into ``bands`` bit-bands — any pair
-    within hamming k < bands must collide on ≥1 band (pigeonhole)."""
+    within hamming k < bands must collide on ≥1 band (pigeonhole), so
+    the banding is exhaustive: output == ALL pairs at ≤ max_hamming."""
     width = SIMHASH_BITS // bands
-    sh = simhash_table(docs, text_col, id_col).persist()
+    sh = simhash_table(docs, text_col, id_col, hash_fn=hash_fn).persist()
     banded = sh.select(
         "id",
         "sh",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from proto_to_avro_ql_spark.fixtures import ads_row
+from proto_to_avro_ql_spark.functions.stable import dec_sum
 from proto_to_avro_ql_spark.plans.compile import compile_projection
 
 
@@ -70,7 +71,7 @@ def flagship_report(
         F.sum("metrics.impressions").alias("sum_impressions"),
         F.sum("metrics.clicks").alias("sum_clicks"),
         F.sum("metrics.cost_micros").alias("sum_cost_micros"),
-        F.round(F.sum("metrics.conversions"), 4).alias("sum_conversions"),
+        dec_sum("metrics.conversions", 4).alias("sum_conversions"),
         F.count_distinct(F.col("campaign.id")).alias("n_campaigns"),
     )
     return agg.select(
@@ -89,7 +90,7 @@ agg AS (
     SUM(metrics_impressions) AS sum_impressions,
     SUM(metrics_clicks) AS sum_clicks,
     SUM(metrics_cost_micros) AS sum_cost_micros,
-    ROUND(SUM(metrics_conversions), 4) AS sum_conversions,
+    CAST(ROUND(SUM(CAST(metrics_conversions AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_conversions,
     COUNT(DISTINCT campaign_id) AS n_campaigns
   FROM ads_row_flat
   WHERE segments_date BETWEEN '{date_from}' AND '{date_to}'

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from proto_to_avro_ql_spark.functions.stable import dec_avg, dec_sum
+
 
 def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     """Per (tumbling window, event_type): count, sum(value), avg(value).
@@ -22,8 +24,8 @@ def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFram
         events.groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            dec_sum("value", 4).alias("sum_value"),
+            dec_avg("value", 6).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -48,8 +50,8 @@ def sliding_window_agg(
         events.groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            dec_sum("value", 4).alias("sum_value"),
+            dec_avg("value", 6).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -117,5 +119,5 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts_str").alias("session_start"),
         F.max("ts_str").alias("session_end"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        dec_sum("value", 4).alias("sum_value"),
     )

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from proto_to_avro_ql_spark.functions.stable import dec_avg, dec_sum
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -62,8 +64,8 @@ def stream_tumbling_window_agg(
         ev.groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            dec_sum("value", 4).alias("sum_value"),
+            dec_avg("value", 6).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

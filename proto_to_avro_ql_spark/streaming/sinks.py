@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from proto_to_avro_ql_spark.functions.stable import dec_sum
 from proto_to_avro_ql_spark.streaming.events import stream_events
 
 
@@ -22,7 +23,7 @@ def windowed_agg(ev: DataFrame, duration: str = "1 hour") -> DataFrame:
     w = F.window("ts", duration)
     return (
         ev.groupBy(w.alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", 4).alias("sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd-HH").alias("window_part"),
             "event_type",
@@ -126,7 +127,7 @@ def run_stream_append_parquet(
         ev.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            dec_sum("value", 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -3,6 +3,7 @@ agg must produce exactly the batch operator's result (Kappa check)."""
 
 from __future__ import annotations
 
+from proto_to_avro_ql_spark.functions.stable import dec_sum
 from proto_to_avro_ql_spark.operators.windows import tumbling_window_agg
 from proto_to_avro_ql_spark.sources.io import read_table
 from proto_to_avro_ql_spark.streaming.events import run_stream_to_memory
@@ -115,7 +116,7 @@ class TestAppendModeFileSink:
             )
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 4).alias("sum_value"),
+                dec_sum("value", 4).alias("sum_value"),
             )
             .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
             .collect()
