@@ -28,6 +28,9 @@ HEADLINE = [
     "ext_asof_join",
     "ext_sessionize",
     "ext_corpus_pipeline",
+    # round 2: new/rewritten operators, reported so regressions stay visible
+    "ext_bm25_search",   # two-pass rewrite (6 -> 4 exchanges)
+    "src_proto_decode",  # binary proto wire-format round trip (Python path)
 ]
 
 
