@@ -934,9 +934,38 @@ def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=True)
 
 
-@register("ext_dedup_embed_lsh")  # approximate by design: rows-only
+# Hyperplane-LSH oracles (round 2): the hyperplanes are deterministic
+# seeded literals, so the oracle SQL embeds the SAME floats and
+# recomputes the bucket assignment with list_inner_product — verified
+# identical on every vector (500/500 at sf0.01) before registration.
+# The approximation (bucketing) is thereby part of the verified
+# contract, not an excuse to skip verification.
+_LSH_PLANES = SS._hyperplanes(64, 4)
+_LSH_BUCKET_SQL = "\n         + ".join(
+    f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+    f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_LSH_PLANES)
+)
+
+
+@register(
+    "ext_dedup_embed_lsh",
+    f"""WITH b AS (
+      SELECT vec_id, embedding,
+           {_LSH_BUCKET_SQL} AS bucket
+      FROM embeddings
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                       CAST(y.embedding AS DOUBLE[])), 6) >= 0.2""",
+)
 def q_ext_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane-LSH buckets (pair search only within buckets)."""
+    """Embedding near-dup pairs via hyperplane-LSH buckets (pair search
+    only within buckets). Oracled: the bucket function is recomputed in
+    DuckDB from the same hyperplane literals (see _LSH_BUCKET_SQL)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SS.embedding_near_dup_pairs(emb, threshold=0.2, exact=False)
 
@@ -963,10 +992,32 @@ def q_ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.brute_force_topk(emb, query_ids=[0, 1, 2], k=5)
 
 
-@register("ext_sim_search_lsh")  # approximate by design: rows-only
+@register(
+    "ext_sim_search_lsh",
+    f"""WITH b AS (
+      SELECT vec_id, embedding,
+           {_LSH_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, bucket
+      FROM b WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5""",
+)
 def q_ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN variant (recall tested against brute force in
-    pytest, not hash-compared)."""
+    """LSH-bucketed ANN top-k. Oracled (round 2): DuckDB recomputes the
+    sign-pattern buckets from the same hyperplane literals, then ranks
+    within the query's bucket — recall vs brute force additionally
+    pinned in pytest."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SS.lsh_topk(emb, query_ids=[0, 1, 2], k=5)
 
@@ -2394,3 +2445,107 @@ def q_src_proto_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("msg.meta.event_type").alias("event_type"),
         F.col("msg.meta.value").alias("value"),
     )
+
+
+# ===========================================================================
+# §2.9 — corpus governance (round 2): repetition signals, domain mixing,
+# quality-funnel retention accounting (operators/governance.py)
+# ===========================================================================
+
+from proto_to_avro_ql_spark.operators import governance as GV  # noqa: E402
+
+
+@register(
+    "ext_repetition_score",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+    ), tc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t
+    ), per_doc AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_count
+      FROM tc GROUP BY doc_id
+    ), m AS (
+      SELECT doc_id, n_tokens,
+        ROUND(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+        ROUND(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_token_share
+      FROM per_doc
+    )
+    SELECT *, (dup_token_ratio <= 0.3 AND top_token_share <= 0.2) AS keep
+    FROM m""",
+)
+def q_ext_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (duplicate-vocabulary ratio + dominant-token share) with the keep
+    decision on the rounded, engine-portable values."""
+    docs = read_table(spark, sf_dir, "documents")
+    return GV.repetition_signals(docs)
+
+
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in _MIX_TARGETS.items())
+    + " END"
+)
+
+
+@register(
+    "ext_domain_mix",
+    f"""WITH tok AS (
+      SELECT source,
+             SUM(CASE WHEN {_NORM} = '' THEN 0
+                 ELSE len(string_split({_NORM}, ' ')) END) AS tokens
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT source, tokens, {_MIX_CASE} AS target_share
+      FROM tok WHERE source IN ({", ".join(f"'{s}'" for s in _MIX_TARGETS)})
+    ), b AS (
+      SELECT MIN(tokens / target_share) AS budget FROM t
+    )
+    SELECT source, tokens, target_share,
+           ROUND(budget * target_share, 2) AS sample_tokens,
+           ROUND(budget * target_share / tokens, 6) AS sample_fraction
+    FROM t CROSS JOIN b""",
+)
+def q_ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix solver: per-source sampling fractions realizing a
+    target token composition (largest budget with no oversampling)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return GV.domain_mix_weights(docs, _MIX_TARGETS)
+
+
+@register(
+    "ext_quality_funnel",
+    f"""WITH c AS (
+      SELECT text,
+        {', '.join(f'{expr} AS c_{lang}' for lang, expr in _LANG_COUNTS.items())}
+      FROM documents
+    ), lp AS (
+      SELECT text, {_LANG_BEST} AS best, * FROM c
+    ), flags AS (
+      SELECT
+        (CASE WHEN {_NORM} = '' THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END) >= 10 AS r1,
+        (CASE WHEN length(text) = 0 THEN 0.0
+              ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                         / length(text), 6) END) <= 0.1 AS r2,
+        ({_LANG_CASE}) IN ('en') AS r3
+      FROM lp
+    ), counts AS (
+      SELECT COUNT(*) AS n0,
+             COUNT(*) FILTER (r1) AS n1,
+             COUNT(*) FILTER (r1 AND r2) AS n2,
+             COUNT(*) FILTER (r1 AND r2 AND r3) AS n3
+      FROM flags
+    )
+    SELECT 'min_tokens' AS stage, n0 AS docs_in, n1 AS docs_out, n0 - n1 AS dropped FROM counts
+    UNION ALL
+    SELECT 'max_punct_ratio', n1, n2, n1 - n2 FROM counts
+    UNION ALL
+    SELECT 'lang', n2, n3, n2 - n3 FROM counts""",
+)
+def q_ext_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-funnel retention: cumulative per-rule survivor counts
+    (length → punctuation → language), the dataset-card numbers."""
+    docs = read_table(spark, sf_dir, "documents")
+    return GV.quality_funnel(docs)

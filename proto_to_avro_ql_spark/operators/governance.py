@@ -1,0 +1,153 @@
+"""Corpus-governance operators for training-data pipelines (SURVEY.md
+§2.9 extension surface): repetition quality signals, domain-mix
+sampling weights, and a per-stage quality-filter funnel.
+
+These are the observability/curation counterparts of the cleaning
+pipeline in operators/corpus.py: repetition is the classic
+pathological-document signal (boilerplate, keyword stuffing, decoding
+loops); the mix solver turns a target domain composition into concrete
+per-source sampling fractions; the funnel reports how many documents
+each rule removes — the number every dataset card states per stage.
+
+Scale notes:
+- repetition_signals shuffles twice, both keyed aggregations with
+  map-side partials: (doc, token) then (doc); shuffle rows are distinct
+  tokens per doc, never raw text. No per-doc quadratic expressions.
+- domain_mix_weights aggregates to one row per source (tiny), then a
+  single-row budget reduce joined back by broadcast — nothing large
+  moves.
+- quality_funnel is one narrow projection + a single-row aggregate
+  (count_if per stage); unpivoted to rows from the 1-row result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from proto_to_avro_ql_spark.functions import text as TX
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_ratio: float = 0.3,
+    max_top_share: float = 0.2,
+) -> DataFrame:
+    """Per-document repetition metrics over whitespace tokens:
+
+    - ``dup_token_ratio`` = 1 − distinct/total (how much of the doc is
+      repeated vocabulary);
+    - ``top_token_share`` = occurrences of the most frequent token /
+      total (detects a single token dominating the doc);
+    - ``keep`` = both under their thresholds (comparisons on the
+      ROUNDED values so the flag is reproducible cross-engine).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(TX.normalize_text(F.col(text_col)), " ")).alias("t"),
+    )
+    tc = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    dup_ratio = F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6)
+    top_share = F.round(F.col("top_count") / F.col("n_tokens"), 6)
+    out = per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        dup_ratio.alias("dup_token_ratio"),
+        top_share.alias("top_token_share"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("dup_token_ratio") <= max_dup_ratio)
+            & (F.col("top_token_share") <= max_top_share)
+        ).alias("keep"),
+    )
+
+
+def domain_mix_weights(
+    docs: DataFrame,
+    targets: dict[str, float],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling fractions that realize a target domain mix.
+
+    Given target shares (summing to 1) over a subset of sources, the
+    achievable corpus budget is B = min_s(tokens_s / share_s) — the
+    largest total for which no source must be oversampled. Each listed
+    source then contributes ``sample_tokens = B * share_s`` via
+    ``sample_fraction = B * share_s / tokens_s`` (the binding source
+    gets fraction 1.0); unlisted sources are excluded by construction.
+    """
+    target_map = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    tok = (
+        docs.groupBy(source_col)
+        .agg(F.sum(TX.token_count_ws(F.col(text_col))).alias("tokens"))
+        .withColumn("target_share", target_map[F.col(source_col)])
+        .where(F.col("target_share").isNotNull())
+    )
+    budget = tok.agg(
+        F.min(F.col("tokens") / F.col("target_share")).alias("budget")
+    )
+    return (
+        tok.crossJoin(F.broadcast(budget))
+        .select(
+            source_col,
+            "tokens",
+            "target_share",
+            F.round(F.col("budget") * F.col("target_share"), 2).alias("sample_tokens"),
+            F.round(
+                F.col("budget") * F.col("target_share") / F.col("tokens"), 6
+            ).alias("sample_fraction"),
+        )
+    )
+
+
+def quality_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.1,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Per-stage retention through the standard cleaning rules, applied
+    cumulatively: length → punctuation → language. One narrow projection
+    computes the three booleans per doc; one single-row aggregate counts
+    survivors per prefix; the 1-row result unpivots to (stage, docs_in,
+    docs_out, dropped) rows."""
+    t = F.col(text_col)
+    flags = docs.select(
+        (TX.token_count_ws(t) >= min_tokens).alias("r1"),
+        (TX.punct_ratio(t) <= max_punct_ratio).alias("r2"),
+        TX.lang_id(t).isin(*langs).alias("r3"),
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("r1"), 1)).alias("n1"),
+        F.count(F.when(F.col("r1") & F.col("r2"), 1)).alias("n2"),
+        F.count(F.when(F.col("r1") & F.col("r2") & F.col("r3"), 1)).alias("n3"),
+    )
+    stage = lambda name, i, o: F.struct(  # noqa: E731
+        F.lit(name).alias("stage"),
+        F.col(i).alias("docs_in"),
+        F.col(o).alias("docs_out"),
+        (F.col(i) - F.col(o)).alias("dropped"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                stage("min_tokens", "n0", "n1"),
+                stage("max_punct_ratio", "n1", "n2"),
+                stage("lang", "n2", "n3"),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.docs_in", "s.docs_out", "s.dropped")

@@ -1,0 +1,76 @@
+"""Semantic checks for operators/governance.py on constructed inputs
+(the DuckDB oracles cover the real tables; these pin the arithmetic)."""
+
+from __future__ import annotations
+
+import pytest
+
+from proto_to_avro_ql_spark.operators.governance import (
+    domain_mix_weights,
+    quality_funnel,
+    repetition_signals,
+)
+
+
+@pytest.mark.usefixtures("spark")
+def test_repetition_signals_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 5
+    assert r1.dup_token_ratio == pytest.approx(0.6)  # 1 - 2/5
+    assert r1.top_token_share == pytest.approx(0.8)  # 4/5
+    assert r1.keep is False
+    r2 = rows[2]
+    assert r2.dup_token_ratio == 0.0 and r2.top_token_share == pytest.approx(0.2)
+    assert r2.keep is True
+
+
+@pytest.mark.usefixtures("spark")
+def test_domain_mix_budget_binds_on_scarcest_source(spark):
+    # src_a: 4 tokens, src_b: 12 tokens; equal target shares.
+    docs = spark.createDataFrame(
+        [
+            ("src_a", "t1 t2 t3 t4"),
+            ("src_b", "u1 u2 u3 u4 u5 u6"),
+            ("src_b", "v1 v2 v3 v4 v5 v6"),
+            ("src_c", "ignored entirely"),
+        ],
+        "source string, text string",
+    )
+    out = {
+        r.source: r
+        for r in domain_mix_weights(docs, {"src_a": 0.5, "src_b": 0.5}).collect()
+    }
+    assert set(out) == {"src_a", "src_b"}  # unlisted sources excluded
+    # budget = min(4/0.5, 12/0.5) = 8 → src_a fully used, src_b at 1/3
+    assert out["src_a"].sample_tokens == pytest.approx(4.0)
+    assert out["src_a"].sample_fraction == pytest.approx(1.0)
+    assert out["src_b"].sample_tokens == pytest.approx(4.0)
+    assert out["src_b"].sample_fraction == pytest.approx(0.333333, abs=1e-6)
+
+
+@pytest.mark.usefixtures("spark")
+def test_quality_funnel_cumulative_and_monotone(spark):
+    long_en = "the cat and the dog sat with the happy children near the garden gate"
+    docs = spark.createDataFrame(
+        [
+            (1, long_en),                      # passes all three rules
+            (2, "short text"),                 # fails min_tokens
+            (3, long_en + " " + "!?#$%" * 40), # fails punct
+            (4, "der Hund und die Katze ist nicht hier aber der Mann und die Frau"),  # fails lang
+        ],
+        "doc_id long, text string",
+    )
+    stages = {r.stage: r for r in quality_funnel(docs).collect()}
+    assert stages["min_tokens"].docs_in == 4
+    assert stages["min_tokens"].dropped == 1
+    assert stages["max_punct_ratio"].docs_in == stages["min_tokens"].docs_out
+    assert stages["max_punct_ratio"].dropped == 1
+    assert stages["lang"].docs_in == stages["max_punct_ratio"].docs_out
+    assert stages["lang"].dropped == 1 and stages["lang"].docs_out == 1
+    for r in stages.values():
+        assert r.docs_in - r.docs_out == r.dropped >= 0
