@@ -803,9 +803,8 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_near_hash(docs)
 
 
-@register(
-    "ext_dedup_ngram_jaccard",
-    r"""WITH toks AS (
+# Shared by ext_dedup_ngram_jaccard and the ext_dedup_cluster oracle.
+_NGRAM_PAIRS_CTES = r"""toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), sh AS (
@@ -824,11 +823,18 @@ def q_ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS inter
       FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
-    FROM pairs
-    WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.2""",
+    ), jpairs AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+      FROM pairs
+      WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.2
+    )"""
+
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    f"""WITH {_NGRAM_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM jpairs""",
 )
 def q_ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise n-gram Jaccard with inverted-index blocking and
@@ -1353,10 +1359,31 @@ def q_ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("ext_dedup_cluster")  # iterative algorithm: rows-only + pytest
+@register(
+    "ext_dedup_cluster",
+    f"""WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL
+      SELECT id_b, id_a FROM jpairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM sym
+    ), cc(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.src, cc.lab FROM sym s JOIN cc ON cc.id = s.dst
+    )
+    SELECT id, MIN(lab) AS cluster_id FROM cc GROUP BY id""",
+)
 def q_ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected-component clusters (iterative label
-    propagation; one shuffle per round, diameter-bounded)."""
+    propagation; one shuffle per round, diameter-bounded).
+
+    Oracled (round 2): the fixpoint of min-label propagation is the
+    per-node minimum reachable id, which DuckDB computes directly with
+    a recursive CTE over the same pair set — the iterative Spark
+    algorithm and the declarative transitive closure must agree
+    exactly."""
     from proto_to_avro_ql_spark.operators.clustering import connected_components
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2549,3 +2576,27 @@ def q_ext_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (length → punctuation → language), the dataset-card numbers."""
     docs = read_table(spark, sf_dir, "documents")
     return GV.quality_funnel(docs)
+
+
+@register(
+    "ext_lm_score",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+    ), vocab AS (
+      SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT SUM(c) AS total FROM vocab
+    ), logp AS (
+      SELECT doc_id,
+             CAST(ln(CAST(c AS DOUBLE) / total) AS DECIMAL(38,6)) AS logp
+      FROM toks JOIN vocab USING (t) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM logp GROUP BY doc_id""",
+)
+def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality signal: per-doc average unigram
+    log-probability under the corpus's own token distribution."""
+    docs = read_table(spark, sf_dir, "documents")
+    return GV.unigram_lm_score(docs)

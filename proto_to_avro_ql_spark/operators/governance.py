@@ -112,6 +112,47 @@ def domain_mix_weights(
     )
 
 
+def unigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own token distribution — the cheap statistical-LM quality signal
+    (very low scores ≈ gibberish / rare-token soup; very high ≈
+    boilerplate). Classic pre-filter before expensive model scoring.
+
+    Plan: explode tokens → vocabulary counts (one hash agg keyed on
+    token, map-side partials) → single-row total broadcast → token
+    stream re-joined to vocab (shuffle keyed on token; both sides are
+    token-count scale, never raw text) → per-doc decimal-exact sum of
+    log-probs / count. Scores are rounded to 6 and order-independent
+    (see functions/stable.py).
+    """
+    from proto_to_avro_ql_spark.functions.stable import DEC
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(TX.normalize_text(F.col(text_col)), " ")).alias("t"),
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    logp = (
+        toks.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.col("c") / F.col("total")).cast(DEC).alias("logp"),
+        )
+    )
+    return logp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )
+
+
 def quality_funnel(
     docs: DataFrame,
     text_col: str = "text",

@@ -86,6 +86,19 @@ class TestSimhash:
         assert pairs[(1, 2)] == 0
         assert pairs[(4, 5)] == 0  # normalization collapses case/whitespace
 
+    def test_md5_variant_matches_xxhash_on_planted(self, docs):
+        # the portable-hash variant (used by the oracled entry) must make
+        # the same calls as the production xxhash64 variant on planted
+        # duplicates: exact/normalized dups at hamming 0, near dup found
+        for hash_fn in ("xxhash64", "md5"):
+            pairs = {
+                (r.id_a, r.id_b): r.hamming
+                for r in DD.simhash_pairs(docs, hash_fn=hash_fn).collect()
+            }
+            assert pairs[(1, 2)] == 0, hash_fn
+            assert pairs[(4, 5)] == 0, hash_fn
+            assert (1, 3) in pairs and (2, 3) in pairs, hash_fn  # near dup
+
 
 class TestEmbedDedup:
     def test_lsh_subset_of_exact(self, spark, sf_dir):

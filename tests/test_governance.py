@@ -9,6 +9,7 @@ from proto_to_avro_ql_spark.operators.governance import (
     domain_mix_weights,
     quality_funnel,
     repetition_signals,
+    unigram_lm_score,
 )
 
 
@@ -51,6 +52,27 @@ def test_domain_mix_budget_binds_on_scarcest_source(spark):
     assert out["src_a"].sample_fraction == pytest.approx(1.0)
     assert out["src_b"].sample_tokens == pytest.approx(4.0)
     assert out["src_b"].sample_fraction == pytest.approx(0.333333, abs=1e-6)
+
+
+@pytest.mark.usefixtures("spark")
+def test_unigram_lm_score_ranks_common_above_rare(spark):
+    import math
+
+    # corpus: "common" appears 8x, rare tokens once each
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common common"),
+            (3, "rare1 rare2 rare3 rare4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    # total 12 tokens: p(common)=8/12, p(rare_i)=1/12
+    assert out[1].avg_logprob == pytest.approx(math.log(8 / 12), abs=1e-5)
+    assert out[3].avg_logprob == pytest.approx(math.log(1 / 12), abs=1e-5)
+    assert out[1].avg_logprob > out[3].avg_logprob
+    assert out[1].n_tokens == 4
 
 
 @pytest.mark.usefixtures("spark")
