@@ -238,8 +238,12 @@ def _skip(data: bytes, pos: int, wire: int) -> int:
 
 
 def _decode_value(f: FieldSpec, data: bytes, pos: int, wire: int) -> tuple[Any, int]:
+    if wire != _KIND_WIRE[f.kind]:
+        raise ValueError(f"wire type {wire} does not match {f.kind} field {f.name}")
     if f.kind == "message":
         n, pos = _read_varint(data, pos)
+        if pos + n > len(data):
+            raise ValueError(f"length-delimited field {f.name} past end of buffer")
         return decode_message(f.message, data[pos : pos + n]), pos + n
     if wire == _WIRE_VARINT:
         raw, pos = _read_varint(data, pos)
@@ -256,6 +260,8 @@ def _decode_value(f: FieldSpec, data: bytes, pos: int, wire: int) -> tuple[Any, 
         return struct.unpack_from("<f", data, pos)[0], pos + 4
     if wire == _WIRE_LEN:
         n, pos = _read_varint(data, pos)
+        if pos + n > len(data):
+            raise ValueError(f"length-delimited field {f.name} past end of buffer")
         raw_b = data[pos : pos + n]
         if f.kind == "string":
             return raw_b.decode("utf-8"), pos + n
@@ -308,28 +314,44 @@ def decode_proto(
     spec: MessageSpec,
     out_col: str = "msg",
     keep_cols: tuple[str, ...] = (),
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode a binary proto column into a typed nested struct.
 
     One ``mapInPandas`` pass: Arrow batches of bytes in, struct rows
     out — per-row work, no shuffle, binary payload pruned immediately
     after decode. Swap for ``from_protobuf`` where the jar exists.
+
+    ``on_error``: ``"fail"`` (default) raises on a malformed payload —
+    the strict mode you want while developing a schema; ``"null"``
+    yields a null struct instead (the PERMISSIVE-mode analog of Spark's
+    JSON/CSV readers) so one corrupt record in 100 TB doesn't kill the
+    job — filter ``{out_col} IS NULL`` into a quarantine sink.
     """
+    assert on_error in ("fail", "null"), on_error
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols]
         + [T.StructField(out_col, spec.spark_schema(), nullable=True)]
     )
 
+    def decode_one(b):
+        if b is None:
+            return None
+        if on_error == "fail":
+            return decode_message(spec, bytes(b))
+        try:
+            return decode_message(spec, bytes(b))
+        except (ValueError, UnicodeDecodeError, struct.error):
+            return None
+
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            decoded = [
-                None if b is None else decode_message(spec, bytes(b))
-                for b in pdf[binary_col]
-            ]
             data = {c: pdf[c] for c in keep_cols}
-            data[out_col] = pd.Series(decoded, dtype="object")
+            data[out_col] = pd.Series(
+                [decode_one(b) for b in pdf[binary_col]], dtype="object"
+            )
             yield pd.DataFrame(data)
 
     return df.mapInPandas(batches, schema=out_schema)

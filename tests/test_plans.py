@@ -204,3 +204,47 @@ class TestSession2OperatorPlans:
 
         df = QUERIES["ext_stratified_sample"](spark, sf_dir)
         assert "Exchange" not in physical_plan(df)
+
+    def test_ngram_jaccard_broadcasts_no_per_document_relation(self, spark, sf_dir):
+        """Round-2 fix (VERDICT item 3): n_sh travels inline on the
+        exploded rows; with size-based auto-broadcast disabled, the plan
+        must contain NO broadcast at all — the code never hints one, so
+        any broadcast that appears at scale is a size-based runtime
+        choice, not a baked-in driver-OOM."""
+        from proto_to_avro_ql_spark.operators.dedup import ngram_jaccard_pairs
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            docs = read_table(spark, sf_dir, "documents")
+            plan = physical_plan(ngram_jaccard_pairs(docs))
+            assert "BroadcastExchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_proto_decode_has_no_shuffle(self, spark, sf_dir):
+        """Encode → decode is per-row work: no exchange anywhere."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["src_proto_decode"](spark, sf_dir)
+        assert "Exchange hashpartitioning" not in physical_plan(df)
+
+    def test_repetition_score_shuffles_counts_not_text(self, spark, sf_dir):
+        """Two keyed aggregations, both with map-side partials; no joins;
+        no raw text column in any exchange."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_repetition_score"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text#" not in line
+
+    def test_lm_score_no_cartesian_of_large_relations(self, spark, sf_dir):
+        """The 1-row totals join is broadcast-nested-loop by construction;
+        a CartesianProduct would mean the big sides cross-joined."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_lm_score"](spark, sf_dir))
+        assert "CartesianProduct" not in plan

@@ -172,3 +172,27 @@ def test_spark_decode_null_payload_and_unknown_fields(spark):
     assert out[1].event_id == 1 and out[1].user_id == 2
     assert out[1].meta is None  # missing sub-message → null
     assert out[2] is None  # null payload → null struct
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_decode_corrupt_payload_permissive(spark):
+    from proto_to_avro_ql_spark.entry_registry import EVENT_SPEC
+
+    good = encode_message(EVENT_SPEC, {"event_id": 7, "user_id": 8})
+    rows = [
+        (1, good),
+        (2, b"\xff\xff\xff"),  # truncated varint key
+        (3, bytes.fromhex("0a03") + b"x"),  # length past end of buffer
+    ]
+    df = spark.createDataFrame(rows, "row_id long, pb binary")
+    out = {
+        r.row_id: r.msg
+        for r in decode_proto(
+            df, "pb", EVENT_SPEC, keep_cols=("row_id",), on_error="null"
+        ).collect()
+    }
+    assert out[1].event_id == 7
+    assert out[2] is None and out[3] is None  # quarantined, job survives
+    # strict mode must raise on the same input
+    with pytest.raises(Exception):
+        decode_proto(df, "pb", EVENT_SPEC, on_error="fail").collect()

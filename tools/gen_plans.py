@@ -26,6 +26,12 @@ AUDIT = {
     "ext_corpus_pipeline": "score-then-dedup corpus cleaning",
     "ext_contamination": "8-gram eval-overlap check (broadcast eval)",
     "ext_stratified_sample": "deterministic hash sampling (no exchange)",
+    # round 2 additions
+    "ext_dedup_ngram_jaccard": "inverted-index Jaccard (n_sh inline, no sizes join)",
+    "ext_repetition_score": "repetition signals (two keyed aggs, text never shuffles)",
+    "ext_lm_score": "unigram LM score (vocab agg + token-keyed rejoin)",
+    "ext_domain_mix": "domain-mix solver (per-source agg + 1-row budget)",
+    "src_proto_decode": "proto wire decode (mapInPandas, no shuffle)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
