@@ -2600,3 +2600,23 @@ def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability under the corpus's own token distribution."""
     docs = read_table(spark, sf_dir, "documents")
     return GV.unigram_lm_score(docs)
+
+
+@register(
+    "ext_stream_join",
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+         epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us
+       FROM events c JOIN events v
+         ON c.user_id = v.user_id
+        AND v.ts <= c.ts
+        AND v.ts >= c.ts - INTERVAL 30 MINUTE
+       WHERE c.event_type = 'click' AND v.event_type = 'view'""",
+)
+def q_ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (view→click attribution) run via
+    readStream + availableNow into a memory sink; the oracle is the
+    equivalent BATCH inner join — the Kappa consistency check for
+    joins, like ext_stream_window for aggregations."""
+    from proto_to_avro_ql_spark.streaming.events import run_stream_join_to_memory
+
+    return run_stream_join_to_memory(spark, sf_dir, table_name="q_stream_join_attr")

@@ -94,3 +94,71 @@ def run_stream_to_memory(
     )
     q.awaitTermination(300)
     return spark.table(table_name)
+
+
+def stream_click_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each click joined to the
+    same user's views in the preceding ``gap_minutes`` (the classic
+    view→click attribution join).
+
+    Both sides carry event-time watermarks and the join condition
+    bounds view_ts to a window around click_ts, so Spark can evict
+    buffered state once the watermark passes — bounded state at
+    unbounded input, the whole point of a watermarked join. With
+    ``availableNow`` over the staged table the result must equal the
+    batch inner join (pinned by the DuckDB oracle + pytest)."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"""user_id = view_user
+                AND view_ts <= click_ts
+                AND view_ts >= click_ts - INTERVAL {gap_minutes} MINUTES"""
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+def run_stream_join_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "stream_click_attr"
+) -> DataFrame:
+    """Execute the stream-stream join with availableNow into a memory
+    sink (append mode — inner joins emit rows as matches arrive)."""
+    q = (
+        stream_click_attribution(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table_name)

@@ -130,3 +130,48 @@ class TestAppendModeFileSink:
         max_ts = ev.agg(F.max("ts")).first()[0]
         final_wm = max_ts - datetime.timedelta(hours=2)
         assert all(end <= final_wm for (_, _, end) in emitted.values())
+
+
+class TestStreamStreamJoin:
+    def test_stream_join_equals_batch(self, spark, sf_dir):
+        """Watermarked stream-stream attribution join == batch inner
+        join (the Kappa consistency check for joins)."""
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.streaming.events import run_stream_join_to_memory
+
+        streamed = {
+            (r.click_id, r.view_id): (r.user_id, r.gap_us)
+            for r in run_stream_join_to_memory(
+                spark, sf_dir, table_name="t_stream_join_eq"
+            ).collect()
+        }
+        ev = read_table(spark, sf_dir, "events")
+        c = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        v = ev.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        batch = {
+            (r.click_id, r.view_id): (r.user_id, r.gap_us)
+            for r in c.join(
+                v,
+                (F.col("user_id") == F.col("view_user"))
+                & (F.col("view_ts") <= F.col("click_ts"))
+                & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+            )
+            .select(
+                "click_id",
+                "view_id",
+                "user_id",
+                (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+            )
+            .collect()
+        }
+        assert len(streamed) > 0
+        assert streamed == batch
