@@ -2620,3 +2620,117 @@ def q_ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proto_to_avro_ql_spark.streaming.events import run_stream_join_to_memory
 
     return run_stream_join_to_memory(spark, sf_dir, table_name="q_stream_join_attr")
+
+
+@register(
+    "ext_upsert_merge",
+    """WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+             FALSE AS _del, 0 AS _pri
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey, o_custkey, 'U', o_totalprice * CAST(1.1 AS DOUBLE),
+             o_orderpriority, FALSE, 1
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), ins AS (
+      SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+             o_orderpriority, FALSE, 1
+      FROM orders WHERE o_orderkey % 500 = 0
+    ), del AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority, TRUE, 1
+      FROM orders WHERE o_orderkey % 100 = 50
+    ), merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM del
+    ), win AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _pri DESC) AS rn
+      FROM merged
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS totalprice, o_orderpriority
+    FROM win WHERE rn = 1 AND NOT _del""",
+)
+def q_ext_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert: apply a deterministic change batch (updates, inserts,
+    tombstone deletes derived from the orders table) to the base via the
+    union + keyed-window latest-wins merge (operators/merge.py) — one
+    shuffle on the key, no join."""
+    from proto_to_avro_ql_spark.operators.merge import upsert
+
+    o = read_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    upd = (
+        o.where(key % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+        .withColumn("_tomb", F.lit(False))
+    )
+    ins = (
+        o.where(key % 500 == 0)
+        .withColumn("o_orderkey", key + F.lit(100000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("_tomb", F.lit(False))
+    )
+    dels = o.where(key % 100 == 50).withColumn("_tomb", F.lit(True))
+    changes = upd.unionByName(ins).unionByName(dels)
+    merged = upsert(o, changes, ["o_orderkey"], tombstone_col="_tomb")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "o_orderpriority",
+    )
+
+
+USER_EVENTS_SPEC = MessageSpec(
+    "UserEvents",
+    (
+        FieldSpec(1, "user_id", "int64"),
+        FieldSpec(2, "event_ids", "int64", repeated=True),
+    ),
+)
+
+
+@register(
+    "src_proto_repeated",
+    """SELECT user_id, COUNT(*) AS n_events,
+         MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+         SUM(event_id) AS sum_ids
+       FROM events GROUP BY user_id""",
+)
+def q_src_proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-field proto round trip: per-user event-id lists are
+    encoded as a repeated int64 proto field, decoded back, and
+    re-aggregated — the oracle is the direct aggregation, so any
+    repeated-field encoding/decoding defect breaks the hash."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(user_id, event_ids):  # no annotations: postponed eval
+        return pd.Series(
+            [
+                encode_message(
+                    USER_EVENTS_SPEC,
+                    {"user_id": int(u), "event_ids": [int(x) for x in ids]},
+                )
+                for u, ids in zip(user_id, event_ids)
+            ]
+        )
+
+    ev = read_table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids")
+    )
+    encoded = grouped.select(enc("user_id", "event_ids").alias("pb"))
+    decoded = decode_proto(encoded, "pb", USER_EVENTS_SPEC, out_col="msg")
+    ids = F.col("msg.event_ids")
+    return decoded.select(
+        F.col("msg.user_id").alias("user_id"),
+        F.size(ids).alias("n_events"),
+        F.array_min(ids).alias("first_id"),
+        F.array_max(ids).alias("last_id"),
+        F.aggregate(ids, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_ids"),
+    )
