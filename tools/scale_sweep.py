@@ -26,6 +26,11 @@ SWEEP = [
     "ext_sim_search",
     "ext_window_agg",
     "ext_asof_join",
+    # round 2
+    "ext_dedup_ngram_jaccard",
+    "ext_lm_score",
+    "ext_upsert_merge",
+    "src_proto_decode",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
