@@ -2734,3 +2734,64 @@ def q_src_proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(ids).alias("last_id"),
         F.aggregate(ids, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_ids"),
     )
+
+
+@register(
+    "ext_interarrival",
+    """SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+       FROM events""",
+)
+def q_ext_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event arrival gaps (lag window) — the raw signal
+    behind burst/bot detection and session-gap tuning. One shuffle on
+    user_id; first event per user yields null."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id", "event_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+_PROFILE_COLS = ["event_type", "user_id", "value", "props"]
+
+
+@register(
+    "ext_null_profile",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+              COUNT(*) - COUNT({c}) AS n_null,
+              COUNT(DISTINCT {c}) AS n_distinct
+            FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_ext_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (null + distinct counts per column) — the
+    data-quality primitive run before any pipeline is trusted. One
+    aggregation pass computes all columns' stats; the 1-row result
+    unpivots to a row per column."""
+    ev = read_table(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    one = ev.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select(
+        "s.column_name", "s.n_null", "s.n_distinct"
+    )
