@@ -2795,3 +2795,90 @@ def q_ext_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("s")).select(
         "s.column_name", "s.n_null", "s.n_distinct"
     )
+
+
+@register(
+    "ext_multi_join_report",
+    """SELECT c.c_mktsegment, n.n_name,
+         COUNT(*) AS n_lines,
+         SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+         CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_price
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= '1995-01-01'
+       GROUP BY c.c_mktsegment, n.n_name""",
+)
+def q_ext_multi_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-style 3-hop star join (fact → orders → customer → nation)
+    with a date filter and grouped additive metrics.
+
+    Join strategy by actual table scale, not habit: orders and customer
+    are FACT-SCALE relations (orders ≈ lineitem/4; at 100 TB neither
+    fits a broadcast), so those hops are left to the planner — shuffle
+    joins on the keys, or AQE-converted broadcasts when the filtered
+    side turns out small at runtime. Only nation (25 rows, bounded by
+    the world) is explicitly broadcast. The date predicate pushes to
+    the orders scan and shrinks the first join's build side before
+    anything moves. Decimal-exact price sum per the round-2 stability
+    contract."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1995-01-01"
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            dec_sum("l_extendedprice", 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "ext_near_dedup_pipeline",
+    f"""WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL
+      SELECT id_b, id_a FROM jpairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM sym
+    ), cc(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT s.src, cc.lab FROM sym s JOIN cc ON cc.id = s.dst
+    ), clusters AS (
+      SELECT id, MIN(lab) AS cluster_id FROM cc GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(m.cluster_id, d.doc_id) AS cluster_id,
+           (COALESCE(m.cluster_id, d.doc_id) = d.doc_id) AS kept
+    FROM documents d LEFT JOIN clusters m ON d.doc_id = m.id""",
+)
+def q_ext_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup over the full corpus: exact n-gram Jaccard
+    pairs → connected-component clusters → min-id representative per
+    cluster; singletons are their own cluster. ``kept`` marks the
+    surviving (representative) documents — the corpus you'd train on.
+    Every stage is the already-verified operator; the composition is
+    oracled end to end via the recursive-CTE closure."""
+    from proto_to_avro_ql_spark.operators.clustering import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.2, max_df=100)
+    cc = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    joined = docs.select("doc_id").join(cc, "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("kept"),
+    )
