@@ -31,6 +31,7 @@ HEADLINE = [
     # round 2: new/rewritten operators, reported so regressions stay visible
     "ext_bm25_search",   # two-pass rewrite (6 -> 4 exchanges)
     "src_proto_decode",  # binary proto wire-format round trip (Python path)
+    "ext_multi_join_report",  # 3-hop star join, fact-scale sides unhinted
 ]
 
 

@@ -2882,3 +2882,38 @@ def q_ext_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster.alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("kept"),
     )
+
+
+@register(
+    "ext_train_shuffle",
+    """WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep0'), 1, 8))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id, hv % 16 AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+                AS BIGINT) AS position
+    FROM h""",
+)
+def q_ext_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    reproducible (shard, position) from a salted content hash — the
+    dataloader wants decorrelated order, the pipeline wants exact
+    reproducibility across reruns and engines (new epoch = new salt).
+    One shuffle keyed on the 16-way shard, ordering local to each
+    shard — NO global sort; at 100 TB each shard is written by its own
+    task set and a global order would serialize the write."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ep0"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    h = docs.select("doc_id", hv.alias("hv"), (hv % 16).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("position")
+    )

@@ -241,6 +241,20 @@ class TestSession2OperatorPlans:
             if "Exchange hashpartitioning" in line:
                 assert "text#" not in line
 
+    def test_multi_join_broadcasts_only_bounded_dim(self, spark, sf_dir):
+        """With size-based auto-broadcast off, the ONLY broadcast left
+        is the explicitly-hinted 25-row nation — orders/customer are
+        fact-scale and must not be hint-broadcast (100 TB driver-OOM)."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = physical_plan(QUERIES["ext_multi_join_report"](spark, sf_dir))
+            assert plan.count("BroadcastExchange") == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     def test_lm_score_no_cartesian_of_large_relations(self, spark, sf_dir):
         """The 1-row totals join is broadcast-nested-loop by construction;
         a CartesianProduct would mean the big sides cross-joined."""

@@ -32,6 +32,7 @@ AUDIT = {
     "ext_lm_score": "unigram LM score (vocab agg + token-keyed rejoin)",
     "ext_domain_mix": "domain-mix solver (per-source agg + 1-row budget)",
     "src_proto_decode": "proto wire decode (mapInPandas, no shuffle)",
+    "ext_multi_join_report": "3-hop star join (only nation broadcast-hinted)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
