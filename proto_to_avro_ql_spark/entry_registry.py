@@ -2917,3 +2917,70 @@ def q_ext_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("position")
     )
+
+
+@register(
+    "ext_skew_join_salted",
+    """SELECT e.event_type, COUNT(*) AS n,
+         SUM(CAST(t.weight AS BIGINT)) AS sum_weight
+       FROM events e
+       JOIN (SELECT 'click' AS event_type, 10 AS weight
+             UNION ALL SELECT 'view', 20
+             UNION ALL SELECT 'purchase', 30
+             UNION ALL SELECT 'signup', 40
+             UNION ALL SELECT 'error', 50) t
+         ON e.event_type = t.event_type
+       GROUP BY e.event_type""",
+)
+def q_ext_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicate join on a 5-value (maximally skewed) key: the dim
+    side is replicated once per salt bucket so each hot key spreads
+    over 8 reducers instead of 1. The oracle is the PLAIN join — the
+    salted plan must be result-identical (operators/skew.py)."""
+    from proto_to_avro_ql_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 10), ("view", 20), ("purchase", 30), ("signup", 40), ("error", 50)],
+        "event_type string, weight int",
+    )
+    joined = salted_join(ev, dim, "event_type", salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("weight").cast("bigint")).alias("sum_weight"),
+    )
+
+
+@register(
+    "ext_zscore",
+    """WITH t AS (
+      SELECT event_id, user_id, value,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss,
+        COUNT(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id,
+      CASE WHEN n >= 2 AND (ss - s * s / n) / (n - 1) > 0
+           THEN ROUND((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4)
+      END AS zscore
+    FROM t""",
+)
+def q_ext_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization (feature scaling) with
+    decimal-exact first and second moments — the windowed sums are
+    order-independent, so the variance (and every downstream branch
+    decision) is identical across engines and partitionings. Degenerate
+    groups (n<2 or zero variance) yield null."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v = F.col("value")
+    s = F.sum(v.cast(DEC)).over(w).cast("double")
+    ss = F.sum((v * v).cast(DEC)).over(w).cast("double")
+    n = F.count("value").over(w)
+    var = (ss - s * s / n) / (n - 1)
+    z = F.when((n >= 2) & (var > 0), F.round((v - s / n) / F.sqrt(var), 4))
+    return ev.select("event_id", "user_id", z.alias("zscore"))
