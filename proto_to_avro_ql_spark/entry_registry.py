@@ -2984,3 +2984,71 @@ def q_ext_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (ss - s * s / n) / (n - 1)
     z = F.when((n >= 2) & (var > 0), F.round((v - s / n) / F.sqrt(var), 4))
     return ev.select("event_id", "user_id", z.alias("zscore"))
+
+
+@register(
+    "ext_quantile_bins",
+    """SELECT doc_id, source, n_chars,
+         CAST(ntile(10) OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS INTEGER) AS decile
+       FROM documents""",
+)
+def q_ext_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source decile binning of a numeric feature (ntile with
+    a deterministic tiebreak). Partitioned by source so the sort is
+    per-group and distributed — a GLOBAL exact ntile would move the
+    table to one task; for corpus-wide bins at 100 TB use
+    approx_percentile thresholds (ext_approx_quantile) + a bucket
+    lookup instead. This entry is the exact per-group contract that
+    approximate path is tested against."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "source", "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@register(
+    "ext_token_budget_select",
+    f"""WITH scored AS (
+      SELECT doc_id, source,
+        {_QUALITY_EXPR} AS quality,
+        (CASE WHEN {_NORM} = '' THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, quality, cum_tokens
+    FROM ranked WHERE cum_tokens <= 2000""",
+)
+def q_ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: per source, keep the highest-quality
+    documents until a 2000-token budget is spent (cumulative-sum
+    window ordered by quality desc with a deterministic tiebreak) —
+    the selection step a domain-mix budget feeds. One shuffle on
+    source; token counts are integers, so the cumulative sums are
+    exact everywhere."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "doc_id", "source", "quality", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return ranked.where(F.col("cum_tokens") <= 2000)
