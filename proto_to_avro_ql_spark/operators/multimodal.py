@@ -128,3 +128,10 @@ def sample_frames(df: DataFrame, frame_bytes: int = 4, id_col: str = "event_id")
         frame.alias("frame"),
         F.sha2(frame, 256).alias("frame_checksum"),
     )
+
+
+# Executor workers don't share the driver's sys.path patch — ship this
+# module's worker-executed functions by value (see pickling.py).
+from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402
+
+register_self_contained(__name__)

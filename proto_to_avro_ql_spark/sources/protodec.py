@@ -355,3 +355,10 @@ def decode_proto(
             yield pd.DataFrame(data)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# Executor workers don't share the driver's sys.path patch — ship this
+# module's worker-executed functions by value (see pickling.py).
+from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402
+
+register_self_contained(__name__)

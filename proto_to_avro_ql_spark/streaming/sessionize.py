@@ -97,3 +97,10 @@ def run_stream_sessionize_to_memory(
     )
     q.awaitTermination(300)
     return spark.table(table_name)
+
+
+# Executor workers don't share the driver's sys.path patch — ship this
+# module's worker-executed functions by value (see pickling.py).
+from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402
+
+register_self_contained(__name__)
