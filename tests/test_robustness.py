@@ -145,3 +145,44 @@ class TestUnicodeText:
         )
         out = {r.keep_id: r.n_dups for r in dedup_exact(docs).collect()}
         assert out == {1: 2, 3: 1}
+
+
+class TestRound2EmptyInputs:
+    def test_governance_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators.governance import (
+            domain_mix_weights,
+            quality_funnel,
+            repetition_signals,
+            unigram_lm_score,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string, source string")
+        assert repetition_signals(empty).count() == 0
+        assert unigram_lm_score(empty).count() == 0
+        assert domain_mix_weights(empty, {"src0": 1.0}).count() == 0
+        funnel = {r.stage: r for r in quality_funnel(empty).collect()}
+        assert len(funnel) == 3  # stages still reported, all zero
+        assert all(r.docs_in == 0 and r.dropped == 0 for r in funnel.values())
+
+    def test_upsert_on_empty_sides(self, spark):
+        from proto_to_avro_ql_spark.operators.merge import upsert
+
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        empty = spark.createDataFrame([], "k long, v string")
+        assert {r.k for r in upsert(base, empty, ["k"]).collect()} == {1}
+        assert {r.k for r in upsert(empty, base, ["k"]).collect()} == {1}
+        assert upsert(empty, empty, ["k"]).count() == 0
+
+    def test_decode_proto_on_empty(self, spark):
+        from proto_to_avro_ql_spark.entry_registry import EVENT_SPEC
+        from proto_to_avro_ql_spark.sources.protodec import decode_proto
+
+        empty = spark.createDataFrame([], "row_id long, pb binary")
+        assert decode_proto(empty, "pb", EVENT_SPEC, keep_cols=("row_id",)).count() == 0
+
+    def test_salted_join_on_empty_fact(self, spark):
+        from proto_to_avro_ql_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame([], "k string, x long")
+        dim = spark.createDataFrame([("a", 1)], "k string, w int")
+        assert salted_join(fact, dim, "k").count() == 0
