@@ -106,6 +106,23 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         smj_join()  # warm
         print(json.dumps(timed(f"smj_skew_aqe_{skew_on}", smj_join)))
+    # -- experiment 3: explicit salt-replicate join (operators/skew.py) --
+    # vs the plain forced-SMJ join above, AQE skew split OFF — the
+    # deterministic mitigation you reach for when you can't rely on AQE
+    # (or need stable task sizes). Result must equal the plain join.
+    from proto_to_avro_ql_spark.operators.skew import salted_join
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+
+    def salted():
+        joined = salted_join(fact, dim, "key", salt_buckets=16)
+        return joined.agg(F.count(F.lit(1))).first()[0]
+
+    salted()  # warm
+    r_salted = timed("salted_join_16", salted)
+    print(json.dumps(r_salted))
+    assert r_salted["result"] == smj_join(), "salted join result mismatch"
+
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
