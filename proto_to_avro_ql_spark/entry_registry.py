@@ -3052,3 +3052,17 @@ def q_ext_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "quality", F.sum("n_tokens").over(w).alias("cum_tokens")
     )
     return ranked.where(F.col("cum_tokens") <= 2000)
+
+
+@register(
+    "ext_stream_dedup",
+    """SELECT event_id, user_id, event_type FROM events""",
+)
+def q_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup: the event stream is ingested TWICE
+    (at-least-once delivery) and dropDuplicatesWithinWatermark restores
+    exactly-once per event id with bounded state; the oracle is the
+    clean source — duplicates must vanish entirely."""
+    from proto_to_avro_ql_spark.streaming.events import run_stream_dedup_to_memory
+
+    return run_stream_dedup_to_memory(spark, sf_dir, table_name="q_stream_dedup")

@@ -120,6 +120,19 @@ class MessageSpec:
     def by_number(self) -> dict[int, FieldSpec]:
         return {f.number: f for f in self.fields}
 
+    def project(self, names: "tuple[str, ...] | list[str]") -> "MessageSpec":
+        """Column pruning for the opaque path: a spec restricted to
+        ``names`` decodes ONLY those fields — everything else is
+        skipped at the wire level (cheap varint hops, no value
+        materialization), the per-row analog of parquet ReadSchema
+        pruning. Order follows the original declaration."""
+        keep = set(names)
+        unknown = keep - {f.name for f in self.fields}
+        assert not unknown, f"unknown fields {sorted(unknown)} on {self.name}"
+        return MessageSpec(
+            self.name, tuple(f for f in self.fields if f.name in keep)
+        )
+
 
 # --- wire primitives -------------------------------------------------------
 

@@ -162,3 +162,29 @@ def run_stream_join_to_memory(
     )
     q.awaitTermination(300)
     return spark.table(table_name)
+
+
+def run_stream_dedup_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "stream_dedup"
+) -> DataFrame:
+    """Watermarked STREAMING DEDUPLICATION: the source is read twice and
+    unioned (every event arrives twice — the at-least-once delivery
+    shape of real queues), then ``dropDuplicatesWithinWatermark`` on the
+    event id emits each exactly once. State for an id is dropped once
+    the watermark passes its event time — bounded state, unlike a plain
+    dropDuplicates which remembers every key forever."""
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    ev = a.union(b).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table_name)

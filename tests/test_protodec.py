@@ -174,6 +174,23 @@ def test_spark_decode_null_payload_and_unknown_fields(spark):
     assert out[2] is None  # null payload → null struct
 
 
+def test_spec_projection_prunes_decode():
+    spec = MessageSpec(
+        "M",
+        (
+            FieldSpec(1, "a", "int64"),
+            FieldSpec(2, "b", "string"),
+            FieldSpec(3, "c", "double"),
+        ),
+    )
+    wire = encode_message(spec, {"a": 7, "b": "wide text payload", "c": 2.5})
+    pruned = spec.project(["a", "c"])
+    assert decode_message(pruned, wire) == {"a": 7, "c": 2.5}  # b skipped
+    assert [f.name for f in pruned.spark_schema().fields] == ["a", "c"]
+    with pytest.raises(AssertionError):
+        spec.project(["nope"])
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_decode_corrupt_payload_permissive(spark):
     from proto_to_avro_ql_spark.entry_registry import EVENT_SPEC
