@@ -3066,3 +3066,33 @@ def q_ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proto_to_avro_ql_spark.streaming.events import run_stream_dedup_to_memory
 
     return run_stream_dedup_to_memory(spark, sf_dir, table_name="q_stream_dedup")
+
+
+@register(
+    "join_outer",
+    """SELECT c.c_custkey,
+         COALESCE(c.c_mktsegment, '(none)') AS segment,
+         COUNT(o.o_orderkey) AS n_orders,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_totalprice
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey, segment""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving customers with no orders (their
+    n_orders is 0 and sum is null) — the reporting shape inner joins
+    silently drop. Same broadcast/shuffle strategy space as the inner
+    form; COUNT(col) vs COUNT(*) semantics under outer nulls is the
+    classic correctness trap the oracle pins."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(
+            "c_custkey",
+            F.coalesce(F.col("c_mktsegment"), F.lit("(none)")).alias("segment"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice", 2).alias("sum_totalprice"),
+        )
+    )
