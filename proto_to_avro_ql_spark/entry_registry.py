@@ -3096,3 +3096,63 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", 2).alias("sum_totalprice"),
         )
     )
+
+
+@register(
+    "udf_grouped_pandas",
+    """WITH t AS (
+      SELECT event_id, user_id, value,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss,
+        COUNT(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id,
+      CASE WHEN n >= 2 AND (ss - s * s / n) / (n - 1) > 0
+           THEN ROUND((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4)
+      END AS zscore
+    FROM t""",
+)
+def q_udf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (§2.8 arbitrary-Python surface, the
+    batch sibling of the stateful sessionize): per-user z-score computed
+    IN PANDAS over Arrow group batches, oracled against the same SQL as
+    the native ext_zscore — the Python path must reproduce the engine
+    path exactly (decimal-equivalent moments, identical rounding)."""
+    import pandas as pd
+
+    def zscore_group(pdf):  # executes on workers; self-contained closure
+        from decimal import ROUND_HALF_UP, Decimal
+
+        # Mirror the engine semantics exactly: Decimal(float) is the
+        # EXACT binary expansion (same as Java BigDecimal(double), i.e.
+        # Spark's cast), quantized HALF_UP like Spark's decimal cast
+        # and round(). Squares are taken in double space BEFORE the
+        # decimal cast, as in CAST(value * value AS DECIMAL(38,6)).
+        DEC6, DEC4 = Decimal("0.000001"), Decimal("0.0001")
+        raw = [float(x) for x in pdf["value"]]
+        n = len(raw)
+        s = float(sum(Decimal(x).quantize(DEC6, rounding=ROUND_HALF_UP) for x in raw))
+        ss = float(
+            sum(Decimal(x * x).quantize(DEC6, rounding=ROUND_HALF_UP) for x in raw)
+        )
+        out = [None] * n
+        if n >= 2:
+            var = (ss - s * s / n) / (n - 1)
+            if var > 0:
+                mean, sd = s / n, var ** 0.5
+                out = [
+                    float(
+                        Decimal((x - mean) / sd).quantize(DEC4, rounding=ROUND_HALF_UP)
+                    )
+                    for x in raw
+                ]
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": out}
+        )
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        zscore_group, schema="event_id long, user_id long, zscore double"
+    )

@@ -213,3 +213,55 @@ def test_spark_decode_corrupt_payload_permissive(spark):
     # strict mode must raise on the same input
     with pytest.raises(Exception):
         decode_proto(df, "pb", EVENT_SPEC, on_error="fail").collect()
+
+
+# --- property-based round trip (hypothesis) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    FULL_SPEC = MessageSpec(
+        "P",
+        (
+            FieldSpec(1, "i", "int64"),
+            FieldSpec(2, "s64", "sint64"),
+            FieldSpec(3, "flag", "bool"),
+            FieldSpec(4, "d", "double"),
+            FieldSpec(5, "txt", "string"),
+            FieldSpec(6, "raw", "bytes"),
+            FieldSpec(7, "tags", "int64", repeated=True),
+            FieldSpec(8, "sub", "message", message=INT_MSG),
+        ),
+    )
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        i=i64,
+        s64=i64,
+        flag=st.booleans(),
+        d=st.floats(allow_nan=False),  # NaN != NaN breaks dict equality, not the codec
+        txt=st.text(max_size=50),
+        raw=st.binary(max_size=50),
+        tags=st.lists(i64, max_size=8),
+        sub_a=i64,
+    )
+    def test_property_round_trip(i, s64, flag, d, txt, raw, tags, sub_a):
+        msg = {
+            "i": i,
+            "s64": s64,
+            "flag": flag,
+            "d": d,
+            "txt": txt,
+            "raw": raw,
+            "tags": tags,
+            "sub": {"a": sub_a},
+        }
+        assert decode_message(FULL_SPEC, encode_message(FULL_SPEC, msg)) == msg
