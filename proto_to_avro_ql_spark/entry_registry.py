@@ -38,6 +38,7 @@ from proto_to_avro_ql_spark.functions.defaults import (
 )
 from proto_to_avro_ql_spark.operators import dedup as DD
 from proto_to_avro_ql_spark.operators import multimodal as MM
+from proto_to_avro_ql_spark.operators import segments as SEG
 from proto_to_avro_ql_spark.operators import simsearch as SS
 from proto_to_avro_ql_spark.operators import windows as W
 from proto_to_avro_ql_spark.plans.compile import (
@@ -2554,7 +2555,7 @@ def q_ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (CASE WHEN {_NORM} = '' THEN 0
               ELSE len(string_split({_NORM}, ' ')) END) >= 10 AS r1,
         (CASE WHEN length(text) = 0 THEN 0.0
-              ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+              ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
                          / length(text), 6) END) <= 0.1 AS r2,
         ({_LANG_CASE}) IN ('en') AS r3
       FROM lp
@@ -3155,4 +3156,86 @@ def q_udf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").applyInPandas(
         zscore_group, schema="event_id long, user_id long, zscore double"
+    )
+
+
+# ===========================================================================
+# §2.9 — document chunking + segment-level dedup (operators/segments.py)
+# ===========================================================================
+
+_SEG_TOKS = (
+    "CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN []"
+    " ELSE string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') END"
+)
+
+
+@register(
+    "ext_doc_chunk",
+    f"""WITH t AS (
+      SELECT doc_id, {_SEG_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 40)) AS st
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(st // 40 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, st + 1, st + 50)) AS BIGINT) AS chunk_tokens,
+           array_to_string(list_slice(toks, st + 1, st + 50), ' ') AS chunk_text
+    FROM s""",
+)
+def q_ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (50-token windows, stride 40 →
+    10-token overlap), the pretraining context-splitting primitive.
+    Narrow per-row transform: split → window starts → explode → slice;
+    zero shuffles, runs at scan speed at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = SEG.chunk_documents(docs, size=50, stride=40)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@register(
+    "ext_segment_dedup",
+    f"""WITH t AS (
+      SELECT doc_id, {_SEG_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 25)) AS st
+      FROM t WHERE len(toks) > 0
+    ), seg AS (
+      SELECT doc_id, CAST(st // 25 AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(toks, st + 1, st + 25), ' ') AS chunk_text
+      FROM s
+    ), d AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (
+               PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_ratio
+    FROM d GROUP BY doc_id""",
+)
+def q_ext_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment dedup (boilerplate removal): non-overlapping
+    25-token windows, global first occurrence survives (RefinedWeb-style
+    line dedup adapted to token windows). Only (md5, doc_id, idx)
+    shuffles — segment text never crosses the wire; per-doc survival
+    stats are the oracle-hashed output, reassembly is pinned in tests."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = SEG.segment_dedup_stats(docs, seg_size=25)
+    return out.select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "kept_ratio",
     )

@@ -262,3 +262,27 @@ class TestSession2OperatorPlans:
 
         plan = physical_plan(QUERIES["ext_lm_score"](spark, sf_dir))
         assert "CartesianProduct" not in plan
+
+
+class TestSegmentOperatorPlans:
+    def test_doc_chunk_zero_exchanges(self, spark, sf_dir):
+        """Chunking is a narrow per-row transform: split → explode →
+        slice must compile to a single stage with no shuffle at all."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_doc_chunk"](spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_segment_dedup_shuffles_hashes_not_text(self, spark, sf_dir):
+        """The dedup decision shuffles (seg_hash, doc_id, chunk_idx)
+        only: two exchanges total (hash window + per-doc agg), no joins,
+        and no raw text/chunk column in any exchange partitioning."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_segment_dedup"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "chunk_text#" not in line and "text#" not in line

@@ -33,6 +33,8 @@ AUDIT = {
     "ext_domain_mix": "domain-mix solver (per-source agg + 1-row budget)",
     "src_proto_decode": "proto wire decode (mapInPandas, no shuffle)",
     "ext_multi_join_report": "3-hop star join (only nation broadcast-hinted)",
+    "ext_doc_chunk": "fixed-window chunking (narrow explode, zero exchanges)",
+    "ext_segment_dedup": "segment dedup (md5+ids shuffle, text stays at scan)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
