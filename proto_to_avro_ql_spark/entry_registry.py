@@ -3239,3 +3239,96 @@ def q_ext_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         "kept_ratio",
     )
+
+
+# ===========================================================================
+# §2.9 — time-series repair + fuzzy matching (operators/timeseries.py,
+# operators/fuzzy.py)
+# ===========================================================================
+
+
+@register(
+    "ext_forward_fill",
+    """SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+       FROM events""",
+)
+def q_ext_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation: 'click' events carry no value
+    (synthesized missingness); each row takes the user's most recent
+    non-null value in (ts, event_id) order. One window shuffle keyed by
+    user; last(ignorenulls) evaluates incrementally — no per-row
+    lookback scan. Values pass through bit-identically (no arithmetic),
+    so no rounding is needed for the oracle hash."""
+    from proto_to_avro_ql_spark.operators.timeseries import forward_fill
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "click", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        forward_fill(ev, v).alias("filled_value"),
+    )
+
+
+@register(
+    "ext_resample",
+    """WITH sparse AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      FROM spans
+    )
+    SELECT g.user_id,
+           strftime(g.d, '%Y-%m-%d') AS day,
+           COALESCE(s.n_events, 0) AS n_events,
+           s.sum_value
+    FROM grid g LEFT JOIN sparse s ON s.user_id = g.user_id AND s.d = g.d""",
+)
+def q_ext_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling: dense per-user daily series from first to
+    last observed day, gaps filled with n_events=0 / null sum. The grid
+    is generated DISTRIBUTED (sequence+explode off a per-user min/max
+    agg), never on the driver, and rejoins the sparse aggregates on the
+    same (user, day) key."""
+    from proto_to_avro_ql_spark.operators.timeseries import resample_daily
+
+    ev = read_table(spark, sf_dir, "events")
+    return resample_daily(ev)
+
+
+@register(
+    "ext_fuzzy_join",
+    """WITH vocab AS (
+      SELECT p_name AS name, COUNT(*) AS cnt,
+             split_part(p_name, ' ', 1) AS block,
+             length(p_name) AS ln
+      FROM part GROUP BY 1
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist,
+           CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+    FROM vocab a JOIN vocab b
+      ON a.block = b.block AND a.name < b.name
+     AND abs(a.ln - b.ln) <= 3
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3""",
+)
+def q_ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match over part names (entity resolution):
+    distinct-vocabulary collapse → first-token blocking → length-bound
+    prefilter → exact Levenshtein in [1,3]. Distance runs at vocab
+    scale; n_pairs carries the row-pair weight without materializing
+    row-level pairs."""
+    from proto_to_avro_ql_spark.operators.fuzzy import fuzzy_name_matches
+
+    p = read_table(spark, sf_dir, "part")
+    return fuzzy_name_matches(p, "p_name", min_dist=1, max_dist=3)
