@@ -3332,3 +3332,99 @@ def q_ext_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = read_table(spark, sf_dir, "part")
     return fuzzy_name_matches(p, "p_name", min_dist=1, max_dist=3)
+
+
+# ===========================================================================
+# §2.9 — data-quality expectations + weighted sampling
+# ===========================================================================
+
+
+@register(
+    "ext_expectations",
+    """WITH l AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+             SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS v_disc,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship
+      FROM lineitem
+    ), fk1 AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS n,
+             (SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS v
+    ), fk2 AS (
+      SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+             (SELECT COUNT(*) FROM lineitem li
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)) AS v
+    )
+    SELECT 'l_quantity_in_1_50' AS rule, n AS n_rows, CAST(v_qty AS BIGINT) AS n_violations,
+           ROUND(CAST(v_qty AS DOUBLE) / n, 6) AS violation_ratio FROM l
+    UNION ALL
+    SELECT 'l_discount_le_0_05', n, CAST(v_disc AS BIGINT), ROUND(CAST(v_disc AS DOUBLE) / n, 6) FROM l
+    UNION ALL
+    SELECT 'l_extendedprice_positive', n, CAST(v_price AS BIGINT), ROUND(CAST(v_price AS DOUBLE) / n, 6) FROM l
+    UNION ALL
+    SELECT 'l_shipdate_not_null', n, CAST(v_ship AS BIGINT), ROUND(CAST(v_ship AS DOUBLE) / n, 6) FROM l
+    UNION ALL
+    SELECT 'orders_custkey_fk', n, CAST(v AS BIGINT), ROUND(CAST(v AS DOUBLE) / n, 6) FROM fk1
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', n, CAST(v AS BIGINT), ROUND(CAST(v AS DOUBLE) / n, 6) FROM fk2""",
+)
+def q_ext_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite validation report: four column rules evaluated
+    in ONE conditional-aggregation pass over lineitem plus two
+    referential (anti-join, key-only) checks; one row per rule with
+    violation counts and ratios."""
+    from proto_to_avro_ql_spark.operators.expectations import (
+        ColumnRule,
+        expectation_report,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rules = [
+        ColumnRule("l_quantity_in_1_50", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ColumnRule("l_discount_le_0_05", F.col("l_discount") > 0.05),
+        ColumnRule("l_extendedprice_positive", F.col("l_extendedprice") <= 0),
+        ColumnRule("l_shipdate_not_null", F.col("l_shipdate").isNull()),
+    ]
+    return expectation_report(
+        spark,
+        [(li, rules)],
+        [
+            ("orders_custkey_fk", o, "o_custkey", c, "c_custkey"),
+            ("lineitem_orderkey_fk", li, "l_orderkey", o, "o_orderkey"),
+        ],
+    )
+
+
+@register(
+    "ext_weighted_sample",
+    f"""WITH q AS (
+      SELECT doc_id, {_QUALITY_EXPR} AS quality
+      FROM documents
+    )
+    SELECT doc_id, quality,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS BIGINT) AS bucket
+    FROM q
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CAST(ROUND(quality * 10000, 0) AS BIGINT)""",
+)
+def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each doc is kept with
+    probability equal to its quality score, decided by a pure md5 hash
+    of the doc id (portable across engines/partitionings — no RNG, no
+    shuffle; the filter is a narrow expression over the scan).
+    ROUND before the int cast on both sides: Spark's double->int cast
+    truncates while DuckDB's rounds (0.7*10000 == 6999.999...)."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    bucket = hash_bucket(F.col("doc_id"), 10000)
+    return (
+        docs.select("doc_id", q.alias("quality"), bucket.alias("bucket"))
+        .where(F.col("bucket") < F.round(F.col("quality") * 10000, 0).cast("long"))
+        .select("doc_id", "quality", F.col("bucket").cast("long").alias("bucket"))
+    )
