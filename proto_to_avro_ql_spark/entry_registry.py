@@ -3428,3 +3428,68 @@ def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bucket") < F.round(F.col("quality") * 10000, 0).cast("long"))
         .select("doc_id", "quality", F.col("bucket").cast("long").alias("bucket"))
     )
+
+
+# ===========================================================================
+# §2.9 — TF-IDF + stream-static enrichment
+# ===========================================================================
+
+
+@register(
+    "ext_tfidf",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+      FROM documents WHERE {_NORM} <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0)) + 1), 6) AS score
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+      ) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5""",
+)
+def q_ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF —
+    the keyword-extraction / relevance-weighting primitive. See
+    operators/lexical.py:tfidf_top_terms for the plan shape."""
+    from proto_to_avro_ql_spark.operators.lexical import tfidf_top_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, top_k=5)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "ext_stream_static_join",
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+       FROM events e JOIN customer c ON c.c_custkey = e.user_id""",
+)
+def q_ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment run as a REAL streaming query
+    (readStream → broadcast join to the batch customer dim → memory
+    sink, availableNow). Stateless per-row enrichment: the result must
+    equal the batch inner join, which is the oracle."""
+    from proto_to_avro_ql_spark.streaming.events import (
+        run_stream_static_enrich_to_memory,
+    )
+
+    return run_stream_static_enrich_to_memory(
+        spark, sf_dir, table_name="q_stream_static_enrich"
+    )

@@ -86,3 +86,56 @@ def bm25_search(
         F.col(id_col), F.round(score, 6).alias("bm25")
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn-style so no term gets a zero
+    weight). Deterministic ranking: (rounded score desc, term asc).
+
+    Plan: explode → ONE (doc,term) count aggregation → term-keyed df
+    aggregation re-joined on the term (per-distinct-term scale, tiny
+    vs the corpus) → single-row N broadcast → per-doc ranking window.
+    The raw text never shuffles; the widest payload is (doc_id, term,
+    tf). At 100 TB the df relation is vocabulary-scale and the join
+    key is the term — skew on stopword-like terms is bounded because
+    tf rows are already aggregated per doc."""
+    from proto_to_avro_ql_spark.functions.text import normalize_text
+    from pyspark.sql.window import Window
+
+    toks = (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

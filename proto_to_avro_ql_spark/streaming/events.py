@@ -188,3 +188,37 @@ def run_stream_dedup_to_memory(
     )
     q.awaitTermination(300)
     return spark.table(table_name)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC dimension enrichment: the event stream joined to
+    the static customer table (user_id → market segment). The static
+    side is a plain batch DataFrame; Spark re-plans it per micro-batch
+    and broadcasts it — no streaming state, no watermark, the canonical
+    lakehouse enrichment shape (vs the stateful stream-stream join in
+    stream_click_attribution)."""
+    from proto_to_avro_ql_spark.sources.io import read_table
+
+    ev = stream_events(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    return joined.select("event_id", "user_id", "event_type", "c_mktsegment")
+
+
+def run_stream_static_enrich_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "stream_static_enrich"
+) -> DataFrame:
+    """Execute the stream-static enrichment with availableNow into a
+    memory sink (append — stateless row-wise enrichment)."""
+    q = (
+        stream_static_enrich(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table_name)

@@ -175,3 +175,28 @@ class TestStreamStreamJoin:
         }
         assert len(streamed) > 0
         assert streamed == batch
+
+
+class TestStreamStaticJoin:
+    def test_stream_static_enrich_equals_batch(self, spark, sf_dir):
+        """Stateless stream-static enrichment must emit exactly the
+        batch inner-join rows (same keys, same segments)."""
+        from proto_to_avro_ql_spark.streaming.events import (
+            run_stream_static_enrich_to_memory,
+        )
+
+        streamed = {
+            r.event_id: (r.user_id, r.event_type, r.c_mktsegment)
+            for r in run_stream_static_enrich_to_memory(
+                spark, sf_dir, table_name="t_stream_static_eq"
+            ).collect()
+        }
+        ev = read_table(spark, sf_dir, "events")
+        dim = read_table(spark, sf_dir, "customer")
+        batch = {
+            r.event_id: (r.user_id, r.event_type, r.c_mktsegment)
+            for r in ev.join(dim, ev.user_id == dim.c_custkey)
+            .select("event_id", "user_id", "event_type", "c_mktsegment")
+            .collect()
+        }
+        assert streamed == batch and len(streamed) > 0

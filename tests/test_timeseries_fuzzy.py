@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 from pyspark.sql import functions as F
 
@@ -87,3 +88,35 @@ class TestFuzzyNameMatches:
         df = spark.createDataFrame([("ab x",), ("ab xyyy",)], "p_name string")
         out = fuzzy_name_matches(df, "p_name", 1, 3).collect()
         assert len(out) == 1 and out[0].dist == 3
+
+
+class TestTfidf:
+    def test_rare_term_outranks_common(self, spark):
+        from proto_to_avro_ql_spark.operators.lexical import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common rare"),
+                (2, "common filler words"),
+                (3, "common other things"),
+            ],
+            "doc_id long, text string",
+        )
+        by_doc1 = {
+            r.term: r
+            for r in tfidf_top_terms(docs, top_k=10).where("doc_id = 1").collect()
+        }
+        # n_docs=3: idf(rare)=ln(4/2)+1, idf(common)=ln(4/4)+1=1
+        assert by_doc1["rare"].df == 1 and by_doc1["common"].df == 3
+        assert by_doc1["rare"].score == round(math.log(2) + 1, 6)  # tf=1
+        assert by_doc1["common"].score == 2.0  # tf=2, idf=1
+        # per-token, the rare term is weighted higher than the common one
+        assert by_doc1["rare"].score > by_doc1["common"].score / 2
+
+    def test_rank_deterministic_on_ties(self, spark):
+        from proto_to_avro_ql_spark.operators.lexical import tfidf_top_terms
+
+        docs = spark.createDataFrame([(1, "bb aa")], "doc_id long, text string")
+        out = tfidf_top_terms(docs, top_k=2).orderBy("rank").collect()
+        # identical scores: tie broken by term ascending
+        assert [r.term for r in out] == ["aa", "bb"]
