@@ -3493,3 +3493,36 @@ def q_ext_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_enrich_to_memory(
         spark, sf_dir, table_name="q_stream_static_enrich"
     )
+
+
+# ===========================================================================
+# §2.3 — GAQL DURING date-range macros
+# ===========================================================================
+
+
+@register(
+    "gaql_during",
+    f"""WITH f AS ({ADS_FLAT_SQL})
+    SELECT campaign_id, segments_date, metrics_clicks
+    FROM f
+    WHERE segments_date BETWEEN '1995-05-18' AND '1995-06-16'""",
+)
+def q_gaql_during(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAQL DURING macro: `segments.date DURING LAST_30_DAYS` anchored
+    at 1995-06-17 compiles to the ISO-string BETWEEN
+    ['1995-05-18','1995-06-16'] (GAQL excludes the anchor day), which
+    Catalyst pushes to the scan like any literal range predicate."""
+    from proto_to_avro_ql_spark.plans.gaql import run_gaql
+
+    out = run_gaql(
+        spark,
+        """SELECT campaign.id, segments.date, metrics.clicks
+           FROM ads_row WHERE segments.date DURING LAST_30_DAYS""",
+        resolve_table=lambda name: {"ads_row": ads_row(spark, sf_dir)}[name],
+        anchor_date="1995-06-17",
+    )
+    return out.select(
+        F.col("campaign.id").alias("campaign_id"),
+        F.col("segments.date").alias("segments_date"),
+        F.col("metrics.clicks").alias("metrics_clicks"),
+    )

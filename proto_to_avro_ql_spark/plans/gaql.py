@@ -10,6 +10,7 @@ so WHERE pushdown/pruning apply exactly as with the programmatic API.
 
 from __future__ import annotations
 
+import datetime as dt
 import re
 from dataclasses import dataclass
 from typing import Callable
@@ -86,6 +87,65 @@ def _flat(path: str) -> str:
     return path.replace(".", "_")
 
 
+# --- DURING date-range macros ----------------------------------------------
+# GAQL's date predicates: `segments.date DURING LAST_30_DAYS` etc. The
+# macros are ANCHORED (an explicit reference date) so the same query
+# text always compiles to the same plan — a wall-clock `today` would
+# make results, caches, and oracles nondeterministic.
+
+_DURING_RE = re.compile(
+    r"(?P<path>[A-Za-z_][\w.]*)\s+DURING\s+(?P<range>[A-Za-z_0-9]+)",
+    re.IGNORECASE,
+)
+
+
+def _month_start(d: dt.date) -> dt.date:
+    return d.replace(day=1)
+
+
+def _during_bounds(range_name: str, anchor: dt.date) -> tuple[dt.date, dt.date]:
+    """(inclusive lo, inclusive hi) for a GAQL date-range macro.
+    LAST_N_DAYS excludes the anchor day itself (GAQL semantics)."""
+    r = range_name.upper()
+    day = dt.timedelta(days=1)
+    if r == "TODAY":
+        return anchor, anchor
+    if r == "YESTERDAY":
+        return anchor - day, anchor - day
+    m = re.fullmatch(r"LAST_(\d+)_DAYS", r)
+    if m:
+        n = int(m.group(1))
+        return anchor - n * day, anchor - day
+    if r == "THIS_MONTH":
+        return _month_start(anchor), anchor
+    if r == "LAST_MONTH":
+        this_start = _month_start(anchor)
+        prev_end = this_start - day
+        return _month_start(prev_end), prev_end
+    raise ValueError(f"Unknown DURING range {range_name!r}")
+
+
+def expand_during(where: str, anchor_date: str | None) -> str:
+    """Rewrite every `<path> DURING <RANGE>` into an ISO-string BETWEEN
+    (dates travel as ISO strings per the reference's model, SURVEY
+    §1.2, so BETWEEN on strings is correct). Raises if a DURING appears
+    without an anchor."""
+    if not _DURING_RE.search(where):
+        return where
+    if anchor_date is None:
+        raise ValueError(
+            "Query uses DURING but no anchor_date was provided; "
+            "pass run_gaql(..., anchor_date='YYYY-MM-DD')"
+        )
+    anchor = dt.date.fromisoformat(anchor_date)
+
+    def repl(m: re.Match) -> str:
+        lo, hi = _during_bounds(m.group("range"), anchor)
+        return f"{m.group('path')} BETWEEN '{lo.isoformat()}' AND '{hi.isoformat()}'"
+
+    return _DURING_RE.sub(repl, where)
+
+
 def default_catalog(
     spark: SparkSession, sf_dir: str
 ) -> Callable[[str], DataFrame]:
@@ -112,6 +172,7 @@ def run_gaql(
     query: str,
     resolve_table: Callable[[str], DataFrame],
     implicit_agg: bool = False,
+    anchor_date: str | None = None,
 ) -> DataFrame:
     """Parse → resolve resource → compile projection → apply WHERE.
     Predicates go through Catalyst unchanged, so they push down to the
@@ -128,6 +189,14 @@ def run_gaql(
     pre-aggregation rows. One shuffle, map-side partials."""
     q = parse_gaql(query)
     df = resolve_table(q.resource)
+    if q.where:
+        q = GaqlQuery(
+            q.fields,
+            q.resource,
+            expand_during(q.where, anchor_date),
+            q.order_by,
+            q.limit,
+        )
     if q.where:
         # WHERE may reference non-selected paths (the reference filters
         # server-side over full rows): filter the SOURCE, then project.

@@ -287,3 +287,56 @@ class TestGaqlCatalog:
                 "SELECT x FROM no_such_table",
                 resolve_table=default_catalog(spark, sf_dir),
             )
+
+
+class TestGaqlDuring:
+    def test_last_30_days_excludes_anchor(self):
+        from proto_to_avro_ql_spark.plans.gaql import expand_during
+
+        out = expand_during("segments.date DURING LAST_30_DAYS", "1995-06-17")
+        assert out == "segments.date BETWEEN '1995-05-18' AND '1995-06-16'"
+
+    def test_month_macros(self):
+        from proto_to_avro_ql_spark.plans.gaql import expand_during
+
+        assert (
+            expand_during("d DURING THIS_MONTH", "2024-03-15")
+            == "d BETWEEN '2024-03-01' AND '2024-03-15'"
+        )
+        # LAST_MONTH across a year boundary
+        assert (
+            expand_during("d DURING LAST_MONTH", "2024-01-10")
+            == "d BETWEEN '2023-12-01' AND '2023-12-31'"
+        )
+
+    def test_today_yesterday_and_composition(self):
+        from proto_to_avro_ql_spark.plans.gaql import expand_during
+
+        out = expand_during(
+            "a DURING YESTERDAY AND b DURING TODAY AND x > 3", "2024-03-01"
+        )
+        assert "a BETWEEN '2024-02-29' AND '2024-02-29'" in out  # leap year
+        assert "b BETWEEN '2024-03-01' AND '2024-03-01'" in out
+        assert out.endswith("x > 3")
+
+    def test_during_without_anchor_raises(self):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.plans.gaql import expand_during
+
+        with _pytest.raises(ValueError, match="anchor_date"):
+            expand_during("d DURING LAST_7_DAYS", None)
+
+    def test_unknown_range_raises(self):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.plans.gaql import expand_during
+
+        with _pytest.raises(ValueError, match="Unknown DURING"):
+            expand_during("d DURING NEXT_WEEK", "2024-01-01")
+
+    def test_non_during_where_untouched(self):
+        from proto_to_avro_ql_spark.plans.gaql import expand_during
+
+        w = "segments.date BETWEEN '1995-01-01' AND '1995-06-30'"
+        assert expand_during(w, None) == w
