@@ -3526,3 +3526,39 @@ def q_gaql_during(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("segments.date").alias("segments_date"),
         F.col("metrics.clicks").alias("metrics_clicks"),
     )
+
+
+# ===========================================================================
+# §2.9 — bigram LM scoring (order-sensitive corpus quality signal)
+# ===========================================================================
+
+
+@register(
+    "ext_bigram_lm",
+    f"""WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks
+      FROM documents WHERE {_NORM} <> ''
+    ), big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+    ), cc AS (
+      SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1
+    ), probs AS (
+      SELECT bc.w1, bc.w2,
+             CAST(ln(CAST(bc.c2 AS DOUBLE) / cc.c1) AS DECIMAL(38,6)) AS logp
+      FROM bc JOIN cc USING (w1)
+    )
+    SELECT big.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(probs.logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM big JOIN probs ON big.w1 = probs.w1 AND big.w2 = probs.w2
+    GROUP BY big.doc_id""",
+)
+def q_ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive LM quality signal: per-doc average bigram
+    log-probability under the corpus's own bigram distribution (see
+    operators/governance.py:bigram_lm_score for the zero-shuffle pair
+    generation and decimal-stable aggregation)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return GV.bigram_lm_score(docs)

@@ -192,3 +192,53 @@ def quality_funnel(
             )
         ).alias("s")
     ).select("s.stage", "s.docs_in", "s.docs_out", "s.dropped")
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average bigram log-probability P(w2|w1) under the
+    corpus's own bigram distribution — the order-sensitive upgrade of
+    :func:`unigram_lm_score` (catches shuffled/unnatural token order
+    that unigram stats cannot see). MLE, no smoothing: every scored
+    bigram was observed, so probabilities are well-defined.
+
+    Bigram generation is ZERO-shuffle: pairs are built in the array
+    domain (zip of the token array with its own tail) before the
+    explode, so no window or self-join is needed. Context counts are
+    derived FROM the bigram counts (c(w1) = Σ_w2 c(w1,w2)), keeping
+    one aggregation chain. Log-probs are rounded to DECIMAL(38,6)
+    before the per-doc sum — cross-engine ln() ulp noise is removed
+    pre-aggregation and the sum is order-independent.
+
+    Docs with fewer than two tokens have no bigrams and drop out.
+    """
+    from proto_to_avro_ql_spark.functions.stable import DEC
+
+    toks = F.split(TX.normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    big = (
+        docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    probs = bc.join(cc, "w1").select(
+        "w1",
+        "w2",
+        F.log(F.col("c2").cast("double") / F.col("c1")).cast(DEC).alias("logp"),
+    )
+    scored = big.join(probs, ["w1", "w2"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -96,3 +96,33 @@ def test_quality_funnel_cumulative_and_monotone(spark):
     assert stages["lang"].dropped == 1 and stages["lang"].docs_out == 1
     for r in stages.values():
         assert r.docs_in - r.docs_out == r.dropped >= 0
+
+
+class TestBigramLm:
+    def test_repeated_order_scores_higher_than_shuffled(self, spark):
+        """The order-sensitive property unigram stats cannot see: a doc
+        whose bigrams all repeat corpus patterns scores higher than one
+        with the same tokens in a never-seen order."""
+        from proto_to_avro_ql_spark.operators.governance import bigram_lm_score
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b a b"),
+                (2, "a b a b a b a b"),
+                (3, "b b a a b a b a"),  # same unigram counts, odd order
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.avg_logprob for r in bigram_lm_score(docs).collect()}
+        assert out[1] == out[2]
+        assert out[1] > out[3]
+
+    def test_single_token_doc_drops_out(self, spark):
+        from proto_to_avro_ql_spark.operators.governance import bigram_lm_score
+
+        docs = spark.createDataFrame(
+            [(1, "only"), (2, "two words")], "doc_id long, text string"
+        )
+        out = bigram_lm_score(docs).collect()
+        assert [r.doc_id for r in out] == [2]
+        assert out[0].n_bigrams == 1 and out[0].avg_logprob == 0.0  # ln(1)
