@@ -3562,3 +3562,21 @@ def q_ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation and decimal-stable aggregation)."""
     docs = read_table(spark, sf_dir, "documents")
     return GV.bigram_lm_score(docs)
+
+
+@register(
+    "ext_multimodal_dedup",
+    """SELECT sha256(props) AS checksum,
+         MIN(event_id) AS representative,
+         COUNT(*) AS n_copies,
+         MIN(octet_length(encode(props))) AS n_bytes
+       FROM events GROUP BY 1""",
+)
+def q_ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload dedup over the multimodal envelope: grouped on the
+    checksum so raw bytes never cross the wire; min-id representative
+    per distinct blob with copy counts (the first pass of any
+    image/audio dedup pipeline)."""
+    ev = read_table(spark, sf_dir, "events")
+    packed = MM.pack_blob(ev, "props", "application/json")
+    return MM.dedup_payloads(packed)

@@ -135,3 +135,19 @@ def sample_frames(df: DataFrame, frame_bytes: int = 4, id_col: str = "event_id")
 from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402
 
 register_self_contained(__name__)
+
+
+def dedup_payloads(packed: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Exact multimodal dedup: one representative (min id) per distinct
+    payload, decided entirely on the envelope's checksum — the raw
+    bytes NEVER shuffle (the aggregation carries (checksum, id,
+    n_bytes) only). At lake scale this is the first pass before any
+    perceptual/near-dup hashing of decoded media."""
+    return (
+        packed.groupBy(F.col("blob_meta.checksum").alias("checksum"))
+        .agg(
+            F.min(F.col(id_col)).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col("blob_meta.n_bytes")).alias("n_bytes"),
+        )
+    )
