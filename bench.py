@@ -32,6 +32,11 @@ HEADLINE = [
     "ext_bm25_search",   # two-pass rewrite (6 -> 4 exchanges)
     "src_proto_decode",  # binary proto wire-format round trip (Python path)
     "ext_multi_join_report",  # 3-hop star join, fact-scale sides unhinted
+    # round 2, session 2: new operators claimed done this round
+    "ext_doc_chunk",      # narrow chunking, zero exchanges
+    "ext_segment_dedup",  # segment dedup, md5+ids shuffle only
+    "ext_tfidf",          # per-doc top terms, term-keyed joins
+    "ext_bigram_lm",      # order-sensitive LM score
 ]
 
 

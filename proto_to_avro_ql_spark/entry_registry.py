@@ -3580,3 +3580,81 @@ def q_ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     packed = MM.pack_blob(ev, "props", "application/json")
     return MM.dedup_payloads(packed)
+
+
+# ===========================================================================
+# §2.9 — behavioral analytics (operators/analytics.py)
+# ===========================================================================
+
+
+@register(
+    "ext_funnel",
+    """WITH tv AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ), tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN tv ON tv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= tv.t GROUP BY 1
+    ), tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN tc ON tc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= tc.t GROUP BY 1
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM tv) AS n_view,
+           (SELECT COUNT(*) FROM tc) AS n_click,
+           (SELECT COUNT(*) FROM tp) AS n_purchase""",
+)
+def q_ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel (view -> click -> purchase,
+    min-time semantics): per-stage reach counts in one row. User-keyed
+    aggregations chained on the same partitioning."""
+    from proto_to_avro_ql_spark.operators.analytics import conversion_funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    return conversion_funnel(ev)
+
+
+@register(
+    "ext_retention",
+    """WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY 1
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first f ON f.user_id = e.user_id
+    GROUP BY 1, 2""",
+)
+def q_ext_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: first-seen ISO week x activity
+    week offset -> active-user counts."""
+    from proto_to_avro_ql_spark.operators.analytics import retention_cohorts
+
+    ev = read_table(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+@register(
+    "ext_mad_outliers",
+    """WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, median(abs(e.value - med.m)) AS d
+      FROM events e JOIN med USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(abs(e.value - med.m), 6) AS deviation
+    FROM events e
+    JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(e.value - med.m) > 1.5 * mad.d""",
+)
+def q_ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via median absolute deviation
+    (|x - median| > 1.5 MAD). Exact medians for oracle parity; swap in
+    approx_percentile at lake scale (same plan, bounded memory)."""
+    from proto_to_avro_ql_spark.operators.analytics import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    return mad_outliers(ev)
