@@ -3658,3 +3658,84 @@ def q_ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return mad_outliers(ev)
+
+
+# ===========================================================================
+# §2.6 — full-outer reconciliation (completes the join family: inner,
+# left-outer, semi/anti, as-of, range, bucketed, salted, stream-stream,
+# stream-static + this)
+# ===========================================================================
+
+
+@register(
+    "join_full_outer",
+    """WITH c AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    ), f AS (
+      SELECT o_custkey, COUNT(*) AS n_filled
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT COALESCE(c.o_custkey, f.o_custkey) AS custkey,
+           COALESCE(c.n_orders, 0) AS n_open,
+           COALESCE(f.n_filled, 0) AS n_filled,
+           CASE WHEN c.o_custkey IS NULL THEN 'filled_only'
+                WHEN f.o_custkey IS NULL THEN 'open_only'
+                ELSE 'both' END AS presence
+    FROM c FULL OUTER JOIN f ON f.o_custkey = c.o_custkey""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: open-order vs filled-order customer
+    sets merged with presence tagging — the dataset-diff shape (CDC
+    audits, A/B table comparisons) that inner/left joins silently
+    truncate. Both sides are keyed aggregates of the same table, so
+    the join is between co-partitioned relations (exchange reuse);
+    full-outer cannot broadcast, and the plan must keep it a
+    shuffle-merge on the key at any scale."""
+    o = read_table(spark, sf_dir, "orders")
+    c = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("ck_open"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    f = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("ck_filled"))
+        .agg(F.count(F.lit(1)).alias("n_filled"))
+    )
+    j = c.join(f, c.ck_open == f.ck_filled, "full_outer")
+    return j.select(
+        F.coalesce(F.col("ck_open"), F.col("ck_filled")).alias("custkey"),
+        F.coalesce(F.col("n_open"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("n_filled"), F.lit(0)).alias("n_filled"),
+        F.when(F.col("ck_open").isNull(), F.lit("filled_only"))
+        .when(F.col("ck_filled").isNull(), F.lit("open_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+@register(
+    "ext_quantile_norm",
+    """SELECT event_id, user_id, value,
+         ROUND(percent_rank() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id), 6) AS qnorm
+       FROM events""",
+)
+def q_ext_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile normalization: each value mapped to its
+    percent rank within its event type (uniform [0,1] marginals — the
+    rank-based feature-scaling alternative to z-scores, insensitive to
+    heavy tails). Deterministic total order via (value, event_id) ties.
+    One window shuffle on the group key; percent_rank needs no second
+    pass (rank and partition count come from the same sort)."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("qnorm"),
+    )
