@@ -3739,3 +3739,30 @@ def q_ext_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.percent_rank().over(w), 6).alias("qnorm"),
     )
+
+
+# ===========================================================================
+# §2.9 — small-file compaction (lakehouse maintenance)
+# ===========================================================================
+
+
+@register(
+    "ext_compaction",
+    """SELECT event_id, user_id, event_type, value FROM events""",
+)
+def q_ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a deliberately fragmented partitioned
+    copy of events (16 shards x 5 types = ~80 files) is rewritten with
+    a partition-aligned repartition to ~1 file per Hive partition.
+    The oracle is the ORIGINAL content — compaction must be
+    byte-preserving; the file-count drop is asserted in pytest."""
+    from proto_to_avro_ql_spark.operators.merge import compact_small_files
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="compact_")
+    compacted, _before, _after = compact_small_files(
+        spark, ev, path, partition_col="event_type"
+    )
+    return compacted.select("event_id", "user_id", "event_type", "value")

