@@ -286,3 +286,46 @@ class TestSegmentOperatorPlans:
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "chunk_text#" not in line and "text#" not in line
+
+
+class TestSession3OperatorPlans:
+    def test_forward_fill_single_exchange(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_forward_fill"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_quantile_norm_single_exchange(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_quantile_norm"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_tfidf_text_never_shuffles(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_tfidf"](spark, sf_dir))
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text#" not in line
+
+    def test_full_outer_is_merge_join_not_broadcast(self, spark, sf_dir):
+        """Full outer joins cannot stream one side: the plan must be a
+        shuffle-merge, never a broadcast (which would drop unmatched
+        build-side rows)."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["join_full_outer"](spark, sf_dir)
+        df.count()  # finalize the adaptive plan
+        plan = physical_plan(df)
+        assert "FullOuter" in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        assert "BroadcastHashJoin" not in plan
+
+    def test_funnel_no_cartesian_of_fact_relations(self, spark, sf_dir):
+        """The only cross joins are the broadcast single-row stage
+        counts; the event stream itself must never cross-join."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_funnel"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
