@@ -3175,7 +3175,11 @@ _SEG_TOKS = (
       SELECT doc_id, {_SEG_TOKS} AS toks FROM documents
     ), s AS (
       SELECT doc_id, toks,
-             unnest(generate_series(0, greatest(len(toks) - 1, 0), 40)) AS st
+             unnest(generate_series(
+               0,
+               CASE WHEN len(toks) <= 50 THEN 0
+                    ELSE ((len(toks) - 50 + 39) // 40) * 40 END,
+               40)) AS st
       FROM t WHERE len(toks) > 0
     )
     SELECT doc_id,

@@ -54,9 +54,15 @@ def chunk_documents(
     (actual token count — the final window may be short), chunk_text.
     """
     toks = _tokens(F.col(text_col))
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride)
+    # Last window start: the first stride multiple whose window reaches
+    # the end of the doc. Generating starts past it would emit windows
+    # fully contained in their predecessor (redundant training rows) —
+    # caught by the hypothesis coverage property.
+    n = F.size("_toks")
+    last = F.when(n <= size, F.lit(0)).otherwise(
+        ((n - size + stride - 1) / stride).cast("bigint") * stride
     )
+    starts = F.sequence(F.lit(0).cast("bigint"), last, F.lit(stride).cast("bigint"))
     chunked = (
         docs.select(F.col(id_col), toks.alias("_toks"))
         .where(F.size(F.col("_toks")) > 0)

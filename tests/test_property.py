@@ -288,3 +288,48 @@ class TestMappingParity:
             for r in rows
         ]
         assert got == expected
+
+
+class TestChunkingProperties:
+    """Chunking invariants over arbitrary token streams."""
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_tokens=st.integers(min_value=0, max_value=200),
+        size=st.integers(min_value=2, max_value=60),
+        overlap=st.integers(min_value=0, max_value=30),
+    )
+    def test_cover_and_overlap_invariants(self, spark, n_tokens, size, overlap):
+        from proto_to_avro_ql_spark.operators.segments import chunk_documents
+
+        overlap = min(overlap, size - 1)
+        stride = size - overlap
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        chunks = sorted(
+            chunk_documents(docs, size=size, stride=stride).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        if n_tokens == 0:
+            assert chunks == []
+            return
+        # window count: starts at stride multiples up to the FIRST
+        # window that reaches the end (no fully-contained tails)
+        if n_tokens <= size:
+            assert len(chunks) == 1
+        else:
+            assert len(chunks) == -((n_tokens - size) // -stride) + 1
+        # every token covered, in order, exactly once after removing overlap
+        rebuilt = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            toks = c.chunk_text.split()
+            assert toks[:overlap] == rebuilt[-overlap:] if overlap else True
+            rebuilt.extend(toks[overlap:])
+        assert rebuilt == text.split()
+        # no chunk exceeds size; only the last may be short
+        assert all(c.chunk_tokens <= size for c in chunks)
+        assert all(c.chunk_tokens == size for c in chunks[:-1]) or len(chunks) == 1

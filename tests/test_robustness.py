@@ -186,3 +186,59 @@ class TestRound2EmptyInputs:
         fact = spark.createDataFrame([], "k string, x long")
         dim = spark.createDataFrame([("a", 1)], "k string, w int")
         assert salted_join(fact, dim, "k").count() == 0
+
+
+class TestEmptyInputsSession3:
+    def test_segments_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators.segments import (
+            chunk_documents,
+            reassemble_kept,
+            segment_dedup_stats,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert chunk_documents(empty).count() == 0
+        assert segment_dedup_stats(empty).count() == 0
+        assert reassemble_kept(empty).count() == 0
+
+    def test_timeseries_on_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.operators.timeseries import (
+            forward_fill,
+            resample_daily,
+        )
+
+        empty = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, value double"
+        )
+        assert resample_daily(empty).count() == 0
+        assert (
+            empty.select(forward_fill(empty, F.col("value")).alias("f")).count() == 0
+        )
+
+    def test_fuzzy_and_analytics_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators.analytics import (
+            conversion_funnel,
+            mad_outliers,
+            retention_cohorts,
+        )
+        from proto_to_avro_ql_spark.operators.fuzzy import fuzzy_name_matches
+
+        nodocs = spark.createDataFrame([], "p_name string")
+        assert fuzzy_name_matches(nodocs, "p_name").count() == 0
+        noev = spark.createDataFrame(
+            [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        row = conversion_funnel(noev).first()
+        assert (row.n_users, row.n_view, row.n_click, row.n_purchase) == (0, 0, 0, 0)
+        assert retention_cohorts(noev).count() == 0
+        assert mad_outliers(noev).count() == 0
+
+    def test_lexical_session3_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators.governance import bigram_lm_score
+        from proto_to_avro_ql_spark.operators.lexical import tfidf_top_terms
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert tfidf_top_terms(empty).count() == 0
+        assert bigram_lm_score(empty).count() == 0

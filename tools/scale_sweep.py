@@ -31,6 +31,11 @@ SWEEP = [
     "ext_lm_score",
     "ext_upsert_merge",
     "src_proto_decode",
+    # round 2, session 3
+    "ext_segment_dedup",
+    "ext_tfidf",
+    "ext_bigram_lm",
+    "ext_funnel",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
