@@ -35,6 +35,10 @@ AUDIT = {
     "ext_multi_join_report": "3-hop star join (only nation broadcast-hinted)",
     "ext_doc_chunk": "fixed-window chunking (narrow explode, zero exchanges)",
     "ext_segment_dedup": "segment dedup (md5+ids shuffle, text stays at scan)",
+    "ext_tfidf": "TF-IDF top terms (term-keyed joins, text never shuffles)",
+    "ext_funnel": "ordered funnel (user-keyed aggs, 1-row broadcast counts)",
+    "join_full_outer": "full-outer reconciliation (must stay shuffle-merge)",
+    "ext_forward_fill": "forward-fill imputation (single window exchange)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
