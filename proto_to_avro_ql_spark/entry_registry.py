@@ -3770,3 +3770,125 @@ def q_ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ev, path, partition_col="event_type"
     )
     return compacted.select("event_id", "user_id", "event_type", "value")
+
+
+# ===========================================================================
+# §2.9 — incremental-ingest dedup + A/B test report
+# ===========================================================================
+
+
+@register(
+    "ext_dedup_incremental",
+    f"""WITH d AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(string_split({_NORM}, ' '), 1, 10), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM d b
+    WHERE b.doc_id >= 400
+      AND NOT EXISTS (
+        SELECT 1 FROM d o WHERE o.doc_id < 400 AND o.fingerprint = b.fingerprint
+      )""",
+)
+def q_ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (doc_id >= 400 simulates
+    the arriving partition) keeps only docs whose HEAD fingerprint
+    (md5 of the first 10 normalized tokens — catches truncation /
+    continuation re-crawls that full-text hashing misses) is absent
+    from the existing corpus. LEFT ANTI on the hash, so only
+    fingerprints shuffle. At lake scale the corpus fingerprint set is
+    a bucketed table and the anti join is exchange-free on the bucket
+    key (see operators/bucketing.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    head = F.slice(F.split(TX.normalize_text(F.col("text")), " "), 1, 10)
+    fp = F.md5(F.array_join(head, " "))
+    old = docs.where(F.col("doc_id") < 400).select(fp.alias("fp"))
+    batch = docs.where(F.col("doc_id") >= 400).select(
+        "doc_id", fp.alias("fingerprint")
+    )
+    return batch.join(old, batch.fingerprint == old.fp, "left_anti")
+
+
+@register(
+    "ext_ab_test",
+    """WITH assigned AS (
+      SELECT event_type, value,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+      FROM events
+    ), m AS (
+      SELECT event_type,
+        COUNT(*) FILTER (variant = 0) AS n_a,
+        COUNT(*) FILTER (variant = 1) AS n_b,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (variant = 0) AS DOUBLE) AS s_a,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (variant = 1) AS DOUBLE) AS s_b,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6))) FILTER (variant = 0) AS DOUBLE) AS ss_a,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,6))) FILTER (variant = 1) AS DOUBLE) AS ss_b
+      FROM assigned GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b,
+      ROUND(s_a / n_a, 6) AS mean_a,
+      ROUND(s_b / n_b, 6) AS mean_b,
+      ROUND(s_a / n_a - s_b / n_b, 6) AS mean_diff,
+      ROUND((s_a / n_a - s_b / n_b)
+            / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                 + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 4) AS t_stat
+    FROM m""",
+)
+def q_ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B report: users split 50/50 by a portable md5
+    bucket (identical assignment on any engine/partitioning — no RNG),
+    then per-event-type Welch's t over decimal-exact moments (sums and
+    sums-of-squares accumulate in DECIMAL(38,6), so the derived means
+    and t-stat are partition-order independent). ONE conditional
+    aggregation pass; the variant column never shuffles raw rows."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    v = hash_bucket(F.col("user_id"), 2)
+    a, b = v == 0, v == 1
+    dec = lambda c: F.col(c).cast(DEC)  # noqa: E731
+    agg = (
+        ev.select("event_type", "value", v.alias("variant"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+            F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+            F.sum(F.when(F.col("variant") == 0, F.col("value").cast(DEC)))
+            .cast("double")
+            .alias("s_a"),
+            F.sum(F.when(F.col("variant") == 1, F.col("value").cast(DEC)))
+            .cast("double")
+            .alias("s_b"),
+            F.sum(
+                F.when(F.col("variant") == 0, (F.col("value") * F.col("value")).cast(DEC))
+            )
+            .cast("double")
+            .alias("ss_a"),
+            F.sum(
+                F.when(F.col("variant") == 1, (F.col("value") * F.col("value")).cast(DEC))
+            )
+            .cast("double")
+            .alias("ss_b"),
+        )
+    )
+    ma = F.col("s_a") / F.col("n_a")
+    mb = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(
+            (ma - mb) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 4
+        ).alias("t_stat"),
+    )
