@@ -333,3 +333,94 @@ class TestChunkingProperties:
         # no chunk exceeds size; only the last may be short
         assert all(c.chunk_tokens <= size for c in chunks)
         assert all(c.chunk_tokens == size for c in chunks[:-1]) or len(chunks) == 1
+
+
+class TestSession3Properties:
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+            min_size=1,
+            max_size=30,
+        ),
+        n_users=st.integers(min_value=1, max_value=3),
+    )
+    def test_forward_fill_matches_pandas_ffill(self, spark, vals, n_users):
+        import datetime as dt
+
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.operators.timeseries import forward_fill
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(seconds=i), i % n_users, v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = {
+            r.event_id: r.f
+            for r in df.select(
+                "event_id", forward_fill(df, F.col("value")).alias("f")
+            ).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+        exp = pdf.assign(f=pdf.groupby("user_id")["value"].ffill())
+        for _, row in exp.iterrows():
+            want = None if pd.isna(row.f) else row.f
+            assert got[row.event_id] == want
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        names=st.lists(
+            st.text(alphabet="abc x", min_size=1, max_size=8).map(str.strip).filter(bool),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_fuzzy_join_matches_bruteforce_within_blocks(self, spark, names):
+        from proto_to_avro_ql_spark.operators.fuzzy import fuzzy_name_matches
+
+        df = spark.createDataFrame([(n,) for n in names], "p_name string")
+        got = {
+            (r.name_a, r.name_b): (r.dist, r.n_pairs)
+            for r in fuzzy_name_matches(df, "p_name", 1, 3).collect()
+        }
+
+        # brute-force reference (python Levenshtein) over same-block pairs
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        from collections import Counter
+
+        cnt = Counter(names)
+        vocab = sorted(cnt)
+        want = {}
+        for i, a in enumerate(vocab):
+            for b in vocab[i + 1 :]:
+                if a.split(" ")[0] != b.split(" ")[0]:
+                    continue
+                d = lev(a, b)
+                if 1 <= d <= 3:
+                    want[(a, b)] = (d, cnt[a] * cnt[b])
+        assert got == want
