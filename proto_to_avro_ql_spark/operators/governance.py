@@ -228,12 +228,17 @@ def bigram_lm_score(
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
+    from pyspark.sql.window import Window
+
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    cc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    probs = bc.join(cc, "w1").select(
+    # context counts as a window over the bigram counts (partition by
+    # w1) instead of a separate aggregate + rejoin — one exchange
+    # fewer, no join; bc is the per-bigram relation either way.
+    c1 = F.sum("c2").over(Window.partitionBy("w1"))
+    probs = bc.select(
         "w1",
         "w2",
-        F.log(F.col("c2").cast("double") / F.col("c1")).cast(DEC).alias("logp"),
+        F.log(F.col("c2").cast("double") / c1).cast(DEC).alias("logp"),
     )
     scored = big.join(probs, ["w1", "w2"])
     return scored.groupBy(id_col).agg(

@@ -117,12 +117,15 @@ def tfidf_top_terms(
         .where(F.col("term") != "")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over tf (partition by term) instead of a separate
+    # aggregate + rejoin: one exchange fewer, no join — tf rows are the
+    # per-(doc,term) relation either way.
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = docs.select(
         F.count_distinct(F.col(id_col)).alias("n_docs")
     )
     scored = (
-        tf.join(df_t, "term")
+        tf.withColumn("df", df_t)
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
