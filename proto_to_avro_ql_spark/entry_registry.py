@@ -3892,3 +3892,36 @@ def q_ext_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ma - mb) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")), 4
         ).alias("t_stat"),
     )
+
+
+# ===========================================================================
+# §2.9 — k-anonymity release check (privacy governance)
+# ===========================================================================
+
+
+@register(
+    "ext_kanon_check",
+    """SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT user_id) < 5 AS at_risk
+       FROM events GROUP BY 1, 2""",
+)
+def q_ext_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release check: for every quasi-identifier combination
+    (event_type, day), the distinct-user count and whether it falls
+    below k=5 — the cells a privacy review suppresses before a data
+    release. One aggregation keyed on the quasi-identifiers; at lake
+    scale count_distinct becomes approx_count_distinct with the same
+    report shape."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+        .select(
+            "event_type", "day", "n_users", (F.col("n_users") < 5).alias("at_risk")
+        )
+    )
