@@ -87,3 +87,20 @@ class TestSegmentDedup:
         rows = [(i, " ".join(f"d{i}w{j}" for j in range(60))) for i in range(5)]
         out = {r.doc_id: r.kept_text for r in reassemble_kept(_docs(spark, rows), seg_size=25).collect()}
         assert out == dict(rows)
+
+
+class TestUnicodeSegments:
+    def test_unicode_tokens_chunk_and_dedup(self, spark):
+        """Multi-byte tokens must chunk on characters, not bytes, and
+        hash stably (md5 of UTF-8) for the dedup decision."""
+        text = "héllo wörld 你好 мир " * 10  # 40 tokens
+        docs = spark.createDataFrame(
+            [(1, text.strip()), (2, text.strip())], "doc_id long, text string"
+        )
+        chunks = chunk_documents(docs, size=25, stride=25).collect()
+        assert {r.doc_id for r in chunks} == {1, 2}
+        assert all("你好" in r.chunk_text for r in chunks if r.chunk_idx == 0)
+        stats = {
+            r.doc_id: r for r in segment_dedup_stats(docs, seg_size=25).collect()
+        }
+        assert stats[2].n_kept == 0  # doc 2 is an exact dup of doc 1
