@@ -932,7 +932,7 @@ def q_ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.2""",
+       WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.2""",
 )
 def q_ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact mode for the oracle;
