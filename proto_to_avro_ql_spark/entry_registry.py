@@ -3925,3 +3925,49 @@ def q_ext_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", "n_users", (F.col("n_users") < 5).alias("at_risk")
         )
     )
+
+
+# ===========================================================================
+# §2.1 — idempotent backfill sink (dynamic partition overwrite)
+# ===========================================================================
+
+
+@register(
+    "sink_backfill",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill: daily aggregates land in a
+    day-partitioned table; one day is then recomputed and rewritten
+    with DYNAMIC partition overwrite — only the touched day's
+    directory is replaced, every other partition's files are untouched
+    (the operational backfill contract at lake scale; a STATIC
+    overwrite would truncate the whole table). The read-back must
+    equal the full recompute — that is the oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", 4).alias("sum_value"),
+    )
+    path = tempfile.mkdtemp(prefix="backfill_")
+    daily.write.mode("overwrite").partitionBy("day").parquet(path)
+    # Backfill one day (recompute is identical here; in production the
+    # upstream correction changed it) under dynamic overwrite.
+    target_day = "2024-01-15"
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        daily.where(F.col("day") == target_day).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(path)
+    return back.select("day", "event_type", "n_events", "sum_value")

@@ -160,3 +160,47 @@ class TestAsofEdges:
         ).withColumn("ts", F.to_timestamp("ts"))
         out = asof_join(left, right, key="user_id", ts="ts", right_payload=("value",)).first()
         assert out.value_asof is None
+
+
+class TestDynamicPartitionBackfill:
+    def test_only_target_partition_rewritten(self, spark, sf_dir, tmp_path):
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        path = str(tmp_path / "t")
+        daily.write.mode("overwrite").partitionBy("day").parquet(path)
+
+        def files():
+            return {
+                d: sorted(os.path.basename(f) for f in glob.glob(f"{path}/day={d}/*.parquet"))
+                for d in sorted(
+                    os.path.basename(p).split("=", 1)[1]
+                    for p in glob.glob(f"{path}/day=*")
+                )
+            }
+
+        before = files()
+        target = sorted(before)[3]
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            daily.where(F.col("day") == target).write.mode("overwrite").partitionBy(
+                "day"
+            ).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        after = files()
+        assert set(before) == set(after)  # no partition vanished (static would truncate)
+        assert after[target] != before[target]  # target rewritten (new file names)
+        for d in before:
+            if d != target:
+                assert after[d] == before[d]  # untouched partitions keep their files
