@@ -37,6 +37,11 @@ HEADLINE = [
     "ext_segment_dedup",  # segment dedup, md5+ids shuffle only
     "ext_tfidf",          # per-doc top terms, term-keyed joins
     "ext_bigram_lm",      # order-sensitive LM score
+    # round 2, session 4: scale-pattern operators claimed done
+    "ext_bloom_prune",           # Bloom semi-join pruning (dynamic filter)
+    "ext_zorder_layout",         # Morton clustering key + range layout
+    "ext_temperature_mix",       # temperature-scaled language mix
+    "ext_dedup_lsh_incremental", # batch-vs-corpus LSH admission
 ]
 
 

@@ -3971,3 +3971,136 @@ def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     back = spark.read.parquet(path)
     return back.select("day", "event_type", "n_events", "sum_value")
+
+
+# ===========================================================================
+# §2.9 — session-4 scale patterns: incremental LSH dedup, Bloom semi-join
+# pruning, Z-order layout, temperature-scaled mixing
+# ===========================================================================
+
+
+@register(
+    "ext_dedup_lsh_incremental",
+    r"""WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(t) >= 3
+          THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+          ELSE [array_to_string(t, ' ')] END) AS shingle_set
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(shingle_set) AS n_sh, unnest(shingle_set) AS shingle FROM sh
+    ), pairs AS (
+      SELECT b.doc_id AS id_b, b.n_sh AS n_b, c.n_sh AS n_c, COUNT(*) AS inter
+      FROM ex b JOIN ex c ON b.shingle = c.shingle
+      WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 != 7
+      GROUP BY 1, 2, 3
+    ), dups AS (
+      SELECT DISTINCT id_b FROM pairs
+      WHERE ROUND(CAST(inter AS DOUBLE) / (n_b + n_c - inter), 6) >= 0.2
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT id_b FROM dups)""",
+)
+def q_ext_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission: an arriving batch (doc_id%10=7)
+    is LSH-checked against the standing corpus; only batch docs with
+    no corpus near-dup (exact Jaccard >= 0.2 on verified candidates)
+    are admitted. Batch x corpus banding join only — the corpus is
+    never self-paired. Oracle = exact batch x corpus Jaccard; recall
+    contract identical to ext_dedup_minhash."""
+    docs = read_table(spark, sf_dir, "documents")
+    admitted = DD.incremental_lsh_admit(docs, F.col("doc_id") % 10 == 7, threshold=0.2)
+    return admitted.select("doc_id", "lang")
+
+
+@register(
+    "ext_bloom_prune",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+       FROM lineitem
+       WHERE l_orderkey IN (
+         SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       )""",
+)
+def q_ext_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (dynamic-filtering pattern): a
+    2^16-bit / k=3 Bloom filter built from the urgent-order keys via
+    distributed bit_or (collect bounded by filter size, not dim rows)
+    pre-filters lineitem inside the scan stage; an exact semi-join
+    removes false positives. Result identical to the plain semi-join —
+    which is the oracle."""
+    from proto_to_avro_ql_spark.operators.bloom import bloom_semi_join
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    out = bloom_semi_join(
+        lineitem, F.col("l_orderkey"), urgent, F.col("o_orderkey")
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+from proto_to_avro_ql_spark.operators.layout import morton_code_sql, zorder_layout
+
+_ZORDER_X = "(user_id % 65536)"
+_ZORDER_T = "((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24 + hour(ts)) % 65536)"
+
+
+@register(
+    "ext_zorder_layout",
+    f"""SELECT event_id,
+          {_ZORDER_X} AS xk,
+          {_ZORDER_T} AS tk,
+          {morton_code_sql(_ZORDER_X, _ZORDER_T)} AS zcode
+        FROM events""",
+)
+def q_ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, hour): bit
+    interleaving as one codegen'd expression, then repartitionByRange
+    on the code so written files hold compact z-intervals — min/max
+    file skipping then prunes on EITHER dimension. The oracle pins the
+    interleaved code bit-for-bit (DuckDB recomputes it arithmetically);
+    the range layout is row-content-preserving by construction."""
+    from proto_to_avro_ql_spark.operators.layout import morton_code
+
+    ev = read_table(spark, sf_dir, "events")
+    xk = F.pmod(F.col("user_id"), F.lit(65536))
+    tk = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) * 24
+        + F.hour("ts"),
+        F.lit(65536),
+    )
+    coded = ev.select(
+        "event_id", xk.alias("xk"), tk.alias("tk"), F.col("ts"), F.col("user_id")
+    )
+    laid_out = zorder_layout(coded, F.col("xk"), F.col("tk"), num_ranges=16)
+    return laid_out.select("event_id", "xk", "tk", "zcode")
+
+
+@register(
+    "ext_temperature_mix",
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wt FROM c),
+    t AS (SELECT SUM(wt) AS tot, SUM(n) AS big_n FROM w),
+    th AS (SELECT lang,
+      CAST(ROUND(LEAST(1.0, CAST(wt AS DOUBLE) / CAST(tot AS DOUBLE) * big_n / n) * 1000000) AS BIGINT) AS keep_thresh
+      FROM w, t)
+    SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < keep_thresh""",
+)
+def q_ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (T=2): group shares move
+    from p_g toward p_g^0.5 — dominant languages downsampled, rare
+    ones kept whole. Membership = portable md5 bucket vs per-group
+    integer threshold; the one multi-row reduction (sum of rounded
+    sqrt weights) accumulates in DECIMAL so thresholds are
+    partition-order independent. Group stats are |groups| rows,
+    broadcast back onto the corpus."""
+    from proto_to_avro_ql_spark.operators.sampling import temperature_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang", "doc_id", alpha=0.5).select(
+        "doc_id", "lang"
+    )

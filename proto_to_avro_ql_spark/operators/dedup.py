@@ -432,3 +432,89 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def incremental_lsh_admit(
+    docs: DataFrame,
+    batch_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental near-dup admission — the production shape of dedup
+    at 100 TB: a new crawl BATCH arrives and must be checked against
+    the standing CORPUS without re-pairing the corpus with itself.
+
+    Batch and corpus each get zero-shuffle MinHash signatures
+    (:func:`minhash_signature_table`); candidates are batch×corpus
+    collisions on banded signature hashes — the join keys are
+    (band, band_hash), so the corpus side shuffles its banding rows
+    once and no corpus-corpus pair is ever generated. Candidates are
+    verified with EXACT Jaccard over the shingle sets (false positives
+    cost time, never correctness), and the operator returns the batch
+    docs with NO corpus near-dup — the rows an ingest pipeline admits.
+
+    In steady state the corpus banding table is a maintained artifact
+    (computed once, appended per admitted batch), so the per-batch cost
+    is batch-sized, not corpus-sized; here it is derived inline because
+    the engine is stateless across queries.
+
+    Recall contract (same as ``ext_dedup_minhash``): banding with
+    r = num_hashes/bands catches every pair at the duplicate-cluster
+    similarities present in this corpus (verified exhaustively vs exact
+    Jaccard in pytest and the DuckDB oracle at sf0.001/sf0.01).
+    """
+    r = num_hashes // bands
+
+    def banding(base: DataFrame) -> DataFrame:
+        return base.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col("sig")[b * r + i] for i in range(r)]
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bh")
+
+    batch = minhash_signature_table(
+        docs.where(batch_pred), text_col, id_col, n, num_hashes
+    ).persist()
+    corpus = minhash_signature_table(
+        docs.where(~batch_pred), text_col, id_col, n, num_hashes
+    ).persist()
+
+    cand = (
+        banding(batch)
+        .withColumnRenamed("id", "id_b")
+        .join(banding(corpus).withColumnRenamed("id", "id_c"), ["band", "bh"])
+        .select("id_b", "id_c")
+        .distinct()
+    )
+    verified_dup_ids = (
+        cand.join(batch.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .join(corpus.select(F.col("id").alias("id_c"), F.col("sh").alias("sh_c")), "id_c")
+        .where(
+            F.round(
+                F.size(F.array_intersect("sh_b", "sh_c"))
+                / F.size(F.array_union("sh_b", "sh_c")),
+                6,
+            )
+            >= threshold
+        )
+        .select("id_b")
+        .distinct()
+    )
+    return docs.where(batch_pred).join(
+        verified_dup_ids, F.col(id_col) == F.col("id_b"), "left_anti"
+    )

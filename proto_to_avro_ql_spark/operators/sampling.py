@@ -51,3 +51,76 @@ def stratified_sample(
         F.when(F.lit(False), F.lit(False)),
     ).otherwise(bucket < int(default_rate * 100))
     return df.where(keep)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled group rebalancing — the data-mixing primitive
+    of multilingual / multi-domain LLM corpora: resample so group g's
+    share moves from p_g toward p_g^alpha (alpha = 1/T < 1 upweights
+    rare groups relative to dominant ones).
+
+    Sampling without replacement can only downsample, so
+    ``P(keep | g) = min(1, q_g * N / n_g)`` where
+    ``q_g = n_g^alpha / Σ_m n_m^alpha`` — the dominant groups shrink
+    toward the target mix and groups at/below target keep everything.
+    Membership is the portable md5 bucket of the row key vs a per-group
+    integer threshold — no RNG (see module docstring).
+
+    Cross-engine numeric hygiene (the round-1 float-sum lesson): the
+    only multi-row reduction in the formula, Σ n_m^alpha, is summed as
+    DECIMAL(38,6) of ``round(pow(n, alpha), 6)`` — associative, so the
+    thresholds are partition-order independent; everything downstream
+    is scalar IEEE arithmetic on identical operands in both engines.
+
+    Scale shape: one groupBy producing |groups| rows, threshold algebra
+    on that tiny relation, then a broadcast join back onto the fact —
+    the filter itself is a narrow per-row expression. At 100 TB the
+    group stats are a few hundred rows regardless of corpus size.
+    """
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    weights = counts.select(
+        group_col,
+        "n",
+        # alpha=0.5 → sqrt, which is IEEE-correctly-rounded in BOTH
+        # engines (java.lang.Math.sqrt / C sqrt); generic pow() is only
+        # ~1-ulp accurate and could differ cross-engine at a rounding
+        # boundary.
+        F.round(
+            F.sqrt(F.col("n").cast("double"))
+            if alpha == 0.5
+            else F.pow(F.col("n").cast("double"), F.lit(float(alpha))),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("wt"),
+    )
+    totals = weights.agg(
+        F.sum("wt").alias("tot"), F.sum("n").alias("big_n")
+    )
+    thresholds = weights.crossJoin(broadcast(totals)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("wt").cast("double") / F.col("tot").cast("double"))
+                * F.col("big_n")
+                / F.col("n"),
+            )
+            * scale
+        )
+        .cast("bigint")
+        .alias("keep_thresh"),
+    )
+    return (
+        df.join(broadcast(thresholds), group_col)
+        .where(hash_bucket(F.col(key_col), scale) < F.col("keep_thresh"))
+        .drop("keep_thresh")
+    )
