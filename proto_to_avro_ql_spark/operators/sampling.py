@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,16 +102,22 @@ def temperature_sample(
         .cast("decimal(38,6)")
         .alias("wt"),
     )
-    totals = weights.agg(
-        F.sum("wt").alias("tot"), F.sum("n").alias("big_n")
-    )
-    thresholds = weights.crossJoin(broadcast(totals)).select(
+    # Totals as a window over the stats relation (|groups| rows), NOT
+    # an agg + re-join: an agg branch would re-derive `weights` and
+    # re-scan the corpus a second time. The unpartitioned window is a
+    # single-partition exchange of |groups| rows — trivial at any
+    # corpus size.
+    w_all = Window.partitionBy()
+    thresholds = weights.select(
         group_col,
         F.round(
             F.least(
                 F.lit(1.0),
-                (F.col("wt").cast("double") / F.col("tot").cast("double"))
-                * F.col("big_n")
+                (
+                    F.col("wt").cast("double")
+                    / F.sum("wt").over(w_all).cast("double")
+                )
+                * F.sum("n").over(w_all)
                 / F.col("n"),
             )
             * scale

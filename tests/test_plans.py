@@ -329,3 +329,54 @@ class TestSession3OperatorPlans:
 
         plan = physical_plan(QUERIES["ext_funnel"](spark, sf_dir))
         assert "CartesianProduct" not in plan
+
+
+class TestSession4OperatorPlans:
+    def test_bloom_probe_is_scan_absorbed(self, spark, sf_dir):
+        """The Bloom membership test is a narrow filter — zero
+        exchanges until the exact semi-join; pruned-away fact rows
+        never shuffle."""
+        from proto_to_avro_ql_spark.operators.bloom import (
+            bloom_filter_condition,
+            build_bloom_words,
+        )
+
+        lineitem = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders")
+        urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        words = build_bloom_words(urgent, F.col("o_orderkey"))
+        pruned = lineitem.where(
+            bloom_filter_condition(F.col("l_orderkey"), words, 1 << 16, 3)
+        )
+        plan = physical_plan(pruned)
+        assert "Exchange" not in plan
+        assert "shiftleft" in plan  # the bit tests are plain expressions
+
+    def test_zorder_single_range_exchange(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_zorder_layout"](spark, sf_dir)
+        plan = physical_plan(df)
+        assert plan.count("Exchange") == 1
+        assert "rangepartitioning(zcode" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_temperature_mix_broadcasts_group_stats(self, spark, sf_dir):
+        """The corpus never shuffles: the only hash exchanges are on the
+        |groups|-row stats relation; thresholds come back via broadcast."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_temperature_mix"](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" in plan
+        # the docs relation itself is never hash-partitioned on lang
+        assert "Exchange hashpartitioning(lang" in plan or plan.count("Exchange hashpartitioning") <= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_incremental_lsh_no_cartesian(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_dedup_lsh_incremental"](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

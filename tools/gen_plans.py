@@ -39,6 +39,10 @@ AUDIT = {
     "ext_funnel": "ordered funnel (user-keyed aggs, 1-row broadcast counts)",
     "join_full_outer": "full-outer reconciliation (must stay shuffle-merge)",
     "ext_forward_fill": "forward-fill imputation (single window exchange)",
+    "ext_bloom_prune": "Bloom semi-join pruning (scan-absorbed bit tests)",
+    "ext_zorder_layout": "z-order layout (one range exchange on the code)",
+    "ext_temperature_mix": "temperature mix (group stats broadcast, 1 corpus agg)",
+    "ext_dedup_lsh_incremental": "incremental LSH admission (batch x corpus only)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
