@@ -42,6 +42,8 @@ HEADLINE = [
     "ext_zorder_layout",         # Morton clustering key + range layout
     "ext_temperature_mix",       # temperature-scaled language mix
     "ext_dedup_lsh_incremental", # batch-vs-corpus LSH admission
+    "ext_zorder_manifest",       # rank-normalized skipping manifest
+    "ext_domain_cap",            # per-domain quota cap
 ]
 
 

@@ -4104,3 +4104,111 @@ def q_ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "lang", "doc_id", alpha=0.5).select(
         "doc_id", "lang"
     )
+
+
+_ZB_NTILES = 256  # per-dimension rank ids before interleaving
+_ZB_SHIFT = 10    # 64 buckets over the 16-bit rank-interleaved space
+
+
+@register(
+    "ext_zorder_manifest",
+    f"""WITH ranked AS (
+      SELECT event_id, user_id, ts,
+        ntile({_ZB_NTILES}) OVER (ORDER BY user_id, event_id) - 1 AS rx,
+        ntile({_ZB_NTILES}) OVER (ORDER BY ts, event_id) - 1 AS rt
+      FROM events
+    ), coded AS (
+      SELECT user_id, ts, {morton_code_sql('rx', 'rt', bits=8)} AS zcode
+      FROM ranked
+    )
+    SELECT zcode >> {_ZB_SHIFT} AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           (MAX(user_id) < 4 OR MIN(user_id) > 8) AS skip_u_4_8
+    FROM coded GROUP BY 1""",
+)
+def q_ext_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized z-order manifest — the Delta OPTIMIZE ZORDER
+    recipe: each dimension is first mapped to its equal-frequency rank
+    id (ntile), THEN the rank bits interleave, so skewed or
+    asymmetric-cardinality columns still split the curve evenly (raw
+    interleaving lets the wider dimension dominate every bucket). The
+    manifest stores per-z-bucket min/max bounding boxes on the RAW
+    values plus the skip decision for the probe ``user_id BETWEEN 4
+    AND 8`` — a non-leading dimension a time-sorted layout can never
+    prune. Output rows = bucket count regardless of table size.
+
+    The deterministic ntile here is the oracle-reproducible stand-in
+    for production rank ids (sampled range boundaries per column, as
+    zorder_layout's repartitionByRange does for the code itself)."""
+    from pyspark.sql import Window
+
+    from proto_to_avro_ql_spark.operators.layout import morton_code
+
+    ev = read_table(spark, sf_dir, "events")
+    ranked = ev.select(
+        "user_id",
+        "ts",
+        (F.ntile(_ZB_NTILES).over(Window.orderBy("user_id", "event_id")) - 1).alias("rx"),
+        (F.ntile(_ZB_NTILES).over(Window.orderBy("ts", "event_id")) - 1).alias("rt"),
+    )
+    coded = ranked.select(
+        "user_id", "ts", morton_code(F.col("rx"), F.col("rt"), bits=8).alias("zcode")
+    )
+    man = (
+        coded.groupBy(F.shiftright("zcode", _ZB_SHIFT).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_u"),
+            F.max("user_id").alias("max_u"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+        .select(
+            "zbucket",
+            "n_rows",
+            "min_u",
+            "max_u",
+            "min_ts",
+            "max_ts",
+            ((F.col("max_u") < 4) | (F.col("min_u") > 8)).alias("skip_u_4_8"),
+        )
+    )
+    return man
+
+
+@register(
+    "ext_domain_cap",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000,
+                      doc_id
+           ) AS rk
+         FROM documents
+       ) WHERE rk <= 20""",
+)
+def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap — the crawl-curation guard against a single
+    domain flooding the corpus: keep at most 20 docs per source,
+    selected by deterministic hash order (not arrival order, so the
+    kept subset is stable across runs and partitionings). One window
+    shuffle keyed on source; at lake scale hot domains are exactly the
+    rows this operator discards, and the rank-then-filter shape lets
+    Spark's window-group-limit pushdown drop rows before the sort
+    completes."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id"), 1_000_000), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+        .drop("rk")
+    )

@@ -192,3 +192,32 @@ class TestIncrementalLsh:
             if (a in batch_ids) != (b in batch_ids):
                 dup.add(a if a in batch_ids else b)
         assert admitted == batch_ids - dup
+
+
+class TestZorderManifest:
+    def test_manifest_skips_on_non_leading_dim(self, spark, sf_dir):
+        """The point of z-order: a probe on xk (the dimension a time
+        sort would NOT cluster) prunes a meaningful fraction of
+        z-buckets via their min/max stats."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        man = QUERIES["ext_zorder_manifest"](spark, sf_dir).collect()
+        assert len(man) > 4
+        skipped = sum(1 for r in man if r["skip_u_4_8"])
+        # Meaningful pruning on user_id — and not everything skips.
+        assert 0 < skipped < len(man), (skipped, len(man))
+        # Bounding boxes are consistent.
+        for r in man:
+            assert r["min_u"] <= r["max_u"] and r["min_ts"] <= r["max_ts"]
+
+
+class TestDomainCap:
+    def test_cap_and_determinism(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        out = QUERIES["ext_domain_cap"](spark, sf_dir)
+        per_src = out.groupBy("source").count().collect()
+        assert all(r["count"] <= 20 for r in per_src)
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in QUERIES["ext_domain_cap"](spark, sf_dir).collect())
+        assert a == b

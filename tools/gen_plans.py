@@ -43,6 +43,7 @@ AUDIT = {
     "ext_zorder_layout": "z-order layout (one range exchange on the code)",
     "ext_temperature_mix": "temperature mix (group stats broadcast, 1 corpus agg)",
     "ext_dedup_lsh_incremental": "incremental LSH admission (batch x corpus only)",
+    "ext_domain_cap": "per-domain cap (one window shuffle, group-limit pushdown)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
