@@ -64,11 +64,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
     )
     if name == "events":
+        # The events table's ts encoding has varied across testdata
+        # generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+        # rejects — read as long and truncate) vs TIMESTAMP(MICROS)
+        # (reads natively as timestamp_ntz). Normalize either to a
+        # session-tz (UTC) TimestampType column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos-as-long
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
