@@ -235,7 +235,7 @@ def q_type_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
       COALESCE(i_unset, 0) AS i_def,
       COALESCE(b_unset, FALSE) AS b_def,
       msg_unset.a AS msg_a,
-      len(COALESCE(arr_ints, CAST([] AS BIGINT[]))) AS arr_len
+      CAST(len(COALESCE(arr_ints, CAST([] AS BIGINT[]))) AS INTEGER) AS arr_len
     FROM pd""",
 )
 def q_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,7 +294,7 @@ def q_enum_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arr_scalar",
     f"""WITH pd AS ({PROTO_DEFAULTS_SQL})
     SELECT id,
-      len(COALESCE(arr_ints, CAST([] AS BIGINT[]))) AS n,
+      CAST(len(COALESCE(arr_ints, CAST([] AS BIGINT[]))) AS INTEGER) AS n,
       COALESCE(array_to_string(arr_ints, ','), '') AS joined
     FROM pd""",
 )
@@ -312,7 +312,7 @@ def q_arr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "arr_struct_prune",
     f"""WITH pd AS ({PROTO_DEFAULTS_SQL})
-    SELECT id, arr_structs[1].id AS elem0_id, len(arr_structs) AS n
+    SELECT id, arr_structs[1].id AS elem0_id, CAST(len(arr_structs) AS INTEGER) AS n
     FROM pd""",
 )
 def q_arr_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,7 +606,7 @@ def q_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_groupby_sum",
     """SELECT l_returnflag,
-         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_price
        FROM lineitem GROUP BY l_returnflag""",
 )
@@ -622,7 +622,7 @@ def q_agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_groupby_multi",
     """SELECT l_returnflag, l_linestatus,
-         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          COUNT(*) AS n_rows,
          MIN(l_extendedprice) AS min_price,
          MAX(l_extendedprice) AS max_price,
@@ -1035,10 +1035,10 @@ _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 @register(
     "ext_text_stats",
     f"""SELECT doc_id,
-         length(text) AS n_chars_actual,
-         CASE WHEN {_NORM} = '' THEN 0
-              ELSE len(string_split({_NORM}, ' ')) END AS n_tokens_ws,
-         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens_word,
+         CAST(length(text) AS INTEGER) AS n_chars_actual,
+         CAST(CASE WHEN {_NORM} = '' THEN 0
+              ELSE len(string_split({_NORM}, ' ')) END AS INTEGER) AS n_tokens_ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_tokens_word,
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
                          / length(text), 6) END AS punct_ratio
@@ -1186,7 +1186,7 @@ def q_ext_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_multimodal",
     """SELECT event_id,
          'application/json' AS media_type,
-         octet_length(encode(props)) AS n_bytes,
+         CAST(octet_length(encode(props)) AS INTEGER) AS n_bytes,
          sha256(props) AS checksum
        FROM events""",
 )
@@ -1419,8 +1419,8 @@ _CORPUS_SQL = f"""WITH dedup AS (
       SELECT doc_id,
         {_QUALITY_EXPR} AS quality,
         {_LANG_PRED_EXPR} AS lang_pred,
-        CASE WHEN {_NORM} = '' THEN 0
-             ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+        CAST(CASE WHEN {_NORM} = '' THEN 0
+             ELSE len(string_split({_NORM}, ' ')) END AS INTEGER) AS n_tokens
       FROM dedup
     )
     SELECT * FROM scored
@@ -1441,7 +1441,7 @@ def q_ext_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_corpus_stats",
     f"""WITH clean AS ({_CORPUS_SQL})
     SELECT COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_tokens), 6) AS avg_tokens
     FROM clean""",
 )
@@ -1470,8 +1470,8 @@ def q_ext_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id, ts_str,
-      SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_str, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
+      CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_str, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
     FROM s""",
 )
 def q_ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,7 +1608,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, CAST(frame_idx AS INTEGER) AS frame_idx,
            sha256(substring(props, CAST(frame_idx * 4 + 1 AS INTEGER), 4)) AS frame_checksum,
-           octet_length(encode(substring(props, CAST(frame_idx * 4 + 1 AS INTEGER), 4))) AS frame_len
+           CAST(octet_length(encode(substring(props, CAST(frame_idx * 4 + 1 AS INTEGER), 4))) AS INTEGER) AS frame_len
     FROM idx""",
 )
 def q_ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1669,7 +1669,7 @@ def q_ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_map_type",
     """SELECT event_id,
-         len(json_keys(props)) AS n_keys,
+         CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
          CAST(props->>'$.k' AS BIGINT) AS k_val
        FROM events""",
 )
@@ -1941,7 +1941,7 @@ def q_ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""WITH toks AS (
       SELECT doc_id,
         CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
-             ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS n_tokens,
+             ELSE CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INTEGER) END AS n_tokens,
         doc_id % 8 AS shard
       FROM documents
     )
@@ -1980,7 +1980,7 @@ def q_ext_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
               COALESCE(l_linestatus, 'ALL') AS linestatus,
-              SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
               COUNT(*) AS n_rows
        FROM lineitem
        GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
@@ -2154,8 +2154,8 @@ def q_ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_source_stats",
     f"""SELECT source,
          COUNT(*) AS n_docs,
-         SUM(CASE WHEN {_NORM} = '' THEN 0
-             ELSE len(string_split({_NORM}, ' ')) END) AS total_tokens,
+         CAST(SUM(CASE WHEN {_NORM} = '' THEN 0
+             ELSE len(string_split({_NORM}, ' ')) END) AS BIGINT) AS total_tokens,
          ROUND(AVG(length(text)), 4) AS avg_chars,
          COUNT(DISTINCT lang) AS n_langs
        FROM documents GROUP BY source""",
@@ -2218,8 +2218,8 @@ def q_gaql_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gaql_implicit_agg",
     f"""WITH f AS ({ADS_FLAT_SQL})
     SELECT segments_date, campaign_status,
-           SUM(metrics_impressions) AS metrics_impressions,
-           SUM(metrics_clicks) AS metrics_clicks
+           CAST(SUM(metrics_impressions) AS BIGINT) AS metrics_impressions,
+           CAST(SUM(metrics_clicks) AS BIGINT) AS metrics_clicks
     FROM f WHERE metrics_impressions > 0
     GROUP BY segments_date, campaign_status
     ORDER BY segments_date ASC, campaign_status ASC LIMIT 50""",
@@ -2316,7 +2316,7 @@ def q_ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
               COALESCE(l_linestatus, 'ALL') AS linestatus,
-              SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
        FROM lineitem
        GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
@@ -2490,7 +2490,7 @@ from proto_to_avro_ql_spark.operators import governance as GV  # noqa: E402
     ), tc AS (
       SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t
     ), per_doc AS (
-      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_count
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_count
       FROM tc GROUP BY doc_id
     ), m AS (
       SELECT doc_id, n_tokens,
@@ -2521,8 +2521,8 @@ _MIX_CASE = (
     "ext_domain_mix",
     f"""WITH tok AS (
       SELECT source,
-             SUM(CASE WHEN {_NORM} = '' THEN 0
-                 ELSE len(string_split({_NORM}, ' ')) END) AS tokens
+             CAST(SUM(CASE WHEN {_NORM} = '' THEN 0
+                 ELSE len(string_split({_NORM}, ' ')) END) AS BIGINT) AS tokens
       FROM documents GROUP BY source
     ), t AS (
       SELECT source, tokens, {_MIX_CASE} AS target_share
@@ -2696,9 +2696,9 @@ USER_EVENTS_SPEC = MessageSpec(
 
 @register(
     "src_proto_repeated",
-    """SELECT user_id, COUNT(*) AS n_events,
+    """SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_events,
          MIN(event_id) AS first_id, MAX(event_id) AS last_id,
-         SUM(event_id) AS sum_ids
+         CAST(SUM(event_id) AS BIGINT) AS sum_ids
        FROM events GROUP BY user_id""",
 )
 def q_src_proto_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2802,7 +2802,7 @@ def q_ext_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_multi_join_report",
     """SELECT c.c_mktsegment, n.n_name,
          COUNT(*) AS n_lines,
-         SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_price
        FROM lineitem l
        JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2923,7 +2923,7 @@ def q_ext_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_skew_join_salted",
     """SELECT e.event_type, COUNT(*) AS n,
-         SUM(CAST(t.weight AS BIGINT)) AS sum_weight
+         CAST(SUM(CAST(t.weight AS BIGINT)) AS BIGINT) AS sum_weight
        FROM events e
        JOIN (SELECT 'click' AS event_type, 10 AS weight
              UNION ALL SELECT 'view', 20
@@ -3021,8 +3021,8 @@ def q_ext_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), ranked AS (
       SELECT *,
-        SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
-                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM scored
     )
     SELECT doc_id, source, quality, cum_tokens
@@ -3319,7 +3319,7 @@ def q_ext_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part GROUP BY 1
     )
     SELECT a.name AS name_a, b.name AS name_b,
-           levenshtein(a.name, b.name) AS dist,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
            CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
     FROM vocab a JOIN vocab b
       ON a.block = b.block AND a.name < b.name
@@ -3573,7 +3573,7 @@ def q_ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT sha256(props) AS checksum,
          MIN(event_id) AS representative,
          COUNT(*) AS n_copies,
-         MIN(octet_length(encode(props))) AS n_bytes
+         CAST(MIN(octet_length(encode(props))) AS INTEGER) AS n_bytes
        FROM events GROUP BY 1""",
 )
 def q_ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3970,7 +3970,12 @@ def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     back = spark.read.parquet(path)
-    return back.select("day", "event_type", "n_events", "sum_value")
+    # Partition-column inference types `day` as DATE on read-back;
+    # normalize to the string the aggregation produced.
+    return back.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type", "n_events", "sum_value",
+    )
 
 
 # ===========================================================================
@@ -4052,7 +4057,7 @@ _ZORDER_T = "((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24 + hour
     "ext_zorder_layout",
     f"""SELECT event_id,
           {_ZORDER_X} AS xk,
-          {_ZORDER_T} AS tk,
+          CAST({_ZORDER_T} AS INTEGER) AS tk,
           {morton_code_sql(_ZORDER_X, _ZORDER_T)} AS zcode
         FROM events""",
 )

@@ -87,9 +87,9 @@ agg AS (
   SELECT
     segments_date,
     campaign_status,
-    SUM(metrics_impressions) AS sum_impressions,
-    SUM(metrics_clicks) AS sum_clicks,
-    SUM(metrics_cost_micros) AS sum_cost_micros,
+    CAST(SUM(metrics_impressions) AS BIGINT) AS sum_impressions,
+    CAST(SUM(metrics_clicks) AS BIGINT) AS sum_clicks,
+    CAST(SUM(metrics_cost_micros) AS BIGINT) AS sum_cost_micros,
     CAST(ROUND(SUM(CAST(metrics_conversions AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_conversions,
     COUNT(DISTINCT campaign_id) AS n_campaigns
   FROM ads_row_flat

@@ -69,11 +69,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects — read as long and truncate) vs TIMESTAMP(MICROS)
         # (reads natively as timestamp_ntz). Normalize either to a
         # session-tz (UTC) TimestampType column.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # nanos-as-long
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # The conf must stay set through execution for this plan;
+            # it leaks session-wide only on the legacy NANOS testdata
+            # generation (documented trade-off — a later nanos read in
+            # the same session would also want it set).
+            # Floor (not truncate-toward-zero) so hypothetical
+            # pre-epoch nanos land on the earlier microsecond.
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr("ts div 1000 - IF(ts % 1000 < 0, 1, 0)")
+                ),
+            )
+        # MICROS generation (all current testdata): the conf was never
+        # needed — restore it so other reads in this session see the
+        # default behavior.
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

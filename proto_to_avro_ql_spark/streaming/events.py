@@ -47,7 +47,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # With an explicit LongType schema over a TIMESTAMP(NANOS) parquet
+    # column, Spark hands back MICROseconds (unlike the schemaless
+    # batch path in sources.io.read_table, which sees raw nanos and
+    # must `div 1000`).  No further scaling here.
+    return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def stream_tumbling_window_agg(

@@ -1,7 +1,22 @@
 """Local driver-simulation: run each queries() entry on Spark and its
-oracle on DuckDB, compare row count, column names, and an
-order-insensitive value hash. Used by tests and by `python -m
+oracle on DuckDB, compare row count, column names, pandas dtypes, and
+an order-insensitive value hash. Used by tests and by `python -m
 tests.oracle_check [sf_dir] [names...]` during development.
+
+STRICTNESS CONTRACT: this gate must be at least as strict as the
+driver's correctness run, which materializes both sides through
+pandas/arrow before hashing. In particular:
+
+- int 5 and float 5.0 are DIFFERENT (a DuckDB HUGEINT — the result
+  type of SUM over any integer — lands as float64 in pandas, while a
+  Spark bigint lands as int64; round 2 lost 3 contract queries to a
+  canonicalizer that hid exactly this).
+- pandas dtypes are compared column by column (int32 vs int64 is a
+  failure: Spark `size`/`length` return IntegerType, DuckDB `len()`
+  returns BIGINT — the oracle SQL must cast).
+- floats hash at full precision via repr (no rounding): decimal-
+  stable aggregates (functions/stable.py) must produce bit-identical
+  doubles on both sides.
 """
 
 from __future__ import annotations
@@ -9,78 +24,95 @@ from __future__ import annotations
 import hashlib
 import math
 import sys
-from typing import Iterable
 
 import duckdb
+import pandas as pd
 
 from proto_to_avro_ql_spark.sources.io import TABLES
 
 
 def _canon(v) -> str:
-    if v is None:
+    """Full-precision, type-tagged canonical string."""
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, bool):
-        return "T" if v else "F"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # normalize -0.0 and integral floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        return repr(v)
+    if isinstance(v, bool):
+        return "T" if v else "F"
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
+        return "b:" + v.hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon(_unbox(x)) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_canon(v[k])}" for k in sorted(v)) + "}"
-    return str(v)
+    return f"{type(v).__name__}:{v}"
 
 
-def value_hash(cols: list[str], rows: Iterable[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    row_hashes = sorted(
-        hashlib.sha256("|".join(_canon(r[i]) for i in order).encode()).hexdigest()
-        for r in rows
+def _unbox(v):
+    """numpy scalar -> python scalar so np.int64(5) == int 5 in canon."""
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            return v.item()
+        except (ValueError, AttributeError):
+            return v
+    return v
+
+
+def canon_rows(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    return sorted(
+        "|".join(_canon(_unbox(v)) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
     )
-    return hashlib.sha256("\n".join(row_hashes).encode()).hexdigest()
 
 
-def duckdb_run(sf_dir: str, sql: str):
+def value_hash(df: pd.DataFrame) -> str:
+    rows = canon_rows(df)
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def duckdb_run(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    out = con.execute(sql).fetchdf()
     con.close()
-    return cols, rows
+    return out
 
 
 def compare(spark, sf_dir: str, name: str, query_fn, oracle: str | None):
-    df = query_fn(spark, sf_dir)
-    srows = [tuple(r) for r in df.collect()]
-    scols = df.columns
+    sdf = query_fn(spark, sf_dir).toPandas()
     if oracle is None:
-        return {"name": name, "mode": "rows-only", "rows": len(srows), "ok": True}
-    dcols, drows = duckdb_run(sf_dir, oracle)
-    ok_count = len(srows) == len(drows)
-    ok_cols = sorted(scols) == sorted(dcols)
-    sh = value_hash(scols, srows)
-    dh = value_hash(dcols, drows)
+        return {"name": name, "mode": "rows-only", "rows": len(sdf), "ok": True}
+    odf = duckdb_run(sf_dir, oracle)
+    ok_count = len(sdf) == len(odf)
+    ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+    dtype_mismatch = (
+        [
+            f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+            for c in sorted(sdf.columns)
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        ]
+        if ok_cols
+        else ["column sets differ"]
+    )
+    sh, dh = value_hash(sdf), value_hash(odf)
     return {
         "name": name,
         "mode": "oracle",
-        "rows": len(srows),
-        "oracle_rows": len(drows),
+        "rows": len(sdf),
+        "oracle_rows": len(odf),
         "count_match": ok_count,
         "cols_match": ok_cols,
-        "spark_cols": scols,
-        "duck_cols": dcols,
+        "dtype_mismatch": dtype_mismatch,
+        "spark_cols": list(sdf.columns),
+        "duck_cols": list(odf.columns),
         "hash_match": sh == dh,
-        "ok": ok_count and ok_cols and sh == dh,
+        "ok": ok_count and ok_cols and not dtype_mismatch and sh == dh,
     }
 
 
@@ -93,7 +125,10 @@ def main() -> None:
     spark = get_spark("oracle-check")
     failed = []
     for name in names:
-        res = compare(spark, sf_dir, name, QUERIES[name], ORACLES.get(name))
+        try:
+            res = compare(spark, sf_dir, name, QUERIES[name], ORACLES.get(name))
+        except Exception as e:  # noqa: BLE001
+            res = {"name": name, "ok": False, "err": f"{type(e).__name__}: {e}"}
         status = "OK " if res["ok"] else "FAIL"
         print(f"[{status}] {name}: {res}")
         if not res["ok"]:
