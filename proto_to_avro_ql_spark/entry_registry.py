@@ -1339,20 +1339,16 @@ def q_ext_stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 tokens by frequency (the tokenizer-
     training precursor). Token explode → hash agg (map-side combined)
-    → tiny global top-k; deterministic (freq desc, token asc)."""
-    from pyspark.sql import Window
-
+    → sort+limit, which Spark plans as TakeOrderedAndProject: each
+    partition keeps its local top-50 and the driver merges — no
+    single-partition window even with a billion-term vocabulary.
+    Deterministic (freq desc, token asc)."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok")
     ).where(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    return (
-        freq.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 50)
-        .select("tok", "freq")
-    )
+    return freq.orderBy(F.desc("freq"), F.asc("tok")).limit(50).select("tok", "freq")
 
 
 # ===========================================================================
@@ -4145,19 +4141,36 @@ def q_ext_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND 8`` — a non-leading dimension a time-sorted layout can never
     prune. Output rows = bucket count regardless of table size.
 
-    The deterministic ntile here is the oracle-reproducible stand-in
-    for production rank ids (sampled range boundaries per column, as
-    zorder_layout's repartitionByRange does for the code itself)."""
-    from pyspark.sql import Window
+    The rank ids are exact global ntiles, but computed WITHOUT a
+    single-partition window: banded_global_rank (layout.py) does a
+    per-band partitioned row_number + a prefix sum over the tiny band
+    relation (bands = user_id resp. day(ts)), then ntile_from_rank
+    replays SQL ntile's bucket-size rule — bit-identical to the
+    oracle's `ntile(k) OVER (ORDER BY ...)` at any scale, with the
+    only unpartitioned window bounded by band cardinality, never by
+    table size."""
+    from proto_to_avro_ql_spark.operators.layout import (
+        banded_global_rank,
+        morton_code,
+        ntile_from_rank,
+    )
 
-    from proto_to_avro_ql_spark.operators.layout import morton_code
-
-    ev = read_table(spark, sf_dir, "events")
-    ranked = ev.select(
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    r1 = banded_global_rank(
+        ev, F.col("user_id"), [F.col("user_id"), F.col("event_id")], "_r_u"
+    )
+    r2 = banded_global_rank(
+        r1,
+        F.date_trunc("day", F.col("ts")),
+        [F.col("ts"), F.col("event_id")],
+        "_r_t",
+    )
+    n_total = ev.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    ranked = r2.crossJoin(F.broadcast(n_total)).select(
         "user_id",
         "ts",
-        (F.ntile(_ZB_NTILES).over(Window.orderBy("user_id", "event_id")) - 1).alias("rx"),
-        (F.ntile(_ZB_NTILES).over(Window.orderBy("ts", "event_id")) - 1).alias("rt"),
+        ntile_from_rank(F.col("_r_u"), F.col("_n"), _ZB_NTILES).alias("rx"),
+        ntile_from_rank(F.col("_r_t"), F.col("_n"), _ZB_NTILES).alias("rt"),
     )
     coded = ranked.select(
         "user_id", "ts", morton_code(F.col("rx"), F.col("rt"), bits=8).alias("zcode")

@@ -61,3 +61,63 @@ def zorder_layout(
     return coded.repartitionByRange(num_ranges, F.col("zcode")).sortWithinPartitions(
         "zcode"
     )
+
+
+def banded_global_rank(
+    df: DataFrame,
+    band: Column,
+    order_cols: list[Column],
+    rank_name: str = "_grank",
+) -> DataFrame:
+    """Exact 0-indexed GLOBAL rank over ``order_cols`` without a
+    single-partition window.
+
+    Requires ``band`` to be a coarse prefix of the total order: rows
+    sort by (band, *order_cols) exactly as by ``order_cols`` alone
+    (e.g. band = the leading key itself, or day(ts) when ts leads).
+
+    Plan shape at any scale:
+      1. per-band row_number — a PARTITIONED window (one shuffle on
+         band, parallel across bands);
+      2. per-band counts → prefix sum over the tiny band relation
+         (#bands rows — the only unpartitioned window, bounded by key
+         cardinality, never by table size);
+      3. broadcast-join the offsets back.
+
+    This is the distributed zipWithIndex recipe expressed in pure
+    DataFrame ops — the scale-safe replacement for
+    ``Window.orderBy(...)`` global ranking.
+    """
+    from pyspark.sql import Window
+
+    stamped = df.withColumn("_band", band)
+    w_in = Window.partitionBy("_band").orderBy(*order_cols)
+    local = stamped.withColumn("_lrank", F.row_number().over(w_in) - 1)
+    counts = stamped.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+    # #bands rows only: the global window here is bounded and cheap.
+    w_pre = (
+        Window.orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "_band", (F.sum("_bn").over(w_pre) - F.col("_bn")).alias("_boff")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_band")
+        .withColumn(rank_name, (F.col("_boff") + F.col("_lrank")).cast("bigint"))
+        .drop("_band", "_lrank", "_boff")
+    )
+
+
+def ntile_from_rank(rank: Column, total: Column, n_tiles: int) -> Column:
+    """SQL ``ntile(n)`` bucket (0-indexed) computed from a 0-indexed
+    global rank and the total row count: the first ``total % n`` tiles
+    take ``ceil(total/n)`` rows, the rest ``floor(total/n)`` — the
+    exact semantics Spark and DuckDB share, so a banded-rank plan can
+    reproduce a global-ntile oracle bit-for-bit."""
+    small = (total / n_tiles).cast("bigint")  # floor(n/k)
+    big_cnt = total % n_tiles
+    big_span = big_cnt * (small + 1)
+    return F.when(rank < big_span, (rank / (small + 1)).cast("bigint")).otherwise(
+        big_cnt + ((rank - big_span) / small).cast("bigint")
+    )

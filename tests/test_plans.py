@@ -380,3 +380,43 @@ class TestSession4OperatorPlans:
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestNoGlobalWindows:
+    """A Window with an empty partition spec moves the WHOLE relation
+    to one task — the canonical scale-killer. The only permissible
+    unpartitioned window is over a band-count-bounded relation
+    (banded_global_rank's prefix sum)."""
+
+    def test_vocab_top_k_is_take_ordered(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_vocab"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+
+    def test_zorder_manifest_windows_are_banded(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_zorder_manifest"](spark, sf_dir))
+        for line in plan.splitlines():
+            if "Window [row_number()" in line:
+                # every per-row ranking window is partitioned by _band
+                assert "_band" in line.split("windowspecdefinition")[1][:80]
+
+    def test_banded_rank_matches_global_window(self, spark, sf_dir):
+        """banded_global_rank == Window.orderBy row_number on a real table."""
+        from pyspark.sql import Window
+
+        from proto_to_avro_ql_spark.operators.layout import banded_global_rank
+
+        ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+        banded = banded_global_rank(
+            ev, F.col("user_id"), [F.col("user_id"), F.col("event_id")], "r"
+        )
+        naive = ev.withColumn(
+            "r_ref",
+            F.row_number().over(Window.orderBy("user_id", "event_id")) - 1,
+        )
+        joined = banded.join(naive, ["user_id", "ts", "event_id"])
+        assert joined.where(F.col("r") != F.col("r_ref")).count() == 0
