@@ -44,6 +44,10 @@ HEADLINE = [
     "ext_dedup_lsh_incremental", # batch-vs-corpus LSH admission
     "ext_zorder_manifest",       # rank-normalized skipping manifest
     "ext_domain_cap",            # per-domain quota cap
+    # round 3: new operators claimed done this round
+    "ext_pivot",        # declared-values wide pivot, single hash agg
+    "ext_unpivot",      # melt to long format, zero exchanges
+    "ext_percentiles",  # exact grouped quantiles (sort aggregate)
 ]
 
 

@@ -4230,3 +4230,84 @@ def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .drop("rk")
     )
+
+
+# ===========================================================================
+# §2.9 — session-5: pivot / unpivot / exact percentiles
+# ===========================================================================
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "ext_pivot",
+    f"""SELECT user_id,
+        {", ".join(
+            f"CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = '{t}'), 4) AS DOUBLE) AS {t}_sum"
+            for t in _PIVOT_TYPES
+        )}
+      FROM events GROUP BY user_id""",
+)
+def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: one column of decimal-stable value sums per event
+    type. The pivot values are DECLARED (not discovered), so Spark
+    skips the extra distinct-scan job and plans a single hash
+    aggregation with one conditional-sum buffer slot per declared type
+    — the same single-shuffle plan as any groupBy, regardless of
+    corpus size. Reference analog: report denormalization
+    (ProtoToAvroTranslator flattening repeated metrics into columns)."""
+    ev = read_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(dec_sum("value", 4))
+    )
+    return piv.select(
+        "user_id", *[F.col(t).alias(f"{t}_sum") for t in _PIVOT_TYPES]
+    )
+
+
+@register(
+    "ext_unpivot",
+    """SELECT o_orderkey, metric, ROUND(val, 2) AS val
+       FROM (
+         SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+         UNION ALL
+         SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+       ) u""",
+)
+def q_ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns into (metric, val) rows — the
+    feature-store long format. Spark's native unpivot is a narrow
+    zero-shuffle expansion (each input row emits k output rows in
+    place); no exchange appears in the plan."""
+    o = read_table(spark, sf_dir, "orders")
+    long = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+    return long.select("o_orderkey", "metric", F.round("val", 2).alias("val"))
+
+
+@register(
+    "ext_percentiles",
+    """SELECT event_type,
+         ROUND(quantile_cont(value, 0.25), 6) AS p25,
+         ROUND(quantile_cont(value, 0.50), 6) AS p50,
+         ROUND(quantile_cont(value, 0.75), 6) AS p75
+       FROM events GROUP BY event_type""",
+)
+def q_ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group (Spark
+    `percentile`, DuckDB `quantile_cont` — same definition). Exact
+    percentile is a sort-based aggregate: fine keyed by a bounded
+    group column as here; for per-row or high-cardinality quantiles
+    use ext_approx_quantile (KLL/GK sketch) instead — that split is
+    the 100 TB guidance."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
