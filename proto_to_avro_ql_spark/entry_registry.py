@@ -4311,3 +4311,74 @@ def q_ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
     )
+
+
+@register(
+    "gaql_predicates",
+    f"""WITH f AS ({ADS_FLAT_SQL})
+    SELECT campaign_id, segments_date, campaign_status, metrics_clicks
+    FROM f
+    WHERE campaign_status IN ('F', 'O')
+      AND segments_date LIKE '1995-03%'
+      AND metrics_clicks IS NOT NULL
+      AND metrics_impressions >= 20""",
+)
+def q_gaql_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAQL predicate-operator coverage: IN lists, LIKE prefix match,
+    IS NOT NULL, and >= in one WHERE. The text predicates feed
+    Catalyst via F.expr unchanged, so a LIKE 'prefix%' compiles to
+    StartsWith and pushes to the parquet scan with the rest — the
+    reference's server-side predicate surface
+    (CampaignCriterionStructureReport filters) expressed as text."""
+    from proto_to_avro_ql_spark.plans.gaql import run_gaql
+
+    out = run_gaql(
+        spark,
+        """SELECT campaign.id, segments.date, campaign.status, metrics.clicks
+           FROM ads_row
+           WHERE campaign.status IN ('F', 'O')
+             AND segments.date LIKE '1995-03%'
+             AND metrics.clicks IS NOT NULL
+             AND metrics.impressions >= 20""",
+        resolve_table=lambda name: {"ads_row": ads_row(spark, sf_dir)}[name],
+    )
+    return out.select(
+        F.col("campaign.id").alias("campaign_id"),
+        F.col("segments.date").alias("segments_date"),
+        F.col("campaign.status").alias("campaign_status"),
+        F.col("metrics.clicks").alias("metrics_clicks"),
+    )
+
+
+@register(
+    "ext_embed_centroids",
+    """WITH pos AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    )
+    SELECT label, pos,
+      ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS c
+    FROM pos GROUP BY label, pos""",
+)
+def q_ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the domain/class centroid every
+    clustering, drift-monitoring, or hard-negative-mining step needs),
+    flattened to (label, dimension, value) rows so the oracle hashes
+    scalars. posexplode → one hash aggregation keyed (label, pos) with
+    map-side partials; the shuffle carries (label, pos, partial sums),
+    never whole vectors. Decimal-exact sums keep the means
+    partition-order independent."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "pos",
+        # float32 -> decimal cast rounding differs across engines
+        # (shortest-repr vs exact-double); pre-round as DOUBLE, which
+        # both engines compute identically, then aggregate exactly.
+        F.round(F.col("v").cast("double"), 6).alias("v"),
+    )
+    return flat.groupBy("label", "pos").agg(dec_avg("v", 6).alias("c"))
