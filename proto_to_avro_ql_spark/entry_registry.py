@@ -4257,13 +4257,17 @@ def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Reference analog: report denormalization
     (ProtoToAvroTranslator flattening repeated metrics into columns)."""
     ev = read_table(spark, sf_dir, "events")
-    piv = (
-        ev.groupBy("user_id")
-        .pivot("event_type", list(_PIVOT_TYPES))
-        .agg(dec_sum("value", 4))
-    )
-    return piv.select(
-        "user_id", *[F.col(t).alias(f"{t}_sum") for t in _PIVOT_TYPES]
+    # Conditional aggregation, not DataFrame.pivot: Spark's pivot
+    # plans TWO aggregations (pre-agg on (key, pivot_col) + pivotfirst
+    # on key = two exchanges); with declared values a when()-guarded
+    # sum per type folds into ONE hash aggregate / one shuffle.
+    return ev.groupBy("user_id").agg(
+        *[
+            dec_sum(F.when(F.col("event_type") == t, F.col("value")), 4).alias(
+                f"{t}_sum"
+            )
+            for t in _PIVOT_TYPES
+        ]
     )
 
 

@@ -420,3 +420,39 @@ class TestNoGlobalWindows:
         )
         joined = banded.join(naive, ["user_id", "ts", "event_id"])
         assert joined.where(F.col("r") != F.col("r_ref")).count() == 0
+
+
+class TestSession5OperatorPlans:
+    def test_pivot_declared_values_single_aggregation(self, spark, sf_dir):
+        """Declared pivot values: no distinct-discovery scan — exactly
+        one exchange (the groupBy) in the plan."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_pivot"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_unpivot_zero_exchanges(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_unpivot"](spark, sf_dir))
+        assert "Exchange" not in plan
+
+    def test_gaql_predicates_push_to_scan(self, spark, sf_dir):
+        """IN / LIKE-prefix / IS NOT NULL written as GAQL text reach
+        the parquet scan as data filters."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["gaql_predicates"](spark, sf_dir))
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "StartsWith" in plan or "1995-03" in plan
+        assert "PushedFilters" not in scan or "[]" not in scan.split("PushedFilters")[1][:4]
+
+    def test_embed_centroids_shuffles_scalars_not_vectors(self, spark, sf_dir):
+        """The (label, pos) aggregation must shuffle partial sums, not
+        embedding arrays."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_embed_centroids"](spark, sf_dir))
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "embedding#" not in line
