@@ -500,12 +500,27 @@ def q_src_cache_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 )
 def q_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Avro container-file sink (spark-avro if available, else the
-    documented parquet fallback), verified by read-back."""
-    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    path = tempfile.mkdtemp(prefix="sink_avro_")
-    fmt = write_avro_or_parquet(n, path)
-    return spark.read.format(fmt).load(path)
+    """TRUE Avro Object Container File sink (reference parity:
+    DataFileWriter, Main.scala:205-215), verified by read-back through
+    DataFileReader. The spark-avro DATASOURCE jar is absent in this
+    env, but Spark's classpath ships core Avro — sources/avro_sink.py
+    drives the reference's exact sink API over py4j for driver-sized
+    reports (the reference's own use), with write_avro_or_parquet
+    (sources/io.py) remaining the datasource-first path for fact-scale
+    output."""
+    import os
+
+    from proto_to_avro_ql_spark.sources.avro_sink import (
+        read_avro_file,
+        write_avro_file,
+    )
+
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_avro_"), "report.avro")
+    write_avro_file(n, path, name="Nation")
+    return read_avro_file(spark, path, n.schema)
 
 
 @register(

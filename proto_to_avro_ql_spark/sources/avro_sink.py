@@ -1,0 +1,229 @@
+"""True Avro Object Container File sink via the JVM Avro library.
+
+Reference parity: the reference's terminal sink is
+``DataFileWriter[GenericRecord]`` writing one Avro container file of
+the translated report (Main.scala:205-215). The external spark-avro
+DATASOURCE jar is absent in this environment (``spark.read.format
+("avro")`` raises), but Spark's own classpath ships the core Avro
+library (avro-1.12.1.jar) — so the reference's exact sink API is
+drivable over py4j for driver-sized results, producing a genuine
+``Obj\\x01`` container file any Avro tooling can read.
+
+Scale contract — explicit and enforced:
+
+- This is the REPORT sink (the reference's own use: one aggregated
+  report, thousands of rows). Rows are collected to the driver and
+  appended via DataFileWriter; ``max_rows`` guards against misuse on a
+  fact-scale relation (raise, don't OOM).
+- At lake scale you write Avro with the spark-avro datasource
+  (distributed, splittable); this module is the parity path for the
+  container-file format itself plus the fallback when that jar is
+  absent. ``write_avro_or_parquet`` in sources/io.py remains the
+  datasource-first entry point.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_PRIMITIVES: dict[type, str] = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def _avro_type(dt: T.DataType) -> object:
+    for spark_t, avro_t in _PRIMITIVES.items():
+        if isinstance(dt, spark_t):
+            return avro_t
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DecimalType):
+        # reference maps decimals to string symbols; keep it simple and
+        # portable (avro decimal logical type needs fixed/bytes plumbing)
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": _avro_type(dt.elementType)}
+    if isinstance(dt, T.StructType):
+        return _record_schema(dt, name="Nested")
+    raise ValueError(f"No Avro mapping for Spark type {dt!r}")
+
+
+def _record_schema(schema: T.StructType, name: str = "Report") -> dict:
+    """Spark StructType -> Avro record schema dict. Nullable fields
+    become ["null", T] unions with a null default — the same shape
+    ProtoMessageToAvroMappings emits for optional proto fields
+    (ProtoMessageToAvroMappings.scala:90-120)."""
+    fields = []
+    for f in schema.fields:
+        at = _avro_type(f.dataType)
+        if f.nullable:
+            fields.append({"name": f.name, "type": ["null", at], "default": None})
+        else:
+            fields.append({"name": f.name, "type": at})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def avro_schema_json(schema: T.StructType, name: str = "Report") -> str:
+    return json.dumps(_record_schema(schema, name))
+
+
+def _avro_branch_name(dt: T.DataType) -> str:
+    """The union branch name Avro-JSON requires when wrapping a
+    non-null value of a nullable field."""
+    for spark_t, avro_t in _PRIMITIVES.items():
+        if isinstance(dt, spark_t):
+            return avro_t
+    if isinstance(dt, T.DateType):
+        return "int"
+    if isinstance(dt, T.TimestampType):
+        return "long"
+    if isinstance(dt, T.DecimalType):
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.StructType):
+        return "Nested"
+    raise ValueError(f"No Avro mapping for Spark type {dt!r}")
+
+
+def _to_json_value(v, dt: T.DataType, nullable: bool):
+    """Python value -> Avro-JSON encoding (logical types to their
+    base encoding; nullable fields wrapped as {"<branch>": value},
+    the Avro JSON union convention)."""
+    if v is None:
+        return None
+    if isinstance(dt, T.DateType):
+        out = (v - __import__("datetime").date(1970, 1, 1)).days
+    elif isinstance(dt, T.TimestampType):
+        import datetime as _dt
+
+        out = int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    elif isinstance(dt, T.DecimalType):
+        out = str(v)
+    elif isinstance(dt, T.BinaryType):
+        # Avro-JSON encodes bytes as a string of latin-1 code points
+        out = bytes(v).decode("latin-1")
+    elif isinstance(dt, T.ArrayType):
+        el_nullable = dt.containsNull
+        out = [_to_json_value(x, dt.elementType, el_nullable) for x in v]
+    elif isinstance(dt, T.StructType):
+        out = {
+            f.name: _to_json_value(v[f.name], f.dataType, f.nullable)
+            for f in dt.fields
+        }
+    elif isinstance(dt, T.FloatType) or isinstance(dt, T.DoubleType):
+        out = float(v)
+    elif isinstance(dt, (T.LongType, T.IntegerType)):
+        out = int(v)
+    else:
+        out = v
+    if nullable:
+        return {_avro_branch_name(dt): out}
+    return out
+
+
+def write_avro_file(
+    df: DataFrame, path: str, name: str = "Report", max_rows: int = 100_000
+) -> int:
+    """Write ``df`` as ONE Avro Object Container File at ``path``
+    (deflate-coded) through org.apache.avro.file.DataFileWriter —
+    the reference's sink API. Returns the row count. Raises if the
+    result exceeds ``max_rows``: this sink is for driver-sized
+    reports; use the spark-avro datasource for fact-scale output.
+
+    Typing note: py4j boxes small Python ints as java.lang.Integer,
+    which Avro's union resolver rejects against ["null","long"] — and
+    re-boxing on the Python side is impossible (py4j unboxes returned
+    Longs). Rows therefore travel as Avro-JSON lines decoded by the
+    JVM's own JsonDecoder into correctly-typed GenericRecords; the
+    per-row py4j read call bounds throughput, which is fine for the
+    report sizes this sink is for."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_avro_file is a report sink (max_rows={max_rows}); "
+            "use the spark-avro datasource for fact-scale relations"
+        )
+    schema = df.schema
+    j_schema = jvm.org.apache.avro.Schema.Parser().parse(
+        avro_schema_json(schema, name)
+    )
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(j_schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(j_schema, jvm.java.io.File(path))
+    datum_reader = jvm.org.apache.avro.generic.GenericDatumReader(j_schema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    try:
+        if rows:
+            payload = "\n".join(
+                json.dumps(
+                    {
+                        f.name: _to_json_value(r[f.name], f.dataType, f.nullable)
+                        for f in schema.fields
+                    }
+                )
+                for r in rows
+            )
+            decoder = factory.jsonDecoder(j_schema, payload)
+            for _ in range(len(rows)):
+                writer.append(datum_reader.read(None, decoder))
+    finally:
+        writer.close()
+    return len(rows)
+
+
+def read_avro_file(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Read an Avro container file back to a DataFrame via
+    DataFileReader (verification twin of :func:`write_avro_file`;
+    driver-sized by the same contract). ``schema`` is the Spark schema
+    the file was written from — field names are matched against the
+    file's embedded writer schema."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    import datetime as _dt
+
+    j_schema = reader.getSchema()
+    fields = [f.name() for f in j_schema.getFields()]
+    types = {f.name: f.dataType for f in schema.fields}
+    out = []
+    while reader.hasNext():
+        rec = reader.next()
+        vals = []
+        for fname in fields:
+            v = rec.get(fname)
+            # py4j auto-converts avro primitives; strings arrive as
+            # org.apache.avro.util.Utf8 proxies -> toString()
+            if v is not None and not isinstance(
+                v, (int, float, bool, str, bytes, bytearray)
+            ):
+                v = v.toString()
+            # reverse the logical-type encodings write_avro_file applied
+            if v is not None and isinstance(types.get(fname), T.DateType):
+                v = _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+            elif v is not None and isinstance(types.get(fname), T.TimestampType):
+                v = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            vals.append(v)
+        out.append(tuple(vals))
+    reader.close()
+    return spark.createDataFrame(out, schema=T.StructType(
+        [schema[f] for f in fields]
+    ))

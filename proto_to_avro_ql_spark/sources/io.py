@@ -3,9 +3,13 @@
 Reference parity:
 - src_parquet_scan — runner row-stream consumption + declared
   parquet-avro deps (Main.scala:197-198; build.sbt:30-33).
-- sink_avro — Avro container-file sink (Main.scala:205-215). Spark's
-  ``avro`` format needs the external spark-avro jar; offline we detect
-  its absence and fall back to parquet (documented swap, SURVEY §7d).
+- sink_avro — TRUE Avro container-file sink (Main.scala:205-215):
+  sources/avro_sink.py drives org.apache.avro.file.DataFileWriter
+  (on Spark's own classpath) over py4j for driver-sized reports —
+  real OCF files, no external jar needed. Spark's ``avro`` DATASOURCE
+  (fact-scale, distributed) still needs the spark-avro jar;
+  write_avro_or_parquet detects its absence and falls back to parquet
+  (documented swap, SURVEY §7d).
 - sink_json / sink_json_direct — JSON-lines sinks (Main.scala:219-246).
 - result cache keyed on exact query text (Main.scala:67-104): hash(query)
   → parquet staging dir; a hit replays the staged bytes instead of
