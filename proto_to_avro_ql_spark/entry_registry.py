@@ -4401,3 +4401,58 @@ def q_ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v").cast("double"), 6).alias("v"),
     )
     return flat.groupBy("label", "pos").agg(dec_avg("v", 6).alias("c"))
+
+
+@register(
+    "agg_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+              COALESCE(l_linestatus, 'ALL') AS linestatus,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              COUNT(*) AS n_rows
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): the
+    per-flag, per-status, and grand-total groupings in ONE aggregation
+    pass — Spark expands the sets into a single Expand + hash
+    aggregate, not one scan per set."""
+    l = read_table(spark, sf_dir, "lineitem")
+    out = spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                  COALESCE(l_linestatus, 'ALL') AS linestatus,
+                  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                  COUNT(*) AS n_rows
+           FROM {l}
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+        l=l,
+    )
+    return out
+
+
+@register(
+    "ext_range_frame",
+    """SELECT event_id, user_id,
+         CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_last_hour
+       FROM events""",
+)
+def q_ext_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: events per user in the trailing hour of
+    each event — a VALUE-bounded frame (all rows within 3600s), not a
+    row-count frame. One shuffle on user_id; the frame is evaluated by
+    a sliding pointer over the sorted partition, O(n) per partition.
+    The count is over event-time micros, identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )

@@ -456,3 +456,22 @@ class TestSession5OperatorPlans:
         for line in plan.splitlines():
             if "Exchange" in line:
                 assert "embedding#" not in line
+
+
+class TestGroupingSetsAndRangeFrame:
+    def test_grouping_sets_single_pass(self, spark, sf_dir):
+        """GROUPING SETS expands to one Expand + one aggregation chain
+        — one shuffle, not one scan per set."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["agg_grouping_sets"](spark, sf_dir))
+        assert plan.count("FileScan") == 1
+        assert "Expand" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_range_frame_single_shuffle(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_range_frame"](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "RANGE BETWEEN" in plan.upper() or "specifiedwindowframe(RangeFrame" in plan

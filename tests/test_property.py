@@ -424,3 +424,48 @@ class TestSession3Properties:
                 if 1 <= d <= 3:
                     want[(a, b)] = (d, cnt[a] * cnt[b])
         assert got == want
+
+
+class TestBandedRankProperties:
+    """banded_global_rank + ntile_from_rank vs Spark's native global
+    window — exact equality on fuzzed key distributions (skew, ties in
+    the band, single band, more tiles than rows)."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=5), min_size=1, max_size=60
+        ),
+        n_tiles=st.sampled_from([1, 3, 7, 64]),
+    )
+    def test_matches_native_ntile(self, spark, keys, n_tiles):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.operators.layout import (
+            banded_global_rank,
+            ntile_from_rank,
+        )
+
+        rows = [Row(k=k, uid=i) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "k long, uid long")
+        banded = banded_global_rank(
+            df, F.col("k"), [F.col("k"), F.col("uid")], "r"
+        )
+        n = df.count()
+        mine = banded.select(
+            "uid",
+            ntile_from_rank(F.col("r"), F.lit(n), n_tiles).alias("t"),
+        )
+        native = df.select(
+            "uid",
+            (F.ntile(n_tiles).over(Window.orderBy("k", "uid")) - 1)
+            .cast("bigint")
+            .alias("t_ref"),
+        )
+        joined = mine.join(native, "uid")
+        assert joined.where(F.col("t") != F.col("t_ref")).count() == 0
