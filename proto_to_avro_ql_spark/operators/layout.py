@@ -75,6 +75,10 @@ def banded_global_rank(
     Requires ``band`` to be a coarse prefix of the total order: rows
     sort by (band, *order_cols) exactly as by ``order_cols`` alone
     (e.g. band = the leading key itself, or day(ts) when ts leads).
+    Skew: a hot band serializes its own window — refine the band with
+    any further prefix of the order to split it (e.g. ``(k, id div B)``
+    when the order is (k, id)); correctness only needs the prefix
+    property, so band granularity is a pure parallelism knob.
 
     Plan shape at any scale:
       1. per-band row_number — a PARTITIONED window (one shuffle on

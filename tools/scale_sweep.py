@@ -36,6 +36,12 @@ SWEEP = [
     "ext_tfidf",
     "ext_bigram_lm",
     "ext_funnel",
+    # round 3
+    "ext_pivot",
+    "ext_percentiles",
+    "ext_range_frame",
+    "ext_zorder_manifest",
+    "ext_embed_centroids",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
