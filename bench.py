@@ -85,6 +85,11 @@ def main() -> None:
     from proto_to_avro_ql_spark.session import get_spark
 
     spark = get_spark("bench")
+    # Keep the stderr tail signal-dense: Spark WARNs (e.g. the bounded
+    # band-count window's "No Partition Defined", which is deliberate
+    # and #bands-sized — see operators/layout.py) drown the per-query
+    # timing lines the driver records.
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm-up pass (untimed): JVM JIT, codegen compilation, parquet
     # footer caches. The reference's numbers are steady-state translate
     # throughput on a warm JVM (README.md:214: timings measured around
