@@ -44,6 +44,15 @@ AUDIT = {
     "ext_temperature_mix": "temperature mix (group stats broadcast, 1 corpus agg)",
     "ext_dedup_lsh_incremental": "incremental LSH admission (batch x corpus only)",
     "ext_domain_cap": "per-domain cap (one window shuffle, group-limit pushdown)",
+    # round 3
+    "ext_pivot": "declared-values pivot (ONE conditional-sum hash agg)",
+    "ext_unpivot": "melt to long format (narrow expansion, zero exchanges)",
+    "ext_percentiles": "exact grouped quantiles (sort aggregate, one exchange)",
+    "ext_vocab": "global top-k via TakeOrderedAndProject (no window)",
+    "ext_zorder_manifest": "banded global ntile (windows partitioned by _band)",
+    "ext_range_frame": "time-RANGE frame (one user-keyed exchange)",
+    "ext_embed_centroids": "per-label centroid (scalar shuffle, no vectors)",
+    "agg_grouping_sets": "grouping sets (one Expand + one agg pass)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
