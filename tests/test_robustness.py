@@ -242,3 +242,47 @@ class TestEmptyInputsSession3:
         empty = spark.createDataFrame([], "doc_id long, text string")
         assert tfidf_top_terms(empty).count() == 0
         assert bigram_lm_score(empty).count() == 0
+
+
+class TestRound3EmptyInputs:
+    def test_banded_rank_on_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.operators.layout import banded_global_rank
+
+        empty = spark.createDataFrame([], "k long, uid long")
+        out = banded_global_rank(
+            empty, F.col("k"), [F.col("k"), F.col("uid")], "r"
+        )
+        assert out.count() == 0
+        assert "r" in out.columns
+
+    def test_pivot_on_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.functions.stable import dec_sum
+
+        empty = spark.createDataFrame([], "user_id long, event_type string, value double")
+        out = empty.groupBy("user_id").agg(
+            dec_sum(F.when(F.col("event_type") == "click", F.col("value")), 4).alias(
+                "click_sum"
+            )
+        )
+        assert out.count() == 0
+
+    def test_avro_sink_empty_dataframe(self, spark):
+        import os
+        import tempfile
+
+        from proto_to_avro_ql_spark.sources.avro_sink import (
+            read_avro_file,
+            write_avro_file,
+        )
+
+        empty = spark.createDataFrame([], "id long, name string")
+        path = os.path.join(tempfile.mkdtemp(), "empty.avro")
+        assert write_avro_file(empty, path) == 0
+        with open(path, "rb") as f:
+            assert f.read(4) == b"Obj\x01"  # valid container even when empty
+        back = read_avro_file(spark, path, empty.schema)
+        assert back.count() == 0
