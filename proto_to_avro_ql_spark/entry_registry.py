@@ -4456,3 +4456,75 @@ def q_ext_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+
+@register(
+    "ext_incremental_agg",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's aggregate table
+    plus today's delta partition, WITHOUT rescanning history — union
+    the staged partial states with the delta's and re-aggregate. The
+    merge is exact because the staged state keeps the UNROUNDED
+    decimal sum (rounding only at the edge); count merges as sum of
+    counts. The oracle is the full recompute over all events — the
+    incremental path must be indistinguishable. At lake scale this is
+    the difference between scanning one day and scanning years; the
+    staged table is day-partitioned so the merge reads only touched
+    partitions."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    cutoff = "2024-01-25"
+
+    def partial(df):
+        return df.groupBy(day.alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),  # unrounded state
+        )
+
+    staged_path = tempfile.mkdtemp(prefix="inc_agg_")
+    partial(ev.where(day < cutoff)).write.mode("overwrite").parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+    delta = partial(ev.where(day >= cutoff))
+    merged = (
+        staged.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_dec"), 4).cast("double").alias("sum_value"),
+    )
+
+
+@register("ext_incremental_distinct")  # sketch internals engine-specific: rows-only
+def q_ext_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count maintenance: per-day HLL sketches
+    (hll_sketch_agg) staged, then hll_union_agg merges them into the
+    per-type distinct-user estimate — the incremental companion of
+    ext_incremental_agg for the one aggregate that has no partial-sum
+    state. Register-max is associative, so the union of daily sketches
+    yields EXACTLY the sketch of the whole set (pinned in
+    tests/test_scale_patterns.py against the direct sketch); history
+    is never rescanned. Rows-only: sketch bytes are engine-specific,
+    so no DuckDB oracle by design."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    daily = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_users_est"))
+        .orderBy("event_type")
+    )

@@ -221,3 +221,46 @@ class TestDomainCap:
         a = sorted(r["doc_id"] for r in out.collect())
         b = sorted(r["doc_id"] for r in QUERIES["ext_domain_cap"](spark, sf_dir).collect())
         assert a == b
+
+
+class TestIncrementalMaintenance:
+    def test_incremental_agg_equals_full_recompute(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.functions.stable import dec_sum
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        inc = QUERIES["ext_incremental_agg"](spark, sf_dir)
+        ev = read_table(spark, sf_dir, "events")
+        full = ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", 4).alias("sum_value"),
+        )
+        a = sorted(map(tuple, inc.collect()))
+        b = sorted(map(tuple, full.collect()))
+        assert a == b
+
+    def test_hll_union_of_dailies_equals_direct_sketch(self, spark, sf_dir):
+        """Register-max associativity: merged daily sketches must give
+        the EXACT same estimate as sketching the whole set."""
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        merged = {
+            r["event_type"]: r["n_users_est"]
+            for r in QUERIES["ext_incremental_distinct"](spark, sf_dir).collect()
+        }
+        ev = read_table(spark, sf_dir, "events")
+        direct = {
+            r["event_type"]: r["est"]
+            for r in ev.groupBy("event_type")
+            .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+            .collect()
+        }
+        assert merged == direct
