@@ -40,7 +40,7 @@ _PRIMITIVES: dict[type, str] = {
 }
 
 
-def _avro_type(dt: T.DataType) -> object:
+def _avro_type(dt: T.DataType, path: str = "Nested") -> object:
     for spark_t, avro_t in _PRIMITIVES.items():
         if isinstance(dt, spark_t):
             return avro_t
@@ -53,9 +53,11 @@ def _avro_type(dt: T.DataType) -> object:
         # portable (avro decimal logical type needs fixed/bytes plumbing)
         return "string"
     if isinstance(dt, T.ArrayType):
-        return {"type": "array", "items": _avro_type(dt.elementType)}
+        return {"type": "array", "items": _avro_type(dt.elementType, path + "Item")}
     if isinstance(dt, T.StructType):
-        return _record_schema(dt, name="Nested")
+        # record names must be unique within a schema — derive from the
+        # field path so two nested struct columns don't collide
+        return _record_schema(dt, name=path)
     raise ValueError(f"No Avro mapping for Spark type {dt!r}")
 
 
@@ -66,7 +68,7 @@ def _record_schema(schema: T.StructType, name: str = "Report") -> dict:
     (ProtoMessageToAvroMappings.scala:90-120)."""
     fields = []
     for f in schema.fields:
-        at = _avro_type(f.dataType)
+        at = _avro_type(f.dataType, name + "_" + f.name)
         if f.nullable:
             fields.append({"name": f.name, "type": ["null", at], "default": None})
         else:
@@ -78,9 +80,10 @@ def avro_schema_json(schema: T.StructType, name: str = "Report") -> str:
     return json.dumps(_record_schema(schema, name))
 
 
-def _avro_branch_name(dt: T.DataType) -> str:
+def _avro_branch_name(dt: T.DataType, path: str) -> str:
     """The union branch name Avro-JSON requires when wrapping a
-    non-null value of a nullable field."""
+    non-null value of a nullable field. For records this is the (path-
+    derived) record NAME — it must match what _avro_type emitted."""
     for spark_t, avro_t in _PRIMITIVES.items():
         if isinstance(dt, spark_t):
             return avro_t
@@ -93,14 +96,15 @@ def _avro_branch_name(dt: T.DataType) -> str:
     if isinstance(dt, T.ArrayType):
         return "array"
     if isinstance(dt, T.StructType):
-        return "Nested"
+        return path
     raise ValueError(f"No Avro mapping for Spark type {dt!r}")
 
 
-def _to_json_value(v, dt: T.DataType, nullable: bool):
+def _to_json_value(v, dt: T.DataType, nullable: bool, path: str):
     """Python value -> Avro-JSON encoding (logical types to their
     base encoding; nullable fields wrapped as {"<branch>": value},
-    the Avro JSON union convention)."""
+    the Avro JSON union convention). ``path`` mirrors _avro_type's
+    record-naming so union branches for nested records resolve."""
     if v is None:
         return None
     if isinstance(dt, T.DateType):
@@ -116,10 +120,15 @@ def _to_json_value(v, dt: T.DataType, nullable: bool):
         out = bytes(v).decode("latin-1")
     elif isinstance(dt, T.ArrayType):
         el_nullable = dt.containsNull
-        out = [_to_json_value(x, dt.elementType, el_nullable) for x in v]
+        out = [
+            _to_json_value(x, dt.elementType, el_nullable, path + "Item")
+            for x in v
+        ]
     elif isinstance(dt, T.StructType):
         out = {
-            f.name: _to_json_value(v[f.name], f.dataType, f.nullable)
+            f.name: _to_json_value(
+                v[f.name], f.dataType, f.nullable, path + "_" + f.name
+            )
             for f in dt.fields
         }
     elif isinstance(dt, T.FloatType) or isinstance(dt, T.DoubleType):
@@ -129,7 +138,7 @@ def _to_json_value(v, dt: T.DataType, nullable: bool):
     else:
         out = v
     if nullable:
-        return {_avro_branch_name(dt): out}
+        return {_avro_branch_name(dt, path): out}
     return out
 
 
@@ -173,7 +182,9 @@ def write_avro_file(
             payload = "\n".join(
                 json.dumps(
                     {
-                        f.name: _to_json_value(r[f.name], f.dataType, f.nullable)
+                        f.name: _to_json_value(
+                            r[f.name], f.dataType, f.nullable, name + "_" + f.name
+                        )
                         for f in schema.fields
                     }
                 )

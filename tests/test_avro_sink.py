@@ -92,3 +92,31 @@ class TestAvroSink:
         a = rep.orderBy("segments_date", "campaign_status").collect()
         b = back.orderBy("segments_date", "campaign_status").collect()
         assert a == b
+
+    def test_two_nullable_struct_columns_round_trip(self, spark):
+        """Record names derive from field paths, so sibling nested
+        structs don't collide ('Can't redefine: Nested'), and union
+        branch names match the path-derived record names."""
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField(
+                    "a",
+                    T.StructType([T.StructField("x", T.LongType(), True)]),
+                    True,
+                ),
+                T.StructField(
+                    "b",
+                    T.StructType([T.StructField("y", T.StringType(), True)]),
+                    True,
+                ),
+            ]
+        )
+        df = spark.createDataFrame(
+            [Row(id=1, a=Row(x=7), b=Row(y="hi")), Row(id=2, a=None, b=None)],
+            schema,
+        )
+        path = os.path.join(tempfile.mkdtemp(), "nested.avro")
+        assert write_avro_file(df, path) == 2
+        with open(path, "rb") as f:
+            assert f.read(4) == b"Obj\x01"
