@@ -4171,8 +4171,14 @@ def q_ext_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # div-based band keeps band count BOUNDED as user cardinality grows
+    # (a per-user band would make the offset relation track the user
+    # count — the broadcast/prefix-sum scale trap).
     r1 = banded_global_rank(
-        ev, F.col("user_id"), [F.col("user_id"), F.col("event_id")], "_r_u"
+        ev,
+        F.floor(F.col("user_id") / 64).cast("bigint"),
+        [F.col("user_id"), F.col("event_id")],
+        "_r_u",
     )
     r2 = banded_global_rank(
         r1,

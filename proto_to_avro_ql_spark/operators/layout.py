@@ -83,10 +83,14 @@ def banded_global_rank(
     Plan shape at any scale:
       1. per-band row_number — a PARTITIONED window (one shuffle on
          band, parallel across bands);
-      2. per-band counts → prefix sum over the tiny band relation
-         (#bands rows — the only unpartitioned window, bounded by key
-         cardinality, never by table size);
-      3. broadcast-join the offsets back.
+      2. per-band counts → prefix sum over the small band relation
+         (#bands rows — the only unpartitioned window; choose a band
+         expression that BOUNDS band count, e.g. ``key div B`` or
+         ``day(ts)``, so this relation never tracks table size);
+      3. join the offsets back — unhinted, so AQE broadcasts while the
+         band relation is small and falls back to a shuffle join if a
+         caller picks an unbounded band (a forced broadcast here would
+         be the driver-OOM pattern at high band cardinality).
 
     This is the distributed zipWithIndex recipe expressed in pure
     DataFrame ops — the scale-safe replacement for
@@ -107,7 +111,7 @@ def banded_global_rank(
         "_band", (F.sum("_bn").over(w_pre) - F.col("_bn")).alias("_boff")
     )
     return (
-        local.join(F.broadcast(offsets), "_band")
+        local.join(offsets, "_band")
         .withColumn(rank_name, (F.col("_boff") + F.col("_lrank")).cast("bigint"))
         .drop("_band", "_lrank", "_boff")
     )
