@@ -48,6 +48,10 @@ HEADLINE = [
     "ext_pivot",        # declared-values wide pivot, single hash agg
     "ext_unpivot",      # melt to long format, zero exchanges
     "ext_percentiles",  # exact grouped quantiles (sort aggregate)
+    # round 3, session 2: Spark-4-native surfaces + entropy signal
+    "ext_variant_json", # VariantType schema-on-read, zero exchanges
+    "ext_entropy",      # token-entropy quality signal, 2 exchanges
+    "ext_udtf_tokens",  # Python UDTF surface (documented slow path)
 ]
 
 

@@ -4534,3 +4534,106 @@ def q_ext_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_users_est"))
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Round 3, session 2 — Spark-4-native surfaces + information-density signal
+# ===========================================================================
+
+
+@register(
+    "ext_variant_json",
+    """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         'OBJECT<k: BIGINT>' AS vtype,
+         CAST(NULL AS BIGINT) AS missing
+       FROM events""",
+)
+def q_ext_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType schema-on-read: ``parse_json`` with NO
+    declared schema (the open-content case ``ext_json_parse``'s
+    from_json cannot express — from_json needs the struct schema up
+    front), typed extraction via ``variant_get``, per-row shape
+    introspection via ``schema_of_variant``, and safe extraction of an
+    absent path via ``try_variant_get`` (NULL, not error). Variant is
+    the storage-layer answer to proto unknown-field tolerance
+    (reference ProtoToAvroTranslator.scala:26-33 drops unknown fields
+    at translate time): the binary variant encoding keeps EVERY field
+    and binds paths lazily at query time. All expressions are native
+    JVM (whole-stage codegen, no Python)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.schema_of_variant(v).alias("vtype"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+    )
+
+
+@register(
+    "ext_udtf_tokens",
+    f"""WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+    FROM t, unnest(generate_series(1, len(toks))) AS u(i)""",
+)
+def q_ext_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 arbitrary-logic surface #3: a Python UDTF (Spark 4 table
+    function) — one input row expands to N declared-schema output rows,
+    the user-defined analog of explode for logic too opaque for the
+    array builtins (udf_pandas_scalar covers the vectorized scalar
+    case; udf_grouped_pandas the grouped case). Applied via LATERAL
+    join. Row-at-a-time Python IS the documented slow path — this
+    entry pins the API surface and its oracle (tokenization is chosen
+    precisely because the native ext_doc_chunk/ext_vocab path already
+    covers it, making the UDTF independently verifiable), not the
+    scale path."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenizeUdtf:
+        def eval(self, text):
+            if text is None:
+                return
+            norm = _re.sub(r"\s+", " ", text.lower()).strip()
+            for i, tok in enumerate(norm.split(" ")):
+                yield i, tok
+
+    docs = read_table(spark, sf_dir, "documents")
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    docs.createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.token
+           FROM udtf_docs_src d, LATERAL tokenize_udtf(d.text) t"""
+    )
+
+
+@register(
+    "ext_entropy",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+    ), tc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), m AS (
+      SELECT doc_id, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS n,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nd
+      FROM tc
+    )
+    SELECT doc_id,
+      CAST(MAX(n) AS BIGINT) AS n_tokens,
+      CAST(MAX(nd) AS BIGINT) AS n_distinct,
+      ROUND(0.0 - CAST(SUM(CAST((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(38,6))) AS DOUBLE), 6) AS token_entropy
+    FROM m GROUP BY doc_id""",
+)
+def q_ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal (see
+    operators/governance.py:token_entropy for the single-exchange
+    window-over-aggregate plan and the decimal-stable term sum)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return GV.token_entropy(docs)

@@ -247,3 +247,49 @@ def bigram_lm_score(
             "avg_logprob"
         ),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal (near-zero ≈ one token repeated;
+    high ≈ diverse vocabulary). Complements the ratio-based repetition
+    signals (:func:`repetition_signals`): entropy weighs HOW skewed the
+    distribution is, not just its extremes.
+
+    Plan: one hash aggregate keyed (doc, token) with map-side partials
+    (the shuffle carries tokens+counts, never text bodies), then
+    per-doc totals as a WINDOW over the aggregated relation, and the
+    final groupBy reuses the window's hash partitioning on ``id_col``
+    — two exchanges total (plan-asserted), both count-scale. Each term
+    ``(c/n)·ln(c/n)`` is rounded to DECIMAL(38,6) BEFORE the per-doc
+    sum (cross-engine ln ulp noise removed pre-aggregation; decimal
+    addition is order-independent). The final value is computed as
+    ``0 - sum`` rather than unary negation so a zero-entropy doc yields
+    +0.0 on both engines (-0.0 and 0.0 hash differently).
+    """
+    from pyspark.sql.window import Window
+
+    from proto_to_avro_ql_spark.functions.stable import DEC
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(TX.normalize_text(F.col(text_col)), " ")).alias("t"),
+    )
+    tc = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col)
+    p = F.col("c").cast("double") / F.sum("c").over(w)
+    m = tc.select(
+        F.col(id_col),
+        F.sum("c").over(w).alias("n"),
+        F.count(F.lit(1)).over(w).alias("nd"),
+        (p * F.log(p)).cast(DEC).alias("term"),
+    )
+    return m.groupBy(id_col).agg(
+        F.max("n").alias("n_tokens"),
+        F.max("nd").alias("n_distinct"),
+        F.round(F.lit(0.0) - F.sum("term").cast("double"), 6).alias("token_entropy"),
+    )

@@ -126,3 +126,35 @@ class TestBigramLm:
         out = bigram_lm_score(docs).collect()
         assert [r.doc_id for r in out] == [2]
         assert out[0].n_bigrams == 1 and out[0].avg_logprob == 0.0  # ln(1)
+
+
+class TestTokenEntropy:
+    def test_known_values(self, spark):
+        from math import log
+
+        from proto_to_avro_ql_spark.operators.governance import token_entropy
+
+        docs = spark.createDataFrame(
+            [(1, "a a b b"), (2, "a a a a"), (3, "a b c d")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in token_entropy(docs).collect()}
+        assert rows[1].n_tokens == 4 and rows[1].n_distinct == 2
+        # terms are rounded to DECIMAL(38,6) pre-sum (cross-engine
+        # stability), so the absolute error is bounded by n_distinct*5e-7
+        assert rows[1].token_entropy == pytest.approx(log(2), abs=1e-5)
+        # zero-entropy doc must come out +0.0 (not -0.0: the engines'
+        # canonical reprs differ and the driver hashes reprs)
+        assert rows[2].token_entropy == 0.0
+        assert str(rows[2].token_entropy) == "0.0"
+        assert rows[3].token_entropy == pytest.approx(log(4), abs=1e-5)
+
+    def test_repetitive_below_diverse(self, spark):
+        from proto_to_avro_ql_spark.operators.governance import token_entropy
+
+        docs = spark.createDataFrame(
+            [(1, "spam spam spam spam ham"), (2, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in token_entropy(docs).collect()}
+        assert rows[1].token_entropy < rows[2].token_entropy

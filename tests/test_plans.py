@@ -475,3 +475,25 @@ class TestGroupingSetsAndRangeFrame:
         plan = physical_plan(QUERIES["ext_range_frame"](spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1
         assert "RANGE BETWEEN" in plan.upper() or "specifiedwindowframe(RangeFrame" in plan
+
+
+class TestRound3SurfacePlans:
+    def test_entropy_two_count_scale_exchanges(self, spark, sf_dir):
+        """token_entropy: (doc,token) hash agg + doc window; the final
+        per-doc agg reuses the window's partitioning — exactly two
+        exchanges, and the raw text column never crosses either."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_entropy"](spark, sf_dir))
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert len(exchanges) == 2, plan
+        assert all("text#" not in l for l in exchanges), plan
+
+    def test_variant_whole_stage_native(self, spark, sf_dir):
+        """Variant parse/extract is JVM expression work: no Python eval
+        node, no exchange (narrow projection over the scan)."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_variant_json"](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan, plan

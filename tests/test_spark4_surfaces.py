@@ -1,0 +1,89 @@
+"""Spark-4-native surfaces added round 3: VariantType schema-on-read
+and Python UDTF table functions (semantic checks on constructed
+inputs; the DuckDB oracles cover the real tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestVariant:
+    def test_typed_extraction_and_missing_path(self, spark):
+        df = spark.createDataFrame(
+            [(1, '{"k": 87, "tag": "x"}'), (2, '{"k": 0}')],
+            "event_id long, props string",
+        )
+        v = F.parse_json("props")
+        out = df.select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.nope", "bigint").alias("missing"),
+            F.schema_of_variant(v).alias("vtype"),
+        ).collect()
+        by_id = {r.event_id: r for r in out}
+        assert by_id[1].k == 87 and by_id[2].k == 0
+        assert by_id[1].missing is None and by_id[2].missing is None
+        # per-row shape introspection: open content means rows may differ
+        assert by_id[1].vtype == "OBJECT<k: BIGINT, tag: STRING>"
+        assert by_id[2].vtype == "OBJECT<k: BIGINT>"
+
+    def test_variant_keeps_fields_a_declared_schema_would_drop(self, spark):
+        """The unknown-field-tolerance story: from_json with a declared
+        schema silently drops extra fields; variant keeps them."""
+        df = spark.createDataFrame(
+            [(1, '{"k": 1, "extra": {"deep": [1, 2, 3]}}')],
+            "event_id long, props string",
+        )
+        v = F.parse_json("props")
+        row = df.select(
+            F.from_json("props", "k bigint")["k"].alias("declared_k"),
+            F.variant_get(v, "$.extra.deep[2]", "bigint").alias("kept"),
+        ).collect()[0]
+        assert row.declared_k == 1
+        assert row.kept == 3  # the path a declared schema never knew about
+
+    def test_variant_expressions_stay_jvm_side(self, spark):
+        df = spark.createDataFrame([(1, '{"k": 5}')], "event_id long, props string")
+        out = df.select(F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestUdtf:
+    def test_udtf_matches_native_posexplode(self, spark, sf_dir):
+        """The UDTF path must agree exactly with the native
+        split+posexplode plan it mirrors — independent verification of
+        the table-function surface."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.functions.text import normalize_text
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        got = QUERIES["ext_udtf_tokens"](spark, sf_dir)
+        docs = read_table(spark, sf_dir, "documents")
+        want = docs.select(
+            "doc_id",
+            F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "pos", "token"
+            ),
+        ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_udtf_null_input_yields_no_rows(self, spark):
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="pos int, token string")
+        class Tok:
+            def eval(self, text):
+                if text is None:
+                    return
+                yield 0, text
+
+        spark.udtf.register("tok_null_probe", Tok)
+        df = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+        df.createOrReplaceTempView("tok_null_src")
+        out = spark.sql(
+            "SELECT d.doc_id, t.token FROM tok_null_src d, "
+            "LATERAL tok_null_probe(d.text) t"
+        ).collect()
+        assert [(r.doc_id, r.token) for r in out] == [(2, "x")]
