@@ -51,6 +51,7 @@ from proto_to_avro_ql_spark.plans.compile import (
 from proto_to_avro_ql_spark.plans.recursion import make_chain_json, parse_recursive_json
 from proto_to_avro_ql_spark.sources.io import (
     QueryCache,
+    ensure_min_parallelism,
     read_table,
     sink_json_direct,
     write_avro_or_parquet,
@@ -2475,7 +2476,10 @@ def q_src_proto_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    ev = read_table(spark, sf_dir, "events")
+    # single-row-group testdata: detach the CPU-heavy Python encode
+    # from the unsplittable scan (no-op on a real lake — see
+    # sources/io.ensure_min_parallelism)
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events"))
     encoded = ev.select(enc("event_id", "user_id", "event_type", "value").alias("pb"))
     decoded = decode_proto(encoded, "pb", EVENT_SPEC, out_col="msg")
     return decoded.select(
@@ -4185,6 +4189,10 @@ def q_ext_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")),
         [F.col("ts"), F.col("event_id")],
         "_r_t",
+        # r1 is a row-preserving enrichment of ev and the day(ts) band
+        # only needs ts: count bands off the cheap scan, not a second
+        # evaluation of r1's window+join subtree.
+        counts_from=ev,
     )
     n_total = ev.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     ranked = r2.crossJoin(F.broadcast(n_total)).select(

@@ -68,6 +68,7 @@ def banded_global_rank(
     band: Column,
     order_cols: list[Column],
     rank_name: str = "_grank",
+    counts_from: DataFrame | None = None,
 ) -> DataFrame:
     """Exact 0-indexed GLOBAL rank over ``order_cols`` without a
     single-partition window.
@@ -92,6 +93,14 @@ def banded_global_rank(
          caller picks an unbounded band (a forced broadcast here would
          be the driver-OOM pattern at high band cardinality).
 
+    ``counts_from``: optional relation to compute the per-band counts
+    against instead of ``df`` — it must contain the band's input
+    columns and the SAME row multiset (e.g. the pre-window base table
+    when ``df`` is a row-preserving enrichment of it). The counts
+    branch is a second evaluation of ``df``'s whole subtree (Spark
+    shares no work across plan branches without caching); pointing it
+    at the cheap base avoids recomputing upstream windows/joins.
+
     This is the distributed zipWithIndex recipe expressed in pure
     DataFrame ops — the scale-safe replacement for
     ``Window.orderBy(...)`` global ranking.
@@ -101,7 +110,12 @@ def banded_global_rank(
     stamped = df.withColumn("_band", band)
     w_in = Window.partitionBy("_band").orderBy(*order_cols)
     local = stamped.withColumn("_lrank", F.row_number().over(w_in) - 1)
-    counts = stamped.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+    counts = (
+        (df if counts_from is None else counts_from)
+        .select(band.alias("_band"))
+        .groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+    )
     # #bands rows only: the global window here is bounded and cheap.
     w_pre = (
         Window.orderBy("_band")

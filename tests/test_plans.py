@@ -223,7 +223,11 @@ class TestSession2OperatorPlans:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
     def test_proto_decode_has_no_shuffle(self, spark, sf_dir):
-        """Encode → decode is per-row work: no exchange anywhere."""
+        """Encode → decode is per-row work: no hash-partitioning
+        exchange anywhere (only the local-mode round-robin from
+        ensure_min_parallelism may appear — it detaches the Python
+        encode from the unsplittable single-row-group test scan and is
+        a no-op on a real lake)."""
         from proto_to_avro_ql_spark.entry_queries import QUERIES
 
         df = QUERIES["src_proto_decode"](spark, sf_dir)

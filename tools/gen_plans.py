@@ -53,10 +53,39 @@ AUDIT = {
     "ext_range_frame": "time-RANGE frame (one user-keyed exchange)",
     "ext_embed_centroids": "per-label centroid (scalar shuffle, no vectors)",
     "agg_grouping_sets": "grouping sets (one Expand + one agg pass)",
+    # round 3, session 2
+    "ext_variant_json": "Variant schema-on-read (narrow JVM expressions, zero exchanges)",
+    "ext_entropy": "token entropy ((doc,token) agg + doc window, 2 exchanges)",
+    "ext_udtf_tokens": "Python UDTF lateral join (documented slow path)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
 SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\]")
+PLAN_ID_RE = re.compile(r"\[plan_id=(\d+)\]")
+
+
+def count_nodes(plan: str, marker: str) -> int:
+    """Count distinct plan nodes containing ``marker``.
+
+    The plan STRING repeats shared subtrees — a persisted relation
+    prints its defining plan inside every InMemoryRelation reference,
+    and AQE prints ReusedExchange targets — so a naive substring count
+    overstates executed work (round-1 audit showed ngram_jaccard at
+    "10 exchanges" when ~4 execute). Deduplicate by plan_id (the
+    stable node identity); lines without one (rare, non-AQE fragments)
+    fall back to line counting. ReusedExchange lines are re-prints of
+    an exchange already counted, never new shuffles."""
+    seen: set[str] = set()
+    fallback = 0
+    for line in plan.splitlines():
+        if marker not in line or "ReusedExchange" in line:
+            continue
+        m = PLAN_ID_RE.search(line)
+        if m:
+            seen.add(m.group(1))
+        else:
+            fallback += 1
+    return len(seen) + fallback
 
 
 def main() -> None:
@@ -78,10 +107,10 @@ def main() -> None:
         n_codegen = len(set(CODEGEN_RE.findall(plan)))
         out.append(f"## {name} — {desc}\n")
         out.append(
-            f"- exchanges: {plan.count('Exchange hashpartitioning')}"
-            f" | broadcast joins: {plan.count('BroadcastHashJoin')}"
-            f" | sort-merge joins: {plan.count('SortMergeJoin')}"
-            f" | hash aggregates: {plan.count('HashAggregate')}"
+            f"- exchanges: {count_nodes(plan, 'Exchange hashpartitioning')}"
+            f" | broadcast joins: {count_nodes(plan, 'BroadcastHashJoin')}"
+            f" | sort-merge joins: {count_nodes(plan, 'SortMergeJoin')}"
+            f" | hash aggregates: {count_nodes(plan, 'HashAggregate')}"
             f" | codegen spans: {n_codegen}"
         )
         for s in SCAN_RE.findall(plan)[:4]:
