@@ -4645,3 +4645,115 @@ def q_ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-over-aggregate plan and the decimal-stable term sum)."""
     docs = read_table(spark, sf_dir, "documents")
     return GV.token_entropy(docs)
+
+
+@register(
+    "ext_pmi_bigrams",
+    f"""WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks
+      FROM documents WHERE {_NORM} <> ''
+    ), big AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ), m AS (
+      SELECT w1, w2, c12,
+             SUM(c12) OVER (PARTITION BY w1) AS c1,
+             SUM(c12) OVER (PARTITION BY w2) AS c2,
+             SUM(c12) OVER () AS n
+      FROM bc
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           ROUND(ln((CAST(c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+    FROM m WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+)
+def q_ext_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: top-50 bigrams by pointwise
+    mutual information (min support 5) — the phrase-discovery /
+    tokenizer-vocabulary signal (which token pairs co-occur far above
+    chance). Pair generation is the zero-shuffle array zip from
+    bigram_lm; both context marginals AND the corpus total are windows
+    over the aggregated bigram relation (no second aggregation chain,
+    no joins — the relation is bigram-vocabulary scale, never
+    corpus scale). The final top-k is sort+limit →
+    TakeOrderedAndProject: per-partition heads, single reduce, no
+    global sort. PMI is rounded to 6 before ORDER BY with (w1, w2)
+    tiebreaks, so the cutoff is engine-portable."""
+    from pyspark.sql.window import Window
+
+    # single-row-group testdata: parallelize the tokenize+zip+explode
+    # stage off the unsplittable scan (no-op on a real lake)
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = F.split(TX.normalize_text(F.col("text")), " ")
+    n_t = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n_t - 1).alias("w1"),
+        F.slice(toks, 2, n_t - 1).alias("w2"),
+    )
+    big = (
+        docs.where(TX.normalize_text(F.col("text")) != "")
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = F.sum("c12").over(Window.partitionBy("w1"))
+    c2 = F.sum("c12").over(Window.partitionBy("w2"))
+    n = F.sum("c12").over(Window.partitionBy())
+    scored = bc.select(
+        "w1",
+        "w2",
+        "c12",
+        F.round(
+            F.log(
+                (F.col("c12").cast("double") * n)
+                / (c1.cast("double") * c2.cast("double"))
+            ),
+            6,
+        ).alias("pmi"),
+    ).where(F.col("c12") >= 5)
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
+
+
+@register(
+    "ext_embed_quantize",
+    """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(ROUND(127 * ROUND(CAST(embedding[i] AS DOUBLE) / nrm, 6), 0) AS INTEGER) AS q
+       FROM (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings
+       ), unnest(generate_series(1, len(embedding))) AS u(i)
+       WHERE nrm > 0""",
+)
+def q_ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding post-processing for ANN serving: unit-normalize each
+    vector and symmetric-quantize to int8 (the 4x memory cut every
+    vector index applies before billions of vectors fit in RAM). The
+    L2 norm is a sequential left-fold over the array (F.aggregate) —
+    the SAME summation order DuckDB's list_sum uses, so the doubles
+    agree bit-for-bit; the normalized component is pre-rounded to 6
+    before scaling so the 0.5 rounding boundary is engine-portable.
+    All narrow array expressions — zero exchanges, no Python."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    flat = (
+        emb.withColumn("nrm", norm)
+        .where(F.col("nrm") > 0)
+        .select("vec_id", "nrm", F.posexplode("embedding").alias("pos", "v"))
+    )
+    return flat.select(
+        "vec_id",
+        "pos",
+        F.round(127 * F.round(F.col("v").cast("double") / F.col("nrm"), 6), 0)
+        .cast("int")
+        .alias("q"),
+    )

@@ -501,3 +501,20 @@ class TestRound3SurfacePlans:
         plan = physical_plan(QUERIES["ext_variant_json"](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan, plan
+
+    def test_pmi_topk_is_take_ordered_no_global_sort(self, spark, sf_dir):
+        """PMI top-50: TakeOrderedAndProject (per-partition heads), and
+        the marginals are windows over the bigram-vocabulary relation —
+        no join back to the corpus-scale pair stream."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_pmi_bigrams"](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+    def test_embed_quantize_zero_exchanges(self, spark, sf_dir):
+        """Norm + quantize are narrow array expressions over the scan."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_embed_quantize"](spark, sf_dir))
+        assert "Exchange" not in plan, plan

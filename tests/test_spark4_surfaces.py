@@ -87,3 +87,51 @@ class TestUdtf:
             "LATERAL tok_null_probe(d.text) t"
         ).collect()
         assert [(r.doc_id, r.token) for r in out] == [(2, "x")]
+
+
+class TestPmiAndQuantize:
+    def test_pmi_ranks_fixed_collocation_first(self, spark):
+        """A pair that ALWAYS co-occurs ('new york') must out-rank pairs
+        of independently common tokens."""
+        from proto_to_avro_ql_spark.functions.text import normalize_text
+        from pyspark.sql.window import Window
+
+        rows = [(i, "new york " + ("the cat " * 5).strip()) for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        toks = F.split(normalize_text(F.col("text")), " ")
+        n_t = F.size(toks)
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, n_t - 1).alias("w1"),
+            F.slice(toks, 2, n_t - 1).alias("w2"),
+        )
+        big = docs.select(F.explode(pairs).alias("p")).select(
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = F.sum("c12").over(Window.partitionBy("w1"))
+        c2 = F.sum("c12").over(Window.partitionBy("w2"))
+        n = F.sum("c12").over(Window.partitionBy())
+        scored = bc.select(
+            "w1", "w2",
+            F.round(F.log((F.col("c12").cast("double") * n)
+                          / (c1.cast("double") * c2.cast("double"))), 6).alias("pmi"),
+        ).where(F.col("c12") >= 5)
+        ranked = [
+            (r.w1, r.w2) for r in scored.orderBy(F.desc("pmi"), "w1", "w2").collect()
+        ]
+        assert ranked[0] == ("new", "york")
+
+    def test_quantize_unit_vector_roundtrip(self, spark):
+        """A 3-4-0 vector normalizes to (0.6, 0.8, 0.0) -> int8 (76, 102, 0);
+        zero vectors are dropped (no division by zero)."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import os, tempfile
+
+        d = tempfile.mkdtemp(prefix="quant_")
+        spark.createDataFrame(
+            [(1, [3.0, 4.0, 0.0], 0), (2, [0.0, 0.0, 0.0], 1)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = QUERIES["ext_embed_quantize"](spark, d).collect()
+        got = {(r.vec_id, r.pos): r.q for r in out}
+        assert got == {(1, 0): 76, (1, 1): 102, (1, 2): 0}  # vec 2 dropped
