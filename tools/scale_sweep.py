@@ -42,6 +42,11 @@ SWEEP = [
     "ext_range_frame",
     "ext_zorder_manifest",
     "ext_embed_centroids",
+    # round 3, session 2
+    "ext_entropy",
+    "ext_variant_json",
+    "ext_pmi_bigrams",
+    "ext_embed_quantize",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
