@@ -54,6 +54,7 @@ HEADLINE = [
     "ext_udtf_tokens",  # Python UDTF surface (documented slow path)
     "ext_pmi_bigrams",  # PMI collocations, windows over bigram vocab
     "ext_embed_quantize",  # unit-norm + int8 quantize, zero exchanges
+    "ext_semdedup",     # SemDeDup cell-scoped semantic dedup
 ]
 
 

@@ -4757,3 +4757,24 @@ def q_ext_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("q"),
     )
+
+
+@register(
+    "ext_semdedup",
+    """SELECT e.vec_id, e.label FROM embeddings e
+       WHERE e.vec_id NOT IN (
+         SELECT b.vec_id
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+       )""",
+)
+def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: within-cell cosine pairs, higher id of
+    any pair ≥ 0.2 dropped (see simsearch.semantic_dedup_cells for the
+    cell-scoped join plan and the kmeans-cell scale path). Complements
+    ext_dedup_embed (corpus-wide pair LIST) — this entry implements the
+    PRUNING policy that turns pairs into a surviving corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.semantic_dedup_cells(emb, threshold=0.2)

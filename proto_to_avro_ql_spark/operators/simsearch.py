@@ -282,3 +282,71 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup_cells(
+    emb: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+    salt: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are partitioned into cells, pairwise
+    cosine is computed ONLY within a cell, and of any pair with
+    cos ≥ threshold the higher id is dropped (greedy lower-id-wins —
+    the paper's keep-one-per-ε-ball simplification; no transitive
+    closure needed, unlike ext_dedup_cluster).
+
+    ``cell_col`` is the scale knob: the oracle-able entry uses the
+    deterministic ``label`` column as the cell; at corpus scale you
+    swap in :func:`kmeans_cells`'s assignment (cluster count grows
+    with n, bounding per-cell membership) — the plan is identical, one
+    column swap. Shuffles: one self-join keyed on the cell (pairs
+    never leave their cell; no corpus-wide cross join) + one key-only
+    anti-join of (id) against the survivors — vectors cross the wire
+    once each (``salt`` times for the replicated side), dup ids travel
+    as bare keys.
+
+    Two cost controls on the quadratic pair stage:
+
+    - L2 norms are computed ONCE PER ROW before the join; the per-pair
+      predicate is dot/(na*nb) — the same expression tree (bit-equal
+      doubles) as cosine-per-pair, at 1 array fold per pair instead
+      of 3.
+    - ``salt`` splits each cell's pairs across ``salt`` tasks (probe
+      side salted on id, build side replicated — the same
+      salt-replicate recipe as ext_skew_join_salted), so a hot or
+      low-cardinality cell set still uses every core. Replication
+      multiplies the build-side shuffle by ``salt``: keep it ~cores/
+      #cells locally, 1 on clusters where #cells >> cores.
+    """
+    na = l2_norm(F.col(vec_col))
+    a = emb.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+        na.alias("_na"),
+        F.pmod(F.col(id_col), F.lit(salt)).alias("_blk"),
+    )
+    b = emb.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+        na.alias("_nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_blk"),
+    )
+    dups = (
+        a.join(b, ["_cell", "_blk"])
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            )
+            >= threshold
+        )
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dups, id_col, "left_anti").select(id_col, cell_col)

@@ -286,3 +286,53 @@ class TestRound3EmptyInputs:
             assert f.read(4) == b"Obj\x01"  # valid container even when empty
         back = read_avro_file(spark, path, empty.schema)
         assert back.count() == 0
+
+
+class TestRound3Session2Empty:
+    def test_entropy_on_empty(self, spark):
+        from proto_to_avro_ql_spark.operators.governance import token_entropy
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert token_entropy(empty).count() == 0
+
+    def test_variant_on_corrupt_json(self, spark):
+        """try_parse-style tolerance: a corrupt props row must not fail
+        the typed extraction path (variant_get of a NULL variant is
+        NULL, matching PERMISSIVE-mode semantics)."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, '{"k": 5}'), (2, "not json"), (3, None)],
+            "event_id long, props string",
+        )
+        out = df.select(
+            "event_id",
+            F.variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("k"),
+        ).collect()
+        got = {r.event_id: r.k for r in out}
+        assert got == {1: 5, 2: None, 3: None}
+
+    def test_pmi_below_support_is_empty(self, spark):
+        """min-support 5 on a tiny corpus: no pair reaches support, the
+        operator yields an empty frame (not an error)."""
+        import os, tempfile
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        d = tempfile.mkdtemp(prefix="pmi_empty_")
+        spark.createDataFrame(
+            [(1, "a b", "en", "s", 3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        assert QUERIES["ext_pmi_bigrams"](spark, d).count() == 0
+
+    def test_quantize_on_empty(self, spark):
+        import os, tempfile
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        d = tempfile.mkdtemp(prefix="quant_empty_")
+        spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        assert QUERIES["ext_embed_quantize"](spark, d).count() == 0

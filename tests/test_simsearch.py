@@ -59,3 +59,32 @@ class TestIvf:
         cells = {r.cell for r in assigned}
         assert 1 < len(cells) <= 8
         assert all(len(r.centroid) == 64 for r in assigned)
+
+
+class TestSemanticDedup:
+    def test_greedy_lower_id_wins_within_cell_only(self, spark):
+        """Identical vectors in the SAME cell dedup to the lowest id;
+        an identical vector in ANOTHER cell is untouched (cell-scoped
+        by design — cross-cell dups are the clustering's recall miss,
+        exactly the SemDeDup trade)."""
+        from proto_to_avro_ql_spark.operators.simsearch import semantic_dedup_cells
+
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0),
+                (2, [1.0, 0.0], 0),   # dup of 1, same cell -> dropped
+                (3, [0.0, 1.0], 0),   # orthogonal -> kept
+                (4, [1.0, 0.0], 1),   # dup of 1, other cell -> kept
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        kept = {r.vec_id for r in semantic_dedup_cells(emb, threshold=0.9).collect()}
+        assert kept == {1, 3, 4}
+
+    def test_empty_input(self, spark):
+        from proto_to_avro_ql_spark.operators.simsearch import semantic_dedup_cells
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        assert semantic_dedup_cells(empty).count() == 0

@@ -47,6 +47,7 @@ SWEEP = [
     "ext_variant_json",
     "ext_pmi_bigrams",
     "ext_embed_quantize",
+    "ext_semdedup",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
