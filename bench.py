@@ -55,6 +55,7 @@ HEADLINE = [
     "ext_pmi_bigrams",  # PMI collocations, windows over bigram vocab
     "ext_embed_quantize",  # unit-norm + int8 quantize, zero exchanges
     "ext_semdedup",     # SemDeDup cell-scoped semantic dedup
+    "ext_multimodal_resize",  # vectorized NN resize via mapInPandas
 ]
 
 

