@@ -57,6 +57,10 @@ AUDIT = {
     "ext_variant_json": "Variant schema-on-read (narrow JVM expressions, zero exchanges)",
     "ext_entropy": "token entropy ((doc,token) agg + doc window, 2 exchanges)",
     "ext_udtf_tokens": "Python UDTF lateral join (documented slow path)",
+    "ext_pmi_bigrams": "PMI collocations (windows over bigram vocab, TakeOrdered top-k)",
+    "ext_embed_quantize": "int8 embedding quantize (narrow array exprs, zero exchanges)",
+    "ext_semdedup": "SemDeDup cell-scoped pairs (salted cell join + key anti-join)",
+    "ext_multimodal_resize": "NN resize (one Arrow pass, no shuffle)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
