@@ -4593,16 +4593,17 @@ def q_ext_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user-defined analog of explode for logic too opaque for the
     array builtins (udf_pandas_scalar covers the vectorized scalar
     case; udf_grouped_pandas the grouped case). Applied via LATERAL
-    join. Row-at-a-time Python IS the documented slow path — this
-    entry pins the API surface and its oracle (tokenization is chosen
-    precisely because the native ext_doc_chunk/ext_vocab path already
-    covers it, making the UDTF independently verifiable), not the
-    scale path."""
+    join, with ``useArrow=True`` so rows cross the Python boundary in
+    Arrow batches (eval itself is per-row — that IS the documented
+    slow path). This entry pins the API surface and its oracle
+    (tokenization is chosen precisely because the native
+    ext_doc_chunk/ext_vocab path already covers it, making the UDTF
+    independently verifiable), not the scale path."""
     import re as _re
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string")
+    @udtf(returnType="pos int, token string", useArrow=True)
     class TokenizeUdtf:
         def eval(self, text):
             if text is None:
@@ -4611,7 +4612,7 @@ def q_ext_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, tok in enumerate(norm.split(" ")):
                 yield i, tok
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
     spark.udtf.register("tokenize_udtf", TokenizeUdtf)
     docs.createOrReplaceTempView("udtf_docs_src")
     return spark.sql(
