@@ -56,6 +56,7 @@ HEADLINE = [
     "ext_embed_quantize",  # unit-norm + int8 quantize, zero exchanges
     "ext_semdedup",     # SemDeDup cell-scoped semantic dedup
     "ext_multimodal_resize",  # vectorized NN resize via mapInPandas
+    "ext_hybrid_search",  # BM25 + ANN reciprocal-rank fusion
 ]
 
 

@@ -4813,3 +4813,100 @@ def q_ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_w",
         "out_h",
     )
+
+
+@register(
+    "ext_hybrid_search",
+    r"""WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ), tok AS (SELECT * FROM toks WHERE t <> ''),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+             COUNT(*) FILTER (WHERE t = 'join') AS tf0,
+             COUNT(*) FILTER (WHERE t = 'filter') AS tf1,
+             COUNT(*) FILTER (WHERE t = 'stream') AS tf2
+      FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, COUNT(*) AS n,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS dft0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS dft1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS dft2
+      FROM per_doc
+    ), bm AS (
+      SELECT doc_id,
+        ROUND(
+          (CASE WHEN tf0 > 0 THEN ln((n - dft0 + 0.5) / (dft0 + 0.5) + 1)
+                * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0.0 END)
+          + (CASE WHEN tf1 > 0 THEN ln((n - dft1 + 0.5) / (dft1 + 0.5) + 1)
+                * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0.0 END)
+          + (CASE WHEN tf2 > 0 THEN ln((n - dft2 + 0.5) / (dft2 + 0.5) + 1)
+                * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ELSE 0.0 END), 6) AS bm25
+      FROM per_doc CROSS JOIN stats
+      WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    ), lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+      FROM bm
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vc AS (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS cs
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY cs DESC, vec_id LIMIT 20
+    ), vec AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS INTEGER) AS vec_rank
+      FROM vc
+    )
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           COALESCE(lex_rank, 0) AS lex_rank,
+           COALESCE(vec_rank, 0) AS vec_rank,
+           ROUND(CASE WHEN lex_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + lex_rank) END
+               + CASE WHEN vec_rank IS NULL THEN 0.0 ELSE 1.0 / (60 + vec_rank) END, 6) AS rrf
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10""",
+)
+def q_ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
+    composition): BM25 lexical top-20 and exact-cosine vector top-20
+    (query = doc 0's embedding, the testdata's doc↔vector id pairing)
+    fused by RRF(k=60) — rank arithmetic only, so the fusion is exactly
+    portable; absent ranks contribute 0 and surface as rank 0. Both
+    branch top-20s are (rounded score, id)-total-ordered, so the
+    cutoffs are deterministic. The fusion join is two 20-row relations
+    — broadcast trivially; all heavy lifting happens in the two
+    already-audited branch operators."""
+    from pyspark.sql.window import Window
+
+    from proto_to_avro_ql_spark.operators.lexical import bm25_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    # 20-row bounded relation: the global window is fine at any scale
+    lex = bm25_search(docs, ["join", "filter", "stream"]).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    vec = SS.brute_force_topk(emb, query_ids=[0], k=20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["doc_id"], "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)

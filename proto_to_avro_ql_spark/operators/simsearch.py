@@ -337,8 +337,15 @@ def semantic_dedup_cells(
         na.alias("_nb"),
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_blk"),
     )
+    # explicit-width repartition: AQE's small-bytes coalescing would
+    # otherwise fold this CPU-bound (bytes-tiny, pairs-quadratic) join
+    # down to one task; a user-specified partition count is exempt
+    # from coalescing. Width = defaultParallelism — cluster-derived,
+    # and at lake scale the stage is bytes-large anyway.
+    width = emb.sparkSession.sparkContext.defaultParallelism
     dups = (
-        a.join(b, ["_cell", "_blk"])
+        a.repartition(width, "_cell", "_blk")
+        .join(b.repartition(width, "_cell", "_blk"), ["_cell", "_blk"])
         .where(F.col("_id_a") < F.col("_id_b"))
         .where(
             F.round(

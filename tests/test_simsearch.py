@@ -88,3 +88,23 @@ class TestSemanticDedup:
             [], "vec_id long, embedding array<float>, label int"
         )
         assert semantic_dedup_cells(empty).count() == 0
+
+
+class TestHybridSearch:
+    def test_rrf_fuses_both_rankings(self, spark, sf_dir):
+        """Every output row carries at least one non-zero branch rank;
+        a doc ranked by BOTH branches must out-score a doc ranked the
+        same by only one (the RRF property)."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        rows = QUERIES["ext_hybrid_search"](spark, sf_dir).collect()
+        assert 0 < len(rows) <= 10
+        assert all(r.lex_rank > 0 or r.vec_rank > 0 for r in rows)
+        # monotone: output is sorted by fused score then id
+        scores = [r.rrf for r in rows]
+        assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+        for r in rows:
+            expect = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+                1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+            )
+            assert abs(r.rrf - expect) < 1e-6

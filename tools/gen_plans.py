@@ -61,6 +61,7 @@ AUDIT = {
     "ext_embed_quantize": "int8 embedding quantize (narrow array exprs, zero exchanges)",
     "ext_semdedup": "SemDeDup cell-scoped pairs (salted cell join + key anti-join)",
     "ext_multimodal_resize": "NN resize (one Arrow pass, no shuffle)",
+    "ext_hybrid_search": "RRF fusion of BM25 + cosine top-20 (20-row join)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
