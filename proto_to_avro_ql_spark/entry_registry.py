@@ -2979,7 +2979,10 @@ def q_ext_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id,
       CASE WHEN n >= 2 AND (ss - s * s / n) / (n - 1) > 0
-           THEN ROUND((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4)
+           -- + 0 folds IEEE -0.0 to +0.0: ROUND keeps the sign of a
+           -- tiny negative z here but not in Spark; equal values,
+           -- different hashed reprs (caught by the sf0.1 gate)
+           THEN ROUND((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) + 0
       END AS zscore
     FROM t""",
 )
@@ -2998,7 +3001,8 @@ def q_ext_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.sum((v * v).cast(DEC)).over(w).cast("double")
     n = F.count("value").over(w)
     var = (ss - s * s / n) / (n - 1)
-    z = F.when((n >= 2) & (var > 0), F.round((v - s / n) / F.sqrt(var), 4))
+    # + 0.0 folds -0.0 to +0.0 (matches the oracle's normalization)
+    z = F.when((n >= 2) & (var > 0), F.round((v - s / n) / F.sqrt(var), 4) + 0.0)
     return ev.select("event_id", "user_id", z.alias("zscore"))
 
 
@@ -3126,7 +3130,10 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id,
       CASE WHEN n >= 2 AND (ss - s * s / n) / (n - 1) > 0
-           THEN ROUND((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4)
+           -- + 0 folds IEEE -0.0 to +0.0: ROUND keeps the sign of a
+           -- tiny negative z here but not in Spark; equal values,
+           -- different hashed reprs (caught by the sf0.1 gate)
+           THEN ROUND((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) + 0
       END AS zscore
     FROM t""",
 )
@@ -3159,9 +3166,12 @@ def q_udf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             if var > 0:
                 mean, sd = s / n, var ** 0.5
                 out = [
+                    # + 0.0 folds -0.0 to +0.0 (same normalization as
+                    # the oracle and the native path)
                     float(
                         Decimal((x - mean) / sd).quantize(DEC4, rounding=ROUND_HALF_UP)
                     )
+                    + 0.0
                     for x in raw
                 ]
         return pd.DataFrame(
@@ -4013,10 +4023,15 @@ def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ex AS (
       SELECT doc_id, len(shingle_set) AS n_sh, unnest(shingle_set) AS shingle FROM sh
     ), pairs AS (
-      SELECT b.doc_id AS id_b, b.n_sh AS n_b, c.n_sh AS n_c, COUNT(*) AS inter
+      -- per (batch doc, corpus doc) pair: grouping must include BOTH
+      -- ids — grouping only on (id_b, n_b, n_c) merged distinct corpus
+      -- docs that happen to share a shingle-set SIZE, inflating inter
+      -- (surfaced by the sf0.1 gate: 9 batch docs wrongly rejected)
+      SELECT b.doc_id AS id_b, c.doc_id AS id_c,
+             b.n_sh AS n_b, c.n_sh AS n_c, COUNT(*) AS inter
       FROM ex b JOIN ex c ON b.shingle = c.shingle
       WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 != 7
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2, 3, 4
     ), dups AS (
       SELECT DISTINCT id_b FROM pairs
       WHERE ROUND(CAST(inter AS DOUBLE) / (n_b + n_c - inter), 6) >= 0.2
@@ -4387,12 +4402,22 @@ def q_gaql_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_embed_centroids",
     """WITH pos AS (
       SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS v
+             CAST(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(38,6))
+                  * 1000000 AS BIGINT) AS v_int
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ), agg AS (
+      SELECT label, pos, SUM(v_int) AS s_int, COUNT(*) AS n
+      FROM pos GROUP BY label, pos
     )
+    -- round(s/n, 6) computed EXACTLY in integer micros (half away
+    -- from zero): ROUND(double, 6) of the quotient straddled a .5
+    -- boundary differently per engine at sf0.1 (Spark rounds the
+    -- exact binary expansion, DuckDB rounds after a 1e6 multiply)
     SELECT label, pos,
-      ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS c
-    FROM pos GROUP BY label, pos""",
+      CAST(CASE WHEN s_int >= 0 THEN (2 * s_int + n) // (2 * n)
+                ELSE -((2 * (-s_int) + n) // (2 * n)) END AS DOUBLE)
+        / 1000000.0 AS c
+    FROM agg""",
 )
 def q_ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (the domain/class centroid every
@@ -4411,10 +4436,24 @@ def q_ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         # float32 -> decimal cast rounding differs across engines
         # (shortest-repr vs exact-double); pre-round as DOUBLE, which
-        # both engines compute identically, then aggregate exactly.
-        F.round(F.col("v").cast("double"), 6).alias("v"),
+        # both engines compute identically, then aggregate exactly in
+        # INTEGER MICROS so the final round(mean, 6) is integer
+        # arithmetic — ROUND(double) of the quotient straddles .5
+        # boundaries differently per engine (sf0.1 gate finding).
+        (F.round(F.col("v").cast("double"), 6).cast(DEC) * 1000000)
+        .cast("long")
+        .alias("v_int"),
     )
-    return flat.groupBy("label", "pos").agg(dec_avg("v", 6).alias("c"))
+    agg = flat.groupBy("label", "pos").agg(
+        F.sum("v_int").alias("s_int"), F.count(F.lit(1)).alias("n")
+    )
+    micro = F.expr(
+        "CASE WHEN s_int >= 0 THEN (2 * s_int + n) DIV (2 * n) "
+        "ELSE -((2 * (-s_int) + n) DIV (2 * n)) END"
+    )
+    return agg.select(
+        "label", "pos", (micro.cast("double") / 1000000.0).alias("c")
+    )
 
 
 @register(
