@@ -469,3 +469,85 @@ class TestBandedRankProperties:
         )
         joined = mine.join(native, "uid")
         assert joined.where(F.col("t") != F.col("t_ref")).count() == 0
+
+
+class TestResizeProperties:
+    """resize_nn vs an independent per-image numpy reference — fuzzed
+    shapes and payload contents."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        dims=st.tuples(
+            st.integers(min_value=1, max_value=9),   # in_w
+            st.integers(min_value=1, max_value=9),   # in_h
+            st.integers(min_value=1, max_value=12),  # out_w
+            st.integers(min_value=1, max_value=12),  # out_h
+        ),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_matches_per_pixel_reference(self, spark, dims, seed):
+        import numpy as np
+
+        from proto_to_avro_ql_spark.operators.multimodal import resize_nn
+
+        in_w, in_h, out_w, out_h = dims
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(in_h, in_w), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, img.tobytes())], "event_id long, blob binary"
+        )
+        got = np.frombuffer(
+            resize_nn(df, in_w, in_h, out_w, out_h).collect()[0].resized,
+            dtype=np.uint8,
+        ).reshape(out_h, out_w)
+        # independent scalar reference (no fancy indexing)
+        for i in range(out_h):
+            for j in range(out_w):
+                assert got[i, j] == img[(i * in_h) // out_h, (j * in_w) // out_w]
+
+
+class TestEntropyProperties:
+    """token_entropy vs an independent Python computation; invariance
+    under token order."""
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        toks=st.lists(
+            st.sampled_from(["a", "b", "cc", "ddd", "e"]),
+            min_size=1,
+            max_size=30,
+        ),
+        seed=st.integers(min_value=0, max_value=999),
+    )
+    def test_matches_reference_and_is_order_invariant(self, spark, toks, seed):
+        import math
+        import random
+
+        from proto_to_avro_ql_spark.operators.governance import token_entropy
+
+        shuffled = toks[:]
+        random.Random(seed).shuffle(shuffled)
+        docs = spark.createDataFrame(
+            [(1, " ".join(toks)), (2, " ".join(shuffled))],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in token_entropy(docs).collect()}
+        n = len(toks)
+        ref = 0.0
+        for t in set(toks):
+            p = toks.count(t) / n
+            # mirror the operator's DECIMAL(38,6) per-term rounding
+            ref -= round(p * math.log(p), 6)
+        assert rows[1].n_tokens == n
+        assert rows[1].token_entropy == pytest.approx(round(ref, 6), abs=2e-6)
+        # permutation invariance: a bag-of-tokens statistic
+        assert rows[1].token_entropy == rows[2].token_entropy
+        assert rows[1].n_distinct == rows[2].n_distinct
