@@ -57,6 +57,7 @@ HEADLINE = [
     "ext_semdedup",     # SemDeDup cell-scoped semantic dedup
     "ext_multimodal_resize",  # vectorized NN resize via mapInPandas
     "ext_hybrid_search",  # BM25 + ANN reciprocal-rank fusion
+    "src_replay_connector",  # Python DataSource connector (encode+stage+read)
 ]
 
 

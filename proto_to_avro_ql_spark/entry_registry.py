@@ -2417,25 +2417,12 @@ def q_ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 from proto_to_avro_ql_spark.sources.protodec import (  # noqa: E402
+    EVENT_META_SPEC,
+    EVENT_SPEC,
     FieldSpec,
     MessageSpec,
     decode_proto,
     encode_message,
-)
-
-# Descriptor analog for an event message with a nested sub-message —
-# the shape the reference receives as a compiled proto Descriptor.
-EVENT_META_SPEC = MessageSpec(
-    "EventMeta",
-    (FieldSpec(1, "event_type", "string"), FieldSpec(2, "value", "double")),
-)
-EVENT_SPEC = MessageSpec(
-    "Event",
-    (
-        FieldSpec(1, "event_id", "int64"),
-        FieldSpec(2, "user_id", "int64"),
-        FieldSpec(3, "meta", "message", message=EVENT_META_SPEC),
-    ),
 )
 
 
@@ -4949,3 +4936,52 @@ def q_ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+@register(
+    "src_replay_connector",
+    """SELECT event_id, user_id, event_type, value
+       FROM events""",
+)
+def q_src_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CUSTOM SOURCE, as a real Spark connector: its
+    gRPC row stream (Main.scala:60-66) has a line-file replay format
+    (Main.scala:106-120 — one base64 proto row per line); this entry
+    stages events in exactly that format and reads it back through a
+    Spark 4 Python DataSource (sources/replay_source.py) registered
+    as ``format("proto_replay")`` — one InputPartition per staged
+    file, lazy per-line wire decode on executors. Oracle = identity
+    over events, so any connector-planning, partitioning, base64, or
+    wire-format defect breaks the hash. (Payloads here are ~40 base64
+    chars, below the 76-char MIME wrap Spark's base64() would insert.)
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from proto_to_avro_ql_spark.sources.replay_source import ProtoReplayDataSource
+
+    @pandas_udf("binary")
+    def enc(event_id, user_id, event_type, value):  # postponed eval
+
+        return pd.Series(
+            [
+                encode_message(
+                    EVENT_SPEC,
+                    {
+                        "event_id": int(e),
+                        "user_id": int(u),
+                        "meta": {"event_type": t, "value": float(v)},
+                    },
+                )
+                for e, u, t, v in zip(event_id, user_id, event_type, value)
+            ]
+        )
+
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events"))
+    staged = tempfile.mkdtemp(prefix="replay_src_")
+    ev.select(
+        F.base64(enc("event_id", "user_id", "event_type", "value")).alias("line")
+    ).repartition(4).write.mode("overwrite").text(staged)
+
+    spark.dataSource.register(ProtoReplayDataSource)
+    return spark.read.format("proto_replay").option("path", staged).load()

@@ -370,6 +370,25 @@ def decode_proto(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+# Descriptor analog for an event message with a nested sub-message —
+# the shape the reference receives as a compiled proto Descriptor
+# (canonical home: this module ships by value to workers, so anything
+# that executes in a Python worker — decode paths, the DataSource
+# connector — can reference these without a worker-side package import).
+EVENT_META_SPEC = MessageSpec(
+    "EventMeta",
+    (FieldSpec(1, "event_type", "string"), FieldSpec(2, "value", "double")),
+)
+EVENT_SPEC = MessageSpec(
+    "Event",
+    (
+        FieldSpec(1, "event_id", "int64"),
+        FieldSpec(2, "user_id", "int64"),
+        FieldSpec(3, "meta", "message", message=EVENT_META_SPEC),
+    ),
+)
+
+
 # Executor workers don't share the driver's sys.path patch — ship this
 # module's worker-executed functions by value (see pickling.py).
 from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402

@@ -204,3 +204,34 @@ class TestDynamicPartitionBackfill:
         for d in before:
             if d != target:
                 assert after[d] == before[d]  # untouched partitions keep their files
+
+
+class TestReplayConnector:
+    def test_connector_is_partitioned_and_lazy(self, spark, sf_dir):
+        """The custom DataSource plans one task per staged file and
+        reproduces the source rows exactly (set semantics — file
+        assignment is partitioning-dependent)."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        out = QUERIES["src_replay_connector"](spark, sf_dir)
+        assert out.rdd.getNumPartitions() == 4  # one per staged part file
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        assert out.exceptAll(ev).count() == 0
+        assert ev.exceptAll(out).count() == 0
+
+    def test_connector_missing_path_fails_loudly(self, spark):
+        from proto_to_avro_ql_spark.sources.replay_source import (
+            ProtoReplayDataSource,
+        )
+
+        spark.dataSource.register(ProtoReplayDataSource)
+        df = spark.read.format("proto_replay").option(
+            "path", "/nonexistent-replay-dir"
+        ).load()
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="no replay part files"):
+            df.count()

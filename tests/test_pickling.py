@@ -11,7 +11,9 @@ import re
 PKG = pathlib.Path(__file__).resolve().parents[1] / "proto_to_avro_ql_spark"
 
 # markers of worker-executed python code
-WORKER_MARKERS = re.compile(r"mapInPandas|pandas_udf|applyInPandas")
+WORKER_MARKERS = re.compile(
+    r"mapInPandas|pandas_udf|applyInPandas|DataSourceReader"
+)  # DataSource API classes ALSO execute in python workers (planning + read)
 REGISTERED = "register_self_contained(__name__)"
 
 # entry_registry's UDFs are nested closures (pickled by value already)
