@@ -58,6 +58,7 @@ HEADLINE = [
     "ext_multimodal_resize",  # vectorized NN resize via mapInPandas
     "ext_hybrid_search",  # BM25 + ANN reciprocal-rank fusion
     "src_replay_connector",  # Python DataSource connector (encode+stage+read)
+    "src_stream_connector",  # streaming DataSource twin (driver prefetch path)
 ]
 
 

@@ -4985,3 +4985,64 @@ def q_src_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(ProtoReplayDataSource)
     return spark.read.format("proto_replay").option("path", staged).load()
+
+
+@register(
+    "src_stream_connector",
+    """SELECT event_id, user_id, event_type, value
+       FROM events""",
+)
+def q_src_stream_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL input mode — a lazily-consumed proto row
+    STREAM (Main.scala:60-66 searchStreamCallable) — as a custom Spark
+    4 STREAMING DataSource: the staged replay directory is tailed by
+    ``readStream.format("proto_replay_stream")``, one line file per
+    micro-batch (offset = file index, exactly-once via the offset log),
+    drained with availableNow into a memory sink. Oracle = identity
+    over events: connector offsets, batch boundaries, base64, and wire
+    decode all verified by the hash. Complements src_replay_connector
+    (the batch/backfill read of the same format)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from proto_to_avro_ql_spark.sources.replay_source import (
+        ProtoReplayStreamSource,
+    )
+
+    @pandas_udf("binary")
+    def enc(event_id, user_id, event_type, value):  # postponed eval
+
+        return pd.Series(
+            [
+                encode_message(
+                    EVENT_SPEC,
+                    {
+                        "event_id": int(e),
+                        "user_id": int(u),
+                        "meta": {"event_type": t, "value": float(v)},
+                    },
+                )
+                for e, u, t, v in zip(event_id, user_id, event_type, value)
+            ]
+        )
+
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events"))
+    staged = tempfile.mkdtemp(prefix="replay_stream_")
+    ev.select(
+        F.base64(enc("event_id", "user_id", "event_type", "value")).alias("line")
+    ).repartition(4).write.mode("overwrite").text(staged)
+
+    spark.dataSource.register(ProtoReplayStreamSource)
+    q = (
+        spark.readStream.format("proto_replay_stream")
+        .option("path", staged)
+        .load()
+        .writeStream.format("memory")
+        .queryName("q_stream_connector")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table("q_stream_connector")

@@ -32,7 +32,12 @@ import base64
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from proto_to_avro_ql_spark.sources.protodec import EVENT_SPEC, decode_message
 
@@ -75,6 +80,79 @@ class ProtoReplayReader(DataSourceReader):
                 meta.get("event_type"),
                 meta.get("value"),
             )
+
+
+class ProtoReplayStreamSource(DataSource):
+    """STREAMING twin of the connector — the reference's actual input
+    mode (a lazily-consumed gRPC row stream, Main.scala:60-66,
+    90-95): ``spark.readStream.format("proto_replay_stream")`` tails a
+    replay directory, one staged line file per micro-batch (offset =
+    index into the sorted file list). Uses the simple stream-reader
+    API (driver-side planning and read — appropriate for a
+    line-protocol source; the batch connector above is the scale
+    path for backfills). Same worker-shipping hygiene: no package
+    imports at call time."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "proto_replay_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def simpleStreamReader(self, schema) -> "ProtoReplayStreamReader":
+        return ProtoReplayStreamReader(self.options["path"])
+
+
+def _decode_replay_file(path: str):
+    for line in open(path, "rb"):
+        line = line.strip()
+        if not line:
+            continue
+        msg = decode_message(EVENT_SPEC, base64.b64decode(line))
+        meta = msg.get("meta") or {}
+        yield (
+            msg.get("event_id"),
+            msg.get("user_id"),
+            meta.get("event_type"),
+            meta.get("value"),
+        )
+
+
+class ProtoReplayStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._path, "part-*")))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        i = start["idx"]
+        if i >= len(files):  # nothing new: empty batch, offset unchanged
+            return [], start
+        # drain every file visible NOW into one micro-batch (offset
+        # jumps to the current end): availableNow finalizes after the
+        # first planned batch, so per-file batches would strand all but
+        # the first file. A LIST, not a generator — the streaming
+        # runner prefetches driver-side and pickles the rows.
+        rows: list[tuple] = []
+        for f in files[i:]:
+            rows.extend(_decode_replay_file(f))
+        return rows, {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        rows: list[tuple] = []
+        for i in range(start["idx"], end["idx"]):
+            rows.extend(_decode_replay_file(files[i]))
+        return rows
+
+    def commit(self, end: dict) -> None:
+        pass  # replay files are immutable; nothing to clean up
 
 
 from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402
