@@ -59,6 +59,7 @@ HEADLINE = [
     "ext_hybrid_search",  # BM25 + ANN reciprocal-rank fusion
     "src_replay_connector",  # Python DataSource connector (encode+stage+read)
     "src_stream_connector",  # streaming DataSource twin (driver prefetch path)
+    "sink_replay_connector", # connector write side (two-phase commit) + read-back
 ]
 
 

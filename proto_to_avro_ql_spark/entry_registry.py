@@ -5046,3 +5046,30 @@ def q_src_stream_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     q.stop()
     return spark.table("q_stream_connector")
+
+
+@register(
+    "sink_replay_connector",
+    """SELECT event_id, user_id, event_type, value
+       FROM events""",
+)
+def q_sink_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's WRITE side (reference write-through cache,
+    Main.scala:67-104): events go OUT through
+    ``df.write.format("proto_replay")`` — per-task proto encode to temp
+    files, driver-side two-phase commit (rename-on-success, so readers
+    never see a half-written part) — and come back through the batch
+    connector read. Identity oracle closes the loop over BOTH custom
+    paths: any encode, commit-protocol, partition-naming, or decode
+    defect breaks the hash."""
+    from proto_to_avro_ql_spark.sources.replay_source import ProtoReplayDataSource
+
+    spark.dataSource.register(ProtoReplayDataSource)
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    staged = tempfile.mkdtemp(prefix="replay_sink_")
+    ev.repartition(4).write.format("proto_replay").option("path", staged).mode(
+        "append"
+    ).save()
+    return spark.read.format("proto_replay").option("path", staged).load()

@@ -35,11 +35,17 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
-from proto_to_avro_ql_spark.sources.protodec import EVENT_SPEC, decode_message
+from proto_to_avro_ql_spark.sources.protodec import (
+    EVENT_SPEC,
+    decode_message,
+    encode_message,
+)
 
 
 class ProtoReplayDataSource(DataSource):
@@ -55,6 +61,9 @@ class ProtoReplayDataSource(DataSource):
 
     def reader(self, schema) -> "ProtoReplayReader":
         return ProtoReplayReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool) -> "ProtoReplayWriter":
+        return ProtoReplayWriter(self.options["path"], overwrite)
 
 
 class ProtoReplayReader(DataSourceReader):
@@ -153,6 +162,64 @@ class ProtoReplayStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # replay files are immutable; nothing to clean up
+
+
+class _ReplayCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str) -> None:
+        self.tmp = tmp
+        self.final = final
+
+
+class ProtoReplayWriter(DataSourceWriter):
+    """Write side of the connector — the reference's write-through cache
+    (Main.scala:67-104: results staged as base64-proto lines keyed by
+    query). Each task proto-encodes its rows and writes a TEMP file;
+    the driver-side ``commit`` renames every temp to its final
+    ``part-NNNNN`` name only after ALL tasks succeed — the standard
+    two-phase output commit, so a failed/retried task can never leave a
+    half-written part visible to the readers above. ``abort`` removes
+    the temps. Same worker-shipping hygiene as the readers: the proto
+    encoder is bound at module load and travels by value."""
+
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self._path = path
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _ReplayCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            for row in iterator:
+                msg = encode_message(
+                    EVENT_SPEC,
+                    {
+                        "event_id": int(row[0]),
+                        "user_id": int(row[1]),
+                        "meta": {
+                            "event_type": row[2],
+                            "value": float(row[3]),
+                        },
+                    },
+                )
+                fh.write(base64.b64encode(msg) + b"\n")
+        return _ReplayCommit(tmp, os.path.join(self._path, f"part-{pid:05d}"))
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._path, "part-*")):
+                os.remove(old)
+        for m in messages:
+            os.replace(m.tmp, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if os.path.exists(m.tmp):
+                os.remove(m.tmp)
 
 
 from proto_to_avro_ql_spark.pickling import register_self_contained  # noqa: E402

@@ -235,3 +235,33 @@ class TestReplayConnector:
 
         with _pytest.raises(Exception, match="no replay part files"):
             df.count()
+
+    def test_writer_two_phase_commit_leaves_no_temps(self, spark, tmp_path):
+        """After a successful write: only final part files (no .tmp-*);
+        overwrite mode replaces prior parts instead of accumulating."""
+        from proto_to_avro_ql_spark.sources.replay_source import (
+            ProtoReplayDataSource,
+        )
+
+        spark.dataSource.register(ProtoReplayDataSource)
+        d = str(tmp_path / "out")
+        df = spark.createDataFrame(
+            [(1, 10, "view", 1.5), (2, 20, "click", 0.0)],
+            "event_id long, user_id long, event_type string, value double",
+        )
+        df.repartition(2).write.format("proto_replay").option("path", d).mode(
+            "append"
+        ).save()
+        import os
+
+        names = sorted(os.listdir(d))
+        assert all(n.startswith("part-") for n in names), names
+        assert len(names) == 2
+        # overwrite replaces, never accumulates
+        df.repartition(1).write.format("proto_replay").option("path", d).mode(
+            "overwrite"
+        ).save()
+        names2 = sorted(os.listdir(d))
+        assert len(names2) == 1 and names2[0].startswith("part-"), names2
+        back = spark.read.format("proto_replay").option("path", d).load()
+        assert {r.event_id for r in back.collect()} == {1, 2}
