@@ -5073,3 +5073,33 @@ def q_sink_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).save()
     return spark.read.format("proto_replay").option("path", staged).load()
+
+
+@register(
+    "sink_variant_parquet",
+    """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         'OBJECT<k: BIGINT>' AS vtype
+       FROM events""",
+)
+def q_sink_variant_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType STORAGE round trip: the open-content column is
+    written to parquet AS VARIANT (Spark 4 writes the binary variant
+    encoding under parquet's variant logical type — the lakehouse
+    semi-structured storage story), read back, and typed-extracted.
+    The oracle extracts from the original JSON, so any loss in the
+    encode→store→decode loop breaks the hash. Schema-on-write stays
+    open: unknown future fields ride along in storage without
+    migration — the at-rest counterpart of ext_variant_json's
+    query-time tolerance."""
+    ev = read_table(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="variant_pq_")
+    ev.select("event_id", F.parse_json("props").alias("v")).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    back = spark.read.parquet(staged)
+    return back.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.schema_of_variant("v").alias("vtype"),
+    )

@@ -135,3 +135,22 @@ class TestPmiAndQuantize:
         out = QUERIES["ext_embed_quantize"](spark, d).collect()
         got = {(r.vec_id, r.pos): r.q for r in out}
         assert got == {(1, 0): 76, (1, 1): 102, (1, 2): 0}  # vec 2 dropped
+
+
+class TestVariantStorage:
+    def test_unknown_fields_survive_the_parquet_round_trip(self, spark, tmp_path):
+        """Fields no reader declared still come back from storage —
+        the at-rest unknown-field tolerance the reference's translate
+        step drops (ProtoToAvroTranslator.scala:26-33)."""
+        d = str(tmp_path / "v")
+        df = spark.createDataFrame(
+            [(1, '{"k": 1, "future_field": {"nested": [7, 8]}}')],
+            "event_id long, props string",
+        )
+        df.select("event_id", F.parse_json("props").alias("v")).write.parquet(d)
+        back = spark.read.parquet(d)
+        assert back.schema["v"].dataType.typeName() == "variant"
+        row = back.select(
+            F.variant_get("v", "$.future_field.nested[1]", "bigint").alias("x")
+        ).collect()[0]
+        assert row.x == 8
