@@ -76,19 +76,49 @@ class ProtoReplayReader(DataSourceReader):
             raise FileNotFoundError(f"no replay part files under {self._path}")
         return [InputPartition(f) for f in files]
 
-    def read(self, partition):
+    def read(self, partition, _batch_rows: int = 8192):
+        # decode is per-row (wire format), but transfer is COLUMNAR:
+        # rows buffer into Arrow RecordBatches, so the Python->JVM hop
+        # is vectorized instead of per-row pickled (same Arrow path
+        # the pandas_udf surfaces use)
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+            ]
+        )
+
+        def flush(buf: list[tuple]):
+            cols = list(zip(*buf))
+            return pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                schema=schema,
+            )
+
+        buf: list[tuple] = []
         for line in open(partition.value, "rb"):
             line = line.strip()
             if not line:
                 continue
             msg = decode_message(EVENT_SPEC, base64.b64decode(line))
             meta = msg.get("meta") or {}
-            yield (
-                msg.get("event_id"),
-                msg.get("user_id"),
-                meta.get("event_type"),
-                meta.get("value"),
+            buf.append(
+                (
+                    msg.get("event_id"),
+                    msg.get("user_id"),
+                    meta.get("event_type"),
+                    meta.get("value"),
+                )
             )
+            if len(buf) >= _batch_rows:
+                yield flush(buf)
+                buf = []
+        if buf:
+            yield flush(buf)
 
 
 class ProtoReplayStreamSource(DataSource):
