@@ -48,6 +48,8 @@ SWEEP = [
     "ext_pmi_bigrams",
     "ext_embed_quantize",
     "ext_semdedup",
+    "ext_hybrid_search",
+    "src_replay_connector",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
