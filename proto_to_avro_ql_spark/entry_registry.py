@@ -5103,3 +5103,53 @@ def q_sink_variant_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.k", "bigint").alias("k"),
         F.schema_of_variant("v").alias("vtype"),
     )
+
+
+@register(
+    "ext_udtf_polymorphic",
+    f"""WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, toks[1] AS tok_0, toks[2] AS tok_1, toks[3] AS tok_2
+    FROM t""",
+)
+def q_ext_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (§2.8 completion): the output schema is
+    computed at ANALYSIS time from a literal argument — ``analyze()``
+    receives the constant n and returns an n-column StructType, so the
+    same table function serves any width without code changes (the
+    dynamic-schema capability the reference's fixed UserDefinedMappings
+    surface lacks). eval pads short docs with NULLs, matching SQL's
+    out-of-range list indexing. Row-at-a-time Python — pins the API
+    surface (see ext_udtf_tokens), not the scale path."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstNTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            norm = _re.sub(r"\s+", " ", (text or "").lower()).strip()
+            toks = norm.split(" ")
+            yield tuple(
+                (toks[i] if i < len(toks) else None) for i in range(n)
+            )
+
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    spark.udtf.register("first_n_tokens", FirstNTokens)
+    docs.createOrReplaceTempView("udtf_poly_src")
+    return spark.sql(
+        """SELECT d.doc_id, t.tok_0, t.tok_1, t.tok_2
+           FROM udtf_poly_src d, LATERAL first_n_tokens(d.text, 3) t"""
+    )

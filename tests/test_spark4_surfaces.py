@@ -154,3 +154,29 @@ class TestVariantStorage:
             F.variant_get("v", "$.future_field.nested[1]", "bigint").alias("x")
         ).collect()[0]
         assert row.x == 8
+
+
+class TestPolymorphicUdtf:
+    def test_schema_follows_literal_width(self, spark, sf_dir):
+        """The same UDTF yields different column sets for different
+        literal widths — schema is an analyze-time function of args."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        out3 = QUERIES["ext_udtf_polymorphic"](spark, sf_dir)
+        assert out3.columns == ["doc_id", "tok_0", "tok_1", "tok_2"]
+        out5 = spark.sql(
+            "SELECT t.* FROM udtf_poly_src d, LATERAL first_n_tokens(d.text, 5) t"
+        )
+        assert out5.columns == [f"tok_{i}" for i in range(5)]
+
+    def test_non_literal_width_is_rejected(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        QUERIES["ext_udtf_polymorphic"](spark, sf_dir)  # registers the UDTF
+        with _pytest.raises(Exception, match="literal|constant"):
+            spark.sql(
+                "SELECT t.* FROM udtf_poly_src d, "
+                "LATERAL first_n_tokens(d.text, CAST(d.doc_id AS INT)) t"
+            ).collect()
