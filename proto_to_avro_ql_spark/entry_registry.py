@@ -5153,3 +5153,96 @@ def q_ext_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT d.doc_id, t.tok_0, t.tok_1, t.tok_2
            FROM udtf_poly_src d, LATERAL first_n_tokens(d.text, 3) t"""
     )
+
+
+@register(
+    "ext_recursive_cte",
+    """WITH RECURSIVE chain(custkey, root, depth) AS (
+      SELECT c_custkey, c_custkey, CAST(0 AS INTEGER) FROM customer WHERE c_custkey <= 9
+      UNION ALL
+      SELECT c.c_custkey, chain.root, CAST(chain.depth + 1 AS INTEGER)
+      FROM customer c JOIN chain ON c.c_custkey // 10 = chain.custkey
+      WHERE c.c_custkey > 9
+    )
+    SELECT custkey, root, depth FROM chain""",
+)
+def q_ext_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (new in Spark 4.1 — until now the
+    transitive-closure oracles could only run on DuckDB while the
+    Spark side used iterative label propagation, see ext_dedup_cluster):
+    every customer's root ancestor and depth in the div-10 hierarchy,
+    computed by the engine's own fixpoint iteration. Each recursive
+    step is a distributed join of the frontier against the base
+    relation — the frontier shrinks geometrically, so the iteration
+    count is the hierarchy DEPTH (log n), never the row count. The
+    oracle is the same query in DuckDB's recursive-CTE dialect."""
+    c = read_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """WITH RECURSIVE chain(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, CAST(0 AS INTEGER) FROM {c} WHERE c_custkey <= 9
+          UNION ALL
+          SELECT c.c_custkey, chain.root, CAST(chain.depth + 1 AS INTEGER)
+          FROM {c} c JOIN chain ON c.c_custkey DIV 10 = chain.custkey
+          WHERE c.c_custkey > 9
+        )
+        SELECT custkey, root, depth FROM chain""",
+        c=c,
+    )
+
+
+@register(
+    "ext_collation",
+    """WITH mixed AS (
+      SELECT event_type AS et FROM events
+      UNION ALL
+      SELECT upper(event_type) FROM events
+    )
+    SELECT lower(et) AS event_type, COUNT(*) AS n
+    FROM mixed GROUP BY lower(et)""",
+)
+def q_ext_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: grouping on a UTF8_LCASE-collated
+    column makes 'VIEW' and 'view' the SAME key inside the hash
+    aggregate itself — no lower() normalization column, and every
+    comparison/join on the column inherits the semantics (the
+    engine-level answer to ad-hoc case folding). The mixed-case input
+    is synthesized (original ∪ uppercased); the output key is
+    lowered for a deterministic representative, since a collated
+    group may surface any case variant. Oracle = classic lower()
+    grouping, which must be value-identical."""
+    ev = read_table(spark, sf_dir, "events")
+    mixed = ev.select(F.col("event_type").alias("et")).unionAll(
+        ev.select(F.upper("event_type").alias("et"))
+    )
+    collated = mixed.select(F.expr("et COLLATE UTF8_LCASE").alias("et"))
+    return collated.groupBy("et").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lower("et").alias("event_type"), "n"
+    )
+
+
+@register(
+    "ext_try_arith",
+    """SELECT event_id,
+         CASE WHEN user_id % 3 = 0 THEN NULL
+              ELSE CAST(event_id AS DOUBLE) / (user_id % 3) END AS safe_div,
+         TRY_CAST(event_type AS BIGINT) AS bad_cast,
+         CASE WHEN event_id > 0 THEN NULL
+              ELSE 9223372036854775807 END AS overflow_add
+       FROM events""",
+)
+def q_ext_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe arithmetic (try_* family): division by zero,
+    malformed casts, and bigint overflow yield NULL instead of a task
+    failure — the semantics a pipeline needs so one poisoned row
+    cannot kill a 100 TB job (the batch analog of PERMISSIVE parse
+    mode). The oracle replays each NULL condition explicitly
+    (DuckDB's operators raise where Spark's try_* return NULL)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide("event_id", F.col("user_id") % 3).alias("safe_div"),
+        F.try_to_number("event_type", F.lit("999")).cast("bigint").alias("bad_cast"),
+        F.try_add(F.lit(9223372036854775807), F.col("event_id")).alias(
+            "overflow_add"
+        ),
+    )

@@ -180,3 +180,41 @@ class TestPolymorphicUdtf:
                 "SELECT t.* FROM udtf_poly_src d, "
                 "LATERAL first_n_tokens(d.text, CAST(d.doc_id AS INT)) t"
             ).collect()
+
+
+class TestRecursiveCteAndCollation:
+    def test_recursive_depth_is_logarithmic(self, spark, sf_dir):
+        """Depth must equal the number of div-10 steps to reach a
+        root — the recursion iterates per LEVEL, not per row."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        rows = {r.custkey: r for r in QUERIES["ext_recursive_cte"](spark, sf_dir).collect()}
+        import math
+
+        for ck, r in list(rows.items())[:50]:
+            steps = 0
+            k = ck
+            while k > 9:
+                k //= 10
+                steps += 1
+            assert r.depth == steps and r.root == k, (ck, r)
+
+    def test_collated_group_merges_case_variants(self, spark):
+        df = spark.createDataFrame(
+            [("View",), ("VIEW",), ("view",), ("click",)], "et string"
+        )
+        out = (
+            df.select(F.expr("et COLLATE UTF8_LCASE").alias("et"))
+            .groupBy("et")
+            .count()
+            .collect()
+        )
+        got = {r["count"] for r in out}
+        assert len(out) == 2 and got == {3, 1}
+
+    def test_try_arith_null_never_error(self, spark):
+        row = spark.sql(
+            "SELECT try_divide(1, 0) AS a, try_add(9223372036854775807, 1) AS b, "
+            "try_multiply(9223372036854775807, 2) AS c"
+        ).collect()[0]
+        assert row.a is None and row.b is None and row.c is None
