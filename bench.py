@@ -60,6 +60,9 @@ HEADLINE = [
     "src_replay_connector",  # Python DataSource connector (encode+stage+read)
     "src_stream_connector",  # streaming DataSource twin (driver prefetch path)
     "sink_replay_connector", # connector write side (two-phase commit) + read-back
+    "ext_recursive_cte",     # native WITH RECURSIVE fixpoint (Spark 4.1)
+    "ext_collation",         # UTF8_LCASE grouping
+    "ext_try_arith",         # ANSI try_* error-safe arithmetic
 ]
 
 

@@ -62,6 +62,7 @@ AUDIT = {
     "ext_semdedup": "SemDeDup cell-scoped pairs (salted cell join + key anti-join)",
     "ext_multimodal_resize": "NN resize (one Arrow pass, no shuffle)",
     "ext_hybrid_search": "RRF fusion of BM25 + cosine top-20 (20-row join)",
+    "ext_recursive_cte": "native recursive CTE (frontier joins to fixpoint)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
