@@ -5246,3 +5246,307 @@ def q_ext_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflow_add"
         ),
     )
+
+
+# ===========================================================================
+# Round 3, session 3 — completing the §2.8 arbitrary-logic family
+# (grouped-AGGREGATE pandas UDF, cogrouped applyInPandas, Arrow-native
+# mapInArrow) plus EWMA, fixed-iteration PageRank, and a CSV source.
+# ===========================================================================
+
+
+@register(
+    "udf_grouped_agg_pandas",
+    """SELECT user_id,
+         COUNT(*) AS n,
+         MAX(value) - MIN(value) AS value_range
+       FROM events GROUP BY user_id""",
+)
+def q_udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (§2.8 surface #5, completing the
+    family: scalar pandas_udf, grouped-map applyInPandas, cogrouped,
+    UDTF, and this — a user Python aggregate usable inside groupBy().
+    agg() next to built-ins, executing once per group over an Arrow
+    batch). The aggregate itself is max-min: both are exact
+    order-independent reductions, so the Python result is bit-equal to
+    the engines' — no decimal machinery needed (contrast
+    udf_grouped_pandas, which mirrors decimal sums in Python)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # GROUPED_AGG vs SCALAR is inferred from EVALUATED type hints
+    # (Series -> scalar ⇒ aggregate); this module runs under
+    # `from __future__ import annotations`, which stringifies inline
+    # hints, so the annotations are attached explicitly.
+    def _value_range(v):  # pd.Series -> scalar, one call per group
+        mx, mn = v.max(), v.min()
+        return None if pd.isna(mx) else float(mx - mn)
+
+    def _n_rows(v):  # COUNT(*): Arrow batch length, NaN rows included
+        return len(v)
+
+    _value_range.__annotations__ = {"v": pd.Series, "return": float}
+    _n_rows.__annotations__ = {"v": pd.Series, "return": int}
+    value_range = pandas_udf(_value_range, "double")
+    n_rows = pandas_udf(_n_rows, "long")
+
+    # NB: Spark refuses to MIX pandas UDAFs with built-in aggregates in
+    # one agg() (MISSING_AGGREGATION), so the row count is a pandas
+    # aggregate too.
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        n_rows(F.col("value")).alias("n"),
+        value_range(F.col("value")).alias("value_range"),
+    )
+
+
+@register(
+    "udf_cogrouped_pandas",
+    """WITH e AS (SELECT user_id AS k, COUNT(*) AS n_events
+                  FROM events GROUP BY 1),
+         o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders
+                  FROM orders GROUP BY 1)
+       SELECT COALESCE(e.k, o.k) AS k,
+              COALESCE(e.n_events, 0) AS n_events,
+              COALESCE(o.n_orders, 0) AS n_orders
+       FROM e FULL OUTER JOIN o ON e.k = o.k""",
+)
+def q_udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (§2.8): TWO relations grouped on the
+    same key and handed to user Python side-by-side — the custom-join
+    escape hatch (per-key reconciliation, asof logic, set diffing)
+    when no SQL join shape fits. Shuffle = one hash partition per
+    side on the key, same as a shuffle join; Python sees each key
+    once. Here: activity-vs-purchases reconciliation with full-outer
+    semantics (cogroup invokes the function for keys present on
+    EITHER side, so absent sides yield 0)."""
+    import pandas as pd
+
+    def reconcile(key, ev_pdf, ord_pdf):  # executes on workers
+        return pd.DataFrame(
+            {"k": [key[0]], "n_events": [len(ev_pdf)], "n_orders": [len(ord_pdf)]}
+        )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    return (
+        ev.groupBy("k")
+        .cogroup(orders.groupBy("k"))
+        .applyInPandas(reconcile, schema="k long, n_events long, n_orders long")
+    )
+
+
+@register(
+    "ext_map_in_arrow",
+    """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+       FROM documents""",
+)
+def q_ext_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE batch transform via mapInArrow: the user function
+    receives pyarrow.RecordBatch objects and computes with
+    pyarrow.compute kernels — no pandas materialization at all, the
+    zero-copy fast lane for batch Python when the logic is expressible
+    over Arrow arrays (here: UTF-8 codepoint vs byte length). At 100 TB
+    this is the cheapest possible Python hop: one C-level kernel call
+    per batch, no per-row objects, no pandas conversion."""
+
+    def arrow_lengths(batches):  # executes on workers; Arrow in, Arrow out
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_bytes"],
+            )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        arrow_lengths, schema="doc_id long, n_chars long, n_bytes long"
+    )
+
+
+_EWMA_TERMS_SQL = "\n         + ".join(
+    f"COALESCE(lag(v6, {k}) OVER w, 0) * {1 << (9 - k)}" for k in range(10)
+)
+
+@register(
+    "ext_ewma",
+    f"""WITH t AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS v6
+      FROM events
+    )
+    SELECT event_id, user_id,
+         CAST({_EWMA_TERMS_SQL} AS DOUBLE) / 512000000.0 AS ewma
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_ext_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (decay 0.5,
+    truncated at 10 lags — the trailing-signal smoother for metrics
+    and feature pipelines). All 10 lag terms come out of ONE window
+    node over one shuffle on user_id (bounded state, same as
+    ext_moving_avg). Cross-engine determinism: casting the PRODUCT
+    value*0.5^k to decimal diverges by an ulp at the 6th digit (Spark
+    rounds the exact binary expansion, DuckDB the 1e6-scaled double —
+    caught at sf0.01), so the whole kernel runs in INTEGER MICROS:
+    value → exact micros once (the verified-consistent decimal cast),
+    power-of-two weights scaled by 512 keep every term integral, the
+    weighted sum is exact bigint arithmetic (associative, < 2^53),
+    and one final double division by 512e6 is deterministic IEEE on
+    both engines."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value").cast(DEC) * 1000000).cast("bigint").alias("v6"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.lit(0).cast("bigint")
+    for k in range(10):
+        s = s + F.coalesce(F.lag("v6", k).over(w), F.lit(0)) * F.lit(1 << (9 - k))
+    return t.select(
+        "event_id",
+        "user_id",
+        (s.cast("double") / F.lit(512000000.0)).alias("ewma"),
+    )
+
+
+_PAGERANK_SQL = """WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), outdeg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes
+), it1 AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
+           CAST(r.rank / outdeg.d AS DECIMAL(38,6))
+         ), 0) AS DOUBLE) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN outdeg ON outdeg.src = e.src
+  LEFT JOIN r0 r ON r.node = e.src
+  GROUP BY n.node
+), it2 AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
+           CAST(r.rank / outdeg.d AS DECIMAL(38,6))
+         ), 0) AS DOUBLE) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN outdeg ON outdeg.src = e.src
+  LEFT JOIN it1 r ON r.node = e.src
+  GROUP BY n.node
+), it3 AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
+           CAST(r.rank / outdeg.d AS DECIMAL(38,6))
+         ), 0) AS DOUBLE) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN outdeg ON outdeg.src = e.src
+  LEFT JOIN it2 r ON r.node = e.src
+  GROUP BY n.node
+)
+SELECT node, rank FROM it3"""
+
+
+@register("ext_pagerank", _PAGERANK_SQL)
+def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 steps, damping 0.85) over the
+    customer→supplier purchase graph — the canonical ITERATIVE
+    distributed computation (the GraphX example shape), expressed as
+    repeated DataFrame joins: each step is contributions =
+    ranks ⋈ edges (shuffle on src) then a sum regrouped on dst. The
+    edge relation is re-used across steps (cached); the iteration
+    count is fixed, so lineage stays bounded (contrast
+    ext_dedup_cluster's convergence loop with checkpointing).
+    Per-edge contributions are cast to DECIMAL(38,6) before the sum —
+    the one float reduction per step — so every iteration (and hence
+    the fixpoint trajectory) is partition-order independent; the
+    dangling-mass simplification matches the textbook/GraphX variant.
+    Scale: ranks and outdeg are node-cardinality, edges dominate; each
+    step shuffles edges once on src and once on dst — at 100 TB you'd
+    pre-partition edges by src so only the dst regroup shuffles."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+        .cache()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    edge_deg = edges.join(outdeg, "src")  # (src, dst, d)
+    for _ in range(3):
+        contribs = (
+            edge_deg.join(ranks, edge_deg["src"] == ranks["node"])
+            .select(
+                "dst",
+                (F.col("rank") / F.col("d")).cast(DEC).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("incoming").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+@register(
+    "src_csv_scan",
+    """SELECT event_id, user_id, event_type, value FROM events""",
+)
+def q_src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round trip: events staged as headered CSV (the
+    interchange format every upstream system can emit) and read back
+    with an EXPLICIT schema — schema-on-read without inference (an
+    inference pass reads the data twice and can mis-type at scale;
+    production CSV ingestion always declares). Doubles survive
+    exactly: the writer emits Java shortest round-trip reprs. CSV
+    splits by line, so unlike the proto connector the scan
+    parallelizes natively at any scale."""
+    import os
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "events_csv")
+    ev.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).option("header", True).csv(path)
