@@ -5550,3 +5550,128 @@ def q_src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
     ).option("header", True).csv(path)
+
+
+@register(
+    "ext_dedup_containment",
+    f"""WITH {_NGRAM_PAIRS_CTES}
+    , cpairs AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(inter AS DOUBLE) / LEAST(n_a, n_b), 6) AS containment
+      FROM pairs
+    )
+    SELECT id_a, id_b, containment FROM cpairs WHERE containment >= 0.8""",
+)
+def q_ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs — the
+    asymmetric companion to Jaccard: |A∩B| / min(|A|,|B|) flags a
+    short document EMBEDDED in a longer one (quote inclusion,
+    truncated re-crawls), which the union-denominator Jaccard
+    dilutes. Identical blocking/suppression plan to
+    ext_dedup_ngram_jaccard; both engines threshold the ROUNDED
+    coefficient."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, threshold=0.8, max_df=100)
+
+
+@register(
+    "join_null_safe",
+    """WITH e AS (SELECT NULLIF(user_id, 0) AS k, COUNT(*) AS n_events
+                  FROM events GROUP BY 1),
+         o AS (SELECT NULLIF(o_custkey, 0) AS k, COUNT(*) AS n_orders
+                  FROM orders GROUP BY 1)
+       SELECT e.k AS k, e.n_events, o.n_orders
+       FROM e JOIN o ON e.k IS NOT DISTINCT FROM o.k""",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    needed when a join key is legitimately absent on both sides
+    (unattributed traffic, anonymous users). Spark plans `<=>` as a
+    normal hash-join key (null-safe equality is still an equi
+    predicate — no fallback to nested-loop), so the plan and its
+    scale behavior match join_equi_inner. Key 0 is NULLIF'd to
+    synthesize the NULL group deterministically."""
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    e = (
+        ev.select(F.nullif(F.col("user_id"), F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    o = (
+        orders.select(F.nullif(F.col("o_custkey"), F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return e.join(o, e["k"].eqNullSafe(o["k"])).select(
+        e["k"].alias("k"), "n_events", "n_orders"
+    )
+
+
+@register(
+    "ext_lateral_topk",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer c, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE orders.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+       ) t""",
+)
+def q_ext_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): per-customer
+    top-2 orders expressed as a dependent subquery with ORDER BY +
+    LIMIT — the SQL-standard form of per-group top-k. Catalyst
+    DECORRELATES it into a window/join plan rather than executing a
+    per-row subquery, so it scales like ext_topk_per_group instead of
+    like a nested loop; the plan audit pins that. Deterministic via
+    the o_orderkey tiebreak."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_lat_customer")
+    o.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           FROM _lat_customer c, LATERAL (
+             SELECT o_orderkey, o_totalprice FROM _lat_orders
+             WHERE _lat_orders.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+           ) t"""
+    )
+
+
+@register(
+    "ext_winsorize",
+    """WITH p AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS p05,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           LEAST(GREATEST(e.value, p.p05), p.p95) AS clipped
+    FROM events e JOIN p ON e.event_type = p.event_type""",
+)
+def q_ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) feature scaling per event type —
+    the outlier-robust normalization a feature pipeline applies before
+    training. Two passes: exact interpolated percentiles per group
+    (tiny relation, broadcast back), then a map-side clip — the raw
+    relation shuffles once for the percentile sort-agg and never
+    again. Percentiles are rounded to 6 on both engines before the
+    clip so the compare-and-replace is bit-deterministic (Spark
+    `percentile` == DuckDB `quantile_cont`, pinned by
+    ext_percentiles); clipped outputs are either raw doubles (exact)
+    or the rounded bound."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    return ev.join(F.broadcast(p), "event_type").select(
+        "event_id",
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "clipped"
+        ),
+    )

@@ -147,6 +147,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs:
+    |A∩B| / min(|A|,|B|) over n-gram shingle sets — the asymmetric
+    companion to Jaccard that catches a short document EMBEDDED in a
+    longer one (quote inclusion, boilerplate wrapping, truncated
+    re-crawls), which Jaccard misses because the union denominator is
+    dominated by the longer side. Same inverted-index blocking and
+    hot-shingle suppression as ngram_jaccard_pairs; only the
+    denominator differs, so the plan shape (and its 100 TB behavior)
+    is identical."""
+    sh = exploded_shingles(docs, text_col, id_col, n).persist()
+
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
+    cold = sh.join(hot, "shingle", "left_anti")
+
+    a = cold.select(F.col("shingle"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    b = cold.select(F.col("shingle"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ov = F.round(F.col("inter") / F.least("n_a", "n_b"), 6)
+    return (
+        pairs.select("id_a", "id_b", ov.alias("containment"))
+        # threshold the ROUNDED value on both engines (sf0.1 lesson:
+        # a raw-vs-rounded threshold split flips pairs at an ulp)
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # --- MinHash LSH -----------------------------------------------------------
 
 

@@ -130,6 +130,74 @@ class TestPageRank:
         assert a == b  # decimal contribution sums ⇒ order-independent
 
 
+class TestContainment:
+    def test_embedded_short_doc_caught(self, spark, tmp_path):
+        from proto_to_avro_ql_spark.operators import dedup as DD
+
+        long_text = " ".join(f"w{i}" for i in range(40))
+        short_text = " ".join(f"w{i}" for i in range(10, 20))  # embedded slice
+        docs = spark.createDataFrame(
+            [(1, long_text), (2, short_text), (3, "totally different words here")],
+            "doc_id long, text string",
+        )
+        cont = {(r.id_a, r.id_b): r.containment
+                for r in DD.containment_pairs(docs, threshold=0.8).collect()}
+        assert cont.get((1, 2)) == 1.0  # short ⊂ long → full containment
+        # Jaccard misses the same pair at any useful threshold
+        jac = {(r.id_a, r.id_b): r.jaccard
+               for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+        assert (1, 2) not in jac
+
+    def test_empty(self, spark):
+        from proto_to_avro_ql_spark.operators import dedup as DD
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert DD.containment_pairs(empty).count() == 0
+
+
+class TestNullSafeJoin:
+    def test_null_keys_match(self, spark, sf_dir):
+        rows = {r.k: (r.n_events, r.n_orders)
+                for r in QUERIES["join_null_safe"](spark, sf_dir).collect()}
+        assert None in rows  # the NULLIF'd key-0 groups matched each other
+        ne, no = rows[None]
+        assert ne > 0 and no > 0
+
+
+class TestLateralTopk:
+    def test_per_group_limit_and_order(self, spark, sf_dir):
+        import collections
+
+        out = QUERIES["ext_lateral_topk"](spark, sf_dir).collect()
+        per_cust = collections.defaultdict(list)
+        for r in out:
+            per_cust[r.c_custkey].append(r.o_totalprice)
+        assert all(len(v) <= 2 for v in per_cust.values())
+        assert any(len(v) == 2 for v in per_cust.values())
+
+
+class TestWinsorize:
+    def test_bounds_respected(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        out = QUERIES["ext_winsorize"](spark, sf_dir)
+        ev = read_table(spark, sf_dir, "events")
+        per_type = (
+            out.groupBy("event_type")
+            .agg(F.min("clipped").alias("lo"), F.max("clipped").alias("hi"))
+            .collect()
+        )
+        raw = {
+            r.event_type: (r.lo, r.hi)
+            for r in ev.groupBy("event_type")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        }
+        for r in per_type:  # clipping can only narrow the range
+            assert r.lo >= raw[r.event_type][0]
+            assert r.hi <= raw[r.event_type][1]
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
