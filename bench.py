@@ -63,6 +63,14 @@ HEADLINE = [
     "ext_recursive_cte",     # native WITH RECURSIVE fixpoint (Spark 4.1)
     "ext_collation",         # UTF8_LCASE grouping
     "ext_try_arith",         # ANSI try_* error-safe arithmetic
+    # round 3, session 3: arbitrary-logic family + iteration + robust stats
+    "ext_pagerank",          # 3-iteration damped PageRank (repeated joins)
+    "ext_ewma",              # 10-lag decay smoother, one window node
+    "ext_map_in_arrow",      # Arrow-native Python hop (pyarrow.compute)
+    "udf_grouped_agg_pandas",  # user Python aggregate in groupBy().agg()
+    "ext_lateral_topk",      # correlated LATERAL, decorrelated plan
+    "ext_winsorize",         # p05/p95 clip, percentile broadcast
+    "ext_dedup_containment", # overlap-coefficient near-dup pairs
 ]
 
 

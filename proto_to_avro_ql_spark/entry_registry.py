@@ -5675,3 +5675,110 @@ def q_ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+@register(
+    "ext_markov_transitions",
+    """WITH s AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT cur, nxt, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY cur) AS p
+    FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt""",
+)
+def q_ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model primitive behind next-action
+    prediction and session simulators): one lead() window on the
+    user shuffle, then a transition-pair count; row-normalized
+    probabilities via an integer-sum window over the TINY aggregated
+    (cur,nxt) relation — exact counts, one deterministic double
+    division, no float accumulation anywhere."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = s.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", "n",
+        (F.col("n").cast("double") / F.sum("n").over(wc)).alias("p"),
+    )
+
+
+@register(
+    "ext_period_over_period",
+    """WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(38,6))) AS rev
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - lag(rev) OVER w AS DOUBLE)
+             / CAST(NULLIF(lag(rev) OVER w, 0) AS DOUBLE) AS growth
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)""",
+)
+def q_ext_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth (the reporting staple): daily revenue
+    per event type with day-over-day relative change. Daily sums
+    accumulate in DECIMAL(38,6) (exact, order-independent); the growth
+    ratio is ONE double division of exact decimals, so no rounding is
+    needed. The lag window partitions by event_type over the tiny
+    aggregated relation — never a single-partition global window; the
+    first day per type is NULL growth by definition."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("rev").over(w)
+    return d.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            (F.col("rev") - prev).cast("double")
+            # NULLIF guards the zero-revenue day: Spark's double/0 is
+            # NULL but DuckDB's raises — align on NULL growth
+            / F.nullif(prev, F.lit(0).cast(DEC)).cast("double")
+        ).alias("growth"),
+    )
+
+
+@register(
+    "ext_listagg",
+    """SELECT r.r_name AS region,
+              string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def q_ext_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's LISTAGG ... WITHIN GROUP
+    (ORDER BY ...), the SQL-standard form (replacing the classic
+    array_sort(collect_list()) idiom): nation names per region as one
+    deterministic comma-joined string. The WITHIN GROUP sort happens
+    inside the aggregate buffer (a sort-aggregate over the group's
+    values), not as a global sort."""
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations")
+        )
+    )

@@ -198,6 +198,42 @@ class TestWinsorize:
             assert r.hi <= raw[r.event_type][1]
 
 
+class TestMarkovTransitions:
+    def test_rows_are_distributions(self, spark, sf_dir):
+        import collections
+
+        out = QUERIES["ext_markov_transitions"](spark, sf_dir).collect()
+        per_cur = collections.defaultdict(float)
+        for r in out:
+            assert 0.0 < r.p <= 1.0
+            per_cur[r.cur] += r.p
+        for cur, total in per_cur.items():
+            assert abs(total - 1.0) < 1e-9, (cur, total)
+
+
+class TestPeriodOverPeriod:
+    def test_first_day_growth_null(self, spark, sf_dir):
+        out = QUERIES["ext_period_over_period"](spark, sf_dir).collect()
+        first_day = {}
+        for r in out:
+            if r.event_type not in first_day or r.day < first_day[r.event_type]:
+                first_day[r.event_type] = r.day
+        for r in out:
+            if r.day == first_day[r.event_type]:
+                assert r.growth is None
+            assert r.revenue is not None
+
+
+class TestListagg:
+    def test_within_group_order(self, spark, sf_dir):
+        out = {r.region: r.nations for r in
+               QUERIES["ext_listagg"](spark, sf_dir).collect()}
+        for nations in out.values():
+            parts = nations.split(",")
+            assert parts == sorted(parts)
+            assert len(parts) >= 1
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
