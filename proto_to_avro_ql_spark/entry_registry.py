@@ -5758,6 +5758,163 @@ def q_ext_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_token_bpe",
+    r"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+           AS BIGINT) AS n_bpe,
+         CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = ''
+              THEN 0 ELSE len(string_split(
+                trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END
+           AS BIGINT) AS n_ws
+       FROM documents""",
+)
+def q_ext_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pre-tokenizer token counting (functions/text.py
+    token_count_bpe) next to the whitespace count — the budget unit an
+    LLM data pipeline actually plans with: contractions, punctuation
+    runs, and digit runs split off as separate tokens, approximating
+    real-tokenizer counts far better than whitespace words. The
+    pattern is restricted to the regex subset Java (Spark) and RE2
+    (DuckDB) evaluate identically — no lookahead. Pure column
+    expressions, zero exchanges."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_bpe(F.col("text")).cast("long").alias("n_bpe"),
+        TX.token_count_ws(F.col("text")).cast("long").alias("n_ws"),
+    )
+
+
+@register(
+    "ext_schema_diff",
+    """SELECT * FROM (VALUES
+         ('lang',    'removed', 'string', NULL),
+         ('n_chars', 'retyped', 'bigint', 'int'),
+         ('quality', 'added',   NULL,     'double')
+       ) t(field, change, from_type, to_type)""",
+)
+def q_ext_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution diff (the proto world's descriptor-version
+    compare — the reference's translator is regenerated per proto
+    change; an engine needs the delta report): current table schema
+    vs the declared next version, emitting added / removed / retyped
+    fields. Compile-time like compile_field_bind — resolves against
+    the analyzer's schema, reads no data. src_schema_evolution covers
+    READING across versions; this is the audit that precedes it."""
+    cur = {f.name: f.dataType.simpleString()
+           for f in read_table(spark, sf_dir, "documents").schema.fields}
+    nxt = {  # declared v2: drop lang, narrow n_chars, add quality
+        "doc_id": "bigint", "text": "string", "source": "string",
+        "n_chars": "int", "quality": "double",
+    }
+    rows = []
+    for name in sorted(set(cur) | set(nxt)):
+        if name not in nxt:
+            rows.append((name, "removed", cur[name], None))
+        elif name not in cur:
+            rows.append((name, "added", None, nxt[name]))
+        elif cur[name] != nxt[name]:
+            rows.append((name, "retyped", cur[name], nxt[name]))
+    return spark.createDataFrame(
+        rows, "field string, change string, from_type string, to_type string"
+    )
+
+
+_URL_SYNTH_SQL = """concat(
+      'HTTPS://',
+      CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+      source, '.example.com/docs/', doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+        WHEN 1 THEN '?a=1&b=2'
+        WHEN 2 THEN '?b=2&a=1&utm_campaign=x'
+        ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"""
+
+
+@register(
+    "ext_url_normalize",
+    f"""WITH u AS (
+      SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+        split_part(url, '#', 1) AS no_frag
+      FROM u
+    ), comps AS (
+      SELECT doc_id, url,
+        regexp_replace(lower(split_part(split_part(no_frag, '://', 2), '/', 1)),
+                       '^www\\.', '') AS host,
+        split_part(substr(split_part(no_frag, '://', 2),
+                   len(split_part(split_part(no_frag, '://', 2), '/', 1)) + 1),
+                   '?', 1) AS path,
+        split_part(no_frag, '?', 2) AS qs
+      FROM parts
+    ), canon AS (
+      SELECT doc_id, url, host, path,
+        array_to_string(list_sort(list_filter(string_split(qs, '&'),
+          x -> NOT regexp_matches(x, '^utm_'))), '&') AS cqs
+      FROM comps
+    )
+    SELECT doc_id,
+           concat('https://', host, path,
+                  CASE WHEN cqs = '' THEN '' ELSE concat('?', cqs) END)
+             AS canonical_url
+    FROM canon""",
+)
+def q_ext_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-curation normalizer that makes
+    exact dedup catch re-crawls: case-folded scheme+host, stripped
+    www. prefix and fragment, tracking (utm_*) params dropped, and the
+    remaining query params SORTED so parameter order stops mattering.
+    Synthesized deterministic URLs over documents (4 query shapes × 2
+    host shapes × fragments). All narrow string/array expressions —
+    zero exchanges; at crawl scale this runs inside the scan stage.
+    Spark's split_part/filter/array_sort mirror DuckDB's
+    split_part/list_filter/list_sort exactly for ASCII."""
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/docs/"), F.col("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?a=1&b=2"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    no_frag = F.split_part(F.col("url"), F.lit("#"), F.lit(1))
+    host_path = F.split_part(no_frag, F.lit("://"), F.lit(2))
+    raw_host = F.split_part(host_path, F.lit("/"), F.lit(1))
+    host = F.regexp_replace(F.lower(raw_host), "^www\\.", "")
+    path = F.split_part(
+        F.substr(host_path, F.length(raw_host) + 1), F.lit("?"), F.lit(1)
+    )
+    qs = F.split_part(no_frag, F.lit("?"), F.lit(2))
+    cqs = F.array_join(
+        F.array_sort(
+            F.filter(F.split(qs, "&"), lambda p: ~p.rlike("^utm_"))
+        ),
+        "&",
+    )
+    comps = u.select(
+        "doc_id", host.alias("host"), path.alias("path"), cqs.alias("cqs")
+    )
+    return comps.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(F.col("cqs") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("cqs"))
+            ),
+        ).alias("canonical_url"),
+    )
+
+
+@register(
     "ext_listagg",
     """SELECT r.r_name AS region,
               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations

@@ -49,6 +49,23 @@ def token_count_word(col: Column) -> Column:
     return F.regexp_count(col, F.lit(WORD_RE))
 
 
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, and punctuation
+# runs. The upstream pattern's trailing-whitespace lookahead is
+# dropped (RE2 has no lookahead); whitespace between matches is
+# simply not counted, which matches BPE accounting closely enough
+# for budget estimation.
+BPE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE pre-tokenizer token count (the budget unit LLM pipelines
+    plan with — closer to real tokenizer counts than whitespace
+    splitting because punctuation and contractions split off)."""
+    return F.regexp_count(col, F.lit(BPE_RE))
+
+
 def punct_ratio(col: Column) -> Column:
     n = F.length(col)
     p = F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]"))

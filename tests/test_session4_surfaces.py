@@ -234,6 +234,43 @@ class TestListagg:
             assert len(parts) >= 1
 
 
+class TestBpeTokens:
+    def test_contractions_and_punct_split(self, spark):
+        from proto_to_avro_ql_spark.functions.text import token_count_bpe
+
+        df = spark.createDataFrame(
+            [
+                (1, "don't stop"),        # don + 't + stop
+                (2, "hello, world!"),     # hello + , + world + !
+                (3, "abc123"),            # abc + 123 split at the digit run
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.n for r in
+               df.select("doc_id", token_count_bpe(F.col("text")).alias("n")).collect()}
+        assert out[1] == 3
+        assert out[2] == 4
+        assert out[3] == 2
+        assert out[4] == 0
+
+
+class TestUrlNormalize:
+    def test_canonical_forms(self, spark, sf_dir):
+        out = {r.doc_id: r.canonical_url for r in
+               QUERIES["ext_url_normalize"](spark, sf_dir).collect()}
+        for doc_id, url in out.items():
+            assert url.startswith("https://")     # scheme folded
+            assert "www." not in url              # www stripped
+            assert "utm_" not in url              # tracking params dropped
+            assert "#" not in url                 # fragment dropped
+        # param order normalized: ?a=1&b=2 regardless of synthesized order
+        reordered = [u for u in out.values() if u.endswith("?a=1&b=2")]
+        assert len(reordered) > 0
+        # doc_id%4 in {0,1,2} all canonicalize to the same query string
+        assert not any("b=2&a=1" in u for u in out.values())
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
