@@ -518,3 +518,65 @@ class TestRound3SurfacePlans:
 
         plan = physical_plan(QUERIES["ext_embed_quantize"](spark, sf_dir))
         assert "Exchange" not in plan, plan
+
+
+class TestSession4Plans:
+    """Round-3 session-3 surfaces: the plan shapes measured at review
+    time, pinned so regressions surface as test failures."""
+
+    def _plan(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return physical_plan(QUERIES[name](spark, sf_dir))
+
+    def test_ewma_one_window_one_exchange(self, spark, sf_dir):
+        """All 10 lag terms come out of ONE window node on one
+        user-keyed shuffle — adding lags must not add exchanges."""
+        plan = self._plan(spark, sf_dir, "ext_ewma")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Window ") == 1, plan
+
+    def test_winsorize_percentiles_broadcast_back(self, spark, sf_dir):
+        """One exchange for the percentile agg; the tiny bounds relation
+        broadcasts back — the raw relation never shuffles twice."""
+        plan = self._plan(spark, sf_dir, "ext_winsorize")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_lateral_topk_is_decorrelated(self, spark, sf_dir):
+        """The correlated LATERAL subquery must decorrelate into a
+        window/join plan — never a per-outer-row nested loop."""
+        plan = self._plan(spark, sf_dir, "ext_lateral_topk")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("Window ") == 1, plan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    def test_markov_three_exchanges(self, spark, sf_dir):
+        """lead() window on user, (cur,nxt) agg, row-normalize window
+        on cur — three keyed exchanges, no joins."""
+        plan = self._plan(spark, sf_dir, "ext_markov_transitions")
+        assert plan.count("Exchange hashpartitioning") == 3, plan
+        assert "Join" not in plan, plan
+
+    def test_url_and_bpe_zero_exchanges(self, spark, sf_dir):
+        """Canonicalization and BPE counting are narrow expressions
+        that run inside the scan stage — zero exchanges, no Python."""
+        for name in ("ext_url_normalize", "ext_token_bpe"):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Exchange" not in plan, (name, plan)
+            assert "EvalPython" not in plan, (name, plan)
+
+    def test_map_in_arrow_no_shuffle(self, spark, sf_dir):
+        """The Arrow hop is a map: one Python node, no exchange."""
+        plan = self._plan(spark, sf_dir, "ext_map_in_arrow")
+        assert "MapInArrow" in plan, plan
+        assert "Exchange" not in plan, plan
+
+    def test_pagerank_no_cartesian(self, spark, sf_dir):
+        """Three unrolled iterations of keyed joins — never a nested
+        loop; the cached edge relation is reused across steps."""
+        plan = self._plan(spark, sf_dir, "ext_pagerank")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan  # edges cached

@@ -63,6 +63,15 @@ AUDIT = {
     "ext_multimodal_resize": "NN resize (one Arrow pass, no shuffle)",
     "ext_hybrid_search": "RRF fusion of BM25 + cosine top-20 (20-row join)",
     "ext_recursive_cte": "native recursive CTE (frontier joins to fixpoint)",
+    # round 3, session 3
+    "ext_pagerank": "3-iteration PageRank (keyed joins, cached edges, no nested loop)",
+    "ext_ewma": "EWMA 10 lags (ONE window node, one user-keyed exchange)",
+    "ext_lateral_topk": "correlated LATERAL (decorrelated to window+join)",
+    "ext_winsorize": "winsorize (percentile agg once, bounds broadcast back)",
+    "ext_markov_transitions": "Markov transitions (3 keyed exchanges, no joins)",
+    "ext_url_normalize": "URL canonicalization (narrow exprs, zero exchanges)",
+    "ext_dedup_containment": "containment pairs (same blocking as ngram Jaccard)",
+    "ext_map_in_arrow": "Arrow-native Python hop (MapInArrow, no shuffle)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
