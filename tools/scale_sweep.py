@@ -50,6 +50,15 @@ SWEEP = [
     "ext_semdedup",
     "ext_hybrid_search",
     "src_replay_connector",
+    # round 3, session 3
+    "ext_pagerank",
+    "ext_ewma",
+    "ext_dedup_containment",
+    "ext_markov_transitions",
+    "ext_winsorize",
+    "ext_lateral_topk",
+    "ext_url_normalize",
+    "ext_token_bpe",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
