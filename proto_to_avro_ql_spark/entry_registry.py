@@ -5915,6 +5915,103 @@ def q_ext_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_scd2_join",
+    """WITH pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+    dim AS (
+      SELECT priority, DATE '1992-01-01' AS valid_from, DATE '1998-01-01' AS valid_to,
+             CAST(substr(priority, 1, 1) AS INTEGER) AS weight
+      FROM pr
+      UNION ALL
+      SELECT priority, DATE '1998-01-01', DATE '9999-12-31',
+             CAST(substr(priority, 1, 1) AS INTEGER) * 10
+      FROM pr
+    )
+    SELECT o.o_orderkey, o.o_orderpriority AS priority,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+           d.weight
+    FROM orders o JOIN dim d
+      ON o.o_orderpriority = d.priority
+     AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+     AND CAST(o.o_orderdate AS DATE) < d.valid_to""",
+)
+def q_ext_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension lookup — the warehouse-standard temporal
+    join: each fact row picks the dimension VERSION whose validity
+    interval [valid_from, valid_to) covers the event date (here a
+    date-versioned priority weight synthesized deterministically from
+    the orders table itself). The equi key carries the join — Spark
+    plans a hash/broadcast join on priority with the interval bounds
+    as a join FILTER, so unlike a pure interval join there is no
+    binning needed and the plan scales exactly like join_equi_inner;
+    versions-per-key is small by construction in any real SCD dim."""
+    o = read_table(spark, sf_dir, "orders")
+    pr = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    w1 = F.substring("priority", 1, 1).cast("int")
+    dim = pr.select(
+        "priority",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit("1998-01-01").cast("date").alias("valid_to"),
+        w1.alias("weight"),
+    ).unionAll(
+        pr.select(
+            "priority",
+            F.lit("1998-01-01").cast("date").alias("valid_from"),
+            F.lit("9999-12-31").cast("date").alias("valid_to"),
+            (w1 * 10).alias("weight"),
+        )
+    )
+    od = F.col("o_orderdate").cast("date")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o["o_orderpriority"] == dim["priority"])
+            & (od >= dim["valid_from"])
+            & (od < dim["valid_to"]),
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format(od, "yyyy-MM-dd").alias("order_day"),
+            "weight",
+        )
+    )
+
+
+@register(
+    "fn_row_hash",
+    """SELECT o_orderkey,
+         md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR),
+           COALESCE(o_orderstatus, chr(0)),
+           COALESCE(o_orderpriority, chr(0)),
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS row_hash
+       FROM orders""",
+)
+def q_fn_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic row fingerprint (md5 over delimiter-joined,
+    null-sentineled column reprs) — the CDC/reconciliation primitive:
+    diff two snapshots by hash without comparing every column, and
+    the natural dedup/partition key for change feeds. Doubles are
+    deliberately excluded from the hashed tuple (engine float→string
+    reprs differ; hash ints/strings/dates only, or pre-round). Narrow
+    expression, zero exchanges."""
+    o = read_table(spark, sf_dir, "orders")
+    nul = F.lit("\x00")
+    return o.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.coalesce(F.col("o_orderstatus"), nul),
+                F.coalesce(F.col("o_orderpriority"), nul),
+                F.col("o_orderdate").cast("date").cast("string"),
+            )
+        ).alias("row_hash"),
+    )
+
+
+@register(
     "ext_listagg",
     """SELECT r.r_name AS region,
               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations

@@ -271,6 +271,39 @@ class TestUrlNormalize:
         assert not any("b=2&a=1" in u for u in out.values())
 
 
+class TestScd2Join:
+    def test_each_fact_matches_exactly_one_version(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        out = QUERIES["ext_scd2_join"](spark, sf_dir)
+        n_orders = read_table(spark, sf_dir, "orders").count()
+        assert out.count() == n_orders  # intervals partition the timeline
+        for r in out.collect():
+            base = int(r.priority[0])
+            if r.order_day >= "1998-01-01":
+                assert r.weight == base * 10
+            else:
+                assert r.weight == base
+
+    def test_plan_is_broadcast_equi_join(self, spark, sf_dir):
+        plan = (
+            QUERIES["ext_scd2_join"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+class TestRowHash:
+    def test_hash_distinguishes_and_is_stable(self, spark, sf_dir):
+        a = {r.o_orderkey: r.row_hash
+             for r in QUERIES["fn_row_hash"](spark, sf_dir).collect()}
+        b = {r.o_orderkey: r.row_hash
+             for r in QUERIES["fn_row_hash"](spark, sf_dir).collect()}
+        assert a == b
+        assert len(set(a.values())) == len(a)  # orderkey in the tuple ⇒ unique
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
