@@ -5915,6 +5915,132 @@ def q_ext_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_feature_hash",
+    r"""WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM toks GROUP BY 1, 2""",
+)
+def q_ext_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature encoding (the unbounded-vocabulary
+    vectorizer): every token maps to one of 64 buckets via the
+    engine-portable md5 hash — no vocabulary build, no dictionary
+    broadcast, new tokens at inference hash to the same buckets.
+    Emitted in long form (doc_id, bucket, count); the dense multi-hot
+    array is one groupBy away but arrays don't value-hash, so the
+    long form is the oracled contract. One exchange on (doc, bucket)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok")
+    toks = docs.where(TX.normalize_text(F.col("text")) != "").select(
+        "doc_id", tok
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "ext_target_encode",
+    """WITH t AS (
+      SELECT event_id, event_type, user_id % 2 AS label,
+             SUM(user_id % 2) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CASE WHEN n > 1
+                THEN CAST(s - label AS DOUBLE) / (n - 1) END AS te
+    FROM t""",
+)
+def q_ext_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the categorical-feature encoder
+    that replaces a high-cardinality category with the target mean of
+    the OTHER rows in its group — excluding self prevents the label
+    leaking into its own feature). Integer label sums via one window
+    over the category shuffle (exact, order-independent), then one
+    deterministic double division per row; singleton groups encode
+    NULL. Synthesized binary label = user_id % 2."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    label = (F.col("user_id") % 2).alias("label")
+    t = ev.select("event_id", "event_type", label)
+    s, n = F.sum("label").over(w), F.count(F.lit(1)).over(w)
+    return t.select(
+        "event_id",
+        "event_type",
+        F.when(
+            n > 1, (s - F.col("label")).cast("double") / (n - 1)
+        ).alias("te"),
+    )
+
+
+@register(
+    "ext_embed_drift",
+    """WITH idx AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, i - 1 AS dim, embedding[i] AS v FROM idx
+    ), halves AS (
+      SELECT dim,
+        SUM(CASE WHEN vec_id % 2 = 0
+                 THEN CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)) END) AS s0,
+        COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n0,
+        SUM(CASE WHEN vec_id % 2 = 1
+                 THEN CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6)) END) AS s1,
+        COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n1
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(s0 AS DOUBLE) / n0 AS mean_a,
+           CAST(s1 AS DOUBLE) / n1 AS mean_b,
+           abs(CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1) AS drift
+    FROM halves""",
+)
+def q_ext_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor (the ML-ops check that catches a model
+    or preprocessing change upstream): per-DIMENSION means of two
+    cohorts (vec_id parity stands in for yesterday/today) and their
+    absolute gap. posexplode flattens to (dim, value) — the shuffle
+    carries scalars, never vectors — then ONE conditional aggregation
+    computes both cohorts per dimension; element values accumulate in
+    DECIMAL(38,6), so the means (and the drift gap) are exact
+    divisions of exact sums — no rounding needed anywhere."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    )
+    even = F.col("vec_id") % 2 == 0
+    vdec = F.col("v").cast("double").cast(DEC)
+    halves = e.groupBy("dim").agg(
+        F.sum(F.when(even, vdec)).alias("s0"),
+        F.count(F.when(even, F.lit(1))).alias("n0"),
+        F.sum(F.when(~even, vdec)).alias("s1"),
+        F.count(F.when(~even, F.lit(1))).alias("n1"),
+    )
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    return halves.select(
+        F.col("dim").cast("int").alias("dim"),
+        m0.alias("mean_a"),
+        m1.alias("mean_b"),
+        F.abs(m0 - m1).alias("drift"),
+    )
+
+
+@register(
     "ext_scd2_join",
     """WITH pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
     dim AS (

@@ -304,6 +304,54 @@ class TestRowHash:
         assert len(set(a.values())) == len(a)  # orderkey in the tuple ⇒ unique
 
 
+class TestFeatureHash:
+    def test_buckets_bounded_and_counts_conserve(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.functions.text import token_count_ws
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        out = QUERIES["ext_feature_hash"](spark, sf_dir)
+        rows = out.collect()
+        assert all(0 <= r.bucket < 64 for r in rows)
+        total_hashed = sum(r.n for r in rows)
+        docs = read_table(spark, sf_dir, "documents")
+        total_tokens = (
+            docs.select(F.sum(token_count_ws(F.col("text"))).alias("s"))
+            .first().s
+        )
+        assert total_hashed == total_tokens  # every token lands somewhere
+
+
+class TestTargetEncode:
+    def test_leave_one_out(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        out = QUERIES["ext_target_encode"](spark, sf_dir)
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", (F.col("user_id") % 2).alias("label")
+        )
+        joined = out.join(ev, ["event_id", "event_type"]).collect()
+        import collections
+
+        sums = collections.Counter()
+        ns = collections.Counter()
+        for r in joined:
+            sums[r.event_type] += r.label
+            ns[r.event_type] += 1
+        for r in joined[:200]:
+            expect = (sums[r.event_type] - r.label) / (ns[r.event_type] - 1)
+            assert abs(r.te - expect) < 1e-12
+
+
+class TestEmbedDrift:
+    def test_dims_complete_and_drift_nonneg(self, spark, sf_dir):
+        rows = QUERIES["ext_embed_drift"](spark, sf_dir).collect()
+        dims = sorted(r.dim for r in rows)
+        assert dims == list(range(len(dims)))  # every dimension covered
+        for r in rows:
+            assert r.drift >= 0
+            assert abs(r.drift - abs(r.mean_a - r.mean_b)) < 1e-15
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
