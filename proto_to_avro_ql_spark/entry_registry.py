@@ -5435,12 +5435,10 @@ _PAGERANK_SQL = """WITH edges AS (
 ), nodes AS (
   SELECT src AS node FROM edges UNION SELECT dst FROM edges
 ), r0 AS (
-  SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes
+  SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes
 ), it1 AS (
   SELECT n.node,
-         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
-           CAST(r.rank / outdeg.d AS DECIMAL(38,6))
-         ), 0) AS DOUBLE) AS rank
+         150000 + (85 * COALESCE(SUM(r.rm // outdeg.d), 0)) // 100 AS rm
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN outdeg ON outdeg.src = e.src
@@ -5448,9 +5446,7 @@ _PAGERANK_SQL = """WITH edges AS (
   GROUP BY n.node
 ), it2 AS (
   SELECT n.node,
-         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
-           CAST(r.rank / outdeg.d AS DECIMAL(38,6))
-         ), 0) AS DOUBLE) AS rank
+         150000 + (85 * COALESCE(SUM(r.rm // outdeg.d), 0)) // 100 AS rm
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN outdeg ON outdeg.src = e.src
@@ -5458,16 +5454,14 @@ _PAGERANK_SQL = """WITH edges AS (
   GROUP BY n.node
 ), it3 AS (
   SELECT n.node,
-         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
-           CAST(r.rank / outdeg.d AS DECIMAL(38,6))
-         ), 0) AS DOUBLE) AS rank
+         150000 + (85 * COALESCE(SUM(r.rm // outdeg.d), 0)) // 100 AS rm
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN outdeg ON outdeg.src = e.src
   LEFT JOIN it2 r ON r.node = e.src
   GROUP BY n.node
 )
-SELECT node, rank FROM it3"""
+SELECT node, CAST(rm AS DOUBLE) / 1000000.0 AS rank FROM it3"""
 
 
 @register("ext_pagerank", _PAGERANK_SQL)
@@ -5480,10 +5474,15 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge relation is re-used across steps (cached); the iteration
     count is fixed, so lineage stays bounded (contrast
     ext_dedup_cluster's convergence loop with checkpointing).
-    Per-edge contributions are cast to DECIMAL(38,6) before the sum —
-    the one float reduction per step — so every iteration (and hence
-    the fixpoint trajectory) is partition-order independent; the
-    dangling-mass simplification matches the textbook/GraphX variant.
+    The whole fixpoint runs in INTEGER MICROS — rank starts at
+    1_000_000, per-edge contribution = rm DIV outdeg, damping =
+    150000 + 85·Σ DIV 100 — because casting the COMPUTED quotient
+    rank/outdeg to decimal diverges by an ulp between engines at the
+    rounding boundary (Spark rounds the exact binary expansion,
+    DuckDB the scaled double; the sf0.1 gate caught exactly one such
+    straddle among ~500k quotients). Integer sums are associative, so
+    every iteration is partition-order independent; the dangling-mass
+    simplification matches the textbook/GraphX variant.
     Scale: ranks and outdeg are node-cardinality, edges dominate; each
     step shuffles edges once on src and once on dst — at 100 TB you'd
     pre-partition edges by src so only the dst regroup shuffles."""
@@ -5501,15 +5500,12 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("rm"))
     edge_deg = edges.join(outdeg, "src")  # (src, dst, d)
     for _ in range(3):
         contribs = (
             edge_deg.join(ranks, edge_deg["src"] == ranks["node"])
-            .select(
-                "dst",
-                (F.col("rank") / F.col("d")).cast(DEC).alias("contrib"),
-            )
+            .select("dst", F.expr("rm DIV d").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("incoming"))
         )
@@ -5518,13 +5514,14 @@ def q_ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit(0.15)
-                    + F.lit(0.85)
-                    * F.coalesce(F.col("incoming").cast("double"), F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(150000).cast("long")
+                    + F.expr("(85 * coalesce(incoming, 0L)) DIV 100")
+                ).alias("rm"),
             )
         )
-    return ranks.select("node", "rank")
+    return ranks.select(
+        "node", (F.col("rm").cast("double") / F.lit(1000000.0)).alias("rank")
+    )
 
 
 @register(
@@ -5911,6 +5908,137 @@ def q_ext_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("?"), F.col("cqs"))
             ),
         ).alias("canonical_url"),
+    )
+
+
+@register(
+    "ext_class_metrics",
+    """WITH s AS (
+      SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS pred,
+             CAST(user_id % 2 AS INTEGER) AS label
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT
+        SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS fn,
+        SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS tn
+      FROM s
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision_,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall_,
+           CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0) AS f1
+    FROM c""",
+)
+def q_ext_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification evaluation report (the model-eval primitive a
+    training pipeline runs per checkpoint): confusion counts in ONE
+    conditional-aggregation pass — map-side partial, a 4-integer
+    shuffle regardless of input size — then precision/recall/F1 as
+    deterministic divisions of exact integers (F1 computed as
+    2tp/(2tp+fp+fn), one division, not from the already-divided
+    floats). Prediction rule and label are synthesized
+    deterministically (value>50, user parity)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pred = (F.col("value") > 50).cast("int")
+    label = (F.col("user_id") % 2).cast("int")
+    s = ev.select(pred.alias("pred"), label.alias("label"))
+    c = s.agg(
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("label") == 0)).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return c.select(
+        tp, fp, fn, tn,
+        (tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision_"),
+        (tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall_"),
+        ((2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))).alias("f1"),
+    )
+
+
+@register(
+    "ext_auc",
+    """WITH s AS (
+      SELECT value AS score, CAST(user_id % 2 AS INTEGER) AS label
+      FROM events WHERE value IS NOT NULL
+    ), d AS (
+      SELECT score,
+             SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1_s,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0_s
+      FROM s GROUP BY score
+    ), cum AS (
+      SELECT score, n1_s, n0_s,
+             COALESCE(SUM(n0_s) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0_below
+      FROM d
+    ), tot AS (
+      SELECT SUM(n1_s) AS n1, SUM(n0_s) AS n0,
+             SUM(n1_s * (2 * n0_below + n0_s)) AS num2
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST(num2 AS DOUBLE) / (2 * n1 * n0) AS auc
+    FROM tot""",
+)
+def q_ext_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-aware ROC AUC via pair counting — no sampling, no
+    trapezoid approximation, and NO per-row global rank: scores are
+    aggregated to the distinct-score relation (one exchange), the
+    below-score negative counts come from the banded-prefix pattern
+    (per-band window partitioned by a score band + an exclusive
+    prefix over the tiny band summary — the scale-safe replacement
+    for a single-partition Window.orderBy, same recipe as
+    banded_global_rank), and AUC = (2·concordant + ties) / (2·n1·n0)
+    in pure integer arithmetic with ONE final double division —
+    bit-deterministic at any partitioning. The oracle uses DuckDB's
+    plain global window over the same algebra."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2).cast("int").alias("label"),
+    )
+    d = s.groupBy("score").agg(
+        F.sum((F.col("label") == 1).cast("long")).alias("n1_s"),
+        F.sum((F.col("label") == 0).cast("long")).alias("n0_s"),
+    ).withColumn("band", F.floor(F.col("score") / 5).cast("long"))
+    # within-band exclusive prefix of negatives (partitioned window)
+    wb = (
+        Window.partitionBy("band")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = d.withColumn(
+        "n0_within", F.coalesce(F.sum("n0_s").over(wb), F.lit(0))
+    )
+    # per-band totals → exclusive prefix over the TINY band relation
+    bands = d.groupBy("band").agg(F.sum("n0_s").alias("n0_band"))
+    wband = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bands.select(
+        "band", F.coalesce(F.sum("n0_band").over(wband), F.lit(0)).alias("n0_offset")
+    )
+    cum = within.join(offsets, "band").select(
+        "n1_s", "n0_s",
+        (F.col("n0_within") + F.col("n0_offset")).alias("n0_below"),
+    )
+    tot = cum.agg(
+        F.sum("n1_s").alias("n1"),
+        F.sum("n0_s").alias("n0"),
+        F.sum(
+            F.col("n1_s") * (2 * F.col("n0_below") + F.col("n0_s"))
+        ).alias("num2"),
+    )
+    return tot.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        (F.col("num2").cast("double") / (2 * F.col("n1") * F.col("n0"))).alias(
+            "auc"
+        ),
     )
 
 

@@ -352,6 +352,62 @@ class TestEmbedDrift:
             assert abs(r.drift - abs(r.mean_a - r.mean_b)) < 1e-15
 
 
+class TestClassMetrics:
+    def test_against_direct_computation(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        r = QUERIES["ext_class_metrics"](spark, sf_dir).first()
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select((F.col("value") > 50).alias("pred"),
+                    (F.col("user_id") % 2 == 1).alias("label"))
+            .collect()
+        )
+        tp = sum(1 for x in rows if x.pred and x.label)
+        fp = sum(1 for x in rows if x.pred and not x.label)
+        fn = sum(1 for x in rows if not x.pred and x.label)
+        tn = sum(1 for x in rows if not x.pred and not x.label)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.precision_ == tp / (tp + fp)
+        assert r.f1 == 2 * tp / (2 * tp + fp + fn)
+
+
+class TestAuc:
+    def test_matches_brute_force_pairs(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        r = QUERIES["ext_auc"](spark, sf_dir).first()
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select(F.col("value").alias("s"), (F.col("user_id") % 2).alias("y"))
+            .collect()
+        )
+        pos = [x.s for x in rows if x.y == 1]
+        neg = [x.s for x in rows if x.y == 0]
+        num2 = sum(
+            2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+        )
+        assert r.n_pos == len(pos) and r.n_neg == len(neg)
+        assert r.auc == num2 / (2 * len(pos) * len(neg))
+
+    def test_perfect_separation_is_one(self, spark, tmp_path):
+        # positives all score above negatives → AUC exactly 1.0
+        rows = [(i, "2024-01-01 00:00:00", 2 * i + 1, "view",
+                 100.0 + i, None) for i in range(10)]
+        rows += [(100 + i, "2024-01-01 00:00:00", 2 * i, "view",
+                  float(i), None) for i in range(10)]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+        r = QUERIES["ext_auc"](spark, str(tmp_path)).first()
+        assert r.auc == 1.0
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
