@@ -5911,6 +5911,100 @@ def q_ext_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDCG_W = [
+    "1.000000000", "0.630929754", "0.500000000", "0.430676558",
+    "0.386852807", "0.356207187", "0.333333333", "0.315464877",
+    "0.301029996", "0.289064826",
+]
+_NDCG_PREF = [
+    "1.000000000", "1.630929754", "2.130929754", "2.561606312",
+    "2.948459119", "3.304666306", "3.637999639", "3.953464516",
+    "4.254494512", "4.543559338",
+]
+_NDCG_W_CASE = "CASE rank " + " ".join(
+    f"WHEN {i+1} THEN CAST({w} AS DECIMAL(18,9))" for i, w in enumerate(_NDCG_W)
+) + " END"
+_NDCG_IDCG_CASE = "CASE n_rel " + " ".join(
+    f"WHEN {i+1} THEN CAST({p} AS DECIMAL(18,9))" for i, p in enumerate(_NDCG_PREF)
+) + " END"
+
+
+@register(
+    "ext_ndcg",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+                  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+             ROUND(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE q.query_id <> e.vec_id
+    ), ranked AS (
+      SELECT query_id, qlabel, nlabel,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 10
+    ), gains AS (
+      SELECT query_id,
+             SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS n_rel,
+             SUM(CASE WHEN nlabel = qlabel
+                 THEN {_NDCG_W_CASE} ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg
+      FROM ranked GROUP BY query_id
+    )
+    SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+           CASE WHEN n_rel > 0
+                THEN CAST(dcg AS DOUBLE) / CAST({_NDCG_IDCG_CASE} AS DOUBLE)
+                ELSE 0.0 END AS ndcg
+    FROM gains""",
+)
+def q_ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 retrieval evaluation (completing the eval suite next to
+    precision/recall/F1 and AUC): the brute-force cosine top-10 per
+    query is scored against binary relevance (neighbor label == query
+    label), DCG = Σ rel·w_rank with the 1/log2(rank+1) weights
+    embedded as 9-decimal LITERALS cast to DECIMAL(18,9) — identical
+    text parses to identical values on both engines, and decimal
+    sums are order-independent, so no float accumulation exists
+    anywhere; IDCG is the matching literal prefix sum, and NDCG is
+    one double division. Plan = the audited sim-search shape (query
+    side broadcast, corpus never shuffles) plus a tiny per-query
+    aggregation."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    topk = SS.brute_force_topk(emb, query_ids=[0, 1, 2], k=10)
+    labels = emb.select("vec_id", "label")
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "qlabel"
+    )
+    nl = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "nlabel"
+    )
+    ranked = (
+        topk.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .select("query_id", "rank", "qlabel", "nlabel")
+    )
+    rel = (F.col("nlabel") == F.col("qlabel")).cast("int")
+    gains = ranked.groupBy("query_id").agg(
+        F.sum(rel).alias("n_rel"),
+        F.sum(
+            F.when(rel == 1, F.expr(_NDCG_W_CASE)).otherwise(
+                F.expr("CAST(0 AS DECIMAL(18,9))")
+            )
+        ).alias("dcg"),
+    )
+    return gains.select(
+        "query_id",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("dcg").cast("double")
+            / F.expr(_NDCG_IDCG_CASE).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
 @register(
     "ext_class_metrics",
     """WITH s AS (

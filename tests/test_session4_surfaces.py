@@ -408,6 +408,34 @@ class TestAuc:
         assert r.auc == 1.0
 
 
+class TestNdcg:
+    def test_matches_reference_formula(self, spark, sf_dir):
+        import math
+
+        from proto_to_avro_ql_spark.operators.simsearch import brute_force_topk
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+        topk = brute_force_topk(emb, query_ids=[0, 1, 2], k=10).collect()
+        out = {r.query_id: (r.n_rel, r.ndcg)
+               for r in QUERIES["ext_ndcg"](spark, sf_dir).collect()}
+        import collections
+
+        per_q = collections.defaultdict(list)
+        for r in sorted(topk, key=lambda r: (r.query_id, r.rank)):
+            per_q[r.query_id].append(labels[r.neighbor_id] == labels[r.query_id])
+        for qid, rels in per_q.items():
+            dcg = sum(1 / math.log2(i + 2) for i, rel in enumerate(rels) if rel)
+            n_rel = sum(rels)
+            idcg = sum(1 / math.log2(i + 2) for i in range(n_rel))
+            assert out[qid][0] == n_rel
+            if n_rel:
+                # 9-decimal literal weights vs full-precision math.log2
+                assert abs(out[qid][1] - dcg / idcg) < 1e-7
+            assert 0.0 <= out[qid][1] <= 1.0
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
