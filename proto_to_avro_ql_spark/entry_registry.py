@@ -1045,6 +1045,75 @@ def q_ext_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_topk(emb, query_ids=[0, 1, 2], k=5)
 
 
+@register(
+    "ext_ann_recall",
+    f"""WITH b AS (
+      SELECT vec_id, embedding,
+           {_LSH_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, bucket
+      FROM b WHERE vec_id IN (0, 1, 2)
+    ), lsh_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    ), lsh AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM lsh_scored QUALIFY rank <= 5
+    ), bf_scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+    ), bf AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM bf_scored QUALIFY rank <= 5
+    )
+    SELECT bf.query_id,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 5 AS recall
+    FROM bf LEFT JOIN lsh l
+      ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
+    GROUP BY bf.query_id""",
+)
+def q_ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against the exact brute-force
+    ground truth — the production gauge for tuning bucket width vs
+    quality (run on a sampled query set before trusting an index
+    config at corpus scale). Both rankings are the already-audited
+    plans (buckets from the same hyperplane literals; queries
+    broadcast); the overlap is a 15-row join, counts exact, one
+    double division. The eval-suite member for the ANN serving path
+    next to NDCG (ranking quality) and AUC (classifier quality)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    bf = SS.brute_force_topk(emb, query_ids=[0, 1, 2], k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = SS.lsh_topk(emb, query_ids=[0, 1, 2], k=5).select(
+        F.col("query_id").alias("lsh_query"),
+        F.col("neighbor_id").alias("lsh_neighbor"),
+    )
+    j = bf.join(
+        lsh,
+        (bf["query_id"] == lsh["lsh_query"])
+        & (bf["neighbor_id"] == lsh["lsh_neighbor"]),
+        "left",
+    )
+    hit = F.col("lsh_neighbor").isNotNull().cast("long")
+    return j.groupBy("query_id").agg(
+        F.sum(hit).alias("n_overlap"),
+        (F.sum(hit).cast("double") / 5).alias("recall"),
+    )
+
+
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
