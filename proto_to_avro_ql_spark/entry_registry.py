@@ -1649,6 +1649,59 @@ def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_orc",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+)
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink round trip — the second columnar format Spark ships
+    natively (no external jar, unlike avro's datasource): write with
+    snappy, read back with an explicit schema. Same predicate/column
+    pushdown machinery as parquet on the read path; for a user
+    migrating from an ORC-based warehouse this is the drop-in sink."""
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="sink_orc_")
+    n.write.mode("overwrite").option("compression", "snappy").orc(path)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).orc(path)
+
+
+@register(
+    "ext_file_metadata",
+    """SELECT event_type, COUNT(*) AS n_rows, 1 AS n_files
+       FROM events GROUP BY event_type""",
+)
+def q_ext_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` column surface — file-level lineage without
+    any side channel: every scanned row can name its source file
+    (`_metadata.file_name`), the primitive behind file-level audits,
+    incremental re-processing ledgers, and corrupt-file triage at
+    lake scale. Staged partitioned-by-type (repartitioned on the key
+    first ⇒ exactly ONE file per partition, which the oracle pins as
+    n_files=1), then read back counting rows AND distinct source
+    files per partition value."""
+    import os
+
+    ev = read_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="file_meta_"), "by_type")
+    (
+        ev.repartition(F.col("event_type"))
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("_metadata.file_name")).cast("int").alias(
+            "n_files"
+        ),
+    )
+
+
+@register(
     "sink_partitioned",
     f"""WITH flag AS ({FLAGSHIP_SQL_TEMPLATE.format(ads_flat=ADS_FLAT_SQL, date_from='1994-01-01', date_to='1996-12-31')})
     SELECT * FROM flag WHERE campaign_status = 'F'""",
