@@ -1649,6 +1649,93 @@ def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_overlap_join",
+    """WITH s AS (
+      SELECT user_id, event_type, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+      FROM s
+    ), sess AS (
+      SELECT user_id, event_type,
+             epoch_us(MIN(ts)) AS start_us,
+             epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS end_us
+      FROM numbered GROUP BY user_id, event_type, seq
+    )
+    SELECT a.user_id,
+           a.event_type AS type_a, b.event_type AS type_b,
+           a.start_us AS start_a, b.start_us AS start_b,
+           LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us)
+             AS overlap_us
+    FROM sess a JOIN sess b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+     AND a.start_us < b.end_us AND b.start_us < a.end_us""",
+)
+def q_ext_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (the co-activity detector): per-user
+    per-type sessions (native session_window, 30-min gap) self-joined
+    where intervals of DIFFERENT types intersect — e.g. a browsing
+    session concurrent with a purchasing session. The user key
+    carries the join (hash join on user_id with the overlap bounds as
+    a join filter — same scale shape as ext_scd2_join; the keyless
+    variant is ext_range_join's binning). All interval arithmetic in
+    epoch MICROS (unix_micros/epoch_us — exact integers on both
+    engines); session end = last event + gap, Spark's own
+    session_window semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.session_window("ts", "30 minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+        )
+    )
+    a = sess.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("start_us").alias("start_a"),
+        F.col("end_us").alias("end_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("start_us").alias("start_b"),
+        F.col("end_us").alias("end_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["user_id"] == b["user_b"])
+            & (a["type_a"] < b["type_b"])
+            & (a["start_a"] < b["end_b"])
+            & (b["start_b"] < a["end_a"]),
+        )
+        .select(
+            "user_id",
+            "type_a",
+            "type_b",
+            "start_a",
+            "start_b",
+            (
+                F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+            ).alias("overlap_us"),
+        )
+    )
+
+
+@register(
     "sink_orc",
     """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 )
