@@ -71,6 +71,12 @@ HEADLINE = [
     "ext_lateral_topk",      # correlated LATERAL, decorrelated plan
     "ext_winsorize",         # p05/p95 clip, percentile broadcast
     "ext_dedup_containment", # overlap-coefficient near-dup pairs
+    "ext_auc",               # exact tie-aware AUC, banded prefix
+    "ext_ndcg",              # NDCG@10, decimal-literal gains
+    "ext_feature_hash",      # hashing-trick vectorizer, one exchange
+    "ext_scd2_join",         # SCD2 validity-interval dimension lookup
+    "ext_overlap_join",      # interval-overlap join on the user key
+    "ext_embed_drift",       # per-dimension cohort means, scalar shuffle
 ]
 
 

@@ -436,6 +436,41 @@ class TestNdcg:
             assert 0.0 <= out[qid][1] <= 1.0
 
 
+class TestSessionEmptyInputs:
+    """House contract: operators must tolerate empty inputs (a filter
+    matching nothing at some scale must not crash the pipeline)."""
+
+    def _empty_events(self, spark, tmp_path):
+        spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_event_operators_on_empty(self, spark, tmp_path):
+        d = self._empty_events(spark, tmp_path)
+        assert QUERIES["ext_markov_transitions"](spark, d).count() == 0
+        assert QUERIES["ext_winsorize"](spark, d).count() == 0
+        assert QUERIES["ext_overlap_join"](spark, d).count() == 0
+        assert QUERIES["ext_period_over_period"](spark, d).count() == 0
+        # single-row reports survive with NULL metrics instead of erroring
+        r = QUERIES["ext_auc"](spark, d).first()
+        assert r.auc is None
+        m = QUERIES["ext_class_metrics"](spark, d).first()
+        assert m.tp is None and m.f1 is None
+
+    def test_doc_operators_on_empty(self, spark, tmp_path):
+        spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        d = str(tmp_path)
+        assert QUERIES["ext_feature_hash"](spark, d).count() == 0
+        assert QUERIES["ext_url_normalize"](spark, d).count() == 0
+        assert QUERIES["ext_token_bpe"](spark, d).count() == 0
+
+
 class TestCsvScan:
     def test_nulls_survive(self, spark, tmp_path):
         ev = spark.createDataFrame(
