@@ -1649,6 +1649,103 @@ def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_window_navigation",
+    """SELECT event_id, user_id,
+         first_value(event_type) OVER w AS first_type,
+         last_value(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_type,
+         nth_value(event_type, 2) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_type,
+         lag(event_type) OVER w AS prev_type,
+         lead(event_type) OVER w AS next_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_ext_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window NAVIGATION function breadth in one shared spec:
+    first/last/nth value over the full-partition frame plus lag/lead on
+    the running frame — the journey-analysis toolkit (entry page, exit
+    page, second touch, previous/next step). All six functions share
+    ONE user-keyed shuffle (same-spec windows collapse into a single
+    Window node; lag/lead use the running frame, the *_value family an
+    unbounded frame — still the same exchange)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = run.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(full).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.nth_value("event_type", 2).over(full).alias("second_type"),
+        F.lag("event_type").over(run).alias("prev_type"),
+        F.lead("event_type").over(run).alias("next_type"),
+    )
+
+
+@register(
+    "ext_array_ops",
+    """WITH t AS (
+      SELECT o_orderkey,
+             [CAST(o_orderkey % 7 AS BIGINT), CAST(o_orderkey % 5 AS BIGINT),
+              CAST(o_orderkey % 3 AS BIGINT)] AS xs
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(len(list_filter(xs, x -> x % 2 = 0)) AS INTEGER) AS n_even,
+           CASE WHEN len(list_filter(xs, x -> x > 4)) > 0
+                THEN TRUE ELSE FALSE END AS any_gt4,
+           CASE WHEN len(list_filter(xs, x -> x >= 0)) = len(xs)
+                THEN TRUE ELSE FALSE END AS all_nonneg,
+           CAST(list_sum(list_transform(
+             [1, 2, 3], i -> xs[i] * CAST(i AS BIGINT))) AS BIGINT)
+             AS weighted
+    FROM t""",
+)
+def q_ext_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function breadth — transform / filter /
+    exists / forall / zip_with / aggregate as ONE narrow codegen'd
+    projection (the §2.5 repeated-field surface exercised through
+    Spark's lambda-function family; integer lanes only, so every
+    result is exact on both engines). The zip_with lane multiplies
+    each element by its 1-based position — the dot-product shape the
+    ANN operators use. Zero exchanges."""
+    o = read_table(spark, sf_dir, "orders")
+    xs = F.array(
+        (F.col("o_orderkey") % 7).cast("long"),
+        (F.col("o_orderkey") % 5).cast("long"),
+        (F.col("o_orderkey") % 3).cast("long"),
+    )
+    t = o.select("o_orderkey", xs.alias("xs"))
+    weights = F.array(F.lit(1).cast("long"), F.lit(2).cast("long"), F.lit(3).cast("long"))
+    return t.select(
+        "o_orderkey",
+        F.aggregate(
+            F.transform("xs", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.size(F.filter("xs", lambda x: x % 2 == 0)).alias("n_even"),
+        F.exists("xs", lambda x: x > 4).alias("any_gt4"),
+        F.forall("xs", lambda x: x >= 0).alias("all_nonneg"),
+        F.aggregate(
+            F.zip_with("xs", weights, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("weighted"),
+    )
+
+
+@register(
     "ext_overlap_join",
     """WITH s AS (
       SELECT user_id, event_type, ts,
