@@ -72,6 +72,15 @@ AUDIT = {
     "ext_url_normalize": "URL canonicalization (narrow exprs, zero exchanges)",
     "ext_dedup_containment": "containment pairs (same blocking as ngram Jaccard)",
     "ext_map_in_arrow": "Arrow-native Python hop (MapInArrow, no shuffle)",
+    "ext_auc": "exact AUC (distinct-score agg + banded prefix, 1 division)",
+    "ext_ndcg": "NDCG@10 (broadcast queries, decimal-literal gains)",
+    "ext_scd2_join": "SCD2 lookup (broadcast equi join, interval filter)",
+    "ext_overlap_join": "interval overlap (user-keyed join + bound filters)",
+    "ext_class_metrics": "confusion counts (one conditional agg, 4-int shuffle)",
+    "ext_feature_hash": "hashing-trick vectorizer (one (doc,bucket) exchange)",
+    "ext_file_metadata": "_metadata file lineage (per-partition agg)",
+    "ext_window_navigation": "six navigation fns, ONE window exchange",
+    "ext_array_ops": "higher-order array lanes (narrow codegen, 0 exchanges)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
