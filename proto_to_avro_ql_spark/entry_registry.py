@@ -1649,6 +1649,92 @@ def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_copurchase",
+    """WITH freq AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(*) >= 3
+    ), items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN freq USING (l_partkey)
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2""",
+)
+def q_ext_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (the first pass of any
+    frequent-itemset / recommendation pipeline): part pairs bought in
+    the same order, with support thresholds. The APRIORI downward-
+    closure prune runs FIRST — items below min item support can never
+    appear in a frequent pair, so they are filtered before the
+    within-order self-join, which is what keeps the pair stage from
+    exploding on a 100 TB basket table (pair work is quadratic per
+    order in surviving items only). Exact integer counts; the
+    self-join key is the order id, so baskets co-locate on one
+    shuffle."""
+    l = read_table(spark, sf_dir, "lineitem")
+    freq = (
+        l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 3)
+        .select("l_partkey")
+    )
+    items = (
+        l.join(freq, "l_partkey")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (a["l_orderkey"] == b["ok_b"]) & (a["part_a"] < b["part_b"]),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "ext_degree_dist",
+    """WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree""",
+)
+def q_ext_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the purchase graph — the first
+    diagnostic before any graph algorithm (a heavy-tailed degree
+    histogram predicts skewed joins; the PageRank/label-propagation
+    operators assume you looked at this first). Two keyed
+    aggregations, each map-side partial; the histogram relation is
+    |distinct degrees|, tiny at any scale."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
     "ext_window_navigation",
     """SELECT event_id, user_id,
          first_value(event_type) OVER w AS first_type,
