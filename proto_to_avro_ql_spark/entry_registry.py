@@ -1649,6 +1649,107 @@ def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_vocab_coverage",
+    r"""WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS freq FROM toks WHERE tok <> '' GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM counts
+      QUALIFY row_number() OVER (ORDER BY freq DESC, tok ASC) <= 50
+    )
+    SELECT CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN freq ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(SUM(freq) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN freq ELSE 0 END) AS DOUBLE)
+             / SUM(freq) AS coverage
+    FROM counts c LEFT JOIN vocab v ON c.tok = v.tok""",
+)
+def q_ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage — the tokenizer-QA number: what fraction of
+    all corpus token OCCURRENCES the top-50 vocabulary explains
+    (decides vocab size / byte-fallback rate before a tokenizer
+    train). Token counts aggregate once (map-side combined); the
+    candidate vocab is a TakeOrdered top-k joined back to the count
+    relation (|vocabulary| rows, not corpus rows); coverage is exact
+    integers and one double division."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        counts.orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(50)
+        .select(F.col("tok").alias("vtok"))
+    )
+    j = counts.join(
+        F.broadcast(vocab), counts["tok"] == vocab["vtok"], "left"
+    )
+    covered = F.sum(
+        F.when(F.col("vtok").isNotNull(), F.col("freq")).otherwise(F.lit(0))
+    )
+    total = F.sum("freq")
+    return j.agg(
+        covered.alias("covered_tokens"),
+        total.alias("total_tokens"),
+        (covered.cast("double") / total).alias("coverage"),
+    )
+
+
+@register(
+    "ext_conversion_lag",
+    """WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    ), lags AS (
+      SELECT epoch_us(first_purchase) - epoch_us(first_view) AS lag_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_view
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(quantile_cont(CAST(lag_us AS DOUBLE), 0.50), 6) AS p50_us,
+           ROUND(quantile_cont(CAST(lag_us AS DOUBLE), 0.90), 6) AS p90_us
+    FROM lags""",
+)
+def q_ext_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution (the funnel's companion metric:
+    not IF users convert but HOW FAST): per user, first view → first
+    purchase delta in epoch micros (exact integers via one
+    conditional-MIN pass — no join between the two event sets), then
+    exact interpolated p50/p90 over the converted population. The
+    percentile interpolation is the ext_percentiles-pinned
+    Spark==DuckDB semantics, rounded on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lags = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).cast("double").alias("lag_us")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lag_us, 0.50)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(lag_us, 0.90)"), 6).alias("p90_us"),
+    )
+
+
+@register(
     "ext_copurchase",
     """WITH freq AS (
       SELECT l_partkey FROM lineitem
