@@ -1712,8 +1712,8 @@ def q_ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND first_purchase > first_view
     )
     SELECT COUNT(*) AS n_converted,
-           ROUND(quantile_cont(CAST(lag_us AS DOUBLE), 0.50), 6) AS p50_us,
-           ROUND(quantile_cont(CAST(lag_us AS DOUBLE), 0.90), 6) AS p90_us
+           CAST(quantile_disc(lag_us, 0.50) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(lag_us, 0.90) AS BIGINT) AS p90_us
     FROM lags""",
 )
 def q_ext_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1721,9 +1721,12 @@ def q_ext_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     not IF users convert but HOW FAST): per user, first view → first
     purchase delta in epoch micros (exact integers via one
     conditional-MIN pass — no join between the two event sets), then
-    exact interpolated p50/p90 over the converted population. The
-    percentile interpolation is the ext_percentiles-pinned
-    Spark==DuckDB semantics, rounded on both engines."""
+    DISCRETE p50/p90 over the converted population
+    (percentile_disc == quantile_disc, probed including even-count
+    edges): an order STATISTIC, so the outputs are exact integers —
+    interpolating here failed the sf0.01 gate because at 4e11-micros
+    magnitude the two engines' a+f·(b-a) differ in the last ulp and
+    ROUND(…,6) is a no-op (the derived-double invariant again)."""
     ev = read_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
@@ -1740,12 +1743,16 @@ def q_ext_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (
             F.unix_micros("first_purchase") - F.unix_micros("first_view")
-        ).cast("double").alias("lag_us")
+        ).alias("lag_us")
     )
     return lags.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.expr("percentile(lag_us, 0.50)"), 6).alias("p50_us"),
-        F.round(F.expr("percentile(lag_us, 0.90)"), 6).alias("p90_us"),
+        F.expr(
+            "CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_us) AS BIGINT)"
+        ).alias("p50_us"),
+        F.expr(
+            "CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY lag_us) AS BIGINT)"
+        ).alias("p90_us"),
     )
 
 
