@@ -81,6 +81,10 @@ AUDIT = {
     "ext_file_metadata": "_metadata file lineage (per-partition agg)",
     "ext_window_navigation": "six navigation fns, ONE window exchange",
     "ext_array_ops": "higher-order array lanes (narrow codegen, 0 exchanges)",
+    "ext_copurchase": "basket pairs (apriori prune BEFORE the order-keyed self-join)",
+    "ext_vocab_coverage": "vocab coverage (top-k joined back at vocab cardinality)",
+    "ext_conversion_lag": "conversion lag (one conditional-MIN pass, disc percentiles)",
+    "ext_degree_dist": "degree histogram (two map-side-partial aggs)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")

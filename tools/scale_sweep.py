@@ -59,6 +59,12 @@ SWEEP = [
     "ext_lateral_topk",
     "ext_url_normalize",
     "ext_token_bpe",
+    "ext_auc",
+    "ext_ndcg",
+    "ext_feature_hash",
+    "ext_copurchase",
+    "ext_scd2_join",
+    "ext_overlap_join",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
