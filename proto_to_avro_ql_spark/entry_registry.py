@@ -1649,6 +1649,90 @@ def q_gaql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_feature_pipeline",
+    f"""WITH s AS (
+      SELECT doc_id, text,
+        length(text) AS n,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                        / length(text), 6) END AS punct,
+        CASE WHEN {_NORM} = '' THEN 0.0
+             ELSE ROUND(CAST(len(list_filter(string_split({_NORM}, ' '), {_STOP_FILTER})) AS DOUBLE)
+                        / len(string_split({_NORM}, ' ')), 6) END AS stop_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text,
+        ROUND(CAST((CASE WHEN n BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN punct < 0.1 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN stop_ratio > 0.01 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+      FROM s
+    ), kept AS (
+      SELECT md5(text) AS key, MIN(doc_id) AS doc_id,
+             arg_min(text, doc_id) AS text
+      FROM scored WHERE quality >= 0.7 GROUP BY md5(text)
+    ), splitd AS (
+      SELECT doc_id, text,
+        CASE WHEN substring(key, 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+             WHEN substring(key, 1, 1) IN ('c','d') THEN 'val'
+             ELSE 'test' END AS split
+      FROM kept
+    ), toks AS (
+      SELECT doc_id, split,
+        unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM splitd
+      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+    )
+    SELECT doc_id, split,
+           CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM toks GROUP BY 1, 2, 3""",
+)
+def q_ext_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed feature-prep DAG in ONE job (the capstone next to
+    ext_corpus_pipeline's cleaning DAG): quality-gate → exact dedup →
+    deterministic split → hashed features, each stage the
+    already-audited operator. Shuffle hygiene of the composition:
+    quality scoring is narrow (absorbed by the scan), the dedup keys
+    on md5(text) and that SAME hash is reused as the split key (one
+    hash computation, two decisions), the representative's text rides
+    the one dedup shuffle via min_by, and the feature-hash exchange
+    carries (doc, bucket) scalars. Three exchanges end-to-end for a
+    four-stage pipeline."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", TX.quality_score(F.col("text")).alias("quality")
+    )
+    kept = (
+        scored.where(F.col("quality") >= 0.7)
+        .groupBy(F.md5("text").alias("key"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(text, doc_id)").alias("text"),
+        )
+    )
+    first = F.substring(F.col("key"), 1, 1)
+    splitd = kept.select(
+        "doc_id",
+        "text",
+        F.when(first.isin(*"0123456789ab"), "train")
+        .when(first.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    toks = splitd.where(TX.normalize_text(F.col("text")) != "").select(
+        "doc_id",
+        "split",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    return toks.groupBy("doc_id", "split", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "ext_vocab_coverage",
     r"""WITH toks AS (
       SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
