@@ -6968,3 +6968,147 @@ def q_ext_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nations")
         )
     )
+
+
+# ===========================================================================
+# Round 3, session 4 — SQL-definition surfaces (Spark 4.1), graph &
+# statistics breadth, crawl/feature-prep additions.
+# ===========================================================================
+
+
+@register(
+    "ext_sql_udf",
+    """SELECT event_type,
+              CASE WHEN value < 50 THEN 'low'
+                   WHEN value < 200 THEN 'mid'
+                   ELSE 'high' END AS band,
+              COUNT(*) AS n
+       FROM events GROUP BY event_type, band""",
+)
+def q_ext_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4.1 `CREATE FUNCTION ...
+    RETURNS ... RETURN expr`) — the engine-native way to package reusable
+    business logic WITHOUT leaving the JVM: unlike a Python UDF the body
+    is inlined into the plan at analysis time, so it folds into
+    whole-stage codegen, pushes down, and costs exactly what the raw
+    expression costs. The banding function is defined once and used in a
+    grouped count. Oracle inlines the identical CASE expression (DuckDB
+    macros would be the twin surface)."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_sqludf_events")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION _val_band(v DOUBLE)
+           RETURNS STRING
+           RETURN CASE WHEN v < 50 THEN 'low'
+                       WHEN v < 200 THEN 'mid'
+                       ELSE 'high' END"""
+    )
+    return spark.sql(
+        """SELECT event_type, _val_band(value) AS band, COUNT(*) AS n
+           FROM _sqludf_events GROUP BY event_type, band"""
+    )
+
+
+@register(
+    "ext_sql_tvf",
+    """WITH spine AS (
+         SELECT CAST(day AS DATE) AS day
+         FROM generate_series(DATE '2024-01-01', DATE '2024-02-09',
+                              INTERVAL 1 DAY) t(day)
+       ), d AS (
+         SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+         FROM events GROUP BY 1
+       )
+       SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+              COALESCE(d.n_events, 0) AS n_events
+       FROM spine LEFT JOIN d ON spine.day = d.day""",
+)
+def q_ext_sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4.1 `RETURNS TABLE`) — a
+    reusable date-spine generator, the calendar scaffold every reporting
+    pipeline needs for zero-filled series (days with no events must
+    appear as 0, which no GROUP BY over the raw data can produce). The
+    spine is a sequence() explode — generated, not scanned — and the
+    daily counts LEFT-join onto it. The spine is bounded (days, not
+    rows) so at 100 TB it is broadcast; the count side is one hash
+    aggregate over the event scan."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_tvf_events")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION _date_spine(d0 DATE, d1 DATE)
+           RETURNS TABLE(day DATE)
+           RETURN SELECT explode(sequence(d0, d1, interval 1 day)) AS day"""
+    )
+    return spark.sql(
+        """SELECT date_format(spine.day, 'yyyy-MM-dd') AS day,
+                  COALESCE(d.n_events, 0) AS n_events
+           FROM _date_spine(DATE '2024-01-01', DATE '2024-02-09') spine
+           LEFT JOIN (
+             SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+             FROM _tvf_events GROUP BY 1
+           ) d ON spine.day = d.day"""
+    )
+
+
+@register(
+    "ext_sql_pipe",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                AS total_value
+       FROM events
+       WHERE event_type <> 'view'
+       GROUP BY event_type""",
+)
+def q_ext_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0's `|>` operator chaining, the
+    GoogleSQL-pipe surface): the same logical plan as the classic
+    SELECT, but written as a linear dataflow — scan |> filter |>
+    aggregate — which is exactly how the reference's query builder
+    composes operators. Catalyst parses pipes into the identical
+    optimized plan (filter pushed to the scan, partial aggregation),
+    so this pins that the text surface adds zero plan cost. The sum
+    accumulates in DECIMAL(38,6) (hash-stable, functions/stable.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_pipe_events")
+    return spark.sql(
+        """FROM _pipe_events
+           |> WHERE event_type <> 'view'
+           |> AGGREGATE COUNT(*) AS n,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                  AS total_value
+              GROUP BY event_type
+           |> SELECT event_type, n, total_value"""
+    )
+
+
+@register(
+    "ext_sql_params",
+    """SELECT event_type, COUNT(*) AS n
+       FROM events
+       WHERE value BETWEEN 100.0 AND 250.0
+         AND CAST(ts AS DATE) >= DATE '2024-01-10'
+       GROUP BY event_type""",
+)
+def q_ext_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter markers + the
+    IDENTIFIER() clause): the injection-safe query template surface —
+    values bind as literals AFTER parsing (so Catalyst still constant-
+    folds and pushes the predicate to the scan) and the table name
+    resolves through IDENTIFIER binding rather than string splicing.
+    This is the API a query service built on this engine would expose;
+    the oracle is the same query with the parameters inlined."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_param_events")
+    return spark.sql(
+        """SELECT event_type, COUNT(*) AS n
+           FROM IDENTIFIER(:tab)
+           WHERE value BETWEEN :lo AND :hi
+             AND CAST(ts AS DATE) >= :since
+           GROUP BY event_type""",
+        args={
+            "tab": "_param_events",
+            "lo": 100.0,
+            "hi": 250.0,
+            "since": "2024-01-10",
+        },
+    )
