@@ -7112,3 +7112,203 @@ def q_ext_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             "since": "2024-01-10",
         },
     )
+
+
+@register(
+    "ext_key_skew_profile",
+    """WITH c AS (
+         SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+       ), t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
+       SELECT c.user_id, c.n,
+              CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+              CAST(t.n_keys AS BIGINT) AS n_keys
+       FROM c, t
+       ORDER BY c.n DESC, c.user_id LIMIT 10""",
+)
+def q_ext_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler — the diagnostic you run BEFORE picking
+    a join/agg strategy at 100 TB: the top heavy-hitter keys with their
+    share of all rows (a key holding >1% of a 100 TB shuffle is a
+    straggler task; >spark.sql.autoBroadcastJoinThreshold of rows wants
+    salting or AQE skew handling). One hash aggregate over the scan,
+    the single-row total cross-joined (broadcast) onto the tiny count
+    relation, top-10 via TakeOrderedAndProject — never a global sort.
+    Exact integer counts; one double division."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double"))
+            .alias("share"),
+            F.col("n_keys"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ext_rare_collapse",
+    """WITH cat AS (
+         SELECT p_partkey,
+                CASE WHEN p_partkey % 7 = 0
+                     THEN concat('RARE_', CAST(p_partkey % 997 AS VARCHAR))
+                     ELSE p_type END AS category
+         FROM part
+       ), c AS (
+         SELECT category, COUNT(*) AS n FROM cat GROUP BY category
+       ), t AS (SELECT SUM(n) AS total FROM c)
+       SELECT CASE WHEN c.n * 500 < t.total THEN 'OTHER'
+                   ELSE c.category END AS label,
+              CAST(SUM(c.n) AS BIGINT) AS n_parts,
+              COUNT(*) AS n_categories
+       FROM c, t GROUP BY label""",
+)
+def q_ext_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapsing (the long-tail guard every categorical
+    feature encoder needs — unseen/rare levels blow up one-hot and
+    target-encoding dictionaries): categories holding < 0.2% of rows
+    fold into 'OTHER'. The long tail is synthesized (part keys ≡ 0 mod 7
+    scatter into ~1000 rare pseudo-categories; the rest keep their ~6
+    real p_type values). The rule runs on the AGGREGATED category
+    relation (tiny) against a broadcast single-row total with an exact
+    integer-cross-multiplication threshold (n * 500 < total — no
+    division, no float), then re-aggregates to the final label table.
+    At 100 TB the raw scan feeds one hash aggregate; everything after
+    is bounded by category cardinality."""
+    p = read_table(spark, sf_dir, "part")
+    cat = p.select(
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.concat(F.lit("RARE_"), (F.col("p_partkey") % 997).cast("string")),
+        )
+        .otherwise(F.col("p_type"))
+        .alias("category")
+    )
+    c = cat.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.when(F.col("n") * 500 < F.col("total"), F.lit("OTHER"))
+            .otherwise(F.col("category"))
+            .alias("label"),
+            "n",
+        )
+        .groupBy("label")
+        .agg(
+            F.sum("n").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+    )
+
+
+@register(
+    "ext_class_balance",
+    """WITH c AS (
+         SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+       ), m AS (SELECT MIN(n) AS min_n FROM c),
+       r AS (
+         SELECT event_type, event_id,
+                row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                ) AS rn
+         FROM events
+       )
+       SELECT r.event_type,
+              COUNT(*) AS n_kept,
+              CAST(SUM(r.event_id) AS BIGINT) AS id_checksum
+       FROM r, m WHERE r.rn <= m.min_n
+       GROUP BY r.event_type""",
+)
+def q_ext_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class downsampling (the rebalancing step before training
+    a classifier on skewed labels): every class is cut to the size of
+    the SMALLEST class, keeping a deterministic pseudo-random subset —
+    rows ranked per class by the portable md5 of their id (identical
+    bytes on any engine, reshuffle-stable) and kept while rank ≤ min
+    class count. One window on the class-keyed shuffle + a broadcast
+    single-row minimum; the checksum of kept ids proves both engines
+    select the SAME rows, not just the same number."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    r = ev.select(
+        "event_type", "event_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .where(F.col("rn") <= F.col("min_n"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+    )
+
+
+@register(
+    "ext_survivorship",
+    """SELECT user_id,
+              COUNT(*) AS n_events,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+              strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+              arg_max(event_type,
+                      concat(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                             lpad(CAST(event_id AS VARCHAR), 12, '0')))
+                AS last_type,
+              CAST(arg_max(value,
+                      concat(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '|',
+                             lpad(CAST(event_id AS VARCHAR), 12, '0')))
+                   FILTER (WHERE value IS NOT NULL) AS DOUBLE)
+                AS last_value
+       FROM events GROUP BY user_id""",
+)
+def q_ext_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the record-merge step of every
+    entity-mastering / CDC-compaction pipeline): one row per user
+    carrying first/last activity and the LATEST value of each attribute
+    — most-recent-wins with NULLs skipped per attribute, so an
+    attribute missing on the newest row falls back to the newest row
+    that HAS it. Implemented as max_by over a sortable (timestamp,
+    zero-padded id) string key — a single hash-shuffle aggregation, no
+    self-join, no window pass; at 100 TB this is one map-side-partial
+    aggregate over the change feed. The id tie-break makes same-ts
+    rows deterministic on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "user_id", "ts", "event_type", "value", key.alias("k")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+            F.expr("max_by(event_type, k)").alias("last_type"),
+            F.expr(
+                "max_by(value, k) FILTER (WHERE value IS NOT NULL)"
+            ).alias("last_value"),
+        )
+    )
