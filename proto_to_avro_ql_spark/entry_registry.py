@@ -7312,3 +7312,421 @@ def q_ext_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_value"),
         )
     )
+
+
+@register(
+    "ext_triangle_count",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e0 AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       ), deg AS (
+         SELECT node, COUNT(*) AS d FROM (
+           SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+         ) nodes GROUP BY node
+       ), e AS (
+         SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+                     THEN e0.u ELSE e0.v END AS s,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+                     THEN e0.v ELSE e0.u END AS t,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+                     THEN dv.d ELSE du.d END AS dt
+         FROM e0
+         JOIN deg du ON e0.u = du.node
+         JOIN deg dv ON e0.v = dv.node
+       ), tri AS (
+         SELECT COUNT(*) AS n_triangles
+         FROM e w1
+         JOIN e w2 ON w1.s = w2.s
+           AND (w1.dt < w2.dt OR (w1.dt = w2.dt AND w1.t < w2.t))
+         JOIN e c ON c.s = w1.t AND c.t = w2.t
+       )
+       SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+              (SELECT COUNT(*) FROM e0) AS n_edges,
+              n_triangles
+       FROM tri""",
+)
+def q_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (the graph-
+    analytics primitive behind clustering coefficients and community
+    strength) using DEGREE ORIENTATION (compact-forward): every
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher one, so each triangle is enumerated exactly once AND the
+    wedge fan-out per node is bounded by its ORIENTED out-degree —
+    O(sqrt(m)) for any graph, which is what makes the wedge self-join
+    survive power-law degree skew at 100 TB (the naive id-orientation
+    puts all wedges of a hub on one task). The oriented edge relation
+    is computed once and cached across its three uses (two wedge sides
+    + the closing-edge probe)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    fwd = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    e = (
+        e0.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(fwd, F.col("dv.d")).otherwise(F.col("du.d")).alias("dt"),
+        )
+        .cache()
+    )
+    w1, w2, c = e.alias("w1"), e.alias("w2"), e.alias("c")
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w1.s") == F.col("w2.s"))
+            & (
+                (F.col("w1.dt") < F.col("w2.dt"))
+                | ((F.col("w1.dt") == F.col("w2.dt")) & (F.col("w1.t") < F.col("w2.t")))
+            ),
+        )
+        .join(c, (F.col("c.s") == F.col("w1.t")) & (F.col("c.t") == F.col("w2.t")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+@register(
+    "ext_cusum",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS rev_c
+         FROM events GROUP BY 1, 2
+       ), p AS (
+         SELECT event_type, day,
+                SUM(rev_c) OVER w AS sk,
+                CAST(row_number() OVER w AS BIGINT) AS k
+         FROM d
+         WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       ), tot AS (
+         SELECT event_type, SUM(rev_c) AS sn,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM d GROUP BY event_type
+       ), cu AS (
+         SELECT p.event_type, p.day,
+                CAST(tot.n_days * p.sk - p.k * tot.sn AS BIGINT) AS cusum_scaled,
+                tot.n_days,
+                row_number() OVER (
+                  PARTITION BY p.event_type
+                  ORDER BY abs(CAST(tot.n_days * p.sk - p.k * tot.sn
+                               AS BIGINT)) DESC, p.day
+                ) AS rn
+         FROM p JOIN tot ON p.event_type = tot.event_type
+       )
+       SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+              CAST(cusum_scaled AS DOUBLE) / CAST(n_days AS DOUBLE)
+                AS cusum_cents,
+              n_days
+       FROM cu WHERE rn = 1""",
+)
+def q_ext_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the per-type daily revenue
+    series (the drift monitor a data-quality system runs on every
+    metric): the day where the cumulative deviation from the series'
+    own mean peaks is the most likely level-shift point. The classic
+    statistic S_k - k*mean needs the float mean; scaled by n it is
+    n*S_k - k*S_n — EXACT integer arithmetic over daily revenue cents
+    (decimal-summed, so partition-order independent), with one double
+    division at the end purely for presentation. Two windows on the
+    type-keyed TINY aggregated relation (days x types), one broadcast
+    join of per-type totals; the raw scan feeds a single hash
+    aggregate."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0)
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = d.select(
+        "event_type",
+        "day",
+        F.sum("rev_c").over(w).alias("sk"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    tot = d.groupBy("event_type").agg(
+        F.sum("rev_c").alias("sn"), F.count(F.lit(1)).alias("n_days")
+    )
+    cu = p.join(F.broadcast(tot), "event_type").withColumn(
+        "cusum_scaled",
+        (F.col("n_days") * F.col("sk") - F.col("k") * F.col("sn")).cast("long"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "day"
+    )
+    return (
+        cu.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            (F.col("cusum_scaled").cast("double") / F.col("n_days").cast("double"))
+            .alias("cusum_cents"),
+            "n_days",
+        )
+    )
+
+
+@register(
+    "ext_autocorr",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS x
+         FROM events GROUP BY 1, 2
+       ), p AS (
+         SELECT event_type, x,
+                lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+         FROM d
+       ), s AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(x AS HUGEINT)) AS sx,
+                SUM(CAST(y AS HUGEINT)) AS sy,
+                SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+         FROM p WHERE y IS NOT NULL GROUP BY event_type
+       )
+       SELECT event_type, n AS n_pairs,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) AS r1
+       FROM s""",
+)
+def q_ext_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the per-type daily revenue series (the
+    seasonality/momentum screen run before fitting any forecaster).
+    Pearson r over consecutive-day pairs with EVERY moment accumulated
+    exactly: daily revenue is quantized to integer cents (decimal sum,
+    order-independent), the five sums-of-products run in 128-bit
+    integers (Spark DECIMAL(38,0) / DuckDB HUGEINT — products of
+    cent-scale days stay far under 38 digits), and the correlation is
+    assembled from exact integers with one double expression at the
+    end — bit-identical on any partitioning, per the integer-kernel
+    invariant (ROADMAP). One window + one aggregate over the tiny
+    (type, day) relation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0)
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    D38 = "decimal(38,0)"
+    p = d.select(
+        "event_type",
+        F.col("x").cast(D38).alias("x"),
+        F.lead("x").over(w).cast(D38).alias("y"),
+    ).where(F.col("y").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast(D38)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (num / F.sqrt(den_x * den_y)).alias("r1"),
+    )
+
+
+@register(
+    "ext_chi_square",
+    """WITH o AS (
+         SELECT lang, source, COUNT(*) AS obs
+         FROM documents GROUP BY lang, source
+       ), r AS (SELECT lang, SUM(obs) AS rn FROM o GROUP BY lang),
+       c AS (SELECT source, SUM(obs) AS cn FROM o GROUP BY source),
+       t AS (SELECT SUM(obs) AS n FROM o),
+       cells AS (
+         SELECT r.lang, c.source,
+                CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+                CAST(r.rn AS BIGINT) AS rn, CAST(c.cn AS BIGINT) AS cn,
+                CAST(t.n AS BIGINT) AS n
+         FROM r CROSS JOIN c CROSS JOIN t
+         LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+       ), terms AS (
+         SELECT CAST((CAST(obs * 1000000 - (rn * cn * 1000000) // n
+                           AS HUGEINT)
+                      * CAST(obs * 1000000 - (rn * cn * 1000000) // n
+                             AS HUGEINT))
+                     // ((rn * cn * 1000000) // n) AS BIGINT) AS term,
+                n
+         FROM cells
+       )
+       SELECT CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1000000.0
+                AS chi2,
+              CAST(((SELECT COUNT(*) FROM r) - 1)
+                   * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+              CAST(MAX(n) AS BIGINT) AS n
+       FROM terms""",
+)
+def q_ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for lang x source (the
+    categorical drift / association check a dataset-governance suite
+    runs on every release): expected counts and the chi-square
+    statistic computed ENTIRELY in integer micros — e_ij = floor(
+    row_i * col_j * 1e6 / N), term = floor((o*1e6 - e)^2 / e), summed
+    as exact integers, one final /1e6 presentation division — so the
+    statistic is bit-identical on any engine or partitioning (the
+    float path would sum order-dependently). Zero-observed cells are
+    materialized by crossing the two marginal relations (both bounded
+    by category cardinality, broadcast); the raw scan feeds one hash
+    aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    t = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(t))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .select(
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+            F.col("rn").cast("long"),
+            F.col("cn").cast("long"),
+            F.col("n").cast("long"),
+        )
+    )
+    term = F.expr(
+        """CAST(
+             (CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0))
+              * CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0)))
+             DIV ((rn * cn * 1000000) DIV n) AS BIGINT)"""
+    )
+    dims = (
+        r.agg((F.count(F.lit(1)) - 1).alias("dl"))
+        .crossJoin(c.agg((F.count(F.lit(1)) - 1).alias("ds")))
+        .select((F.col("dl") * F.col("ds")).cast("long").alias("dof"))
+    )
+    stat = cells.agg(
+        (F.sum(term).cast("long").cast("double") / F.lit(1000000.0)).alias("chi2"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return stat.crossJoin(F.broadcast(dims)).select("chi2", "dof", "n")
+
+
+@register(
+    "ext_dedup_url",
+    """WITH u AS (
+         SELECT doc_id, n_chars,
+           concat('HTTPS://',
+                  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+                  source, '.example.com/p/', CAST(doc_id % 50 AS VARCHAR),
+                  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+                       WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                       WHEN doc_id % 4 = 2 THEN '?b=2&a=1&utm_campaign=x'
+                       ELSE '' END,
+                  CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+           source
+         FROM documents
+       ), canon AS (
+         SELECT doc_id, n_chars, url,
+           concat('https://', lower(source), '.example.com/p/',
+                  CAST(doc_id % 50 AS VARCHAR),
+                  CASE WHEN doc_id % 4 = 3 THEN '' ELSE '?a=1&b=2' END)
+             AS canonical_url
+         FROM u
+       )
+       SELECT canonical_url,
+              MIN(doc_id) AS rep_doc,
+              COUNT(*) AS n_crawls,
+              CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+              MAX(n_chars) AS max_chars
+       FROM canon GROUP BY canonical_url""",
+)
+def q_ext_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed crawl dedup — the FIRST dedup pass of a web corpus
+    (cheaper than any content hash: re-crawls of the same page collapse
+    on the canonical URL before text is ever compared). Raw URLs are
+    synthesized with colliding page paths (doc_id mod 50) under
+    scheme-case / www / utm-param / param-order / fragment noise, then
+    canonicalized through the ext_url_normalize steps (case-fold host,
+    strip www + fragment, drop utm_*, SORT the surviving params) and
+    grouped: representative = min doc id, crawl count, raw-variant
+    count, and the longest capture (the keep-candidate). Only (url,
+    id, n_chars) shuffle — document text never crosses the wire; one
+    hash aggregate at any scale. The oracle derives the canonical form
+    arithmetically from the same generator, independently checking the
+    normalizer."""
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?a=1&b=2"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", "n_chars", url.alias("url"))
+    # the same normalization pipeline as ext_url_normalize
+    no_frag = F.split_part(F.col("url"), F.lit("#"), F.lit(1))
+    host_path = F.split_part(no_frag, F.lit("://"), F.lit(2))
+    raw_host = F.split_part(host_path, F.lit("/"), F.lit(1))
+    host = F.regexp_replace(F.lower(raw_host), "^www\\.", "")
+    path = F.split_part(
+        F.substr(host_path, F.length(raw_host) + 1), F.lit("?"), F.lit(1)
+    )
+    qs = F.split_part(no_frag, F.lit("?"), F.lit(2))
+    cqs = F.array_join(
+        F.array_sort(F.filter(F.split(qs, "&"), lambda p: ~p.rlike("^utm_"))),
+        "&",
+    )
+    canon = u.select(
+        "doc_id",
+        "n_chars",
+        "url",
+        F.concat(
+            F.lit("https://"), host, path,
+            F.when(cqs == "", F.lit("")).otherwise(F.concat(F.lit("?"), cqs)),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("rep_doc"),
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.countDistinct("url").alias("n_raw_variants"),
+        F.max("n_chars").alias("max_chars"),
+    )
