@@ -580,3 +580,94 @@ class TestSession4Plans:
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "InMemoryTableScan" in plan, plan  # edges cached
+
+
+class TestSession6Plans:
+    """Round-3 session-4 surfaces: SQL-definition surfaces, graph and
+    statistics operators, crawl/feature-prep additions."""
+
+    def _plan(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return physical_plan(QUERIES[name](spark, sf_dir))
+
+    def test_sql_udf_inlines_into_codegen(self, spark, sf_dir):
+        """The SQL-defined function body must inline at analysis time —
+        no Python evaluation node, filter/agg fully native."""
+        plan = self._plan(spark, sf_dir, "ext_sql_udf")
+        assert "EvalPython" not in plan, plan
+        assert "Exchange hashpartitioning" in plan, plan
+
+    def test_sql_pipe_parses_to_pushed_down_plan(self, spark, sf_dir):
+        """Pipe syntax is surface sugar: the WHERE must still reach the
+        scan as a data filter, aggregation still partial."""
+        plan = self._plan(spark, sf_dir, "ext_sql_pipe")
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_sql_params_bind_as_pushable_literals(self, spark, sf_dir):
+        """Named parameters bind post-parse as literals, so the range
+        predicate must appear in the scan's pushed filters."""
+        plan = self._plan(spark, sf_dir, "ext_sql_params")
+        assert "PushedFilters: [" in plan, plan
+        assert "100.0" in plan, plan  # :lo bound constant-folded to the scan
+
+    def test_skew_profile_topk_no_global_sort(self, spark, sf_dir):
+        """Top-10 heavy hitters via TakeOrderedAndProject over the
+        aggregated counts; the single-row total broadcasts."""
+        plan = self._plan(spark, sf_dir, "ext_key_skew_profile")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row total cross join
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    def test_class_balance_single_window_pass(self, spark, sf_dir):
+        """One ranking window on the class-keyed shuffle; the min-count
+        relation broadcasts — the raw scan shuffles once."""
+        plan = self._plan(spark, sf_dir, "ext_class_balance")
+        assert plan.count("Window ") == 1, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row min cross join
+
+    def test_survivorship_single_aggregation_no_window(self, spark, sf_dir):
+        """Golden record is ONE grouped aggregation (max_by), not a
+        rank-window + self-join: exactly one keyed exchange, no Window."""
+        plan = self._plan(spark, sf_dir, "ext_survivorship")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_triangle_edges_cached_no_cartesian(self, spark, sf_dir):
+        """The oriented edge relation is computed once and reused via
+        cache across wedge+closure joins; all joins are keyed."""
+        plan = self._plan(spark, sf_dir, "ext_triangle_count")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_cusum_windows_partitioned_by_type(self, spark, sf_dir):
+        """Both windows run on the tiny aggregated relation and are
+        keyed by event_type — never a single-partition global window."""
+        plan = self._plan(spark, sf_dir, "ext_cusum")
+        assert "Exchange SinglePartition" not in plan, plan
+        assert plan.count("Window ") == 2, plan  # running-sum + argmax rank
+
+    def test_autocorr_one_window_one_agg(self, spark, sf_dir):
+        """lead() window + moment aggregation both key on event_type
+        over the (type, day) relation; no single-partition stage."""
+        plan = self._plan(spark, sf_dir, "ext_autocorr")
+        assert "Exchange SinglePartition" not in plan, plan
+        assert plan.count("Window ") == 1, plan
+
+    def test_chi_square_marginals_broadcast(self, spark, sf_dir):
+        """Marginal relations are bounded by category cardinality and
+        broadcast; the raw scan feeds exactly one hash aggregate."""
+        plan = self._plan(spark, sf_dir, "ext_chi_square")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_url_dedup_shuffles_keys_not_text(self, spark, sf_dir):
+        """Only (canonical_url, id, n_chars, url) reach the exchange —
+        document text must not cross the wire."""
+        plan = self._plan(spark, sf_dir, "ext_dedup_url")
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text" not in line, line
