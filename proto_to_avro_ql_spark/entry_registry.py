@@ -7730,3 +7730,185 @@ def q_ext_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").alias("n_raw_variants"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "ext_ks_test",
+    """WITH q AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc,
+                event_type
+         FROM events WHERE event_type IN ('purchase', 'click')
+       ), c AS (
+         SELECT vc,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+         FROM q GROUP BY vc
+       ), t AS (
+         SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c
+       ), e AS (
+         SELECT vc,
+                SUM(ca) OVER (ORDER BY vc) AS cuma,
+                SUM(cb) OVER (ORDER BY vc) AS cumb
+         FROM c
+       )
+       SELECT e.vc AS at_cents,
+              CAST(abs(t.nb * e.cuma - t.na * e.cumb) AS BIGINT) AS d_scaled,
+              CAST(abs(t.nb * e.cuma - t.na * e.cumb) AS DOUBLE)
+                / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks,
+              CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb
+       FROM e, t
+       ORDER BY d_scaled DESC, at_cents LIMIT 1""",
+)
+def q_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (the numeric companion to
+    ext_chi_square's categorical drift check): the largest ECDF gap
+    between the purchase and click value distributions, computed
+    EXACTLY — values quantize to integer cents via the verified-
+    consistent decimal cast, and the sup statistic maximizes
+    |nb*CumA(v) - na*CumB(v)| in cross-multiplied integers (no float
+    ECDFs to drift). The cumulative counts use the banded-prefix-sum
+    pattern (layout.banded_global_rank's recipe): a PARTITIONED
+    running sum per value band + a prefix sum over the ~50-row band
+    relation joined back — never a single-partition window over the
+    distinct-value relation. Top-1 via TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    q = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        (F.col("value").cast("decimal(38,2)") * 100)
+        .cast("long")
+        .alias("vc"),
+        "event_type",
+    )
+    c = q.groupBy("vc").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("cb"),
+    )
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # banded prefix sums: per-band running sum + band-offset join.
+    banded = c.withColumn("_band", F.expr("vc DIV 1000"))
+    w_in = Window.partitionBy("_band").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = banded.select(
+        "vc", "_band",
+        F.sum("ca").over(w_in).alias("ra"),
+        F.sum("cb").over(w_in).alias("rb"),
+    )
+    btot = banded.groupBy("_band").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    w_b = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = btot.select(
+        "_band",
+        (F.sum("ba").over(w_b) - F.col("ba")).alias("oa"),
+        (F.sum("bb").over(w_b) - F.col("bb")).alias("ob"),
+    )
+    e = run.join(offs, "_band").select(
+        "vc",
+        (F.col("oa") + F.col("ra")).alias("cuma"),
+        (F.col("ob") + F.col("rb")).alias("cumb"),
+    )
+    d = F.abs(F.col("nb") * F.col("cuma") - F.col("na") * F.col("cumb"))
+    return (
+        e.crossJoin(F.broadcast(t))
+        .select(
+            F.col("vc").alias("at_cents"),
+            d.cast("long").alias("d_scaled"),
+            (
+                d.cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("ks"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+        )
+        .orderBy(F.desc("d_scaled"), "at_cents")
+        .limit(1)
+    )
+
+
+@register(
+    "ext_gini",
+    """WITH u AS (
+         SELECT user_id,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS rev_c
+         FROM events GROUP BY user_id
+       ), r AS (
+         SELECT rev_c,
+                CAST(row_number() OVER (ORDER BY rev_c, user_id)
+                     AS BIGINT) AS i
+         FROM u
+       ), t AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u
+       ), s AS (
+         SELECT t.n AS n,
+                SUM(CAST(rev_c AS HUGEINT)) AS sx,
+                SUM(CAST(i AS HUGEINT) * CAST(rev_c AS HUGEINT)) AS s1,
+                SUM(CASE WHEN i > t.n - (t.n + 99) // 100
+                         THEN CAST(rev_c AS HUGEINT) ELSE CAST(0 AS HUGEINT)
+                    END) AS top_sum
+         FROM r CROSS JOIN t GROUP BY t.n
+       )
+       SELECT n AS n_users,
+              CAST(2 * s1 - (n + 1) * sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini,
+              CAST(top_sum AS DOUBLE) / CAST(sx AS DOUBLE) AS top1pct_share
+       FROM s""",
+)
+def q_ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + top-1% share of per-user revenue — the
+    concentration report that tells a marketplace (or a corpus curator,
+    swapping users for domains) how skewed its distribution is. Exact:
+    per-user revenue in integer cents (decimal-summed), ascending
+    ranks from layout.banded_global_rank (the distributed zipWithIndex
+    — a PARTITIONED per-band window + a bounded band-offset prefix,
+    never a global sort window), and the Gini closed form
+    (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) assembled from 128-bit
+    integer sums with two final double divisions."""
+    from proto_to_avro_ql_spark.operators.layout import banded_global_rank
+
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0)
+        .cast("long")
+        .alias("rev_c")
+    )
+    ranked = banded_global_rank(
+        u,
+        band=F.expr("rev_c DIV 100000"),
+        order_cols=[F.col("rev_c"), F.col("user_id")],
+        rank_name="_r0",
+    ).select(
+        F.col("rev_c").cast("decimal(38,0)").alias("x"),
+        (F.col("_r0") + 1).cast("long").alias("i"),
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    s = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("s1"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.expr("(n + 99) DIV 100"),
+                    F.col("x"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("top_sum"),
+        )
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    return s.select(
+        F.col("n").alias("n_users"),
+        (
+            (F.lit(2).cast("decimal(38,0)") * F.col("s1") - (n + 1) * F.col("sx"))
+            .cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        ).alias("gini"),
+        (F.col("top_sum").cast("double") / F.col("sx").cast("double")).alias(
+            "top1pct_share"
+        ),
+    )

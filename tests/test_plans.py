@@ -671,3 +671,20 @@ class TestSession6Plans:
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "text" not in line, line
+
+    def test_ks_running_sums_partitioned_by_band(self, spark, sf_dir):
+        """The per-value cumulative sums must run inside band-keyed
+        windows; only the ~50-row band-offset prefix may be global."""
+        plan = self._plan(spark, sf_dir, "ext_ks_test")
+        for line in plan.splitlines():
+            if "Window [sum(ca" in line or "Window [sum(cb" in line:
+                assert "_band" in line.split("windowspecdefinition")[1][:80], line
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_gini_rank_is_banded_not_global(self, spark, sf_dir):
+        """The ascending-revenue rank comes from banded_global_rank —
+        per-row row_number windows are band-partitioned."""
+        plan = self._plan(spark, sf_dir, "ext_gini")
+        for line in plan.splitlines():
+            if "Window [row_number()" in line:
+                assert "_band" in line.split("windowspecdefinition")[1][:80], line
