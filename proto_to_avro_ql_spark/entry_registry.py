@@ -7912,3 +7912,158 @@ def q_ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1pct_share"
         ),
     )
+
+
+@register(
+    "ext_js_divergence",
+    f"""WITH t AS (
+         SELECT lang, string_split({_NORM}, ' ') AS toks
+         FROM documents WHERE lang IN ('en', 'fr') AND {_NORM} <> ''
+       ), tok AS (
+         SELECT lang, unnest(toks) AS w FROM t
+       ), c AS (
+         SELECT w,
+                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+                SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS b
+         FROM tok GROUP BY w
+       ), n AS (
+         SELECT SUM(a) AS na, SUM(b) AS nb FROM c
+       ), terms AS (
+         SELECT
+           CASE WHEN c.a > 0 THEN CAST(c.a AS DECIMAL(38,6)) *
+             CAST(ROUND(ln(CAST(2 * c.a * n.nb AS DOUBLE)
+                  / CAST(c.a * n.nb + c.b * n.na AS DOUBLE)), 6)
+                  AS DECIMAL(38,6))
+           ELSE CAST(0 AS DECIMAL(38,6)) END AS ta,
+           CASE WHEN c.b > 0 THEN CAST(c.b AS DECIMAL(38,6)) *
+             CAST(ROUND(ln(CAST(2 * c.b * n.na AS DOUBLE)
+                  / CAST(c.a * n.nb + c.b * n.na AS DOUBLE)), 6)
+                  AS DECIMAL(38,6))
+           ELSE CAST(0 AS DECIMAL(38,6)) END AS tb,
+           n.na, n.nb
+         FROM c, n
+       )
+       SELECT CAST(MAX(na) AS BIGINT) AS n_en,
+              CAST(MAX(nb) AS BIGINT) AS n_fr,
+              0.5 * (CAST(SUM(ta) AS DOUBLE) / CAST(MAX(na) AS DOUBLE)
+                     + CAST(SUM(tb) AS DOUBLE) / CAST(MAX(nb) AS DOUBLE))
+                AS jsd_nats
+       FROM terms""",
+)
+def q_ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and French token
+    distributions — the symmetric, bounded corpus-mix drift metric an
+    LLM data pipeline tracks per snapshot (KL blows up on unshared
+    vocabulary; JSD doesn't). Each KL term's log argument is a ratio of
+    EXACT integer cross-products (2*a_i*nb / (a_i*nb + b_i*na)), its ln
+    is rounded to 6 and accumulated in DECIMAL(38,6) weighted by the
+    exact integer count (the bigram-LM/entropy pattern), and the two
+    probability normalizations are single final double divisions — so
+    the sum is partition-order independent. One (token, side)
+    conditional aggregate; the vocabulary relation, never the corpus,
+    is what everything downstream touches."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    norm = TX.normalize_text(F.col("text"))
+    tok = (
+        docs.where(F.col("lang").isin("en", "fr") & (norm != ""))
+        .select("lang", F.explode(F.split(norm, " ")).alias("w"))
+    )
+    c = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0)).alias("b"),
+    )
+    n = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    D6 = "decimal(38,6)"
+    zero = F.lit(0).cast(D6)
+    j = c.crossJoin(F.broadcast(n))
+    denom = (F.col("a") * F.col("nb") + F.col("b") * F.col("na")).cast("double")
+    ta = F.when(
+        F.col("a") > 0,
+        F.col("a").cast(D6)
+        * F.round(
+            F.log((2 * F.col("a") * F.col("nb")).cast("double") / denom), 6
+        ).cast(D6),
+    ).otherwise(zero)
+    tb = F.when(
+        F.col("b") > 0,
+        F.col("b").cast(D6)
+        * F.round(
+            F.log((2 * F.col("b") * F.col("na")).cast("double") / denom), 6
+        ).cast(D6),
+    ).otherwise(zero)
+    return j.agg(
+        F.max("na").cast("long").alias("n_en"),
+        F.max("nb").cast("long").alias("n_fr"),
+        (
+            F.lit(0.5)
+            * (
+                F.sum(ta).cast("double") / F.max("na").cast("double")
+                + F.sum(tb).cast("double") / F.max("nb").cast("double")
+            )
+        ).alias("jsd_nats"),
+    )
+
+
+@register(
+    "ext_benford",
+    """WITH v AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc
+         FROM events
+       ), d AS (
+         SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                COUNT(*) AS n
+         FROM v WHERE vc > 0 GROUP BY 1
+       ), t AS (SELECT SUM(n) AS total FROM d),
+       exp AS (
+         SELECT * FROM (VALUES
+           (1, 0.301030), (2, 0.176091), (3, 0.124939),
+           (4, 0.096910), (5, 0.079181), (6, 0.066947),
+           (7, 0.057992), (8, 0.051153), (9, 0.045757)
+         ) e(digit, exp_share)
+       )
+       SELECT exp.digit, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+              CAST(COALESCE(d.n, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+                AS obs_share,
+              exp.exp_share
+       FROM exp LEFT JOIN d ON exp.digit = d.digit CROSS JOIN t""",
+)
+def q_ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen (the fabricated-data /
+    instrumentation-bug detector auditors run on any money-like
+    metric): observed leading-digit shares of the value column next to
+    Benford's expected log10(1+1/d) shares (fixed 6-digit literals —
+    identical on both engines by construction). Values quantize to
+    integer cents through the verified-consistent decimal cast, the
+    digit is a string head (exact), and shares are exact counts over a
+    broadcast single-row total — one hash aggregate at any scale. The
+    synthetic uniform values WON'T follow Benford; the metric reports
+    the deviation, it doesn't assert it."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("value").cast("decimal(38,2)") * 100).cast("long").alias("vc")
+    ).where(F.col("vc") > 0)
+    d = v.select(
+        F.substring(F.col("vc").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.sum("n").alias("total"))
+    exp = spark.createDataFrame(
+        [
+            (1, 0.301030), (2, 0.176091), (3, 0.124939),
+            (4, 0.096910), (5, 0.079181), (6, 0.066947),
+            (7, 0.057992), (8, 0.051153), (9, 0.045757),
+        ],
+        "digit int, exp_share double",
+    )
+    return (
+        exp.join(F.broadcast(d), "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("obs_share"),
+            "exp_share",
+        )
+    )
