@@ -77,6 +77,12 @@ HEADLINE = [
     "ext_scd2_join",         # SCD2 validity-interval dimension lookup
     "ext_overlap_join",      # interval-overlap join on the user key
     "ext_embed_drift",       # per-dimension cohort means, scalar shuffle
+    # round 3, session 4: graph/statistics breadth + crawl dedup
+    "ext_triangle_count",    # degree-oriented wedge join (cached edges)
+    "ext_survivorship",      # golden record, single max_by aggregation
+    "ext_dedup_url",         # canonical-URL crawl dedup, keys-only shuffle
+    "ext_ks_test",           # exact two-sample KS via banded prefix sums
+    "ext_js_divergence",     # token-distribution JSD (en vs fr)
 ]
 
 

@@ -7390,22 +7390,36 @@ def q_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    w1, w2, c = e.alias("w1"), e.alias("w2"), e.alias("c")
+    # adjacency-intersection counting: for each oriented edge (u,v),
+    # triangles closing over it are |adj(u) ∩ adj(v)| (out-lists only —
+    # orientation already guarantees rank(w) above both endpoints, so
+    # each triangle counts exactly once). Same count as the wedge
+    # self-join the ORACLE runs, but the ~Σd² wedge rows are never
+    # materialized or shuffled — the intersection happens inside the
+    # join stage over sorted int arrays. Cross-checking two different
+    # formulations makes the oracle stronger, not weaker.
+    adj = e.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+    au = adj.select(F.col("s").alias("u_key"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("s").alias("v_key"), F.col("nbrs").alias("nv"))
     tri = (
-        w1.join(
-            w2,
-            (F.col("w1.s") == F.col("w2.s"))
-            & (
-                (F.col("w1.dt") < F.col("w2.dt"))
-                | ((F.col("w1.dt") == F.col("w2.dt")) & (F.col("w1.t") < F.col("w2.t")))
-            ),
+        e.join(au, F.col("s") == F.col("u_key"))
+        .join(av, F.col("t") == F.col("v_key"))  # inner: edges whose target
+        # has no out-neighbours contribute zero triangles
+        .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles")
         )
-        .join(c, (F.col("c.s") == F.col("w1.t")) & (F.col("c.t") == F.col("w2.t")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-        e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    # derive the node/edge tallies from the CACHED oriented relation —
+    # recomputing them from e0/deg would re-evaluate the pair join per
+    # branch (Spark shares no work across branches without caching)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+    counts = nodes.crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
@@ -7613,7 +7627,9 @@ def q_ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     by category cardinality, broadcast); the raw scan feeds one hash
     aggregate."""
     docs = read_table(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("obs")
+    ).cache()  # both marginals, the total, and the cell join share it
     r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
     c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
     t = o.agg(F.sum("obs").alias("n"))
@@ -7783,7 +7799,7 @@ def q_ext_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = q.groupBy("vc").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("cb"),
-    )
+    ).cache()  # three branches (totals, running sums, band totals) share it
     t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     # banded prefix sums: per-band running sum + band-offset join.
     banded = c.withColumn("_band", F.expr("vc DIV 1000"))
@@ -7875,7 +7891,7 @@ def q_ext_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast(DEC)) * 100, 0)
         .cast("long")
         .alias("rev_c")
-    )
+    ).cache()  # rank window + band counts + total all branch off it
     ranked = banded_global_rank(
         u,
         band=F.expr("rev_c DIV 100000"),

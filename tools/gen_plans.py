@@ -85,6 +85,16 @@ AUDIT = {
     "ext_vocab_coverage": "vocab coverage (top-k joined back at vocab cardinality)",
     "ext_conversion_lag": "conversion lag (one conditional-MIN pass, disc percentiles)",
     "ext_degree_dist": "degree histogram (two map-side-partial aggs)",
+    "ext_triangle_count": "degree-oriented triangles (cached oriented edges, keyed wedge joins)",
+    "ext_survivorship": "golden record (ONE max_by aggregation, no window/self-join)",
+    "ext_dedup_url": "canonical-URL dedup (keys shuffle, text stays put)",
+    "ext_ks_test": "exact KS statistic (band-partitioned ECDF prefix sums)",
+    "ext_gini": "Gini + top-1% share (banded global rank, 128-bit sums)",
+    "ext_js_divergence": "token JSD (vocab-scale conditional agg, broadcast totals)",
+    "ext_chi_square": "integer-micros chi-square (broadcast marginals, zero-cell cross)",
+    "ext_cusum": "CUSUM changepoint (integer n*Sk - k*Sn, type-keyed windows)",
+    "ext_sql_udf": "SQL-defined function (inlined, no Python node)",
+    "ext_key_skew_profile": "heavy-hitter profile (TakeOrdered over agg counts)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
@@ -103,17 +113,32 @@ def count_nodes(plan: str, marker: str) -> int:
     stable node identity); lines without one (rare, non-AQE fragments)
     fall back to line counting. ReusedExchange lines are re-prints of
     an exchange already counted, never new shuffles."""
+    # Two inflation sources in AQE plan strings, neither of which is
+    # executed work: (a) every AdaptiveSparkPlan prints its pre-runtime
+    # "== Initial Plan ==" alongside the final one (the bulk — ~6x on
+    # cache-heavy queries), and (b) a cached relation re-prints its
+    # defining plan (fresh plan_ids each time) under every
+    # InMemoryRelation reference. Skip initial sections, then dedup by
+    # content with expr-ids/plan-ids stripped so re-prints collapse.
+    # Textually identical but genuinely re-executed branch twins merge
+    # too — a slight undercount, preferred to the former 5-10x
+    # overcount.
     seen: set[str] = set()
-    fallback = 0
+    mode = "exec"
     for line in plan.splitlines():
+        if "== Final Plan ==" in line:
+            mode = "final"
+            continue
+        if "== Initial Plan ==" in line:
+            mode = "initial"
+            continue
+        if mode == "initial":
+            continue
         if marker not in line or "ReusedExchange" in line:
             continue
-        m = PLAN_ID_RE.search(line)
-        if m:
-            seen.add(m.group(1))
-        else:
-            fallback += 1
-    return len(seen) + fallback
+        norm = re.sub(r"#\d+|\[plan_id=\d+\]", "", line).lstrip(" :+-*")
+        seen.add(norm)
+    return len(seen)
 
 
 def main() -> None:
@@ -126,6 +151,15 @@ def main() -> None:
         "query: exchanges (shuffles), broadcast joins, sort-merge joins,",
         "hash aggregates, codegen spans, scan width. Hard assertions live",
         "in tests/test_plans.py.",
+        "",
+        "Counting basis: the AQE FINAL plan as executed at sf0.01 —",
+        "never-executed `== Initial Plan ==` sections and cached-relation",
+        "re-prints are excluded, and nodes are deduplicated by",
+        "expr-id-stripped content (re-printed shared subtrees collapse;",
+        "textually identical branch twins may merge, so counts are a",
+        "floor, not a ceiling). AQE may have runtime-converted small",
+        "shuffles to broadcasts at this scale; at lake scale the same",
+        "queries plan more exchanges.",
         "",
     ]
     for name, desc in AUDIT.items():
