@@ -8083,3 +8083,113 @@ def q_ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exp_share",
         )
     )
+
+
+@register(
+    "ext_calibration",
+    """WITH s AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc,
+                CAST(user_id % 2 AS INTEGER) AS label
+         FROM events WHERE value IS NOT NULL
+       ), b AS (
+         SELECT CASE WHEN vc // 5000 > 9 THEN 9 ELSE vc // 5000 END AS bin,
+                COUNT(*) AS n,
+                SUM(label) AS pos,
+                SUM(vc) AS svc
+         FROM s GROUP BY 1
+       ), t AS (
+         SELECT SUM(n) AS total,
+                SUM(abs(pos * 50000 - svc)) AS ece_scaled
+         FROM b
+       )
+       SELECT CAST(b.bin AS BIGINT) AS bin, CAST(b.n AS BIGINT) AS n,
+              CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS obs_rate,
+              CAST(b.svc AS DOUBLE) / (CAST(b.n AS DOUBLE) * 50000.0)
+                AS mean_pred,
+              CAST(t.ece_scaled AS DOUBLE)
+                / (CAST(t.total AS DOUBLE) * 50000.0) AS ece
+       FROM b, t""",
+)
+def q_ext_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability report + expected calibration error
+    (completing the eval suite next to AUC and NDCG: a model can rank
+    perfectly and still lie about its confidence): predicted
+    probability = value/500 bucketed into 10 equi-width bins, observed
+    positive rate vs mean predicted per bin, and ECE folded into EXACT
+    integers — sum_b n_b/N * |obs_b - pred_b| telescopes to
+    sum|pos_b*50000 - svc_b| / (N*50000), an integer sum with one
+    presentation division, so the statistic is partition-order
+    independent (a float per-bin sum would not be). One hash
+    aggregate to the 10-bin relation; the single-row totals broadcast
+    back."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        (F.col("value").cast("decimal(38,2)") * 100).cast("long").alias("vc"),
+        (F.col("user_id") % 2).cast("int").alias("label"),
+    )
+    b = s.groupBy(
+        F.least(F.expr("vc DIV 5000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("pos"),
+        F.sum("vc").alias("svc"),
+    )
+    t = b.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.abs(F.col("pos") * 50000 - F.col("svc"))).alias("ece_scaled"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+            "obs_rate"
+        ),
+        (
+            F.col("svc").cast("double")
+            / (F.col("n").cast("double") * F.lit(50000.0))
+        ).alias("mean_pred"),
+        (
+            F.col("ece_scaled").cast("double")
+            / (F.col("total").cast("double") * F.lit(50000.0))
+        ).alias("ece"),
+    )
+
+
+@register(
+    "ext_l_diversity",
+    """WITH g AS (
+         SELECT c_mktsegment, c_nationkey,
+                COUNT(*) AS group_size,
+                CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000)
+                     AS BIGINT)) AS BIGINT) AS l
+         FROM customer GROUP BY c_mktsegment, c_nationkey
+       )
+       SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nation,
+              group_size, l
+       FROM g WHERE l < 3""",
+)
+def q_ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release check (the companion to ext_kanon_check:
+    k-anonymity stops re-identification, l-diversity stops attribute
+    DISCLOSURE — a group can be large yet still reveal everyone's
+    sensitive value if that value is uniform): for every
+    quasi-identifier cell (segment, nation), the number of DISTINCT
+    sensitive-attribute bands (account-balance thousands), reporting
+    cells below l=3 that need suppression or generalization before
+    release. One grouped count-distinct — two-phase partial
+    aggregation, no window, bounded output (QI-cell cardinality).
+    floor() on the raw column matches DuckDB's floor on the identical
+    double bit pattern."""
+    c = read_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l"),
+    )
+    return g.where(F.col("l") < 3).select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        "group_size",
+        "l",
+    )
