@@ -8193,3 +8193,89 @@ def q_ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         "l",
     )
+
+
+@register(
+    "ext_graph_jaccard",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e0 AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       ), adj AS (
+         SELECT u AS node, v AS nbr FROM e0
+         UNION ALL SELECT v AS node, u AS nbr FROM e0
+       ), deg AS (
+         SELECT node, COUNT(*) AS d FROM adj GROUP BY node
+       ), cn AS (
+         SELECT a1.node AS u, a2.node AS v, COUNT(*) AS inter
+         FROM adj a1 JOIN adj a2
+           ON a1.nbr = a2.nbr AND a1.node < a2.node
+         GROUP BY a1.node, a2.node
+       )
+       SELECT e0.u, e0.v, CAST(cn.inter AS BIGINT) AS common_nbrs,
+              CAST(cn.inter * 1000000
+                   // (du.d + dv.d - cn.inter) AS BIGINT) AS jaccard_micro
+       FROM e0
+       JOIN cn ON cn.u = e0.u AND cn.v = e0.v
+       JOIN deg du ON du.node = e0.u
+       JOIN deg dv ON dv.node = e0.v
+       WHERE cn.inter >= 2
+       ORDER BY jaccard_micro DESC, e0.u, e0.v LIMIT 20""",
+)
+def q_ext_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link scoring over the co-purchase graph —
+    the classic link-prediction / edge-strength primitive (two parts
+    whose buyer neighborhoods overlap heavily are substitutes or kit
+    components): for every existing edge, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    in EXACT integer micros (floor cross-division — no float ratio to
+    straddle). The Spark side intersects sorted adjacency arrays per
+    edge (the triangle-count machinery — the Σd² common-neighbor wedge
+    relation is never materialized); the ORACLE deliberately counts
+    common neighbors through the wedge join, cross-checking two
+    formulations. Top-20 via TakeOrderedAndProject."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .cache()  # adjacency build + the edge probe both branch off it
+    )
+    adj = (
+        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+    )
+    au = adj.select(
+        F.col("node").alias("u_key"),
+        F.col("nbrs").alias("nu"),
+        F.size("nbrs").alias("du"),
+    )
+    av = adj.select(
+        F.col("node").alias("v_key"),
+        F.col("nbrs").alias("nv"),
+        F.size("nbrs").alias("dv"),
+    )
+    inter = F.size(F.array_intersect("nu", "nv"))
+    return (
+        e0.join(au, F.col("u") == F.col("u_key"))
+        .join(av, F.col("v") == F.col("v_key"))
+        .select(
+            "u",
+            "v",
+            inter.cast("long").alias("common_nbrs"),
+            F.expr(
+                "CAST(size(array_intersect(nu, nv)) * 1000000L"
+                " DIV (du + dv - size(array_intersect(nu, nv))) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .where(F.col("common_nbrs") >= 2)
+        .orderBy(F.desc("jaccard_micro"), "u", "v")
+        .limit(20)
+    )
