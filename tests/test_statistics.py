@@ -1,0 +1,270 @@
+"""Independent-reference checks for the session's statistics/graph
+operators: each result is recomputed with plain Python/numpy over the
+collected sf0.001 data — a third implementation besides the Spark plan
+and the DuckDB oracle, catching shared misunderstandings the
+oracle-vs-engine compare cannot."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from proto_to_avro_ql_spark.entry_queries import QUERIES
+from proto_to_avro_ql_spark.sources.io import read_table
+
+
+class TestGraphReferences:
+    def test_triangle_count_matches_bruteforce(self, spark, sf_dir):
+        li = (
+            read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        orders = defaultdict(set)
+        for r in li:
+            orders[r.l_orderkey].add(r.l_partkey)
+        edges = set()
+        for parts in orders.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    edges.add((ps[i], ps[j]))
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        tri = sum(
+            1 for (u, v) in edges for w in adj[u] & adj[v] if v < w
+        )
+        row = QUERIES["ext_triangle_count"](spark, sf_dir).first()
+        assert row.n_edges == len(edges)
+        assert row.n_nodes == len(adj)
+        assert row.n_triangles == tri
+
+    def test_graph_jaccard_scores_match_bruteforce(self, spark, sf_dir):
+        rows = QUERIES["ext_graph_jaccard"](spark, sf_dir).collect()
+        li = (
+            read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        orders = defaultdict(set)
+        for r in li:
+            orders[r.l_orderkey].add(r.l_partkey)
+        adj = defaultdict(set)
+        for parts in orders.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    adj[ps[i]].add(ps[j])
+                    adj[ps[j]].add(ps[i])
+        for r in rows:
+            inter = len(adj[r.u] & adj[r.v])
+            union = len(adj[r.u] | adj[r.v])
+            assert r.common_nbrs == inter
+            assert r.jaccard_micro == inter * 1000000 // union
+
+
+class TestStatisticsReferences:
+    def _daily_cents(self, spark, sf_dir):
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")) * 100, 0)
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        series = defaultdict(dict)
+        for r in rows:
+            series[r.event_type][r.day] = r.c
+        return {k: [v[d] for d in sorted(v)] for k, v in series.items()}
+
+    def test_autocorr_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        series = self._daily_cents(spark, sf_dir)
+        got = {r.event_type: r for r in QUERIES["ext_autocorr"](spark, sf_dir).collect()}
+        for t, xs in series.items():
+            x, y = np.array(xs[:-1], dtype=float), np.array(xs[1:], dtype=float)
+            ref = np.corrcoef(x, y)[0, 1]
+            assert got[t].n_pairs == len(x)
+            assert got[t].r1 == pytest.approx(ref, abs=1e-9)
+
+    def test_cusum_matches_python(self, spark, sf_dir):
+        series = self._daily_cents(spark, sf_dir)
+        got = {r.event_type: r for r in QUERIES["ext_cusum"](spark, sf_dir).collect()}
+        for t, xs in series.items():
+            n, s_n = len(xs), sum(xs)
+            best = max(
+                ((abs(n * sum(xs[: k + 1]) - (k + 1) * s_n), k) for k in range(n)),
+                key=lambda p: (p[0], -p[1]),
+            )
+            expect = (n * sum(xs[: best[1] + 1]) - (best[1] + 1) * s_n) / n
+            assert got[t].cusum_cents == pytest.approx(expect, abs=1e-9)
+            assert got[t].n_days == n
+
+    def test_ks_matches_bruteforce(self, spark, sf_dir):
+        from decimal import Decimal
+
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("event_type").isin("purchase", "click"))
+            .select("event_type", "value")
+            .collect()
+        )
+        a = sorted(
+            int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+            for r in ev
+            if r.event_type == "purchase"
+        )
+        b = sorted(
+            int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+            for r in ev
+            if r.event_type == "click"
+        )
+        na, nb = len(a), len(b)
+        vals = sorted(set(a) | set(b))
+        d_best = max(
+            abs(
+                nb * sum(1 for x in a if x <= v)
+                - na * sum(1 for x in b if x <= v)
+            )
+            for v in vals
+        )
+        row = QUERIES["ext_ks_test"](spark, sf_dir).first()
+        assert (row.na, row.nb) == (na, nb)
+        assert row.d_scaled == d_best
+        assert row.ks == pytest.approx(d_best / (na * nb), abs=1e-12)
+
+    def test_gini_matches_python(self, spark, sf_dir):
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")) * 100, 0)
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        xs = sorted(r.c for r in rows)
+        n, sx = len(xs), sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        ref_gini = (2 * s1 - (n + 1) * sx) / (n * sx)
+        row = QUERIES["ext_gini"](spark, sf_dir).first()
+        assert row.n_users == n
+        assert row.gini == pytest.approx(ref_gini, abs=1e-12)
+        top = sum(xs[n - (n + 99) // 100 :])
+        assert row.top1pct_share == pytest.approx(top / sx, abs=1e-12)
+
+    def test_chi_square_close_to_float_reference(self, spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents").select("lang", "source").collect()
+        cells = Counter((r.lang, r.source) for r in docs)
+        rt, ct = Counter(r.lang for r in docs), Counter(r.source for r in docs)
+        n = len(docs)
+        ref = sum(
+            (cells.get((l, s), 0) - rt[l] * ct[s] / n) ** 2 / (rt[l] * ct[s] / n)
+            for l in rt
+            for s in ct
+        )
+        row = QUERIES["ext_chi_square"](spark, sf_dir).first()
+        assert row.n == n
+        assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+        # integer-micros floor quantization: within 1e-3 relative of the float stat
+        assert row.chi2 == pytest.approx(ref, rel=2e-3)
+
+    def test_js_divergence_bounds_and_float_reference(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.functions.text import normalize_text
+
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .where(F.col("lang").isin("en", "fr"))
+            .select("lang", normalize_text(F.col("text")).alias("t"))
+            .collect()
+        )
+        ca, cb = Counter(), Counter()
+        for r in docs:
+            if not r.t:
+                continue
+            (ca if r.lang == "en" else cb).update(r.t.split(" "))
+        na, nb = sum(ca.values()), sum(cb.values())
+        ref = 0.0
+        for w in set(ca) | set(cb):
+            p, q = ca.get(w, 0) / na, cb.get(w, 0) / nb
+            m = (p + q) / 2
+            if p:
+                ref += 0.5 * p * math.log(p / m)
+            if q:
+                ref += 0.5 * q * math.log(q / m)
+        row = QUERIES["ext_js_divergence"](spark, sf_dir).first()
+        assert (row.n_en, row.n_fr) == (na, nb)
+        assert 0.0 <= row.jsd_nats <= math.log(2) + 1e-9
+        assert row.jsd_nats == pytest.approx(ref, abs=5e-6)  # ln rounded to 6
+
+    def test_calibration_ece_matches_float_reference(self, spark, sf_dir):
+        from decimal import Decimal
+
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull())
+            .select("user_id", "value")
+            .collect()
+        )
+        bins = defaultdict(lambda: [0, 0, 0])  # n, pos, sum_vc
+        total = 0
+        for r in ev:
+            vc = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+            b = min(vc // 5000, 9)
+            bins[b][0] += 1
+            bins[b][1] += r.user_id % 2
+            bins[b][2] += vc
+            total += 1
+        ece_ref = sum(abs(pos * 50000 - svc) for (_, pos, svc) in bins.values()) / (
+            total * 50000
+        )
+        rows = QUERIES["ext_calibration"](spark, sf_dir).collect()
+        assert len(rows) == len(bins)
+        for r in rows:
+            n, pos, svc = bins[r.bin]
+            assert r.n == n
+            assert r.obs_rate == pytest.approx(pos / n, abs=1e-12)
+            assert r.ece == pytest.approx(ece_ref, abs=1e-12)
+
+    def test_class_balance_equalizes_to_min_class(self, spark, sf_dir):
+        counts = {
+            r.event_type: r["count"]
+            for r in read_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .count()
+            .collect()
+        }
+        m = min(counts.values())
+        rows = QUERIES["ext_class_balance"](spark, sf_dir).collect()
+        assert len(rows) == len(counts)
+        assert all(r.n_kept == m for r in rows)
+
+    def test_survivorship_matches_pandas(self, spark, sf_dir):
+        pdf = (
+            read_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "event_type", "value")
+            .toPandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        got = {r.user_id: r for r in QUERIES["ext_survivorship"](spark, sf_dir).collect()}
+        for uid, g in pdf.groupby("user_id"):
+            r = got[uid]
+            assert r.n_events == len(g)
+            assert r.last_type == g.iloc[-1].event_type
+            nn = g[g.value.notna()]
+            if len(nn):
+                assert r.last_value == pytest.approx(nn.iloc[-1].value)
+            else:
+                assert r.last_value is None
