@@ -8279,3 +8279,110 @@ def q_ext_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_micro"), "u", "v")
         .limit(20)
     )
+
+
+@register(
+    "ext_spatial_join",
+    """WITH cust AS (
+         SELECT c_custkey,
+                ('0x' || substr(md5('x|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 AS x,
+                ('0x' || substr(md5('y|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 AS y
+         FROM customer
+       ), supp AS (
+         SELECT s_suppkey,
+                ('0x' || substr(md5('x|s' || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 AS x,
+                ('0x' || substr(md5('y|s' || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 AS y
+         FROM supplier
+       ), probes AS (
+         SELECT s.s_suppkey, s.x, s.y,
+                s.x // 20000 + dx.d AS cx, s.y // 20000 + dy.d AS cy
+         FROM supp s,
+              (VALUES (-1), (0), (1)) dx(d),
+              (VALUES (-1), (0), (1)) dy(d)
+       ), hits AS (
+         SELECT p.s_suppkey, c.c_custkey,
+                (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS d2
+         FROM probes p
+         JOIN cust c ON c.x // 20000 = p.cx AND c.y // 20000 = p.cy
+         WHERE (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y)
+               <= 20000 * 20000
+       )
+       SELECT s_suppkey,
+              COUNT(*) AS n_within,
+              CAST(arg_min(c_custkey,
+                   lpad(CAST(d2 AS VARCHAR), 12, '0') || '|' ||
+                   lpad(CAST(c_custkey AS VARCHAR), 12, '0')) AS BIGINT)
+                AS nearest_cust,
+              MIN(d2) AS nearest_d2
+       FROM hits GROUP BY s_suppkey""",
+)
+def q_ext_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius join — the geo-join strategy every
+    distributed engine uses under ST_DWithin (candidate cells via a
+    uniform grid sized to the radius, exact predicate after): suppliers
+    find all customers within r=20000 units on a synthetic
+    1M x 1M integer plane (portable md5-derived coordinates). Each
+    supplier probes its 3x3 neighbor cells (a bounded 9x replication of
+    the SMALL side only), the join is a plain equi join on the cell
+    key, and the distance predicate is EXACT integer arithmetic
+    (dx²+dy² ≤ r² — no sqrt, no float straddle). Output: per-supplier
+    neighbor count + deterministic nearest customer via min_by on a
+    sortable (d2, key) string. At 100 TB this is the pattern that
+    replaces the quadratic cross join with #cells-bounded work."""
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+
+    def coord(prefix: str, key: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col(key).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        )
+
+    cust = c.select(
+        "c_custkey", coord("x|", "c_custkey").alias("x"), coord("y|", "c_custkey").alias("y")
+    ).withColumn("cx", F.expr("x DIV 20000")).withColumn("cy", F.expr("y DIV 20000"))
+    supp = s.select(
+        "s_suppkey", coord("x|s", "s_suppkey").alias("x"), coord("y|s", "s_suppkey").alias("y")
+    )
+    d = spark.range(-1, 2).select(F.col("id").cast("long").alias("d"))
+    probes = (
+        supp.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            "s_suppkey", "x", "y",
+            (F.expr("x DIV 20000") + F.col("dx")).alias("cx"),
+            (F.expr("y DIV 20000") + F.col("dy")).alias("cy"),
+        )
+    )
+    dx = probes["x"] - cust["x"]
+    dy = probes["y"] - cust["y"]
+    d2 = dx * dx + dy * dy
+    hits = probes.join(
+        cust, (probes["cx"] == cust["cx"]) & (probes["cy"] == cust["cy"])
+    ).where(d2 <= 20000 * 20000).select(
+        "s_suppkey", "c_custkey", d2.alias("d2")
+    )
+    key = F.concat(
+        F.lpad(F.col("d2").cast("string"), 12, "0"),
+        F.lit("|"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+    )
+    return (
+        hits.select("s_suppkey", "c_custkey", "d2", key.alias("k"))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.expr("min_by(c_custkey, k)").cast("long").alias("nearest_cust"),
+            F.min("d2").alias("nearest_d2"),
+        )
+    )
