@@ -8386,3 +8386,108 @@ def q_ext_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d2").alias("nearest_d2"),
         )
     )
+
+
+# Poisson(1) multiplicity thresholds on a 32-bit md5 uniform:
+# floor(cumsum(e^-1/k!) * 2^32) for k = 0..6 — identical integer
+# literals on both engines, so resample multiplicities are portable.
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783,
+           4279248373, 4292415291, 4294609777]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "ext_bootstrap_ci",
+    f"""WITH r AS (SELECT unnest(generate_series(0, 99)) AS rep),
+       m AS (
+         SELECT e.event_type, r.rep,
+                {_pois_case_sql("('0x' || substr(md5(CAST(r.rep AS VARCHAR) || '|' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT")} AS m,
+                CAST(e.value AS DECIMAL(38,6)) AS v
+         FROM events e CROSS JOIN r
+       ), means AS (
+         SELECT event_type, rep,
+                CAST(SUM(m * v) AS DOUBLE) / SUM(m) AS mu
+         FROM m GROUP BY event_type, rep HAVING SUM(m) > 0
+       ), ranked AS (
+         SELECT event_type, mu,
+                row_number() OVER (PARTITION BY event_type ORDER BY mu, rep)
+                  AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS b
+         FROM means
+       )
+       SELECT event_type,
+              CAST(MAX(b) AS BIGINT) AS n_resamples,
+              MAX(CASE WHEN rn = 3 THEN mu END) AS ci_lo,
+              MAX(CASE WHEN rn = b - 2 THEN mu END) AS ci_hi
+       FROM ranked GROUP BY event_type""",
+)
+def q_ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the per-type mean
+    value — THE bootstrap that scales (classic resampling needs n draws
+    per replicate = a shuffle per replicate; the Poisson bootstrap
+    gives every row an independent Poisson(1) multiplicity per
+    replicate, so 100 replicates are ONE narrow explode + ONE hash
+    aggregate, embarrassingly parallel at any corpus size).
+    Multiplicities derive from a portable md5 uniform against fixed
+    integer thresholds (exact on both engines); replicate means are
+    single double divisions of exact decimal sums; the CI bounds are
+    DISCRETE order statistics (3rd / 98th of 100 — the
+    conversion-lag precedent: selection, not interpolation, so no
+    float arithmetic between engines). Windows partition by event_type
+    over the tiny (type, rep) means relation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    reps = spark.range(0, 100).select(F.col("id").cast("int").alias("rep"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("rep").cast("string"),
+                    F.lit("|"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    mult = F.lit(7)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        mult = F.when(u < _POIS_T[k], F.lit(k)).otherwise(mult)
+    m = (
+        ev.select("event_type", "event_id", F.col("value").cast(DEC).alias("v"))
+        .crossJoin(F.broadcast(reps))
+        .select("event_type", "rep", mult.alias("m"), "v")
+    )
+    means = (
+        m.groupBy("event_type", "rep")
+        .agg(F.sum(F.col("m") * F.col("v")).alias("sv"), F.sum("m").alias("sm"))
+        .where(F.col("sm") > 0)
+        .select(
+            "event_type",
+            "rep",
+            (F.col("sv").cast("double") / F.col("sm")).alias("mu"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("mu", "rep")
+    wb = Window.partitionBy("event_type")
+    ranked = means.select(
+        "event_type",
+        "mu",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("b"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("b").cast("long").alias("n_resamples"),
+        F.max(F.when(F.col("rn") == 3, F.col("mu"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == F.col("b") - 2, F.col("mu"))).alias("ci_hi"),
+    )
