@@ -83,6 +83,9 @@ HEADLINE = [
     "ext_dedup_url",         # canonical-URL crawl dedup, keys-only shuffle
     "ext_ks_test",           # exact two-sample KS via banded prefix sums
     "ext_js_divergence",     # token-distribution JSD (en vs fr)
+    "ext_graph_jaccard",     # link scoring via adjacency intersection
+    "ext_spatial_join",      # grid-blocked radius join (exact int predicate)
+    "ext_bootstrap_ci",      # Poisson bootstrap, 100 replicates one pass
 ]
 
 

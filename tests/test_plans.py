@@ -688,3 +688,35 @@ class TestSession6Plans:
         for line in plan.splitlines():
             if "Window [row_number()" in line:
                 assert "_band" in line.split("windowspecdefinition")[1][:80], line
+
+    def test_graph_jaccard_no_wedge_materialization(self, spark, sf_dir):
+        """Common neighbors come from array intersection over cached
+        edges — keyed joins only, no cartesian, edges cached once."""
+        plan = self._plan(spark, sf_dir, "ext_graph_jaccard")
+        assert "CartesianProduct" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_spatial_join_is_cell_equi_join(self, spark, sf_dir):
+        """The radius join must plan as an equi join on the grid cell
+        (plus the bounded 3x3 broadcast) — never a nested loop over
+        point pairs."""
+        plan = self._plan(spark, sf_dir, "ext_spatial_join")
+        assert "CartesianProduct" not in plan, plan
+        joins = [l for l in plan.splitlines() if "HashJoin" in l]
+        assert any("cx" in l and "cy" in l for l in joins), plan
+
+    def test_calibration_single_pass_to_bins(self, spark, sf_dir):
+        """One hash aggregate to the 10-bin relation; totals broadcast
+        back — the scan is read once per branch, never windowed."""
+        plan = self._plan(spark, sf_dir, "ext_calibration")
+        assert "Window" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row totals cross join
+
+    def test_bootstrap_replicates_are_broadcast_explode(self, spark, sf_dir):
+        """100 replicates come from a broadcast range cross join (narrow
+        multiply), one hash aggregate to (type, rep); windows partition
+        by event_type over the tiny means relation."""
+        plan = self._plan(spark, sf_dir, "ext_bootstrap_ci")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
