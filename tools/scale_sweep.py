@@ -65,6 +65,17 @@ SWEEP = [
     "ext_copurchase",
     "ext_scd2_join",
     "ext_overlap_join",
+    # round 3, session 4
+    "ext_triangle_count",
+    "ext_graph_jaccard",
+    "ext_spatial_join",
+    "ext_ks_test",
+    "ext_gini",
+    "ext_bootstrap_ci",
+    "ext_survivorship",
+    "ext_dedup_url",
+    "ext_js_divergence",
+    "ext_class_balance",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
