@@ -8491,3 +8491,209 @@ def q_ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 3, F.col("mu"))).alias("ci_lo"),
         F.max(F.when(F.col("rn") == F.col("b") - 2, F.col("mu"))).alias("ci_hi"),
     )
+
+
+@register(
+    "ext_attribution",
+    """WITH p AS (
+         SELECT event_id AS pid, user_id, ts AS pts,
+                CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS vm
+         FROM events WHERE event_type = 'purchase'
+       ), t AS (
+         SELECT user_id, ts, event_id, event_type AS channel
+         FROM events WHERE event_type IN ('view', 'click')
+       ), j AS (
+         SELECT p.pid, p.vm, t.channel, t.ts, t.event_id,
+                COUNT(*) OVER (PARTITION BY p.pid) AS n,
+                row_number() OVER (
+                  PARTITION BY p.pid ORDER BY t.ts DESC, t.event_id DESC
+                ) AS rdesc
+         FROM p JOIN t
+           ON p.user_id = t.user_id
+          AND t.ts >= p.pts - INTERVAL 7 DAY AND t.ts < p.pts
+       ), shares AS (
+         SELECT channel,
+                vm // n + CASE WHEN rdesc = 1 THEN vm % n ELSE 0 END AS sm
+         FROM j
+         UNION ALL
+         SELECT 'direct' AS channel, p.vm AS sm
+         FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)
+       )
+       SELECT channel,
+              COUNT(*) AS n_touches,
+              CAST(CAST(SUM(sm) AS BIGINT) AS DOUBLE) / 1000000.0
+                AS attributed_value
+       FROM shares GROUP BY channel""",
+)
+def q_ext_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (the marketing-analytics ledger:
+    every purchase's value split across the user's view/click touches
+    in the trailing 7 days, untouched purchases credited to 'direct').
+    The split is an EXACT integer ledger — value in micros, each touch
+    gets vm DIV n and the LAST touch absorbs the remainder (vm MOD n),
+    so per-channel totals reconcile to the revenue total to the micro,
+    deterministically (a float v/n split neither reconciles nor
+    hashes stably). One user-keyed join bounded by per-user activity,
+    one purchase-keyed window pass for (n, last-touch), an anti-join
+    for the direct bucket — every shuffle is keyed, output is
+    channel-cardinality."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        (F.col("value").cast(DEC) * 1000000).cast("long").alias("vm"),
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("ts") < F.col("pts")),
+    )
+    wn = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy(F.desc("ts"), F.desc("event_id"))
+    shares = j.select(
+        "pid",
+        "channel",
+        F.col("vm"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rdesc"),
+    ).select(
+        "pid",
+        "channel",
+        (
+            F.expr("vm DIV n")
+            + F.when(F.col("rdesc") == 1, F.expr("vm % n")).otherwise(F.lit(0))
+        ).alias("sm"),
+    )
+    direct = (
+        p.join(shares.select("pid").distinct(), "pid", "left_anti")
+        .select(F.lit("direct").alias("channel"), F.col("vm").alias("sm"))
+    )
+    return (
+        shares.select("channel", "sm")
+        .unionAll(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            (F.sum("sm").cast("long").cast("double") / F.lit(1000000.0)).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+@register(
+    "ext_observe_metrics",
+    """SELECT COUNT(*) AS n_rows,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                AS total_value,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_error
+       FROM events WHERE value > 100.0""",
+)
+def q_ext_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API (df.observe) — Spark's in-plan metrics
+    surface: data-quality counters accumulate ON the task path while
+    the query runs, costing ZERO extra scans (the alternative — a
+    second aggregation job over the same data — doubles IO at 100 TB;
+    this is how production pipelines emit row counts / null rates /
+    checksum metrics for free). The observed aggregates are collected
+    from the driver-side observation after one pass and returned as a
+    single-row DataFrame; the oracle recomputes them as plain SQL."""
+    from pyspark.sql import Observation
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = Observation("dq")
+    flowing = ev.where(F.col("value") > 100.0).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("value").cast(DEC)), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
+    )
+    flowing.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_value"], m["n_error"])],
+        "n_rows bigint, total_value double, n_error bigint",
+    )
+
+
+@register(
+    "ext_snapshot_diff",
+    """WITH a AS (
+         SELECT doc_id, md5(text) AS h FROM documents
+       ), b AS (
+         SELECT doc_id,
+                md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS h
+         FROM documents WHERE doc_id % 17 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, md5('new doc') AS h
+         FROM documents WHERE doc_id % 19 = 0
+       ), d AS (
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.h <> b.h THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       )
+       SELECT status, COUNT(*) AS n_docs,
+              CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       FROM d GROUP BY status""",
+)
+def q_ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff report — the CDC reconciliation every incremental
+    corpus pipeline runs between releases (what changed since the last
+    crawl?): old vs new snapshots full-outer joined on the key,
+    classified added / removed / changed / unchanged by content hash
+    (fn_row_hash's md5 fingerprint — bytes compare, not columns). The
+    new snapshot is synthesized deterministically from the old
+    (mod-17 deletions, mod-13 edits, mod-19 additions) so the oracle
+    is independent. Only (id, 32-byte hash) cross the shuffle — never
+    document text; one full-outer merge join + one count-scale
+    aggregate at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5("text").alias("h"))
+    b = (
+        docs.where(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.lit("new doc")).alias("h"),
+            )
+        )
+    )
+    a2, b2 = a.alias("a"), b.alias("b")
+    d = a2.join(b2, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
