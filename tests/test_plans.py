@@ -720,3 +720,26 @@ class TestSession6Plans:
         plan = self._plan(spark, sf_dir, "ext_bootstrap_ci")
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+
+    def test_attribution_joins_are_keyed(self, spark, sf_dir):
+        """Touch matching joins on user, windows key on purchase id —
+        no cartesian, no single-partition stage."""
+        plan = self._plan(spark, sf_dir, "ext_attribution")
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_snapshot_diff_shuffles_hashes_not_text(self, spark, sf_dir):
+        """The full-outer merge carries (doc_id, md5) only — document
+        text must never reach an exchange."""
+        plan = self._plan(spark, sf_dir, "ext_snapshot_diff")
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text" not in line, line
+
+    def test_benford_and_jsd_single_aggregation_chain(self, spark, sf_dir):
+        """Both statistics reduce through hash aggregates with broadcast
+        totals — no windows, no nested loops over data-scale relations."""
+        for name in ("ext_benford", "ext_js_divergence"):
+            plan = self._plan(spark, sf_dir, name)
+            assert "Window" not in plan, (name, plan)
+            assert "CartesianProduct" not in plan, (name, plan)

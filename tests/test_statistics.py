@@ -268,3 +268,50 @@ class TestStatisticsReferences:
                 assert r.last_value == pytest.approx(nn.iloc[-1].value)
             else:
                 assert r.last_value is None
+
+
+class TestLedgerInvariants:
+    def test_attribution_reconciles_to_total_revenue(self, spark, sf_dir):
+        """The integer ledger's defining property: per-channel
+        attributed value sums EXACTLY (to the micro) to total purchase
+        revenue — no float split could guarantee this."""
+        ev = read_table(spark, sf_dir, "events")
+        total_micros = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.sum((F.col("value").cast("decimal(38,6)") * 1000000).cast("long"))
+                .alias("t")
+            )
+            .first()
+            .t
+        )
+        rows = QUERIES["ext_attribution"](spark, sf_dir).collect()
+        attributed_micros = round(sum(r.attributed_value for r in rows) * 1e6)
+        assert attributed_micros == total_micros
+
+    def test_observe_metrics_match_direct_aggregation(self, spark, sf_dir):
+        ev = read_table(spark, sf_dir, "events").where(F.col("value") > 100.0)
+        direct = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("tv"),
+        ).first()
+        row = QUERIES["ext_observe_metrics"](spark, sf_dir).first()
+        assert row.n_rows == direct.n
+        assert row.total_value == direct.tv
+
+    def test_snapshot_diff_partitions_the_union_of_keys(self, spark, sf_dir):
+        """added+removed+changed+unchanged exactly covers old ∪ new."""
+        rows = {r.status: r.n_docs for r in QUERIES["ext_snapshot_diff"](spark, sf_dir).collect()}
+        docs = read_table(spark, sf_dir, "documents")
+        n = docs.count()
+        n_removed = docs.where(F.col("doc_id") % 17 == 0).count()
+        n_added = docs.where(F.col("doc_id") % 19 == 0).count()
+        n_changed = docs.where(
+            (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 == 0)
+        ).count()
+        assert rows.get("removed", 0) == n_removed
+        assert rows.get("added", 0) == n_added
+        assert rows.get("changed", 0) == n_changed
+        assert rows.get("unchanged", 0) == n - n_removed - n_changed
