@@ -8443,7 +8443,9 @@ def q_ext_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the tiny (type, rep) means relation."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events")
+    # single-row-group testdata: the 100x replicate explode otherwise
+    # runs inside the unsplittable scan's ONE task (no-op on real lakes)
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events"))
     reps = spark.range(0, 100).select(F.col("id").cast("int").alias("rep"))
     u = F.conv(
         F.substring(
