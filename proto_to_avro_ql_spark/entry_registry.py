@@ -8699,3 +8699,193 @@ def q_ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+@register(
+    "ext_gopher_rules",
+    f"""WITH n AS (
+         SELECT doc_id, {_NORM} AS t FROM documents
+       ), m AS (
+         SELECT doc_id, t,
+                CASE WHEN t = '' THEN 0
+                     ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END
+                  AS n_words,
+                CAST(len(replace(t, ' ', '')) AS BIGINT) AS n_tokchars,
+                CAST(len(t) AS BIGINT) AS n_chars,
+                CAST(len(t) - len(regexp_replace(t, '[^A-Za-z0-9 ]', '', 'g'))
+                     AS BIGINT) AS n_sym,
+                (CASE WHEN position(' the ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN position(' be ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN position(' to ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN position(' of ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN position(' and ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN position(' that ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN position(' have ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN position(' with ' IN ' ' || t || ' ') > 0 THEN 1 ELSE 0 END)
+                  AS n_stop
+         FROM n
+       )
+       SELECT doc_id,
+              CAST(n_words BETWEEN 20 AND 100000 AS INTEGER) AS r_word_count,
+              CAST(n_words > 0 AND 3 * n_words <= n_tokchars
+                   AND n_tokchars <= 10 * n_words AS INTEGER) AS r_mean_word_len,
+              CAST(n_sym * 10 <= n_chars AS INTEGER) AS r_symbol_ratio,
+              CAST(n_stop >= 2 AS INTEGER) AS r_stopwords,
+              CAST(n_words BETWEEN 20 AND 100000
+                   AND n_words > 0 AND 3 * n_words <= n_tokchars
+                   AND n_tokchars <= 10 * n_words
+                   AND n_sym * 10 <= n_chars
+                   AND n_stop >= 2 AS INTEGER) AS pass_all
+       FROM m""",
+)
+def q_ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al.'s filtering
+    recipe — the standard first screen of every LLM pretraining corpus)
+    as a per-document verdict vector: word count in range, mean word
+    length 3-10, symbol-to-char ratio below 10%, and >= 2 distinct
+    English stop words present. EVERY threshold is an integer
+    cross-multiplication (3*n_words <= total_token_chars, sym*10 <=
+    chars) — no float ratios to straddle between engines. Pure narrow
+    string expressions, zero exchanges, zero Python: at 100 TB this
+    runs entirely inside the scan stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = TX.normalize_text(F.col("text"))
+    n_words = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, " "))
+    ).cast("long")
+    n_tokchars = F.length(F.regexp_replace(t, " ", "")).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_sym = (
+        F.length(t) - F.length(F.regexp_replace(t, "[^A-Za-z0-9 ]", ""))
+    ).cast("long")
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_stop = sum(
+        F.when(
+            F.instr(padded, f" {w} ") > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_tokchars.alias("n_tokchars"),
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_stop.alias("n_stop"),
+    )
+    r1 = F.col("n_words").between(20, 100000)
+    r2 = (
+        (F.col("n_words") > 0)
+        & (3 * F.col("n_words") <= F.col("n_tokchars"))
+        & (F.col("n_tokchars") <= 10 * F.col("n_words"))
+    )
+    r3 = F.col("n_sym") * 10 <= F.col("n_chars")
+    r4 = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        r1.cast("int").alias("r_word_count"),
+        r2.cast("int").alias("r_mean_word_len"),
+        r3.cast("int").alias("r_symbol_ratio"),
+        r4.cast("int").alias("r_stopwords"),
+        (r1 & r2 & r3 & r4).cast("int").alias("pass_all"),
+    )
+
+
+@register(
+    "ext_label_propagation",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e0 AS (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       ), adj AS (
+         SELECT u AS node, v AS nbr FROM e0
+         UNION ALL SELECT v AS node, u AS nbr FROM e0
+       ), l0 AS (
+         SELECT DISTINCT node, node AS label FROM adj
+       ), r1 AS (
+         SELECT node, label FROM (
+           SELECT a.node, l.label,
+                  row_number() OVER (PARTITION BY a.node
+                    ORDER BY COUNT(*) DESC, l.label) AS rn
+           FROM adj a JOIN l0 l ON a.nbr = l.node
+           GROUP BY a.node, l.label
+         ) q WHERE rn = 1
+       ), r2 AS (
+         SELECT node, label FROM (
+           SELECT a.node, l.label,
+                  row_number() OVER (PARTITION BY a.node
+                    ORDER BY COUNT(*) DESC, l.label) AS rn
+           FROM adj a JOIN r1 l ON a.nbr = l.node
+           GROUP BY a.node, l.label
+         ) q WHERE rn = 1
+       ), r3 AS (
+         SELECT node, label FROM (
+           SELECT a.node, l.label,
+                  row_number() OVER (PARTITION BY a.node
+                    ORDER BY COUNT(*) DESC, l.label) AS rn
+           FROM adj a JOIN r2 l ON a.nbr = l.node
+           GROUP BY a.node, l.label
+         ) q WHERE rn = 1
+       )
+       SELECT label, COUNT(*) AS n_members
+       FROM r3 GROUP BY label""",
+)
+def q_ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 fixed rounds) over the
+    co-purchase graph — the community-detection primitive one tier up
+    from connected components (ext_dedup_cluster finds REACHABILITY;
+    LPA finds DENSITY — which parts cluster into the same shopping
+    community): every node starts labeled with its own id and each
+    round adopts the most frequent label among its neighbors
+    (deterministic tie-break: smallest label). Per round: one
+    neighbor-label join + one (node,label) count + one per-node argmax
+    window, all keyed — the cached adjacency relation is reused across
+    rounds, the classic iterate-over-cached-edges shape shared with
+    ext_pagerank. The oracle unrolls the same three rounds as chained
+    CTEs."""
+    from pyspark.sql import Window
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    # support >= 2: keep only pairs co-purchased in MORE than one order —
+    # random one-off co-occurrence is noise; repeated co-occurrence is
+    # structure (and the resulting sparse graph holds real communities
+    # instead of one dense blob)
+    e0 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    adj = (
+        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .cache()  # reused every round
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(3):
+        nbr_labels = adj.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label")
+            ),
+            "nbr",
+        ).select("node", "label")
+        counted = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
