@@ -743,3 +743,18 @@ class TestSession6Plans:
             plan = self._plan(spark, sf_dir, name)
             assert "Window" not in plan, (name, plan)
             assert "CartesianProduct" not in plan, (name, plan)
+
+    def test_gopher_rules_zero_exchanges_no_python(self, spark, sf_dir):
+        """The rule vector is narrow string arithmetic inside the scan
+        stage — no exchange, no Python node."""
+        plan = self._plan(spark, sf_dir, "ext_gopher_rules")
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_label_propagation_reuses_cached_adjacency(self, spark, sf_dir):
+        """Three rounds iterate over the CACHED adjacency relation with
+        keyed joins — no cartesian, no single-partition stage."""
+        plan = self._plan(spark, sf_dir, "ext_label_propagation")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan

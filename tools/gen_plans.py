@@ -95,6 +95,13 @@ AUDIT = {
     "ext_cusum": "CUSUM changepoint (integer n*Sk - k*Sn, type-keyed windows)",
     "ext_sql_udf": "SQL-defined function (inlined, no Python node)",
     "ext_key_skew_profile": "heavy-hitter profile (TakeOrdered over agg counts)",
+    "ext_graph_jaccard": "link scoring (adjacency intersection, no wedge rows)",
+    "ext_spatial_join": "grid-blocked radius join (cell equi join, int predicate)",
+    "ext_bootstrap_ci": "Poisson bootstrap (one explode + one agg, all replicates)",
+    "ext_attribution": "integer-ledger attribution (user join + pid window)",
+    "ext_snapshot_diff": "CDC diff (full-outer on id, hashes shuffle)",
+    "ext_gopher_rules": "quality gate (zero exchanges, scan-stage only)",
+    "ext_label_propagation": "3-round LPA (cached adjacency, keyed rounds)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
@@ -103,16 +110,7 @@ PLAN_ID_RE = re.compile(r"\[plan_id=(\d+)\]")
 
 
 def count_nodes(plan: str, marker: str) -> int:
-    """Count distinct plan nodes containing ``marker``.
-
-    The plan STRING repeats shared subtrees — a persisted relation
-    prints its defining plan inside every InMemoryRelation reference,
-    and AQE prints ReusedExchange targets — so a naive substring count
-    overstates executed work (round-1 audit showed ngram_jaccard at
-    "10 exchanges" when ~4 execute). Deduplicate by plan_id (the
-    stable node identity); lines without one (rare, non-AQE fragments)
-    fall back to line counting. ReusedExchange lines are re-prints of
-    an exchange already counted, never new shuffles."""
+    """Count distinct EXECUTED plan nodes containing ``marker``."""
     # Two inflation sources in AQE plan strings, neither of which is
     # executed work: (a) every AdaptiveSparkPlan prints its pre-runtime
     # "== Initial Plan ==" alongside the final one (the bulk — ~6x on
