@@ -86,6 +86,9 @@ HEADLINE = [
     "ext_graph_jaccard",     # link scoring via adjacency intersection
     "ext_spatial_join",      # grid-blocked radius join (exact int predicate)
     "ext_bootstrap_ci",      # Poisson bootstrap, 100 replicates one pass
+    "ext_attribution",       # integer-ledger multi-touch attribution
+    "ext_gopher_rules",      # rule-based quality gate, scan-stage only
+    "ext_label_propagation", # 3-round LPA over cached adjacency
 ]
 
 
