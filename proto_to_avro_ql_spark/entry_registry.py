@@ -8889,3 +8889,59 @@ def q_ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
         )
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register(
+    "ext_cc_starcontraction",
+    """WITH RECURSIVE li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e0 AS (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       ), sym AS (
+         SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+       ), nodes AS (
+         SELECT DISTINCT src AS id FROM sym
+       ), cc(id, lab) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT s.src, cc.lab FROM sym s JOIN cc ON cc.id = s.dst
+       ), lab AS (
+         SELECT id, MIN(lab) AS component FROM cc GROUP BY id
+       )
+       SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM lab GROUP BY component""",
+)
+def q_ext_cc_starcontraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (operators/clustering.star_contraction_components) over
+    the support>=2 co-purchase graph — the O(log n)-round form of the
+    reachability primitive that ext_dedup_cluster computes by label
+    propagation. Label propagation needs diameter-many rounds (a chain
+    of borderline near-dup pairs stalls it); star contraction collapses
+    every component into a star around its min id in logarithmically
+    many passes, each pass two edge-keyed shuffles — at 100 TB the
+    round count, not the per-round cost, is what dominates an iterative
+    graph job. The oracle is the same graph's transitive closure as a
+    DuckDB recursive CTE (min reachable label), fully independent of
+    the contraction schedule."""
+    from proto_to_avro_ql_spark.operators.clustering import star_contraction_components
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    comps = star_contraction_components(e0)
+    return comps.groupBy(F.col("cluster_id").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

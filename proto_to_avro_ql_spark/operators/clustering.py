@@ -76,6 +76,112 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def star_contraction_components(
+    pairs: DataFrame,
+    max_rounds: int = 12,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """pairs(id_a, id_b) → (id, cluster_id): the alternating
+    large-star / small-star connected-components algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond").
+
+    Same output contract as ``connected_components`` (cluster_id = min
+    reachable node id) but O(log n) rounds instead of O(diameter):
+    large-star hooks every node's larger neighbors onto its minimum
+    neighbor, small-star contracts the smaller neighbors, and the
+    alternation collapses each component into a star around its min in
+    logarithmically many passes. This is the planet-scale form the
+    ``connected_components`` docstring reserves the seam for — on a
+    path graph of 2^k nodes label propagation needs 2^k rounds, star
+    contraction ~k.
+
+    Scale shape per round: one symmetrize (union, no shuffle), one
+    groupBy-min on the center node, one join back — edges only, labels
+    are the edges; document text or payloads never enter. Edges are
+    kept ORIENTED (first > second) between rounds, so each round's
+    relation is at most the component-spanning forest plus not-yet-
+    hooked edges. Convergence = the oriented edge set reaches the
+    star fixpoint (checksum-equal two rounds running); lineage is
+    truncated with localCheckpoint like ``connected_components``.
+    """
+    raw = pairs.select(
+        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
+    )
+    nodes = raw.select("u").unionAll(raw.select(F.col("v").alias("u"))).distinct()
+    edges = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # orient: u > v
+        .distinct()
+        .persist()
+    )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("s"),
+        ).collect()[0]
+        return int(row["n"]), int(row["s"])
+
+    prev = _checksum(edges)
+    for rnd in range(max_rounds):
+        # large-star: center every node u over its FULL neighborhood;
+        # hook each larger neighbor v > u onto m = min(N(u) ∪ {u}).
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_of = sym.groupBy("u").agg(
+            F.min(F.least("v", "u")).alias("m")  # min(N(u) ∪ {u}); u is constant per group
+        )
+        large = (
+            sym.join(m_of, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are oriented (u > v); per center u with
+        # smaller neighbors {v}, m = min; connect u and every other
+        # smaller neighbor to m.
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            small = small.localCheckpoint(eager=True)
+        cur = _checksum(small)
+        edges.unpersist()
+        edges = small
+        if cur == prev:
+            break
+        prev = cur
+
+    # fixpoint: every edge is (member, component_min); nodes without a
+    # parent edge (roots, self-loop-only nodes, isolated ids) label
+    # themselves — same node universe as connected_components.
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    return (
+        nodes.alias("n")
+        .join(members.alias("m"), F.col("n.u") == F.col("m.id"), "left")
+        .select(
+            F.col("n.u").alias("id"),
+            F.coalesce(F.col("m.cluster_id"), F.col("n.u")).alias("cluster_id"),
+        )
+        .distinct()
+    )
+
+
 def dedup_keep_representatives(
     docs: DataFrame,
     pairs: DataFrame,

@@ -24,3 +24,41 @@ class TestConnectedComponents:
             r.doc_id for r in dedup_keep_representatives(docs, pairs).collect()
         )
         assert kept == [1, 4, 5]  # 2,3 dropped; 1 is the representative
+
+
+class TestStarContraction:
+    def test_matches_label_propagation(self, spark):
+        import random
+
+        from proto_to_avro_ql_spark.operators.clustering import (
+            star_contraction_components,
+        )
+
+        random.seed(7)
+        edges = [(i, i + 1) for i in range(40)]
+        edges += [(100 + i, 100 + random.randint(0, i)) for i in range(1, 30)]
+        edges += [(500, 501), (600, 600)]  # incl. a self-loop-only node
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {
+            (r.id, r.cluster_id)
+            for r in star_contraction_components(pairs).collect()
+        }
+        lp = {
+            (r.id, r.cluster_id)
+            for r in connected_components(pairs, max_iter=60).collect()
+        }
+        assert star == lp
+
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # a 200-edge path needs ~200 label-propagation rounds but must
+        # collapse within the default 12 alternating star rounds
+        from proto_to_avro_ql_spark.operators.clustering import (
+            star_contraction_components,
+        )
+
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        out = star_contraction_components(path, max_rounds=12).collect()
+        assert len(out) == 201
+        assert all(r.cluster_id == 0 for r in out)
