@@ -8945,3 +8945,174 @@ def q_ext_cc_starcontraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy(F.col("cluster_id").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+@register(
+    "ext_event_paths",
+    """WITH r AS (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events
+       ), p AS (
+         SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         FROM r WHERE rn <= 5 GROUP BY user_id
+       )
+       SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM p GROUP BY path
+       QUALIFY row_number() OVER (ORDER BY n_users DESC, path ASC) <= 20""",
+)
+def q_ext_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining (the product-analytics 'top flows'
+    report): each user's first five events in (ts, event_id) order
+    joined into a path string, then the 20 most common paths. ONE
+    user-keyed aggregation does the ordering work — collect_list +
+    array_sort inside the aggregate replaces a row_number window +
+    filter + ordered string_agg (three operators in the oracle's SQL
+    formulation, which is kept deliberately different as an independent
+    derivation); the final top-20 is sort+limit =
+    TakeOrderedAndProject, never a global window. Paths are bounded
+    (5 steps) so the per-group state is O(1); the shuffle carries
+    (user, ts, event_id, type) only."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                5,
+            ),
+            ">",
+        ).alias("path")
+    )
+    paths = per_user.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    return paths.orderBy(F.desc("n_users"), F.asc("path")).limit(20)
+
+
+@register(
+    "ext_rolling_median",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       )
+       SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+              quantile_cont(cents, 0.5) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0
+                AS med_revenue
+       FROM d""",
+)
+def q_ext_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily revenue per event type — the
+    robust-trend smoother (moving average is ext_moving_avg; the median
+    shrugs off the spike days that drag a mean). Daily revenue is
+    quantized to integer cents first (decimal sum — order-independent),
+    so the interpolated median is the midpoint of two integers: exact
+    in doubles, bit-identical across engines with NO rounding step
+    (Spark percentile == DuckDB quantile_cont, pinned by
+    agg_percentile). One window node on one event_type-keyed exchange
+    over the tiny (type, day) relation — the frame is row-bounded so
+    state is O(7) per partition at any scale."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.percentile("cents", F.lit(0.5)).over(w) / 100.0).alias("med_revenue"),
+    )
+
+
+@register(
+    "ext_seasonal_index",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), dw AS (
+         SELECT event_type,
+                (datediff('day', DATE '1970-01-01', day) + 4) % 7 AS dow,
+                cents
+         FROM d
+       ), g AS (
+         SELECT event_type, dow,
+                CAST(COUNT(*) AS BIGINT) AS n_days,
+                SUM(CAST(cents AS HUGEINT)) AS s
+         FROM dw GROUP BY 1, 2
+       ), t AS (
+         SELECT *, SUM(n_days) OVER (PARTITION BY event_type) AS n_all,
+                SUM(s) OVER (PARTITION BY event_type) AS s_all
+         FROM g
+       )
+       SELECT event_type, CAST(dow AS INTEGER) AS dow, n_days,
+              CAST((s * n_all * 1000000) // (n_days * s_all) AS BIGINT)
+                / 1000000.0 AS seasonal_index
+       FROM t""",
+)
+def q_ext_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type — mean revenue on that
+    weekday over the overall mean (the decomposition step before any
+    deseasonalized forecast; >1 = that weekday runs hot). The kernel is
+    exact end to end: daily revenue in integer cents, the index as ONE
+    128-bit integer floor-division ((s·n_all·1e6) // (n_days·s_all)) so
+    no computed double is ever rounded (the standing integer-micros
+    invariant), one final /1e6 on identical integers both engines.
+    Weekday is computed portably as (epoch_days + 4) % 7 (Sunday=0) —
+    engine dayofweek() conventions differ (Spark 1-7 Sunday-first,
+    DuckDB 0-6), epoch arithmetic doesn't. Two keyed aggregations +
+    one window over the 35-row (type, dow) relation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    D38 = "decimal(38,0)"
+    dw = d.select(
+        "event_type",
+        ((F.datediff("day", F.lit("1970-01-01").cast("date")) + 4) % 7).alias("dow"),
+        F.col("cents").cast(D38).alias("cents"),
+    )
+    g = dw.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("s")
+    )
+    w = Window.partitionBy("event_type")
+    t = g.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "s",
+        F.sum("n_days").over(w).alias("n_all"),
+        F.sum("s").over(w).alias("s_all"),
+    )
+    return t.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        (
+            F.expr(
+                "CAST((s * n_all * 1000000) DIV (CAST(n_days AS DECIMAL(38,0)) * s_all) AS BIGINT)"
+            )
+            / 1000000.0
+        ).alias("seasonal_index"),
+    )
