@@ -9116,3 +9116,167 @@ def q_ext_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "ext_dp_response",
+    """WITH rr AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0
+                     THEN NOT (event_type = 'purchase')
+                     ELSE (event_type = 'purchase') END AS obs
+         FROM events
+       ), g AS (
+         SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS obs_yes
+         FROM rr GROUP BY day
+       )
+       SELECT strftime(day, '%Y-%m-%d') AS day, n, obs_yes,
+              (4 * obs_yes - n) / 2.0 AS est_yes,
+              (4 * obs_yes - n) / (2.0 * n) AS est_rate
+       FROM g""",
+)
+def q_ext_dp_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy by randomized response (Warner): each
+    row reports whether it is a purchase TRUTHFULLY with p=3/4 and
+    LIES with p=1/4 — an eps=ln(3) local-DP mechanism — and the
+    per-day purchase rate is recovered with the unbiased estimator
+    (4·obs_yes − n)/2. The 'coin' is a portable md5 bucket of the
+    event id (deterministic: identical flips on any engine or
+    partitioning, which is what makes the mechanism ORACLE-ABLE —
+    a seeded-RNG version couldn't cross engines). Everything to the
+    estimator is exact integer counts; the estimate itself is one
+    IEEE division of exact integers (no rounding step to straddle).
+    One conditional-aggregation pass; only (day, flags) shuffle."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    truth = F.col("event_type") == "purchase"
+    flip = hash_bucket(F.col("event_id"), 4) == 0
+    obs = F.when(flip, ~truth).otherwise(truth)
+    g = (
+        ev.select(F.col("ts").cast("date").alias("day"), obs.alias("obs"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("obs"), 1).otherwise(0)).alias("obs_yes"),
+        )
+    )
+    return g.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "obs_yes",
+        ((4 * F.col("obs_yes") - F.col("n")) / 2.0).alias("est_yes"),
+        ((4 * F.col("obs_yes") - F.col("n")) / (2.0 * F.col("n"))).alias("est_rate"),
+    )
+
+
+@register(
+    "ext_corr_matrix",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), p AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(a.cents AS HUGEINT) AS x, CAST(b.cents AS HUGEINT) AS y
+         FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+       ), s AS (
+         SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+                SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                SUM(x * x) AS sxx, SUM(y * y) AS syy
+         FROM p GROUP BY 1, 2
+       )
+       SELECT type_a, type_b, n_days,
+              CAST(n_days * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                       * CAST(n_days * syy - sy * sy AS DOUBLE)) AS r
+       FROM s""",
+)
+def q_ext_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the per-type daily revenue
+    series (do event streams move together? — the screen before any
+    multivariate model). Generalizes ext_autocorr's exact kernel from
+    (series, lagged self) to all type pairs: integer-cents days, a
+    day-keyed self-join producing aligned pairs, all five moments in
+    128-bit integers, and ONE double expression at the end — sqrt and
+    division are correctly-rounded IEEE ops on identical inputs, so
+    the result is bit-identical with no rounding step. The join and
+    aggregate run on the tiny (type, day) relation; raw events never
+    shuffle twice."""
+    from pyspark.sql import Window  # noqa: F401  (parallel structure with siblings)
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    D38 = "decimal(38,0)"
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.cents").cast(D38).alias("x"),
+        F.col("b.cents").cast(D38).alias("y"),
+    )
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("type_a", "type_b", "n_days", (num / den).alias("r"))
+
+
+@register(
+    "ext_window_count_distinct",
+    """WITH f AS (
+         SELECT event_id, user_id, ts,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS occ
+         FROM events
+       )
+       SELECT event_id, user_id,
+              CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INTEGER) AS n_types_seen
+       FROM f""",
+)
+def q_ext_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an ordered window — how many distinct
+    event types has this user touched so far at each event (the
+    engagement-breadth curve). Spark has no DISTINCT window aggregate;
+    the standard rewrite is size(collect_set() OVER w) — per-user
+    running set state, bounded by the type-cardinality (5 here; at
+    scale, bounded domains are exactly when this rewrite is safe). The
+    oracle derives the same curve by the other classic formulation —
+    first-occurrence flags (row_number=1 per (user,type)) running-
+    summed — so the two derivations check each other. One user-keyed
+    exchange feeds both window functions."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )

@@ -315,3 +315,90 @@ class TestLedgerInvariants:
         assert rows.get("added", 0) == n_added
         assert rows.get("changed", 0) == n_changed
         assert rows.get("unchanged", 0) == n - n_removed - n_changed
+
+
+class TestSession5References:
+    def test_corr_matrix_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        daily = (
+            read_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")) * 100, 0)
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        by_type = defaultdict(dict)
+        for r in daily:
+            by_type[r.event_type][r.day] = r.c
+        got = QUERIES["ext_corr_matrix"](spark, sf_dir).collect()
+        assert len(got) == 10  # C(5,2) type pairs
+        for r in got:
+            a, b = by_type[r.type_a], by_type[r.type_b]
+            days = sorted(set(a) & set(b))
+            assert r.n_days == len(days)
+            ref = np.corrcoef(
+                [float(a[d]) for d in days], [float(b[d]) for d in days]
+            )[0, 1]
+            assert r.r == pytest.approx(ref, abs=1e-9)
+
+    def test_dp_response_estimator_tracks_true_rate(self, spark, sf_dir):
+        ev = read_table(spark, sf_dir, "events")
+        truth = (
+            ev.groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("true_yes"),
+            )
+            .collect()
+        )
+        true_rate = {str(r.day): r.true_yes / r.n for r in truth}
+        got = QUERIES["ext_dp_response"](spark, sf_dir).collect()
+        assert len(got) == len(true_rate)
+        # randomized response is noisy per-day; the AGGREGATE estimate
+        # must track the true rate (std err ~ sqrt(3)/(2 sqrt(N)))
+        n_total = sum(r.n for r in got)
+        est_total = sum(r.est_yes for r in got)
+        true_total = sum(r.true_yes for r in truth)
+        se = 3**0.5 / 2 * n_total**0.5  # absolute count scale
+        assert abs(est_total - true_total) < 4 * se
+        # per-day estimates are unbiased but noisy: most within 4 sigma
+        for r in got:
+            day_se = 3**0.5 / 2 * r.n**0.5
+            assert abs(r.est_yes - true_rate[r.day] * r.n) < 6 * day_se
+
+    def test_seasonal_index_averages_to_one(self, spark, sf_dir):
+        got = QUERIES["ext_seasonal_index"](spark, sf_dir).collect()
+        by_type = defaultdict(list)
+        for r in got:
+            by_type[r.event_type].append(r)
+        for t, rows in by_type.items():
+            assert len(rows) == 7  # every weekday present
+            # day-weighted mean of the index is 1 by construction
+            n = sum(r.n_days for r in rows)
+            m = sum(r.seasonal_index * r.n_days for r in rows) / n
+            assert m == pytest.approx(1.0, abs=1e-3)
+
+    def test_window_count_distinct_is_monotone_and_bounded(self, spark, sf_dir):
+        rows = QUERIES["ext_window_count_distinct"](spark, sf_dir).collect()
+        ev = {
+            (r.event_id): r
+            for r in read_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts", "event_type")
+            .collect()
+        }
+        per_user = defaultdict(list)
+        for r in rows:
+            e = ev[r.event_id]
+            per_user[r.user_id].append((e.ts, r.event_id, r.n_types_seen, e.event_type))
+        for u, seq in per_user.items():
+            seq.sort()
+            seen = set()
+            for ts, eid, n, et in seq:
+                seen.add(et)
+                assert n == len(seen)
