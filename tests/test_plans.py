@@ -758,3 +758,69 @@ class TestSession6Plans:
         assert "InMemoryTableScan" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+
+
+class TestSession7Plans:
+    """Round-3 session-5 operators: star-contraction CC, journey paths,
+    robust/seasonal time series, DP response, correlation matrix,
+    distinct-count windows."""
+
+    def _plan(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return physical_plan(QUERIES[name](spark, sf_dir))
+
+    def test_event_paths_topk_no_global_sort(self, spark, sf_dir):
+        """Per-user ordering happens INSIDE the aggregate (array_sort of
+        the collected struct), the final top-20 is TakeOrdered — no
+        row_number window, no single-partition stage."""
+        plan = self._plan(spark, sf_dir, "ext_event_paths")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Window" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_rolling_median_one_keyed_window(self, spark, sf_dir):
+        """One window node on the event_type-keyed exchange over the
+        aggregated (type, day) relation."""
+        plan = self._plan(spark, sf_dir, "ext_rolling_median")
+        assert plan.count("Window ") == 1, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_seasonal_index_keyed_window_over_aggregate(self, spark, sf_dir):
+        """Totals come from a type-keyed window over the 35-row (type,
+        dow) aggregate — no join back, no global window."""
+        plan = self._plan(spark, sf_dir, "ext_seasonal_index")
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_dp_response_single_aggregation_no_python(self, spark, sf_dir):
+        """The randomized-response coin is md5 column arithmetic: one
+        hash aggregate over the day key, no Python node anywhere."""
+        plan = self._plan(spark, sf_dir, "ext_dp_response")
+        assert "EvalPython" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" not in plan, plan
+
+    def test_corr_matrix_joins_aggregated_days_only(self, spark, sf_dir):
+        """The day-keyed self-join runs on the aggregated (type, day)
+        relation — raw events aggregate once; no cartesian."""
+        plan = self._plan(spark, sf_dir, "ext_corr_matrix")
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_window_count_distinct_one_user_exchange(self, spark, sf_dir):
+        """The running-set rewrite needs exactly one user-keyed exchange
+        feeding one window node."""
+        plan = self._plan(spark, sf_dir, "ext_window_count_distinct")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Window ") == 1, plan
+
+    def test_star_contraction_components_keyed_only(self, spark, sf_dir):
+        """Every star round is edge-keyed groupBy + join: no cartesian,
+        no single-partition exchange, adjacency cached between rounds."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        df = QUERIES["ext_cc_starcontraction"](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
