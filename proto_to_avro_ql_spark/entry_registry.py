@@ -9280,3 +9280,202 @@ def q_ext_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )
+
+
+@register(
+    "ext_mann_whitney",
+    """WITH q AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+         FROM events
+       ), c AS (
+         SELECT vc,
+                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM q GROUP BY vc
+       ), r AS (
+         SELECT vc, ca, cb, ca + cb AS cnt,
+                SUM(ca + cb) OVER (ORDER BY vc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (ca + cb) AS below
+         FROM c
+       ), s AS (
+         SELECT SUM(ca) AS na, SUM(cb) AS nb,
+                SUM(CAST(cb AS HUGEINT) * (2 * below + cnt + 1)) AS r2b,
+                SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+         FROM r
+       )
+       SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+              CAST(r2b - nb * (nb + 1) AS DOUBLE) / 2.0 AS u_b,
+              CAST(r2b - nb * (nb + 1) - na * nb AS DOUBLE)
+                / (2.0 * sqrt(CAST(na * nb * ((na + nb + 1) * CAST(na + nb AS HUGEINT)
+                                              * (na + nb - 1) - ties) AS DOUBLE)
+                              / CAST(12 * CAST(na + nb AS HUGEINT)
+                                     * (na + nb - 1) AS DOUBLE))) AS z
+       FROM s""",
+)
+def q_ext_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) A/B test — the nonparametric
+    companion to ext_ab_test's Welch t: experiment analysis when the
+    metric is skewed (revenue always is). Computed EXACTLY: values
+    quantize to integer cents (verified-consistent decimal cast of the
+    raw column), midranks stay in integer HALF-units (2·midrank =
+    2·below + cnt + 1), the rank sum and the tie correction Σ(t³−t)
+    accumulate in 128-bit integers, and U and the tie-corrected z are
+    each ONE double expression over exact integers — bit-identical on
+    any partitioning, no rounding step. Cumulative counts use the
+    banded-prefix-sum recipe on the distinct-cents relation (never a
+    single-partition window); one conditional aggregate feeds it."""
+    from pyspark.sql import Window
+
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    q = ev.select(
+        (F.col("value").cast("decimal(38,2)") * 100).cast("long").alias("vc"),
+        hash_bucket(F.col("user_id"), 2).alias("variant"),
+    )
+    c = (
+        q.groupBy("vc")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("cb"),
+        )
+        .cache()  # running-sum + band-total branches share it
+    )
+    banded = c.withColumn("_band", F.expr("vc DIV 1000"))
+    w_in = Window.partitionBy("_band").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = banded.select(
+        "vc", "ca", "cb", "_band",
+        (F.sum(F.col("ca") + F.col("cb")).over(w_in) - F.col("ca") - F.col("cb"))
+        .alias("below_in"),
+    )
+    btot = banded.groupBy("_band").agg(
+        F.sum(F.col("ca") + F.col("cb")).alias("bt")
+    )
+    w_b = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = btot.select(
+        "_band", (F.sum("bt").over(w_b) - F.col("bt")).alias("off")
+    )
+    D38 = "decimal(38,0)"
+    r = run.join(offs, "_band").select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("cnt"),
+        (F.col("off") + F.col("below_in")).alias("below"),
+    )
+    s = r.agg(
+        F.sum("ca").cast(D38).alias("na"),
+        F.sum("cb").cast(D38).alias("nb"),
+        F.sum(
+            F.col("cb").cast(D38) * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("r2b"),
+        F.sum(
+            F.col("cnt").cast(D38) * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    var_num = (
+        F.col("na") * F.col("nb") * ((n + 1) * n * (n - 1) - F.col("ties"))
+    ).cast("double")
+    var_den = (F.lit(12).cast(D38) * n * (n - 1)).cast("double")
+    d2 = F.col("r2b") - F.col("nb") * (F.col("nb") + 1)
+    return s.select(
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        (d2.cast("double") / 2.0).alias("u_b"),
+        (
+            (d2 - F.col("na") * F.col("nb")).cast("double")
+            / (2.0 * F.sqrt(var_num / var_den))
+        ).alias("z"),
+    )
+
+
+@register(
+    "ext_mutual_information",
+    """WITH c AS (
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nxy
+         FROM documents GROUP BY 1, 2
+       ), mx AS (
+         SELECT lang, SUM(nxy) AS nx FROM c GROUP BY lang
+       ), my AS (
+         SELECT source, SUM(nxy) AS ny FROM c GROUP BY source
+       ), t AS (
+         SELECT SUM(nxy) AS n FROM c
+       ), terms AS (
+         SELECT c.nxy, t.n,
+                CAST(c.nxy AS DECIMAL(38,6)) *
+                CAST(ROUND(ln(CAST(t.n * c.nxy AS DOUBLE)
+                              / CAST(mx.nx * my.ny AS DOUBLE)), 6)
+                     AS DECIMAL(38,6)) AS term
+         FROM c JOIN mx USING (lang) JOIN my USING (source), t
+       )
+       SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+              CAST(SUM(term) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mi_nats
+       FROM terms""",
+)
+def q_ext_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over the document corpus —
+    the dependence strength behind ext_chi_square's yes/no answer (how
+    many nats does knowing the source tell you about the language? the
+    metadata-redundancy screen before stratifying a corpus on both).
+    Uses the JSD/entropy portability pattern: each log argument is a
+    ratio of EXACT integer cross-products (N·n_xy / (n_x·n_y)), its ln
+    rounded to 6 decimals and accumulated in DECIMAL(38,6) weighted by
+    the exact cell count, one final double division by N. Marginals
+    are tiny aggregates of the contingency relation broadcast back —
+    the corpus itself aggregates exactly once."""
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nxy")).cache()
+    mx = c.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    my = c.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    t = c.agg(F.sum("nxy").alias("n"))
+    D6 = "decimal(38,6)"
+    joined = (
+        c.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    term = F.col("nxy").cast(D6) * F.round(
+        F.log(
+            (F.col("n") * F.col("nxy")).cast("double")
+            / (F.col("nx") * F.col("ny")).cast("double")
+        ),
+        6,
+    ).cast(D6)
+    return joined.select("nxy", "n", term.alias("term")).agg(
+        F.max("n").cast("long").alias("n_docs"),
+        (F.sum("term").cast("double") / F.max("n").cast("double")).alias("mi_nats"),
+    )
+
+
+@register(
+    "src_jsonl_scan",
+    """SELECT doc_id, lang, source, n_chars FROM documents""",
+)
+def q_src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round trip: the documents table staged as
+    .jsonl (the de-facto interchange format for LLM corpora — one JSON
+    object per line) and read back with an EXPLICIT schema —
+    schema-on-read without inference, same discipline as src_csv_scan
+    (inference double-reads and mis-types at scale; a corpus reader
+    declares its fields). JSONL splits by line, so the scan
+    parallelizes natively at any corpus size; unknown extra fields in
+    the file are simply not projected (the open-content behavior
+    ext_variant_json makes queryable). Text is round-tripped but only
+    scalar metadata is projected for the oracle hash."""
+    import os
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="src_jsonl_"), "documents_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.select("doc_id", "lang", "source", "n_chars")

@@ -402,3 +402,64 @@ class TestSession5References:
             for ts, eid, n, et in seq:
                 seen.add(et)
                 assert n == len(seen)
+
+    def test_mann_whitney_matches_python(self, spark, sf_dir):
+        import hashlib
+        from decimal import Decimal
+
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("user_id", "value")
+            .collect()
+        )
+
+        def bucket(uid):
+            return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+        a = sorted(
+            int(Decimal(repr(r.value)).quantize(Decimal("0.01")) * 100)
+            for r in rows
+            if bucket(r.user_id) == 0
+        )
+        b = sorted(
+            int(Decimal(repr(r.value)).quantize(Decimal("0.01")) * 100)
+            for r in rows
+            if bucket(r.user_id) == 1
+        )
+        allv = sorted(a + b)
+        # midranks
+        from collections import Counter
+
+        cnt = Counter(allv)
+        below, midrank = {}, {}
+        c = 0
+        for v in sorted(cnt):
+            below[v] = c
+            midrank[v] = c + (cnt[v] + 1) / 2
+            c += cnt[v]
+        na, nb, n = len(a), len(b), len(allv)
+        rb = sum(midrank[v] for v in b)
+        u_ref = rb - nb * (nb + 1) / 2
+        ties = sum(t**3 - t for t in cnt.values())
+        var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+        z_ref = (u_ref - na * nb / 2) / var**0.5
+        got = QUERIES["ext_mann_whitney"](spark, sf_dir).collect()[0]
+        assert (got.na, got.nb) == (na, nb)
+        assert got.u_b == pytest.approx(u_ref, abs=1e-9)
+        assert got.z == pytest.approx(z_ref, rel=1e-12)
+
+    def test_mutual_information_matches_python(self, spark, sf_dir):
+        from collections import Counter
+
+        docs = read_table(spark, sf_dir, "documents").select("lang", "source").collect()
+        nxy = Counter((r.lang, r.source) for r in docs)
+        nx = Counter(r.lang for r in docs)
+        ny = Counter(r.source for r in docs)
+        n = len(docs)
+        ref = sum(
+            c / n * math.log(n * c / (nx[l] * ny[s])) for (l, s), c in nxy.items()
+        )
+        got = QUERIES["ext_mutual_information"](spark, sf_dir).collect()[0]
+        assert got.n_docs == n
+        assert got.mi_nats == pytest.approx(ref, abs=5e-6)  # 6-dp rounded terms
+        assert got.mi_nats >= 0 or abs(got.mi_nats) < 5e-6  # MI is nonnegative
