@@ -9479,3 +9479,136 @@ def q_src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string, lang string, source string, n_chars long"
     ).json(path)
     return back.select("doc_id", "lang", "source", "n_chars")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled peeling oracle for ext_kcore: ``rounds`` fixed
+    peel-and-recount steps (idempotent once the fixpoint is reached —
+    extra rounds are no-ops). 16 covers the driver scales with slack
+    (measured peeling depth: 1 @ sf0.001, 11 @ sf0.01, 3 @ sf0.1); the
+    Spark side iterates to the TRUE fixpoint, so the unroll depth is
+    an oracle-side bound only."""
+    parts = [
+        """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), s0 AS MATERIALIZED (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+         SELECT n FROM (
+           SELECT u AS n FROM s{i-1} UNION ALL SELECT v FROM s{i-1}
+         ) GROUP BY n HAVING COUNT(*) >= {k}
+       ), s{i} AS MATERIALIZED (
+         SELECT e.u, e.v FROM s{i-1} e
+         JOIN d{i} a ON a.n = e.u JOIN d{i} b ON b.n = e.v
+       )"""
+        )
+    parts.append(
+        f"""
+       SELECT n AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+       FROM (SELECT u AS n FROM s{rounds} UNION ALL SELECT v FROM s{rounds})
+       GROUP BY n"""
+    )
+    return "".join(parts)
+
+
+@register("ext_kcore", _kcore_oracle_sql())
+def q_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support>=2 co-purchase graph by iterative peeling
+    (operators/clustering.kcore_nodes) — the graph-curation primitive
+    for spam/bot suppression: raw degree is gameable, staying in the
+    core (k neighbors who themselves survive peeling) is not. Spark
+    peels to the true fixpoint with a driver-side count check per
+    round; each round is one degree aggregate + two semi-joins, edges
+    only in the shuffle. The oracle unrolls 16 peel rounds as chained
+    CTEs (idempotent past the fixpoint)."""
+    from proto_to_avro_ql_spark.operators.clustering import kcore_nodes
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    return kcore_nodes(e0, k=3)
+
+
+@register(
+    "ext_freq_triples",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), p2 AS (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       ), cand AS (
+         SELECT a.u AS x, a.v AS y, b.v AS z
+         FROM p2 a JOIN p2 b ON a.u = b.u AND a.v < b.v
+         JOIN p2 c ON c.u = a.v AND c.v = b.v
+       )
+       SELECT c.x, c.y, c.z, CAST(COUNT(*) AS BIGINT) AS support
+       FROM cand c
+       JOIN li i ON i.pk = c.x
+       JOIN li j ON j.pk = c.y AND j.ok = i.ok
+       JOIN li k ON k.pk = c.z AND k.ok = i.ok
+       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""",
+)
+def q_ext_freq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with full Apriori pruning — the step after
+    ext_copurchase's pairs: a triple is only COUNTED if all three of
+    its sub-pairs are frequent, so the candidate space collapses
+    before the expensive support scan (the property that makes basket
+    mining feasible at scale: candidates are generated from the
+    frequent-pair relation, never enumerated from baskets). Candidate
+    generation is two keyed self-joins of the frequent-pair relation;
+    support counting re-joins the (order, part) relation three times
+    on (part, order) keys — all equi joins, no explosion beyond the
+    pruned candidates."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .cache()  # basket relation reused: pair counting + 3x support scan
+    )
+    a, b = li.alias("a"), li.alias("b")
+    p2 = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .cache()  # three-way candidate self-join reuses it
+    )
+    pa, pb, pc = p2.alias("pa"), p2.alias("pb"), p2.alias("pc")
+    cand = (
+        pa.join(pb, (F.col("pa.u") == F.col("pb.u")) & (F.col("pa.v") < F.col("pb.v")))
+        .join(
+            pc,
+            (F.col("pc.u") == F.col("pa.v")) & (F.col("pc.v") == F.col("pb.v")),
+        )
+        .select(
+            F.col("pa.u").alias("x"), F.col("pa.v").alias("y"), F.col("pb.v").alias("z")
+        )
+    )
+    i, j, k = li.alias("i"), li.alias("j"), li.alias("k")
+    sup = (
+        cand.join(i, F.col("i.pk") == F.col("x"))
+        .join(j, (F.col("j.pk") == F.col("y")) & (F.col("j.ok") == F.col("i.ok")))
+        .join(k, (F.col("k.pk") == F.col("z")) & (F.col("k.ok") == F.col("i.ok")))
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    return sup

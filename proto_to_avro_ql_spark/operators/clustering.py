@@ -194,3 +194,61 @@ def dedup_keep_representatives(
         F.col("id").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int = 3,
+    max_rounds: int = 16,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """pairs(id_a, id_b) → (id, core_degree): the k-core — the maximal
+    subgraph in which every node keeps degree ≥ k — by iterative
+    peeling (remove all sub-k nodes, recompute degrees, repeat to
+    fixpoint). The graph-curation primitive for spam/bot filtering and
+    community seeding: a node's raw degree is gameable, its coreness
+    is not (it needs k neighbors who THEMSELVES survive).
+
+    Each round is one degree aggregation + one semi-join on the edge
+    relation — edges only in the shuffle. Peeling rounds are bounded
+    by the peeling depth of the graph (typically ≪ diameter; the
+    driver-side fixpoint check stops early). ``max_rounds`` caps
+    pathological chains the same way connected_components caps
+    label-propagation rounds."""
+    edges = (
+        pairs.select(
+            F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    n_prev = edges.count()
+    for rnd in range(max_rounds):
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("u")
+        )
+        nxt = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .persist()
+        )
+        if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        n_cur = nxt.count()
+        edges.unpersist()
+        edges = nxt
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

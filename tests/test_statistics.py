@@ -463,3 +463,80 @@ class TestSession5References:
         assert got.n_docs == n
         assert got.mi_nats == pytest.approx(ref, abs=5e-6)  # 6-dp rounded terms
         assert got.mi_nats >= 0 or abs(got.mi_nats) < 5e-6  # MI is nonnegative
+
+    def test_kcore_matches_python_peeling(self, spark, sf_dir):
+        li = (
+            read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        baskets = defaultdict(set)
+        for r in li:
+            baskets[r.l_orderkey].add(r.l_partkey)
+        pair_count = Counter()
+        for parts in baskets.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    pair_count[(ps[i], ps[j])] += 1
+        cur = {p for p, c in pair_count.items() if c >= 2}
+        while True:
+            deg = Counter()
+            for u, v in cur:
+                deg[u] += 1
+                deg[v] += 1
+            keep = {n for n, d in deg.items() if d >= 3}
+            nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        ref_deg = Counter()
+        for u, v in cur:
+            ref_deg[u] += 1
+            ref_deg[v] += 1
+        got = {r.id: r.core_degree for r in QUERIES["ext_kcore"](spark, sf_dir).collect()}
+        assert got == dict(ref_deg)
+
+    def test_freq_triples_apriori_consistent(self, spark, sf_dir):
+        li = (
+            read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        baskets = defaultdict(set)
+        for r in li:
+            baskets[r.l_orderkey].add(r.l_partkey)
+        triple_count = Counter()
+        for parts in baskets.values():
+            ps = sorted(parts)
+            n = len(ps)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    for l in range(j + 1, n):
+                        triple_count[(ps[i], ps[j], ps[l])] += 1
+        pair_count = Counter()
+        for parts in baskets.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    pair_count[(ps[i], ps[j])] += 1
+        ref = {
+            t: c
+            for t, c in triple_count.items()
+            if c >= 2
+            and pair_count[(t[0], t[1])] >= 2
+            and pair_count[(t[0], t[2])] >= 2
+            and pair_count[(t[1], t[2])] >= 2
+        }
+        # apriori: support(triple)>=2 implies every sub-pair >=2, so the
+        # pruned set IS the frequent-triple set
+        assert ref == {
+            t: c for t, c in triple_count.items() if c >= 2
+        }
+        got = {
+            (r.x, r.y, r.z): r.support
+            for r in QUERIES["ext_freq_triples"](spark, sf_dir).collect()
+        }
+        assert got == ref
