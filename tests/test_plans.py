@@ -824,3 +824,45 @@ class TestSession7Plans:
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+
+    def test_mann_whitney_running_sum_banded(self, spark, sf_dir):
+        """The midrank cumulative counts run inside band-keyed windows
+        over the cached distinct-cents relation; only the small band
+        offset prefix may be unpartitioned."""
+        plan = self._plan(spark, sf_dir, "ext_mann_whitney")
+        assert "InMemoryTableScan" in plan, plan
+        for line in plan.splitlines():
+            if "Window [sum((ca" in line:
+                assert "_band" in line.split("windowspecdefinition")[1][:80], line
+        assert "CartesianProduct" not in plan, plan
+
+    def test_mutual_information_marginals_broadcast(self, spark, sf_dir):
+        """The contingency relation aggregates once (cached); marginal
+        joins broadcast — no data-scale shuffle after the first agg."""
+        plan = self._plan(spark, sf_dir, "ext_mutual_information")
+        assert "InMemoryTableScan" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_kcore_semi_joins_keyed(self, spark, sf_dir):
+        """Peeling rounds are degree aggregates + LeftSemi equi joins —
+        never cartesian, never single-partition."""
+        plan = self._plan(spark, sf_dir, "ext_kcore")
+        assert "LeftSemi" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_freq_triples_candidates_from_pairs(self, spark, sf_dir):
+        """Candidate triples come from the CACHED frequent-pair
+        relation's self-joins (Apriori), support from keyed joins on
+        the cached basket relation — all equi joins."""
+        plan = self._plan(spark, sf_dir, "ext_freq_triples")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_jsonl_scan_projects_declared_schema(self, spark, sf_dir):
+        """The JSONL read uses the declared schema (no inference scan)
+        and projects only requested columns."""
+        plan = self._plan(spark, sf_dir, "src_jsonl_scan")
+        assert "FileScan json" in plan, plan
+        assert "EvalPython" not in plan, plan
