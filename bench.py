@@ -89,6 +89,9 @@ HEADLINE = [
     "ext_attribution",       # integer-ledger multi-touch attribution
     "ext_gopher_rules",      # rule-based quality gate, scan-stage only
     "ext_label_propagation", # 3-round LPA over cached adjacency
+    "ext_cc_starcontraction", # log-round star-contraction CC
+    "ext_mann_whitney",      # banded-rank U test, integer kernel
+    "ext_freq_triples",      # apriori triples over cached pairs
 ]
 
 

@@ -136,11 +136,13 @@ def star_contraction_components(
         m_of = sym.groupBy("u").agg(
             F.min(F.least("v", "u")).alias("m")  # min(N(u) ∪ {u}); u is constant per group
         )
+        # no distinct here: duplicate (v, m) rows are harmless — the
+        # min aggregate below and the round-final distinct absorb them,
+        # and skipping it saves a full shuffle per round
         large = (
             sym.join(m_of, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: edges are oriented (u > v); per center u with
         # smaller neighbors {v}, m = min; connect u and every other
