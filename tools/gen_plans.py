@@ -102,6 +102,14 @@ AUDIT = {
     "ext_snapshot_diff": "CDC diff (full-outer on id, hashes shuffle)",
     "ext_gopher_rules": "quality gate (zero exchanges, scan-stage only)",
     "ext_label_propagation": "3-round LPA (cached adjacency, keyed rounds)",
+    # round 3 session 5 additions
+    "ext_cc_starcontraction": "star-contraction CC (log-round, edge-keyed rounds)",
+    "ext_event_paths": "journey paths (ordering inside the agg, TakeOrdered)",
+    "ext_rolling_median": "rolling exact median (one keyed window)",
+    "ext_mann_whitney": "U test (banded midrank prefix sums, cached cents)",
+    "ext_kcore": "k-core peeling (degree agg + semi-joins per round)",
+    "ext_freq_triples": "apriori triples (cached pairs, keyed self-joins)",
+    "ext_mutual_information": "MI over contingency (cached, broadcast marginals)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
