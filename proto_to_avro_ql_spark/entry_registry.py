@@ -9612,3 +9612,115 @@ def q_ext_freq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
     )
     return sup
+
+
+@register(
+    "ext_time_weighted_avg",
+    """WITH q AS (
+         SELECT event_type, epoch_us(ts) AS t,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc,
+                row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+         FROM events
+       ), p AS (
+         SELECT event_type, vc, t,
+                lead(t) OVER (PARTITION BY event_type ORDER BY rn) AS t_next
+         FROM q
+       ), s AS (
+         SELECT event_type,
+                CAST(COUNT(t_next) AS BIGINT) AS n_intervals,
+                SUM(CAST(vc AS HUGEINT) * (t_next - t)) AS wsum,
+                SUM(CAST(t_next - t AS HUGEINT)) AS tsum
+         FROM p WHERE t_next IS NOT NULL GROUP BY event_type
+       )
+       SELECT event_type, n_intervals,
+              CAST(wsum AS DOUBLE) / CAST(tsum AS DOUBLE) / 100.0 AS twa
+       FROM s""",
+)
+def q_ext_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type — the correct mean
+    for IRREGULARLY sampled series (a value that held for an hour must
+    weigh 60x one that held a minute; the plain mean ext_ab_test uses
+    assumes equal spacing). Each value is weighted by its holding
+    interval to the next event: value in integer cents, interval in
+    integer epoch-micros, the weighted sum in 128-bit integers
+    (cents x micros crosses the bigint line at month spans — the
+    reason naive implementations overflow), and ONE double division at
+    the end. One type-keyed window + one aggregate; ties broken by
+    event_id so the interval assignment is deterministic."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    D38 = "decimal(38,0)"
+    p = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        (F.col("value").cast("decimal(38,2)") * 100).cast("long").alias("vc"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("vc").cast(D38) * (F.col("t_next") - F.col("t"))).alias("wsum"),
+        F.sum((F.col("t_next") - F.col("t")).cast(D38)).alias("tsum"),
+    )
+    return s.select(
+        "event_type",
+        "n_intervals",
+        (F.col("wsum").cast("double") / F.col("tsum").cast("double") / 100.0).alias(
+            "twa"
+        ),
+    )
+
+
+@register(
+    "ext_impute_median",
+    """WITH base AS (
+         SELECT event_id, user_id, event_type,
+                CASE WHEN event_id % 10 <> 0 THEN value END AS v
+         FROM events
+       ), med AS (
+         SELECT event_type,
+                quantile_cont(CAST(CAST(v AS DECIMAL(38,2)) * 100 AS BIGINT), 0.5)
+                  AS med_cents
+         FROM base WHERE v IS NOT NULL GROUP BY event_type
+       )
+       SELECT b.event_id, b.user_id, b.event_type,
+              CASE WHEN b.v IS NOT NULL THEN b.v
+                   ELSE m.med_cents / 100.0 END AS imputed_value,
+              b.v IS NULL AS was_imputed
+       FROM base b JOIN med m USING (event_type)""",
+)
+def q_ext_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation — the robust missing-value fill for
+    model features (ext_forward_fill is the TEMPORAL fill; this is the
+    cross-sectional one: a missing value takes its group's median, not
+    its past). Every tenth event id is synthesized missing, so the
+    gaps are spread across all groups (ext_forward_fill's all-clicks
+    missingness would leave one group with no median at all — the
+    degenerate case a group-imputer must not silently drop). The median is computed
+    over integer cents so the interpolated midpoint is exact both
+    engines (the agg_percentile equality), and present values pass
+    through bit-identically. Plan: one grouped percentile over the
+    non-null slice, broadcast back onto the full stream — the big
+    relation never shuffles."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 10 != 0, F.col("value"))
+    base = ev.select("event_id", "user_id", "event_type", v.alias("v"))
+    med = (
+        base.where(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                (F.col("v").cast("decimal(38,2)") * 100).cast("long"), F.lit(0.5)
+            ).alias("med_cents")
+        )
+    )
+    return base.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("med_cents") / 100.0)
+        .alias("imputed_value"),
+        F.col("v").isNull().alias("was_imputed"),
+    )

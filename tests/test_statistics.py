@@ -540,3 +540,53 @@ class TestSession5References:
             for r in QUERIES["ext_freq_triples"](spark, sf_dir).collect()
         }
         assert got == ref
+
+    def test_time_weighted_avg_matches_python(self, spark, sf_dir):
+        from decimal import Decimal
+
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type", "ts", "event_id", "value")
+            .collect()
+        )
+        per_type = defaultdict(list)
+        for r in rows:
+            cents = int(Decimal(repr(r.value)).quantize(Decimal("0.01")) * 100)
+            per_type[r.event_type].append((r.ts, r.event_id, cents))
+        got = {r.event_type: r for r in QUERIES["ext_time_weighted_avg"](spark, sf_dir).collect()}
+        for t, seq in per_type.items():
+            seq.sort()
+            wsum = tsum = 0
+            for (ts0, _, v), (ts1, _, _) in zip(seq, seq[1:]):
+                d = ts1 - ts0
+                dt = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+                wsum += v * dt
+                tsum += dt
+            assert got[t].n_intervals == len(seq) - 1
+            assert got[t].twa == pytest.approx(wsum / tsum / 100.0, rel=1e-12)
+
+    def test_impute_median_fills_every_gap_with_group_median(self, spark, sf_dir):
+        import statistics
+        from decimal import Decimal
+
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .collect()
+        )
+        present = defaultdict(list)
+        for r in rows:
+            if r.event_id % 10 != 0:
+                present[r.event_type].append(
+                    int(Decimal(repr(r.value)).quantize(Decimal("0.01")) * 100)
+                )
+        med = {t: statistics.median(v) for t, v in present.items()}
+        got = QUERIES["ext_impute_median"](spark, sf_dir).collect()
+        assert len(got) == len(rows)
+        by_id = {r.event_id: r for r in rows}
+        for r in got:
+            if r.was_imputed:
+                assert r.event_id % 10 == 0
+                assert r.imputed_value == pytest.approx(med[r.event_type] / 100.0)
+            else:
+                assert r.imputed_value == by_id[r.event_id].value
