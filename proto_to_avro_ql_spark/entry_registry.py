@@ -9724,3 +9724,78 @@ def q_ext_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("imputed_value"),
         F.col("v").isNull().alias("was_imputed"),
     )
+
+
+@register(
+    "ext_trend_ols",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), xy AS (
+         SELECT event_type,
+                CAST(datediff('day', DATE '2024-01-01', day) AS HUGEINT) AS x,
+                CAST(cents AS HUGEINT) AS y
+         FROM d
+       ), s AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                SUM(x * x) AS sxx, SUM(y * y) AS syy
+         FROM xy GROUP BY event_type
+       )
+       SELECT event_type, n_days,
+              CAST(n_days * sxy - sx * sy AS DOUBLE)
+                / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0
+                AS slope_per_day,
+              CAST(sy * sxx - sx * sxy AS DOUBLE)
+                / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0
+                AS intercept,
+              CAST(n_days * sxy - sx * sy AS DOUBLE)
+                * CAST(n_days * sxy - sx * sy AS DOUBLE)
+                / (CAST(n_days * sxx - sx * sx AS DOUBLE)
+                   * CAST(n_days * syy - sy * sy AS DOUBLE)) AS r2
+       FROM s""",
+)
+def q_ext_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of daily revenue (slope, intercept, R²) — the
+    one-regressor fit behind every 'is this metric growing' panel.
+    Closed-form normal equations over EXACT integer moments (x = day
+    index, y = integer cents, five sums in 128-bit), each output ONE
+    double expression of exact integers — the ext_autocorr/corr_matrix
+    kernel extended to the regression coefficients. The squared
+    numerator for R² is computed as double x double AFTER the exact
+    casts (squaring inside the integers would double the bit demand
+    for no precision gain). One aggregate over the (type, day)
+    relation."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    D38 = "decimal(38,0)"
+    xy = d.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).cast(D38).alias("x"),
+        F.col("cents").cast(D38).alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    return s.select(
+        "event_type",
+        "n_days",
+        (num / den / 100.0).alias("slope_per_day"),
+        (inum / den / 100.0).alias("intercept"),
+        (num * num / (den * deny)).alias("r2"),
+    )

@@ -590,3 +590,33 @@ class TestSession5References:
                 assert r.imputed_value == pytest.approx(med[r.event_type] / 100.0)
             else:
                 assert r.imputed_value == by_id[r.event_id].value
+
+    def test_trend_ols_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        daily = (
+            read_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")) * 100, 0)
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        import datetime
+
+        by_type = defaultdict(list)
+        epoch = datetime.date(2024, 1, 1)
+        for r in daily:
+            by_type[r.event_type].append(((r.day - epoch).days, r.c))
+        got = {r.event_type: r for r in QUERIES["ext_trend_ols"](spark, sf_dir).collect()}
+        for t, pts in by_type.items():
+            x = np.array([p[0] for p in pts], dtype=float)
+            y = np.array([p[1] for p in pts], dtype=float)
+            slope, intercept = np.polyfit(x, y, 1)
+            r = np.corrcoef(x, y)[0, 1]
+            assert got[t].n_days == len(pts)
+            assert got[t].slope_per_day == pytest.approx(slope / 100, rel=1e-9)
+            assert got[t].intercept == pytest.approx(intercept / 100, rel=1e-9)
+            assert got[t].r2 == pytest.approx(r * r, rel=1e-9)
