@@ -9799,3 +9799,57 @@ def q_ext_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         (inum / den / 100.0).alias("intercept"),
         (num * num / (den * deny)).alias("r2"),
     )
+
+
+@register(
+    "ext_weighted_median",
+    r"""WITH d AS (
+         SELECT lang, n_chars,
+                CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS w
+         FROM documents GROUP BY lang, n_chars
+       ), c AS (
+         SELECT lang, n_chars, w,
+                SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(w) OVER (PARTITION BY lang) AS total
+         FROM d
+       )
+       SELECT lang, CAST(MAX(total) AS BIGINT) AS total_tokens,
+              CAST(MIN(CASE WHEN 2 * cum >= total THEN n_chars END) AS BIGINT)
+                AS weighted_median_chars
+       FROM c GROUP BY lang""",
+)
+def q_ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length per language — the order
+    statistic that answers 'how long is the doc the AVERAGE TOKEN
+    lives in' (plain median treats a 10-token and 10k-token doc as
+    equal voters; token-weighted is what sequence-packing and budget
+    decisions need). Exact integer selection: per-(lang, length) token
+    weights, a lang-KEYED running sum (partitioned window — no global
+    ordering), and the lower weighted median as min{v : 2·cum(v) ≥ W}
+    — pure integer comparisons, nothing to round. The corpus
+    aggregates once; windows run over the tiny (lang, length)
+    relation."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(TX.normalize_text(F.col("text")), " "))
+    d = docs.groupBy("lang", "n_chars").agg(
+        F.sum(toks.cast("long")).alias("w")
+    )
+    w_cum = Window.partitionBy("lang").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("lang")
+    c = d.select(
+        "lang",
+        "n_chars",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("total"),
+    )
+    return c.groupBy("lang").agg(
+        F.max("total").cast("long").alias("total_tokens"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("n_chars"))
+        ).cast("long").alias("weighted_median_chars"),
+    )
