@@ -9853,3 +9853,69 @@ def q_ext_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cum") >= F.col("total"), F.col("n_chars"))
         ).cast("long").alias("weighted_median_chars"),
     )
+
+
+@register(
+    "ext_entity_resolution",
+    """WITH RECURSIVE vocab AS (
+         SELECT p_name AS name, COUNT(*) AS cnt,
+                split_part(p_name, ' ', 1) AS block,
+                length(p_name) AS ln
+         FROM part GROUP BY 1
+       ), pairs AS (
+         SELECT a.name AS na, b.name AS nb
+         FROM vocab a JOIN vocab b
+           ON a.block = b.block AND a.name < b.name
+          AND abs(a.ln - b.ln) <= 3
+         WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+       ), sym AS (
+         SELECT na AS src, nb AS dst FROM pairs
+         UNION ALL SELECT nb, na FROM pairs
+       ), nodes AS (
+         SELECT DISTINCT src AS id FROM sym
+       ), cc(id, lab) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT s.src, cc.lab FROM sym s JOIN cc ON cc.id = s.dst
+       ), lab AS (
+         SELECT id, MIN(lab) AS representative FROM cc GROUP BY id
+       )
+       SELECT l.representative,
+              CAST(COUNT(*) AS BIGINT) AS n_names,
+              CAST(SUM(v.cnt) AS BIGINT) AS n_rows
+       FROM lab l JOIN vocab v ON v.name = l.id
+       GROUP BY l.representative""",
+)
+def q_ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: blocked fuzzy matching
+    (ext_fuzzy_join's vocabulary-scale Levenshtein pairs) composed with
+    star-contraction clustering DIRECTLY ON STRING KEYS (the component
+    label IS the lexicographically smallest variant — the natural
+    canonical name, no integer id mapping to collide), then a roll-up
+    of how many name variants and underlying rows each entity absorbs.
+    This is the master-data capstone: pairs alone leave A~B and B~C as
+    separate facts; the transitive closure is what makes them one
+    entity. All cluster work happens at vocabulary scale; the oracle
+    is an independent recursive-CTE closure over the same pairs."""
+    from proto_to_avro_ql_spark.operators.clustering import (
+        star_contraction_components,
+    )
+    from proto_to_avro_ql_spark.operators.fuzzy import fuzzy_name_matches
+
+    p = read_table(spark, sf_dir, "part")
+    pairs = fuzzy_name_matches(p, "p_name", min_dist=1, max_dist=3)
+    comps = star_contraction_components(
+        pairs.select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")),
+        cast=None,
+    )
+    vocab = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        comps.join(vocab, comps.id == vocab.name)
+        .groupBy(F.col("cluster_id").alias("representative"))
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("cnt").alias("n_rows"),
+        )
+    )

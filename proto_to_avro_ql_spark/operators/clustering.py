@@ -80,6 +80,7 @@ def star_contraction_components(
     pairs: DataFrame,
     max_rounds: int = 12,
     checkpoint_every: int = 2,
+    cast: str | None = "long",
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, cluster_id): the alternating
     large-star / small-star connected-components algorithm (Kiveris et
@@ -104,9 +105,11 @@ def star_contraction_components(
     star fixpoint (checksum-equal two rounds running); lineage is
     truncated with localCheckpoint like ``connected_components``.
     """
-    raw = pairs.select(
-        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
-    )
+    # any totally ordered key type works (the algorithm only needs
+    # min/least comparisons); cast=None keeps e.g. string entity keys
+    ua = F.col("id_a").cast(cast) if cast else F.col("id_a")
+    vb = F.col("id_b").cast(cast) if cast else F.col("id_b")
+    raw = pairs.select(ua.alias("u"), vb.alias("v"))
     nodes = raw.select("u").unionAll(raw.select(F.col("v").alias("u"))).distinct()
     edges = (
         raw.where(F.col("u") != F.col("v"))
