@@ -866,3 +866,40 @@ class TestSession7Plans:
         plan = self._plan(spark, sf_dir, "src_jsonl_scan")
         assert "FileScan json" in plan, plan
         assert "EvalPython" not in plan, plan
+
+    def test_trend_ols_single_moment_aggregate(self, spark, sf_dir):
+        """All five moments accumulate in one grouped aggregate over the
+        (type, day) relation — no window, no join."""
+        plan = self._plan(spark, sf_dir, "ext_trend_ols")
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_time_weighted_avg_one_window_one_agg(self, spark, sf_dir):
+        """Interval assignment is one type-keyed window; the 128-bit
+        weighted sums reduce in one aggregate."""
+        plan = self._plan(spark, sf_dir, "ext_time_weighted_avg")
+        assert plan.count("Window ") == 1, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_impute_median_broadcasts_medians(self, spark, sf_dir):
+        """The per-group medians broadcast back onto the full stream —
+        the event-scale relation never shuffles."""
+        plan = self._plan(spark, sf_dir, "ext_impute_median")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" in plan, plan  # only the median agg
+
+    def test_weighted_median_windows_keyed_by_lang(self, spark, sf_dir):
+        """Running weight sums are partitioned by lang over the tiny
+        (lang, length) relation — never a global window."""
+        plan = self._plan(spark, sf_dir, "ext_weighted_median")
+        assert "Exchange SinglePartition" not in plan, plan
+        for line in plan.splitlines():
+            if "Window [sum(w" in line:
+                assert "lang" in line.split("windowspecdefinition")[1][:60], line
+
+    def test_entity_resolution_vocab_scale_only(self, spark, sf_dir):
+        """Pair generation and clustering run at vocabulary scale with
+        keyed joins; no cartesian anywhere in the composition."""
+        plan = self._plan(spark, sf_dir, "ext_entity_resolution")
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
