@@ -109,6 +109,9 @@ AUDIT = {
     "ext_mann_whitney": "U test (banded midrank prefix sums, cached cents)",
     "ext_kcore": "k-core peeling (degree agg + semi-joins per round)",
     "ext_freq_triples": "apriori triples (cached pairs, keyed self-joins)",
+    "ext_trend_ols": "OLS trend (one moment aggregate, no window)",
+    "ext_time_weighted_avg": "TWA (one keyed window, 128-bit weights)",
+    "ext_entity_resolution": "entity resolution (vocab-scale fuzzy + string CC)",
     "ext_mutual_information": "MI over contingency (cached, broadcast marginals)",
 }
 
