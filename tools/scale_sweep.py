@@ -76,6 +76,15 @@ SWEEP = [
     "ext_dedup_url",
     "ext_js_divergence",
     "ext_class_balance",
+    # round 3, session 5
+    "ext_cc_starcontraction",
+    "ext_kcore",
+    "ext_freq_triples",
+    "ext_mann_whitney",
+    "ext_event_paths",
+    "ext_time_weighted_avg",
+    "ext_entity_resolution",
+    "ext_window_count_distinct",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
