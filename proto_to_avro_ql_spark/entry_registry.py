@@ -9919,3 +9919,91 @@ def q_ext_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_rows"),
         )
     )
+
+
+@register(
+    "ext_lift_table",
+    """WITH s AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents,
+                event_id, CAST(user_id % 2 AS BIGINT) AS label
+         FROM events WHERE value IS NOT NULL
+       ), r AS (
+         SELECT label,
+                CAST(ntile(10) OVER (ORDER BY cents DESC, event_id) AS BIGINT)
+                  AS decile
+         FROM s
+       ), d AS (
+         SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(label) AS BIGINT) AS n_pos
+         FROM r GROUP BY decile
+       ), c AS (
+         SELECT decile, n, n_pos,
+                SUM(n_pos) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+                SUM(n) OVER () AS tn, SUM(n_pos) OVER () AS tp
+         FROM d
+       )
+       SELECT decile, n, n_pos,
+              CAST(n_pos * tn AS DOUBLE) / CAST(n * tp AS DOUBLE) AS lift,
+              CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) AS cum_gain
+       FROM c""",
+)
+def q_ext_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the model-eval report beside ext_auc
+    (same synthetic scoreboard: score = value, label = user parity):
+    rank everything by score, cut into 10 equal deciles, and report
+    per-decile response lift and cumulative gains (what fraction of
+    all positives the top-k deciles capture — the campaign-targeting
+    curve). The global decile cut uses banded_global_rank +
+    ntile_from_rank (exact SQL NTILE semantics reproduced WITHOUT a
+    single-partition window; band = truncating division of the
+    negated cents, a monotone prefix of the order), and every reported
+    number is a single double division of exact integer counts. Ties
+    broken by event_id so the cut is total on both engines."""
+    from proto_to_avro_ql_spark.operators.layout import (
+        banded_global_rank,
+        ntile_from_rank,
+    )
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        (-(F.col("value").cast("decimal(38,2)") * 100).cast("long")).alias("vc"),
+        "event_id",
+        (F.col("user_id") % 2).cast("long").alias("label"),
+    )
+    ranked = banded_global_rank(
+        s, F.expr("vc DIV 1000"), [F.col("vc"), F.col("event_id")], rank_name="_r"
+    )
+    total = s.count()
+    r = ranked.select(
+        "label", (ntile_from_rank(F.col("_r"), F.lit(total), 10) + 1).alias("decile")
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos")
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tn"),
+        F.sum("n_pos").over(w_all).alias("tp"),
+    )
+    return c.select(
+        "decile",
+        "n",
+        "n_pos",
+        ((F.col("n_pos") * F.col("tn")).cast("double")
+         / (F.col("n") * F.col("tp")).cast("double")).alias("lift"),
+        (F.col("cum_pos").cast("double") / F.col("tp").cast("double")).alias(
+            "cum_gain"
+        ),
+    )

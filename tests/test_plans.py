@@ -903,3 +903,13 @@ class TestSession7Plans:
         plan = self._plan(spark, sf_dir, "ext_entity_resolution")
         assert "CartesianProduct" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+
+    def test_lift_table_rank_is_banded(self, spark, sf_dir):
+        """The decile cut comes from banded_global_rank — per-row
+        row_number windows are band-partitioned; only the 10-row decile
+        relation may use unpartitioned windows."""
+        plan = self._plan(spark, sf_dir, "ext_lift_table")
+        for line in plan.splitlines():
+            if "Window [row_number()" in line:
+                assert "_band" in line.split("windowspecdefinition")[1][:80], line
+        assert "CartesianProduct" not in plan, plan
