@@ -62,3 +62,27 @@ class TestStarContraction:
         out = star_contraction_components(path, max_rounds=12).collect()
         assert len(out) == 201
         assert all(r.cluster_id == 0 for r in out)
+
+
+class TestGraphEdgeCases:
+    def test_star_contraction_empty_and_selfloop_only(self, spark):
+        from proto_to_avro_ql_spark.operators.clustering import (
+            star_contraction_components,
+        )
+
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert star_contraction_components(empty).count() == 0
+        loops = spark.createDataFrame([(7, 7), (9, 9)], "id_a long, id_b long")
+        out = {(r.id, r.cluster_id) for r in star_contraction_components(loops).collect()}
+        assert out == {(7, 7), (9, 9)}
+
+    def test_kcore_empty_and_subcritical(self, spark):
+        from proto_to_avro_ql_spark.operators.clustering import kcore_nodes
+
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert kcore_nodes(empty, k=3).count() == 0
+        # a path has max degree 2: the 3-core must be empty
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+        )
+        assert kcore_nodes(path, k=3).count() == 0
