@@ -10007,3 +10007,220 @@ def q_ext_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_gain"
         ),
     )
+
+
+@register(
+    "ext_cramers_v",
+    """WITH o AS (
+         SELECT lang, source, COUNT(*) AS obs
+         FROM documents GROUP BY lang, source
+       ), r AS (SELECT lang, SUM(obs) AS rn FROM o GROUP BY lang),
+       c AS (SELECT source, SUM(obs) AS cn FROM o GROUP BY source),
+       t AS (SELECT SUM(obs) AS n FROM o),
+       cells AS (
+         SELECT CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+                CAST(r.rn AS BIGINT) AS rn, CAST(c.cn AS BIGINT) AS cn,
+                CAST(t.n AS BIGINT) AS n
+         FROM r CROSS JOIN c CROSS JOIN t
+         LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+       ), terms AS (
+         SELECT CAST((CAST(obs * 1000000 - (rn * cn * 1000000) // n
+                           AS HUGEINT)
+                      * CAST(obs * 1000000 - (rn * cn * 1000000) // n
+                             AS HUGEINT))
+                     // ((rn * cn * 1000000) // n) AS BIGINT) AS term,
+                n
+         FROM cells
+       ), s AS (
+         SELECT CAST(SUM(term) AS BIGINT) AS chi2_micros,
+                CAST(MAX(n) AS BIGINT) AS n,
+                CAST(LEAST((SELECT COUNT(*) FROM r) - 1,
+                           (SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS mindim
+         FROM terms
+       )
+       SELECT n, mindim,
+              sqrt(CAST(chi2_micros AS DOUBLE)
+                   / (1000000.0 * CAST(n * mindim AS DOUBLE))) AS cramers_v
+       FROM s""",
+)
+def q_ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for lang x source — the companion number
+    ext_chi_square's statistic needs to be interpretable: chi² grows
+    with sample size even for a fixed association strength; V =
+    sqrt(chi² / (n·min(r−1, c−1))) is the [0,1]-normalized strength a
+    governance dashboard can threshold. Same integer-micros kernel as
+    the chi-square entry (exact expected counts, exact terms), with
+    the normalization as ONE final double sqrt over exact integers."""
+    docs = read_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs")).cache()
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    t = o.agg(F.sum("obs").alias("n"))
+    nr = r.agg(F.count(F.lit(1)).alias("nr"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(t))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .select(
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+            F.col("rn").cast("long"),
+            F.col("cn").cast("long"),
+            F.col("n").cast("long"),
+        )
+    )
+    term = F.expr(
+        """CAST(
+             (CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0))
+              * CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0)))
+             DIV ((rn * cn * 1000000) DIV n) AS BIGINT)"""
+    )
+    s = (
+        cells.select(term.alias("term"), "n")
+        .agg(
+            F.sum("term").cast("long").alias("chi2_micros"),
+            F.max("n").cast("long").alias("n"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2_micros",
+            "n",
+            F.least(F.col("nr") - 1, F.col("nc") - 1).cast("long").alias("mindim"),
+        )
+    )
+    return s.select(
+        "n",
+        "mindim",
+        F.sqrt(
+            F.col("chi2_micros").cast("double")
+            / (F.lit(1000000.0) * (F.col("n") * F.col("mindim")).cast("double"))
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "ext_survival_km",
+    """WITH bounds AS (
+         SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events
+       ), u AS (
+         SELECT user_id,
+                CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(ts AS DATE) END) IS NOT NULL
+                     THEN date_diff('day', MIN(CAST(ts AS DATE)),
+                            MIN(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(ts AS DATE) END))
+                     ELSE date_diff('day', MIN(CAST(ts AS DATE)),
+                            (SELECT mxd FROM bounds)) END AS dur,
+                CAST(MIN(CASE WHEN event_type = 'purchase'
+                              THEN CAST(ts AS DATE) END) IS NULL
+                     AS INTEGER) AS censored
+         FROM events GROUP BY user_id
+       ), d AS (
+         SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total,
+                CAST(SUM(1 - censored) AS BIGINT) AS n_events
+         FROM u GROUP BY dur
+       ), c AS (
+         SELECT dur, n_total, n_events,
+                CAST((SELECT COUNT(*) FROM u)
+                  - COALESCE(SUM(n_total) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+         FROM d
+       ), k AS (
+         SELECT dur, n_risk, n_events,
+                SUM(CASE WHEN n_events = n_risk THEN CAST(0 AS DECIMAL(38,6))
+                    ELSE CAST(ROUND(ln(CAST(n_risk - n_events AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE)), 6)
+                              AS DECIMAL(38,6)) END) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+                MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+         FROM c WHERE n_events > 0
+       )
+       SELECT CAST(dur AS BIGINT) AS t_days, n_risk, n_events,
+              CASE WHEN hit_zero = 1 THEN 0.0
+                   ELSE exp(CAST(lnsum AS DOUBLE)) END AS survival
+       FROM k""",
+)
+def q_ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve — time-to-event with
+    RIGHT CENSORING (users who never purchase are censored at the end
+    of observation, not dropped; the naive 'mean conversion lag over
+    converters' — ext_conversion_lag's view — is biased optimistic
+    exactly because it can't count them). Duration = days from a
+    user's first event to their first purchase; at each
+    event time S(t) multiplies by (1 − d/n_risk). Cross-engine
+    exactness via the JSD/entropy pattern: each factor's log argument
+    is an exact integer ratio, its ln rounded to 6 decimals into
+    DECIMAL(38,6), the cumulative DECIMAL sum exponentiated once —
+    identical inputs, identical doubles. n_at_risk comes from an
+    exclusive prefix sum over the tiny duration relation (bounded by
+    the observation span in days)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("mxd"))
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_seen"),
+            first_purchase.alias("first_buy"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("first_buy").isNotNull(),
+                F.datediff("first_buy", "first_seen"),
+            )
+            .otherwise(F.datediff("mxd", "first_seen"))
+            .alias("dur"),
+            F.col("first_buy").isNull().cast("int").alias("censored"),
+        )
+    )
+    d = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(1 - F.col("censored")).alias("n_events"),
+    ).cache()  # prefix branch + total branch share it
+    tot = d.agg(F.sum("n_total").alias("tn"))
+    w_pre = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    c = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "dur",
+            "n_total",
+            "n_events",
+            (F.col("tn") - F.coalesce(F.sum("n_total").over(w_pre), F.lit(0)))
+            .alias("n_risk"),
+        )
+        .where(F.col("n_events") > 0)
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    zero = F.col("n_events") == F.col("n_risk")  # S(t) hits exactly 0
+    lnterm = F.when(zero, F.lit(0).cast("decimal(38,6)")).otherwise(
+        F.round(
+            F.log((F.col("n_risk") - F.col("n_events")).cast("double")
+                  / F.col("n_risk").cast("double")),
+            6,
+        ).cast("decimal(38,6)")
+    )
+    k = c.select(
+        "dur",
+        "n_risk",
+        "n_events",
+        F.sum(lnterm).over(w_cum).alias("lnsum"),
+        F.max(zero.cast("int")).over(w_cum).alias("hit_zero"),
+    )
+    return k.select(
+        F.col("dur").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.exp(F.col("lnsum").cast("double")))
+        .alias("survival"),
+    )

@@ -620,3 +620,57 @@ class TestSession5References:
             assert got[t].slope_per_day == pytest.approx(slope / 100, rel=1e-9)
             assert got[t].intercept == pytest.approx(intercept / 100, rel=1e-9)
             assert got[t].r2 == pytest.approx(r * r, rel=1e-9)
+
+    def test_survival_km_matches_python(self, spark, sf_dir):
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_type")
+            .collect()
+        )
+        first_seen, first_buy = {}, {}
+        mxd = max(r.ts.date() for r in rows)
+        for r in rows:
+            d = r.ts.date()
+            first_seen[r.user_id] = min(first_seen.get(r.user_id, d), d)
+            if r.event_type == "purchase":
+                first_buy[r.user_id] = min(first_buy.get(r.user_id, d), d)
+        durs = []
+        for u, fs in first_seen.items():
+            if u in first_buy:
+                durs.append(((first_buy[u] - fs).days, 1))
+            else:
+                durs.append(((mxd - fs).days, 0))
+        n_risk_total = len(durs)
+        by_t = defaultdict(lambda: [0, 0])  # t -> [n_total, n_events]
+        for d, e in durs:
+            by_t[d][0] += 1
+            by_t[d][1] += e
+        s, removed = 1.0, 0
+        ref = {}
+        for t in sorted(by_t):
+            n_tot, n_ev = by_t[t]
+            n_risk = n_risk_total - removed
+            if n_ev > 0:
+                s *= (n_risk - n_ev) / n_risk
+                ref[t] = (n_risk, n_ev, s)
+            removed += n_tot
+        got = {r.t_days: r for r in QUERIES["ext_survival_km"](spark, sf_dir).collect()}
+        assert set(got) == set(ref)
+        for t, (n_risk, n_ev, s_ref) in ref.items():
+            assert got[t].n_risk == n_risk
+            assert got[t].n_events == n_ev
+            # 6-dp rounded ln terms accumulate; tolerance covers the curve
+            assert got[t].survival == pytest.approx(s_ref, abs=5e-5)
+        # survival is nonincreasing and within [0, 1]
+        ts = sorted(got)
+        vals = [got[t].survival for t in ts]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+    def test_cramers_v_consistent_with_chi_square(self, spark, sf_dir):
+        chi = QUERIES["ext_chi_square"](spark, sf_dir).collect()[0]
+        v = QUERIES["ext_cramers_v"](spark, sf_dir).collect()[0]
+        assert v.n == chi.n
+        ref = (chi.chi2 / (v.n * v.mindim)) ** 0.5
+        assert v.cramers_v == pytest.approx(ref, rel=1e-9)
+        assert 0.0 <= v.cramers_v <= 1.0
