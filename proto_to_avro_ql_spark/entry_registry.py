@@ -10224,3 +10224,266 @@ def q_ext_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.exp(F.col("lnsum").cast("double")))
         .alias("survival"),
     )
+
+
+@register(
+    "ext_cuped",
+    """WITH u AS (
+         SELECT user_id,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                  AS variant,
+                CAST(ROUND(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                        THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) * 100, 0)
+                     AS BIGINT) AS pre,
+                CAST(ROUND(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                        THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) * 100, 0)
+                     AS BIGINT) AS post
+         FROM events GROUP BY user_id
+       ), m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(pre AS HUGEINT)) AS sx, SUM(CAST(post AS HUGEINT)) AS sy,
+                SUM(CAST(pre AS HUGEINT) * post) AS sxy,
+                SUM(CAST(pre AS HUGEINT) * pre) AS sxx
+         FROM u
+       ), v AS (
+         SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_v,
+                SUM(CAST(pre AS HUGEINT)) AS sx_v,
+                SUM(CAST(post AS HUGEINT)) AS sy_v
+         FROM u GROUP BY variant
+       )
+       SELECT CAST(v.variant AS INTEGER) AS variant, v.n_v,
+              CAST(v.sy_v AS DOUBLE) / CAST(v.n_v AS DOUBLE) / 100.0
+                AS mean_post,
+              (CAST(v.sy_v AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+               - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                  / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+                 * (CAST(v.sx_v AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+                    - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))) / 100.0
+                AS mean_adjusted,
+              CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) AS theta
+       FROM v, m""",
+)
+def q_ext_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout — adjust each
+    variant's post-period mean by theta x its pre-period imbalance
+    (theta = pooled cov(pre,post)/var(pre)), the standard trick that
+    cuts experiment runtimes ~half when pre-period behavior predicts
+    post. Per-user pre/post revenue quantized to integer cents
+    (decimal sums), all five pooled moments in 128-bit integers, and
+    every reported number a fixed scalar composition of exact-integer
+    ratios — deterministic single-row math, nothing data-order
+    dependent. One user-keyed aggregate + one tiny variant aggregate;
+    the variant split is the portable md5 bucket shared with
+    ext_ab_test/ext_mann_whitney."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    pre = F.when(F.col("ts").cast("date") < cutoff, F.col("value").cast(DEC)).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    post = F.when(
+        F.col("ts").cast("date") >= cutoff, F.col("value").cast(DEC)
+    ).otherwise(F.lit(0).cast(DEC))
+    u = ev.groupBy("user_id").agg(
+        F.round(F.sum(pre) * 100, 0).cast("long").alias("pre"),
+        F.round(F.sum(post) * 100, 0).cast("long").alias("post"),
+    ).select(
+        hash_bucket(F.col("user_id"), 2).alias("variant"), "pre", "post"
+    ).cache()  # pooled moments + per-variant sums share it
+    D38 = "decimal(38,0)"
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pre").cast(D38)).alias("sx"),
+        F.sum(F.col("post").cast(D38)).alias("sy"),
+        F.sum(F.col("pre").cast(D38) * F.col("post")).alias("sxy"),
+        F.sum(F.col("pre").cast(D38) * F.col("pre")).alias("sxx"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum(F.col("pre").cast(D38)).alias("sx_v"),
+        F.sum(F.col("post").cast(D38)).alias("sy_v"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    mean_post = F.col("sy_v").cast("double") / F.col("n_v").cast("double")
+    mean_pre_v = F.col("sx_v").cast("double") / F.col("n_v").cast("double")
+    mean_pre = F.col("sx").cast("double") / F.col("n").cast("double")
+    return v.crossJoin(F.broadcast(m)).select(
+        F.col("variant").cast("int").alias("variant"),
+        "n_v",
+        (mean_post / 100.0).alias("mean_post"),
+        ((mean_post - theta * (mean_pre_v - mean_pre)) / 100.0).alias(
+            "mean_adjusted"
+        ),
+        theta.alias("theta"),
+    )
+
+
+@register(
+    "ext_sprt_monitor",
+    """WITH d AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS y
+         FROM events GROUP BY 1
+       ), c AS (
+         SELECT day, n, y,
+                SUM(n) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                SUM(y) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+         FROM d
+       )
+       SELECT strftime(day, '%Y-%m-%d') AS day,
+              CAST(cn AS BIGINT) AS cum_trials,
+              CAST(cy AS BIGINT) AS cum_hits,
+              CAST(cy AS DOUBLE) * ln(CAST(0.21 AS DOUBLE) / CAST(0.19 AS DOUBLE))
+                + CAST(cn - cy AS DOUBLE)
+                  * ln(CAST(0.79 AS DOUBLE) / CAST(0.81 AS DOUBLE)) AS llr,
+              CAST(cy AS DOUBLE) * ln(CAST(0.21 AS DOUBLE) / CAST(0.19 AS DOUBLE))
+                + CAST(cn - cy AS DOUBLE)
+                  * ln(CAST(0.79 AS DOUBLE) / CAST(0.81 AS DOUBLE))
+                >= ln(CAST(19 AS DOUBLE)) AS accept_h1,
+              CAST(cy AS DOUBLE) * ln(CAST(0.21 AS DOUBLE) / CAST(0.19 AS DOUBLE))
+                + CAST(cn - cy AS DOUBLE)
+                  * ln(CAST(0.79 AS DOUBLE) / CAST(0.81 AS DOUBLE))
+                <= -ln(CAST(19 AS DOUBLE)) AS accept_h0
+       FROM c""",
+)
+def q_ext_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential monitor over the daily purchase rate — the
+    'could we have stopped early' audit trail (fixed-horizon tests
+    forbid peeking; the SPRT's log-likelihood-ratio boundaries are
+    valid at EVERY look): H0 p=0.19 vs H1 p=0.21, alpha=beta=0.05, so
+    the decision boundaries are +/-ln(19). The LLR is cum_hits and
+    cum_misses (exact integer prefix sums over the tiny daily
+    relation) times two CONSTANT log-odds factors — both engines
+    evaluate ln on identical double-cast literals, so every day's LLR
+    is bit-identical with no rounding step. One aggregate + one
+    30-row prefix window."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select(
+        "day",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("y").over(w).alias("cy"),
+    )
+    l1 = F.log(F.lit(0.21).cast("double") / F.lit(0.19).cast("double"))
+    l0 = F.log(F.lit(0.79).cast("double") / F.lit(0.81).cast("double"))
+    llr = F.col("cy").cast("double") * l1 + (F.col("cn") - F.col("cy")).cast(
+        "double"
+    ) * l0
+    bound = F.log(F.lit(19).cast("double"))
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cn").alias("cum_trials"),
+        F.col("cy").alias("cum_hits"),
+        llr.alias("llr"),
+        (llr >= bound).alias("accept_h1"),
+        (llr <= -bound).alias("accept_h0"),
+    )
+
+
+@register(
+    "ext_trimmed_mean",
+    """WITH q AS (
+         SELECT event_type,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc
+         FROM events
+       ), c AS (
+         SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM q GROUP BY 1, 2
+       ), r AS (
+         SELECT event_type, vc, cnt,
+                SUM(cnt) OVER (PARTITION BY event_type ORDER BY vc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                  AS below,
+                SUM(cnt) OVER (PARTITION BY event_type) AS n_t
+         FROM c
+       ), k AS (
+         SELECT event_type, vc, n_t,
+                GREATEST(CAST(0 AS BIGINT),
+                  LEAST(below + cnt, n_t - (n_t * 5) // 100)
+                  - GREATEST(below, (n_t * 5) // 100)) AS kept
+         FROM r
+       )
+       SELECT event_type, CAST(MAX(n_t) AS BIGINT) AS n,
+              CAST(SUM(kept) AS BIGINT) AS n_kept,
+              CAST(SUM(CAST(kept AS HUGEINT) * vc) AS DOUBLE)
+                / CAST(SUM(kept) AS DOUBLE) / 100.0 AS trimmed_mean
+       FROM k GROUP BY event_type""",
+)
+def q_ext_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-95% trimmed mean of value per event type — the robust location
+    estimate between the mean (outlier-dragged) and the median
+    (information-discarding); the standard robust KPI for revenue-like
+    metrics. Exact integer selection on the distinct-cents relation:
+    per-value kept-copy counts are window overlaps of integer rank
+    ranges (a value straddling the 5% cut keeps exactly the overlap
+    count — no per-row ranking ever materializes), the trimmed sum
+    accumulates kept x cents in 128-bit integers, and the mean is one
+    double division. Cumulative counts run in type-banded windows (the
+    mann_whitney/KS recipe, keyed by (type, band) with a per-type band
+    prefix — scale-safe for any per-type cardinality)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(38,2)") * 100).cast("long").alias("vc"),
+    )
+    c = q.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    banded = c.withColumn("_band", F.expr("vc DIV 1000"))
+    w_in = Window.partitionBy("event_type", "_band").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = banded.select(
+        "event_type", "vc", "cnt", "_band",
+        (F.sum("cnt").over(w_in) - F.col("cnt")).alias("below_in"),
+    )
+    btot = banded.groupBy("event_type", "_band").agg(F.sum("cnt").alias("bt"))
+    w_b = Window.partitionBy("event_type").orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = btot.select(
+        "event_type", "_band", (F.sum("bt").over(w_b) - F.col("bt")).alias("off")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("cnt").alias("n_t"))
+    r = (
+        run.join(offs, ["event_type", "_band"])
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "vc",
+            "cnt",
+            (F.col("off") + F.col("below_in")).alias("below"),
+            "n_t",
+        )
+    )
+    lo = F.expr("(n_t * 5) DIV 100")
+    hi = F.col("n_t") - lo
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("below") + F.col("cnt"), hi) - F.greatest(F.col("below"), lo),
+    )
+    D38 = "decimal(38,0)"
+    k = r.select("event_type", "vc", "n_t", kept.alias("kept"))
+    return k.groupBy("event_type").agg(
+        F.max("n_t").cast("long").alias("n"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (
+            F.sum(F.col("kept").cast(D38) * F.col("vc")).cast("double")
+            / F.sum("kept").cast("double")
+            / 100.0
+        ).alias("trimmed_mean"),
+    )

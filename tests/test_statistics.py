@@ -674,3 +674,76 @@ class TestSession5References:
         ref = (chi.chi2 / (v.n * v.mindim)) ** 0.5
         assert v.cramers_v == pytest.approx(ref, rel=1e-9)
         assert 0.0 <= v.cramers_v <= 1.0
+
+    def test_cuped_matches_numpy(self, spark, sf_dir):
+        import datetime
+        import hashlib
+
+        import numpy as np
+        from decimal import Decimal
+
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "value")
+            .collect()
+        )
+        cutoff = datetime.date(2024, 1, 16)
+        acc = defaultdict(lambda: [Decimal(0), Decimal(0)])
+        for r in rows:
+            d = Decimal(repr(r.value))
+            acc[r.user_id][0 if r.ts.date() < cutoff else 1] += d
+        users = sorted(acc)
+        pre = np.array([float((acc[u][0] * 100).quantize(Decimal(1))) for u in users])
+        post = np.array([float((acc[u][1] * 100).quantize(Decimal(1))) for u in users])
+        var = np.array(
+            [int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 for u in users]
+        )
+        theta_ref = np.cov(pre, post, bias=True)[0, 1] / np.var(pre)
+        got = {r.variant: r for r in QUERIES["ext_cuped"](spark, sf_dir).collect()}
+        assert got[0].theta == pytest.approx(theta_ref, rel=1e-9)
+        for v in (0, 1):
+            sel = var == v
+            assert got[v].n_v == sel.sum()
+            assert got[v].mean_post == pytest.approx(post[sel].mean() / 100, rel=1e-9)
+            adj = post[sel].mean() - theta_ref * (pre[sel].mean() - pre.mean())
+            assert got[v].mean_adjusted == pytest.approx(adj / 100, rel=1e-9)
+        # CUPED must shrink the variant gap toward the true (null) effect
+        raw_gap = abs(got[0].mean_post - got[1].mean_post)
+        adj_gap = abs(got[0].mean_adjusted - got[1].mean_adjusted)
+        assert adj_gap <= raw_gap * 1.5  # no inflation beyond noise
+
+    def test_sprt_llr_matches_python(self, spark, sf_dir):
+        got = QUERIES["ext_sprt_monitor"](spark, sf_dir).collect()
+        assert len(got) == 30
+        for r in got:
+            llr_ref = r.cum_hits * math.log(0.21 / 0.19) + (
+                r.cum_trials - r.cum_hits
+            ) * math.log(0.79 / 0.81)
+            assert r.llr == pytest.approx(llr_ref, rel=1e-12)
+            assert r.accept_h1 == (r.llr >= math.log(19))
+            assert r.accept_h0 == (r.llr <= -math.log(19))
+
+    def test_trimmed_mean_matches_python(self, spark, sf_dir):
+        from decimal import Decimal
+
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .collect()
+        )
+        per_type = defaultdict(list)
+        for r in rows:
+            per_type[r.event_type].append(
+                int(Decimal(repr(r.value)).quantize(Decimal("0.01")) * 100)
+            )
+        got = {r.event_type: r for r in QUERIES["ext_trimmed_mean"](spark, sf_dir).collect()}
+        for t, vals in per_type.items():
+            vals.sort()
+            n = len(vals)
+            lo = n * 5 // 100
+            kept = vals[lo : n - lo]
+            assert got[t].n == n
+            assert got[t].n_kept == len(kept)
+            assert got[t].trimmed_mean == pytest.approx(
+                sum(kept) / len(kept) / 100, rel=1e-12
+            )
