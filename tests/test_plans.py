@@ -913,3 +913,42 @@ class TestSession7Plans:
             if "Window [row_number()" in line:
                 assert "_band" in line.split("windowspecdefinition")[1][:80], line
         assert "CartesianProduct" not in plan, plan
+
+    def test_survival_km_prefix_over_duration_relation(self, spark, sf_dir):
+        """At-risk counts and the KM product run over the tiny duration
+        relation (cached) — the event table aggregates exactly once."""
+        plan = self._plan(spark, sf_dir, "ext_survival_km")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_cramers_v_reuses_chi_square_kernel_shape(self, spark, sf_dir):
+        """Contingency cached, marginals broadcast, no data-scale
+        shuffle after the first aggregate."""
+        plan = self._plan(spark, sf_dir, "ext_cramers_v")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_cuped_single_user_aggregate(self, spark, sf_dir):
+        """One user-keyed aggregate feeds both the pooled moments and
+        the per-variant sums (cached); the final math is single-row."""
+        plan = self._plan(spark, sf_dir, "ext_cuped")
+        assert "InMemoryTableScan" in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+    def test_sprt_single_daily_aggregate(self, spark, sf_dir):
+        """One day-keyed aggregate + the 30-row prefix window; the LLR
+        factors are constant-folded, no Python anywhere."""
+        plan = self._plan(spark, sf_dir, "ext_sprt_monitor")
+        assert "EvalPython" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_trimmed_mean_banded_per_type(self, spark, sf_dir):
+        """Running counts are (type, band)-keyed windows over the
+        cached distinct-cents relation; totals broadcast back."""
+        plan = self._plan(spark, sf_dir, "ext_trimmed_mean")
+        assert "InMemoryTableScan" in plan, plan
+        for line in plan.splitlines():
+            if "Window [sum(cnt" in line:
+                spec = line.split("windowspecdefinition")[1][:90]
+                assert "event_type" in spec, line
+        assert "CartesianProduct" not in plan, plan
