@@ -112,6 +112,10 @@ AUDIT = {
     "ext_trend_ols": "OLS trend (one moment aggregate, no window)",
     "ext_time_weighted_avg": "TWA (one keyed window, 128-bit weights)",
     "ext_entity_resolution": "entity resolution (vocab-scale fuzzy + string CC)",
+    "ext_survival_km": "Kaplan-Meier (cached duration relation, tiny prefix)",
+    "ext_cuped": "CUPED (one user agg, pooled + variant moments shared)",
+    "ext_trimmed_mean": "trimmed mean (type-banded prefix, integer selection)",
+    "ext_lift_table": "decile gains (banded global rank, 10-row windows)",
     "ext_mutual_information": "MI over contingency (cached, broadcast marginals)",
 }
 
