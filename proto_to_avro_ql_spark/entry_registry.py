@@ -10487,3 +10487,149 @@ def q_ext_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "ext_diff_in_diff",
+    """WITH cells AS (
+         SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                  AS variant,
+                CAST(CAST(ts AS DATE) >= DATE '2024-01-16' AS INTEGER) AS post,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0) AS BIGINT)
+                  AS s
+         FROM events GROUP BY 1, 2
+       ), w AS (
+         SELECT
+           MAX(CASE WHEN variant = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS a_pre,
+           MAX(CASE WHEN variant = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS a_post,
+           MAX(CASE WHEN variant = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS b_pre,
+           MAX(CASE WHEN variant = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS b_post
+         FROM cells
+       )
+       SELECT a_pre / 100.0 AS mean_a_pre, a_post / 100.0 AS mean_a_post,
+              b_pre / 100.0 AS mean_b_pre, b_post / 100.0 AS mean_b_post,
+              ((b_post - b_pre) - (a_post - a_pre)) / 100.0 AS did
+       FROM w""",
+)
+def q_ext_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal readout when assignment
+    isn't random-per-moment: the treated group's pre→post change minus
+    the control group's (which removes any shared time trend the plain
+    post-period diff would absorb as 'effect'). The 2x2 cell means
+    come from ONE conditional aggregation pass (integer-cent sums,
+    exact counts), and the estimate is single-row scalar math over
+    four exact ratios — deterministic with no rounding step. Variant =
+    the shared portable md5 bucket; period split at mid-month."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        hash_bucket(F.col("user_id"), 2).alias("variant"),
+        (F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"))
+        .cast("int")
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("s"),
+    )
+    m = lambda v, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("variant") == v) & (F.col("post") == p),
+            F.col("s").cast("double") / F.col("n"),
+        )
+    )
+    w = cells.agg(
+        m(0, 0).alias("a_pre"),
+        m(0, 1).alias("a_post"),
+        m(1, 0).alias("b_pre"),
+        m(1, 1).alias("b_post"),
+    )
+    return w.select(
+        (F.col("a_pre") / 100.0).alias("mean_a_pre"),
+        (F.col("a_post") / 100.0).alias("mean_a_post"),
+        (F.col("b_pre") / 100.0).alias("mean_b_pre"),
+        (F.col("b_post") / 100.0).alias("mean_b_post"),
+        (
+            ((F.col("b_post") - F.col("b_pre")) - (F.col("a_post") - F.col("a_pre")))
+            / 100.0
+        ).alias("did"),
+    )
+
+
+@register(
+    "ext_psi",
+    """WITH b AS (
+         SELECT LEAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 1000, 9)
+                  AS bin,
+                CAST(CAST(ts AS DATE) >= DATE '2024-01-16' AS INTEGER) AS post
+         FROM events WHERE value IS NOT NULL
+       ), g AS (
+         SELECT bin,
+                CAST(SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN post = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS c
+         FROM b GROUP BY bin
+       ), t AS (
+         SELECT SUM(a) AS na, SUM(c) AS nc FROM g
+       ), terms AS (
+         SELECT CAST(g.a * t.nc - g.c * t.na AS HUGEINT)
+                  * CAST(ROUND(ln(CAST(g.a * t.nc AS DOUBLE)
+                                  / CAST(g.c * t.na AS DOUBLE)), 6)
+                         AS DECIMAL(38,6)) AS term,
+                t.na, t.nc
+         FROM g, t
+       )
+       SELECT CAST(MAX(na) AS BIGINT) AS n_ref, CAST(MAX(nc) AS BIGINT) AS n_cur,
+              CAST(SUM(term) AS DOUBLE)
+                / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nc) AS DOUBLE)) AS psi
+       FROM terms""",
+)
+def q_ext_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month over 10 fixed value bins — THE production drift metric
+    for deployed model scores (rule of thumb: <0.1 stable, >0.25
+    investigate). Laplace +1 smoothing on every bin keeps empty cells
+    finite (documented industry practice, applied identically to both
+    periods). Each term is ((a·nc − c·na)) x ln(a·nc / (c·na)): the
+    log argument an EXACT integer cross-product ratio, its ln rounded
+    to 6 into DECIMAL weighted by the exact integer difference (the
+    JSD pattern), one final division by na·nc — partition-order
+    independent. One conditional aggregate over the 10-bin relation."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.select(
+        F.least(
+            F.expr("CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) DIV 1000"),
+            F.lit(9),
+        ).alias("bin"),
+        (F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"))
+        .cast("int")
+        .alias("post"),
+    )
+    g = b.groupBy("bin").agg(
+        (F.sum(F.when(F.col("post") == 0, 1).otherwise(0)) + 1).alias("a"),
+        (F.sum(F.when(F.col("post") == 1, 1).otherwise(0)) + 1).alias("c"),
+    )
+    t = g.agg(F.sum("a").alias("na"), F.sum("c").alias("nc"))
+    D38, D6 = "decimal(38,0)", "decimal(38,6)"
+    terms = g.crossJoin(F.broadcast(t)).select(
+        (
+            (F.col("a") * F.col("nc") - F.col("c") * F.col("na")).cast(D38)
+            * F.round(
+                F.log(
+                    (F.col("a") * F.col("nc")).cast("double")
+                    / (F.col("c") * F.col("na")).cast("double")
+                ),
+                6,
+            ).cast(D6)
+        ).alias("term"),
+        "na",
+        "nc",
+    )
+    return terms.agg(
+        F.max("na").cast("long").alias("n_ref"),
+        F.max("nc").cast("long").alias("n_cur"),
+        (
+            F.sum("term").cast("double")
+            / (F.max("na").cast("double") * F.max("nc").cast("double"))
+        ).alias("psi"),
+    )

@@ -747,3 +747,59 @@ class TestSession5References:
             assert got[t].trimmed_mean == pytest.approx(
                 sum(kept) / len(kept) / 100, rel=1e-12
             )
+
+    def test_diff_in_diff_matches_python(self, spark, sf_dir):
+        import datetime
+        import hashlib
+        from decimal import Decimal
+
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "value")
+            .collect()
+        )
+        cutoff = datetime.date(2024, 1, 16)
+        cells = defaultdict(lambda: [0, Decimal(0)])
+        for r in rows:
+            v = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:8], 16) % 2
+            p = 1 if r.ts.date() >= cutoff else 0
+            cells[(v, p)][0] += 1
+            cells[(v, p)][1] += Decimal(repr(r.value))
+        def mean(v, p):
+            n, s = cells[(v, p)]
+            return float((s * 100).quantize(Decimal(1))) / n / 100
+        got = QUERIES["ext_diff_in_diff"](spark, sf_dir).collect()[0]
+        assert got.mean_a_pre == pytest.approx(mean(0, 0), rel=1e-12)
+        assert got.mean_b_post == pytest.approx(mean(1, 1), rel=1e-12)
+        ref_did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+        assert got.did == pytest.approx(ref_did, abs=1e-9)
+
+    def test_psi_matches_python(self, spark, sf_dir):
+        import datetime
+        from decimal import Decimal
+
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("ts", "value")
+            .collect()
+        )
+        cutoff = datetime.date(2024, 1, 16)
+        a, c = Counter(), Counter()
+        for r in rows:
+            if r.value is None:
+                continue
+            cents = int(Decimal(repr(r.value)).quantize(Decimal("0.01")) * 100)
+            b = min(cents // 1000, 9)
+            (c if r.ts.date() >= cutoff else a)[b] += 1
+        bins = sorted(set(a) | set(c))
+        na = sum(a[b] + 1 for b in bins)
+        nc = sum(c[b] + 1 for b in bins)
+        ref = sum(
+            ((a[b] + 1) / na - (c[b] + 1) / nc)
+            * math.log(((a[b] + 1) * nc) / ((c[b] + 1) * na))
+            for b in bins
+        )
+        got = QUERIES["ext_psi"](spark, sf_dir).collect()[0]
+        assert (got.n_ref, got.n_cur) == (na, nc)
+        assert got.psi == pytest.approx(ref, abs=5e-6)
+        assert got.psi >= 0
