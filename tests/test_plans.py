@@ -952,3 +952,17 @@ class TestSession7Plans:
                 spec = line.split("windowspecdefinition")[1][:90]
                 assert "event_type" in spec, line
         assert "CartesianProduct" not in plan, plan
+
+    def test_diff_in_diff_one_conditional_aggregate(self, spark, sf_dir):
+        """The 2x2 cells come from one grouped aggregate; the estimate
+        is single-row math — two exchanges end to end, no Python."""
+        plan = self._plan(spark, sf_dir, "ext_diff_in_diff")
+        assert "EvalPython" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    def test_psi_terms_over_ten_bin_relation(self, spark, sf_dir):
+        """Counts aggregate once into the 10-bin relation; totals
+        broadcast back; no window, no cartesian beyond the 1-row total."""
+        plan = self._plan(spark, sf_dir, "ext_psi")
+        assert "Window" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
