@@ -10633,3 +10633,208 @@ def q_ext_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("na").cast("double") * F.max("nc").cast("double"))
         ).alias("psi"),
     )
+
+
+@register(
+    "ext_token_overlap_matrix",
+    r"""WITH tok AS (
+         SELECT DISTINCT lang,
+                unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+         FROM documents
+       ), tok2 AS (
+         SELECT DISTINCT lang, w FROM tok WHERE w <> ''
+       ), sizes AS (
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv FROM tok2 GROUP BY lang
+       ), inter AS (
+         SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS ni
+         FROM tok2 a JOIN tok2 b ON a.w = b.w AND a.lang < b.lang
+         GROUP BY 1, 2
+       )
+       SELECT i.lang_a, i.lang_b, sa.nv AS v_a, sb.nv AS v_b, i.ni AS v_shared,
+              CAST(i.ni AS DOUBLE) / CAST(sa.nv + sb.nv - i.ni AS DOUBLE)
+                AS vocab_jaccard
+       FROM inter i
+       JOIN sizes sa ON sa.lang = i.lang_a
+       JOIN sizes sb ON sb.lang = i.lang_b""",
+)
+def q_ext_token_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between languages — the corpus-
+    comparison matrix (ext_js_divergence weighs the en/fr DISTRIBUTION
+    gap; this counts pure type overlap across ALL language pairs —
+    high overlap between 'different' languages is the classic mislabel
+    smell). Set sizes and intersections are exact integer counts over
+    the (lang, token) type relation — tokens, never documents, carry
+    the join — and the coefficient is one double division. The
+    corpus tokenizes once; everything downstream is vocabulary-scale."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    tok = (
+        docs.select(
+            "lang",
+            F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .distinct()
+        .cache()  # sizes + self-join share the type relation
+    )
+    sizes = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("nv"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("nv").alias("v_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("nv").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "v_a",
+            "v_b",
+            F.col("ni").alias("v_shared"),
+            (
+                F.col("ni").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("ni")).cast("double")
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+@register(
+    "ext_burstiness",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2
+       ), s AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                SUM(CAST(c AS HUGEINT)) AS sc,
+                SUM(CAST(c AS HUGEINT) * c) AS scc
+         FROM d GROUP BY event_type
+       )
+       SELECT event_type, n_days, CAST(sc AS BIGINT) AS n_events,
+              CAST(n_days * scc - sc * sc AS DOUBLE)
+                / CAST(n_days AS DOUBLE) / CAST(sc AS DOUBLE) AS fano
+       FROM s""",
+)
+def q_ext_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of daily event counts per type — the Fano factor
+    (variance/mean of counts; 1 = Poisson, >1 = bursty/overdispersed,
+    the capacity-planning and bot-detection screen that a plain daily
+    average hides). COUNTS are inherently exact integers, the two
+    moments accumulate in 128-bit, and the factor is population
+    variance over mean as ONE double expression of exact integers
+    ((n·Σc² − (Σc)²) / (n·Σc)) — no rounding step. One aggregate over
+    the (type, day) relation."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    D38 = "decimal(38,0)"
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("c").cast(D38)).alias("sc"),
+        F.sum(F.col("c").cast(D38) * F.col("c")).alias("scc"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.col("sc").cast("long").alias("n_events"),
+        (
+            (F.col("n_days") * F.col("scc") - F.col("sc") * F.col("sc")).cast("double")
+            / F.col("n_days").cast("double")
+            / F.col("sc").cast("double")
+        ).alias("fano"),
+    )
+
+
+@register(
+    "ext_zipf_fit",
+    r"""WITH toks AS (
+         SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+         FROM documents
+       ), freq AS (
+         SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+         FROM toks WHERE tok <> '' GROUP BY tok
+         QUALIFY row_number() OVER (ORDER BY f DESC, tok ASC) <= 1000
+       ), xy AS (
+         SELECT CAST(ROUND(ln(CAST(row_number()
+                  OVER (ORDER BY f DESC, tok ASC) AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) * 1000000 AS xm,
+                CAST(ROUND(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(38,6))
+                  * 1000000 AS ym
+         FROM freq
+       ), s0 AS (
+         SELECT CAST(xm AS BIGINT) AS xm, CAST(ym AS BIGINT) AS ym FROM xy
+       ), s AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(xm AS HUGEINT)) AS sx, SUM(CAST(ym AS HUGEINT)) AS sy,
+                SUM(CAST(xm AS HUGEINT) * CAST(ym AS HUGEINT)) AS sxy,
+                SUM(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS sxx,
+                SUM(CAST(ym AS HUGEINT) * CAST(ym AS HUGEINT)) AS syy
+         FROM s0
+       )
+       SELECT n AS n_tokens,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+       FROM s""",
+)
+def q_ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the token rank-frequency curve: log-log OLS
+    slope over the top-1000 tokens (natural corpora slope ≈ −1;
+    template/boilerplate-heavy or synthetic corpora bend it — a cheap
+    whole-corpus health fingerprint beside ext_vocab_coverage). The
+    candidate set comes from sort+limit (TakeOrdered — never a global
+    window over the vocabulary); ranking THEN happens on the bounded
+    1000-row relation. Both ln(rank) and ln(freq) are logs of exact
+    integers rounded to 6 decimals into DECIMAL (the JSD pattern), so
+    all five regression moments are exact decimal sums and the slope
+    and R² are single double expressions — partition-order
+    independent."""
+    from pyspark.sql import Window
+
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("tok"))
+        .limit(1000)
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))  # bounded 1000-row relation
+    D6, D38 = "decimal(38,6)", "decimal(38,0)"
+    # moments in INTEGER MICROS: a scale-6 x scale-6 decimal product
+    # overflows precision 38 and the engines round the overflow
+    # differently — integer micros sidestep it (standing invariant)
+    xy = freq.select(
+        (F.round(F.log(F.row_number().over(w).cast("double")), 6).cast(D6) * 1000000)
+        .cast("long")
+        .alias("xm"),
+        (F.round(F.log(F.col("f").cast("double")), 6).cast(D6) * 1000000)
+        .cast("long")
+        .alias("ym"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xm").cast(D38)).alias("sx"),
+        F.sum(F.col("ym").cast(D38)).alias("sy"),
+        F.sum(F.col("xm").cast(D38) * F.col("ym")).alias("sxy"),
+        F.sum(F.col("xm").cast(D38) * F.col("xm")).alias("sxx"),
+        F.sum(F.col("ym").cast(D38) * F.col("ym")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        (num / den).alias("zipf_slope"),
+        (num * num / (den * deny)).alias("r2"),
+    )

@@ -966,3 +966,24 @@ class TestSession7Plans:
         plan = self._plan(spark, sf_dir, "ext_psi")
         assert "Window" not in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    def test_token_overlap_joins_type_relation(self, spark, sf_dir):
+        """The (lang, token) type relation is cached and self-joined on
+        the token key; sizes broadcast back — tokens, never documents,
+        carry the join."""
+        plan = self._plan(spark, sf_dir, "ext_token_overlap_matrix")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_burstiness_single_moment_aggregate(self, spark, sf_dir):
+        """Counts aggregate to (type, day), moments reduce per type —
+        no window, no join."""
+        plan = self._plan(spark, sf_dir, "ext_burstiness")
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_zipf_candidates_via_take_ordered(self, spark, sf_dir):
+        """Top-1000 tokens come from TakeOrderedAndProject over the
+        vocabulary aggregate; ranking happens on the bounded relation."""
+        plan = self._plan(spark, sf_dir, "ext_zipf_fit")
+        assert "TakeOrderedAndProject" in plan, plan

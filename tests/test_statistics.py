@@ -803,3 +803,70 @@ class TestSession5References:
         assert (got.n_ref, got.n_cur) == (na, nc)
         assert got.psi == pytest.approx(ref, abs=5e-6)
         assert got.psi >= 0
+
+    def test_burstiness_matches_python(self, spark, sf_dir):
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type", F.col("ts").cast("date").alias("day"))
+            .collect()
+        )
+        daily = Counter((r.event_type, r.day) for r in rows)
+        per_type = defaultdict(list)
+        for (t, _), c in daily.items():
+            per_type[t].append(c)
+        got = {r.event_type: r for r in QUERIES["ext_burstiness"](spark, sf_dir).collect()}
+        for t, cs in per_type.items():
+            n = len(cs)
+            mean = sum(cs) / n
+            var = sum((c - mean) ** 2 for c in cs) / n
+            assert got[t].n_days == n
+            assert got[t].n_events == sum(cs)
+            assert got[t].fano == pytest.approx(var / mean, rel=1e-9)
+
+    def test_token_overlap_matches_python(self, spark, sf_dir):
+        import re as _re
+
+        docs = read_table(spark, sf_dir, "documents").select("lang", "text").collect()
+        vocab = defaultdict(set)
+        for r in docs:
+            toks = _re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+            vocab[r.lang].update(t for t in toks if t)
+        got = {
+            (r.lang_a, r.lang_b): r
+            for r in QUERIES["ext_token_overlap_matrix"](spark, sf_dir).collect()
+        }
+        langs = sorted(vocab)
+        expected_pairs = {
+            (a, b)
+            for i, a in enumerate(langs)
+            for b in langs[i + 1 :]
+            if vocab[a] & vocab[b]
+        }
+        assert set(got) == expected_pairs
+        for (a, b), r in got.items():
+            inter = len(vocab[a] & vocab[b])
+            union = len(vocab[a] | vocab[b])
+            assert (r.v_a, r.v_b, r.v_shared) == (len(vocab[a]), len(vocab[b]), inter)
+            assert r.vocab_jaccard == pytest.approx(inter / union, rel=1e-12)
+
+    def test_zipf_fit_matches_numpy(self, spark, sf_dir):
+        import re as _re
+
+        import numpy as np
+
+        docs = read_table(spark, sf_dir, "documents").select("text").collect()
+        freq = Counter()
+        for r in docs:
+            toks = _re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+            freq.update(t for t in toks if t)
+        top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+        x = np.log(np.arange(1, len(top) + 1))
+        y = np.log([f for _, f in top])
+        slope = np.polyfit(x, y, 1)[0]
+        r = np.corrcoef(x, y)[0, 1]
+        got = QUERIES["ext_zipf_fit"](spark, sf_dir).collect()[0]
+        assert got.n_tokens == len(top)
+        # 6-dp quantized logs vs full precision: loose but binding
+        assert got.zipf_slope == pytest.approx(slope, abs=1e-4)
+        assert got.r2 == pytest.approx(r * r, abs=1e-4)
+        assert got.zipf_slope < 0  # frequencies decay with rank
