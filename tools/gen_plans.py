@@ -116,6 +116,8 @@ AUDIT = {
     "ext_cuped": "CUPED (one user agg, pooled + variant moments shared)",
     "ext_trimmed_mean": "trimmed mean (type-banded prefix, integer selection)",
     "ext_lift_table": "decile gains (banded global rank, 10-row windows)",
+    "ext_token_overlap_matrix": "vocab overlap (cached type relation, token joins)",
+    "ext_zipf_fit": "Zipf fit (TakeOrdered candidates, integer-micros moments)",
     "ext_mutual_information": "MI over contingency (cached, broadcast marginals)",
 }
 
