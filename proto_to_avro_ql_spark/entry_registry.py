@@ -7599,11 +7599,14 @@ def q_ext_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM r CROSS JOIN c CROSS JOIN t
          LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
        ), terms AS (
-         SELECT CAST((CAST(obs * 1000000 - (rn * cn * 1000000) // n
-                           AS HUGEINT)
-                      * CAST(obs * 1000000 - (rn * cn * 1000000) // n
-                             AS HUGEINT))
-                     // ((rn * cn * 1000000) // n) AS BIGINT) AS term,
+         SELECT CAST((CAST(obs * 1000000
+                           - (CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT)
+                              * 1000000) // n AS HUGEINT)
+                      * CAST(obs * 1000000
+                             - (CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT)
+                                * 1000000) // n AS HUGEINT))
+                     // ((CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT)
+                          * 1000000) // n) AS BIGINT) AS term,
                 n
          FROM cells
        )
@@ -7646,9 +7649,14 @@ def q_ext_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = F.expr(
         """CAST(
-             (CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0))
-              * CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0)))
-             DIV ((rn * cn * 1000000) DIV n) AS BIGINT)"""
+             (CAST(obs * 1000000
+                   - (CAST(rn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))
+                      * 1000000) DIV n AS DECIMAL(38,0))
+              * CAST(obs * 1000000
+                     - (CAST(rn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))
+                        * 1000000) DIV n AS DECIMAL(38,0)))
+             DIV ((CAST(rn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))
+                   * 1000000) DIV n) AS BIGINT)"""
     )
     dims = (
         r.agg((F.count(F.lit(1)) - 1).alias("dl"))
@@ -10024,11 +10032,14 @@ def q_ext_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM r CROSS JOIN c CROSS JOIN t
          LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
        ), terms AS (
-         SELECT CAST((CAST(obs * 1000000 - (rn * cn * 1000000) // n
-                           AS HUGEINT)
-                      * CAST(obs * 1000000 - (rn * cn * 1000000) // n
-                             AS HUGEINT))
-                     // ((rn * cn * 1000000) // n) AS BIGINT) AS term,
+         SELECT CAST((CAST(obs * 1000000
+                           - (CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT)
+                              * 1000000) // n AS HUGEINT)
+                      * CAST(obs * 1000000
+                             - (CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT)
+                                * 1000000) // n AS HUGEINT))
+                     // ((CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT)
+                          * 1000000) // n) AS BIGINT) AS term,
                 n
          FROM cells
        ), s AS (
@@ -10071,9 +10082,14 @@ def q_ext_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = F.expr(
         """CAST(
-             (CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0))
-              * CAST(obs * 1000000 - (rn * cn * 1000000) DIV n AS DECIMAL(38,0)))
-             DIV ((rn * cn * 1000000) DIV n) AS BIGINT)"""
+             (CAST(obs * 1000000
+                   - (CAST(rn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))
+                      * 1000000) DIV n AS DECIMAL(38,0))
+              * CAST(obs * 1000000
+                     - (CAST(rn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))
+                        * 1000000) DIV n AS DECIMAL(38,0)))
+             DIV ((CAST(rn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))
+                   * 1000000) DIV n) AS BIGINT)"""
     )
     s = (
         cells.select(term.alias("term"), "n")

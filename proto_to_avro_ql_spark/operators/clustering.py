@@ -174,7 +174,11 @@ def star_contraction_components(
 
     # fixpoint: every edge is (member, component_min); nodes without a
     # parent edge (roots, self-loop-only nodes, isolated ids) label
-    # themselves — same node universe as connected_components.
+    # themselves — same node universe as connected_components. The
+    # min-aggregate (not distinct) keeps the one-row-per-id contract
+    # even if max_rounds truncated before the checksum fixpoint: a
+    # node still holding several parent edges degrades to its coarsest
+    # (min) label instead of emitting conflicting duplicate rows.
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
     return (
         nodes.alias("n")
@@ -183,7 +187,8 @@ def star_contraction_components(
             F.col("n.u").alias("id"),
             F.coalesce(F.col("m.cluster_id"), F.col("n.u")).alias("cluster_id"),
         )
-        .distinct()
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )
 
 
