@@ -7359,37 +7359,14 @@ def q_ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     puts all wedges of a hub on one task). The oriented edge relation
     is computed once and cached across its three uses (two wedge sides
     + the closing-edge probe)."""
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    from proto_to_avro_ql_spark.operators.graphs import (
+        copurchase_edges,
+        node_degrees,
+        orient_by_degree,
     )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-    )
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    fwd = (F.col("du.d") < F.col("dv.d")) | (
-        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
-    )
-    e = (
-        e0.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(fwd, F.col("dv.d")).otherwise(F.col("du.d")).alias("dt"),
-        )
-        .cache()
-    )
+
+    e0 = copurchase_edges(spark, sf_dir)
+    e = orient_by_degree(e0, node_degrees(e0)).select("s", "t").cache()
     # adjacency-intersection counting: for each oriented edge (u,v),
     # triangles closing over it are |adj(u) ∩ adj(v)| (out-lists only —
     # orientation already guarantees rank(w) above both endpoints, so
@@ -8237,53 +8214,50 @@ def q_ext_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose buyer neighborhoods overlap heavily are substitutes or kit
     components): for every existing edge, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
     in EXACT integer micros (floor cross-division — no float ratio to
-    straddle). The Spark side intersects sorted adjacency arrays per
-    edge (the triangle-count machinery — the Σd² common-neighbor wedge
-    relation is never materialized); the ORACLE deliberately counts
-    common neighbors through the wedge join, cross-checking two
-    formulations. Top-20 via TakeOrderedAndProject."""
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    straddle). Common neighbors of an EDGE ≡ triangles through it, so
+    the Spark side counts per-edge triangle support by oriented
+    triangle enumeration (operators/graphs.edge_triangle_support):
+    out-list intersection over DEGREE-ORIENTED adjacency — every array
+    bounded O(sqrt(m)) by construction, never a raw neighborhood —
+    then a 3-edge explode per found triangle and one pair-keyed count.
+    The previous plan collect_list'ed each node's FULL neighborhood
+    (a hub's millions of neighbors in one array cell — the round-3
+    verdict's one flagged scale-killer); this one materializes
+    nothing degree-shaped. The ORACLE counts common neighbors through
+    the UNORIENTED adjacency wedge join, cross-checking two
+    formulations. Degrees come from a node-keyed degree table; top-20
+    via TakeOrderedAndProject."""
+    from proto_to_avro_ql_spark.operators.graphs import (
+        copurchase_edges,
+        edge_triangle_support,
+        node_degrees,
+        orient_by_degree,
     )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-        .cache()  # adjacency build + the edge probe both branch off it
+
+    e0 = copurchase_edges(spark, sf_dir).cache()  # orientation + degrees branch off it
+    # cache the oriented relation too: it feeds the out-list aggregate,
+    # the per-edge probe, and the degree lookup (uncached, each branch
+    # re-runs the orientation joins)
+    oe = orient_by_degree(e0, node_degrees(e0)).cache()
+    common = edge_triangle_support(oe)
+    # both endpoint degrees already ride on the oriented edge relation
+    # (ds, dt) — one pair-keyed join instead of two node-keyed ones
+    edeg = oe.select(
+        F.least("s", "t").alias("u"),
+        F.greatest("s", "t").alias("v"),
+        (F.col("ds") + F.col("dt")).alias("dsum"),
     )
-    adj = (
-        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionAll(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .groupBy("node")
-        .agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
-    )
-    au = adj.select(
-        F.col("node").alias("u_key"),
-        F.col("nbrs").alias("nu"),
-        F.size("nbrs").alias("du"),
-    )
-    av = adj.select(
-        F.col("node").alias("v_key"),
-        F.col("nbrs").alias("nv"),
-        F.size("nbrs").alias("dv"),
-    )
-    inter = F.size(F.array_intersect("nu", "nv"))
     return (
-        e0.join(au, F.col("u") == F.col("u_key"))
-        .join(av, F.col("v") == F.col("v_key"))
+        common.where(F.col("common") >= 2)
+        .join(edeg, ["u", "v"])
         .select(
             "u",
             "v",
-            inter.cast("long").alias("common_nbrs"),
+            F.col("common").cast("long").alias("common_nbrs"),
             F.expr(
-                "CAST(size(array_intersect(nu, nv)) * 1000000L"
-                " DIV (du + dv - size(array_intersect(nu, nv))) AS BIGINT)"
+                "CAST(common * 1000000L DIV (dsum - common) AS BIGINT)"
             ).alias("jaccard_micro"),
         )
-        .where(F.col("common_nbrs") >= 2)
         .orderBy(F.desc("jaccard_micro"), "u", "v")
         .limit(20)
     )
@@ -8855,23 +8829,13 @@ def q_ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs."""
     from pyspark.sql import Window
 
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
+    from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
     # support >= 2: keep only pairs co-purchased in MORE than one order —
     # random one-off co-occurrence is noise; repeated co-occurrence is
     # structure (and the resulting sparse graph holds real communities
     # instead of one dense blob)
-    e0 = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    e0 = copurchase_edges(spark, sf_dir, min_support=2)
     adj = (
         e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
@@ -8935,19 +8899,10 @@ def q_ext_cc_starcontraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive CTE (min reachable label), fully independent of
     the contraction schedule."""
     from proto_to_avro_ql_spark.operators.clustering import star_contraction_components
+    from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
 
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    e0 = copurchase_edges(spark, sf_dir, min_support=2).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
     )
     comps = star_contraction_components(e0)
     return comps.groupBy(F.col("cluster_id").alias("component")).agg(
@@ -9536,19 +9491,10 @@ def q_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     only in the shuffle. The oracle unrolls 16 peel rounds as chained
     CTEs (idempotent past the fixpoint)."""
     from proto_to_avro_ql_spark.operators.clustering import kcore_nodes
+    from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
 
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    e0 = copurchase_edges(spark, sf_dir, min_support=2).select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b")
     )
     return kcore_nodes(e0, k=3)
 
@@ -9584,21 +9530,15 @@ def q_ext_freq_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     support counting re-joins the (order, part) relation three times
     on (part, order) keys — all equi joins, no explosion beyond the
     pruned candidates."""
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .cache()  # basket relation reused: pair counting + 3x support scan
+    from proto_to_avro_ql_spark.operators.graphs import (
+        copurchase_baskets,
+        copurchase_edges,
     )
-    a, b = li.alias("a"), li.alias("b")
-    p2 = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("u", "v")
-        .cache()  # three-way candidate self-join reuses it
-    )
+
+    # basket relation reused: pair counting + 3x support scan
+    li = copurchase_baskets(spark, sf_dir).cache()
+    p2 = copurchase_edges(spark, sf_dir, min_support=2, baskets=li).cache()
+    # ^ three-way candidate self-join reuses it
     pa, pb, pc = p2.alias("pa"), p2.alias("pb"), p2.alias("pc")
     cand = (
         pa.join(pb, (F.col("pa.u") == F.col("pb.u")) & (F.col("pa.v") < F.col("pb.v")))

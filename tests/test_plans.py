@@ -689,13 +689,23 @@ class TestSession6Plans:
             if "Window [row_number()" in line:
                 assert "_band" in line.split("windowspecdefinition")[1][:80], line
 
-    def test_graph_jaccard_no_wedge_materialization(self, spark, sf_dir):
-        """Common neighbors come from array intersection over cached
-        edges — keyed joins only, no cartesian, edges cached once."""
+    def test_graph_jaccard_no_full_neighborhood_arrays(self, spark, sf_dir):
+        """Common neighbors come from oriented triangle enumeration
+        (per-edge triangle support) — keyed joins only, no cartesian,
+        edges cached, and NO full-neighborhood adjacency array ever
+        materializes (a hub's raw-degree collect_list row was the
+        round-3 verdict's one flagged scale-killer): every
+        collect_list in the plan must aggregate the ORIENTED target
+        column t — out-lists bounded O(sqrt m) by construction —
+        never a raw neighbor column."""
+        import re
+
         plan = self._plan(spark, sf_dir, "ext_graph_jaccard")
         assert "CartesianProduct" not in plan, plan
         assert "InMemoryTableScan" in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
+        aggregated = re.findall(r"collect_list\((\w+)#", plan)
+        assert aggregated and all(c == "t" for c in aggregated), plan
 
     def test_spatial_join_is_cell_equi_join(self, spark, sf_dir):
         """The radius join must plan as an equi join on the grid cell
