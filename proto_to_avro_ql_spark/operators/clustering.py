@@ -17,7 +17,7 @@ algorithm; the API is the seam.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -96,20 +96,28 @@ def star_contraction_components(
     path graph of 2^k nodes label propagation needs 2^k rounds, star
     contraction ~k.
 
-    Scale shape per round: one symmetrize (union, no shuffle), one
-    groupBy-min on the center node, one join back — edges only, labels
-    are the edges; document text or payloads never enter. Edges are
-    kept ORIENTED (first > second) between rounds, so each round's
-    relation is at most the component-spanning forest plus not-yet-
-    hooked edges. Convergence = the oriented edge set reaches the
-    star fixpoint (checksum-equal two rounds running); lineage is
-    truncated with localCheckpoint like ``connected_components``.
+    Scale shape per round: one symmetrize (union, no shuffle), then
+    each star step is ONE center-keyed window min (the per-center
+    minimum rides every row — min-over-partition replaces the
+    groupBy-min + join-back pair, halving exchanges per round) — edges
+    only, labels are the edges; document text or payloads never enter.
+    Edges are kept ORIENTED (first > second) between rounds, so each
+    round's relation is at most the component-spanning forest plus
+    not-yet-hooked edges. Convergence = the oriented edge set reaches
+    the star fixpoint (checksum-equal two rounds running), detected
+    from observed metrics on the round's own materializing action;
+    lineage is truncated with localCheckpoint like
+    ``connected_components``.
     """
+    from pyspark.sql import Window
     # any totally ordered key type works (the algorithm only needs
     # min/least comparisons); cast=None keeps e.g. string entity keys
     ua = F.col("id_a").cast(cast) if cast else F.col("id_a")
     vb = F.col("id_b").cast(cast) if cast else F.col("id_b")
-    raw = pairs.select(ua.alias("u"), vb.alias("v"))
+    # persist the input pairs: the node universe AND the initial edge
+    # relation both branch off them — uncached, an expensive upstream
+    # (e.g. the co-purchase self-join) would evaluate twice
+    raw = pairs.select(ua.alias("u"), vb.alias("v")).persist()
     nodes = raw.select("u").unionAll(raw.select(F.col("v").alias("u"))).distinct()
     edges = (
         raw.where(F.col("u") != F.col("v"))
@@ -136,23 +144,26 @@ def star_contraction_components(
         sym = edges.unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m_of = sym.groupBy("u").agg(
-            F.min(F.least("v", "u")).alias("m")  # min(N(u) ∪ {u}); u is constant per group
-        )
-        # no distinct here: duplicate (v, m) rows are harmless — the
-        # min aggregate below and the round-final distinct absorb them,
-        # and skipping it saves a full shuffle per round
+        wu = Window.partitionBy("u")
+        # min-over-partition window: the per-center minimum rides every
+        # row in the same shuffle — no groupBy relation to join back
         large = (
-            sym.join(m_of, "u")
+            sym.withColumn(
+                "m", F.min(F.least("v", "u")).over(wu)  # min(N(u) ∪ {u})
+            )
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # small-star: edges are oriented (u > v); per center u with
         # smaller neighbors {v}, m = min; connect u and every other
         # smaller neighbor to m.
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        # convergence metrics ride the round's own materializing action
+        # as observed metrics (CollectMetrics — computed inline with the
+        # count, no separate checksum job/exchange over the persisted
+        # relation; round-3 verdict next-round #4)
+        obs = Observation()
         small = (
-            large.join(smin, "u")
+            large.withColumn("m", F.min("v").over(wu))
             .select(
                 F.when(F.col("v") == F.col("m"), F.col("u"))
                 .otherwise(F.col("v"))
@@ -161,11 +172,21 @@ def star_contraction_components(
             )
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+                ).alias("s"),
+            )
             .persist()
         )
+        small.count()  # one action: populates the cache AND the metrics
+        got = obs.get
+        cur = (int(got["n"]), int(got["s"]))
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
+            # lineage truncation reads the just-populated cache
             small = small.localCheckpoint(eager=True)
-        cur = _checksum(small)
         edges.unpersist()
         edges = small
         if cur == prev:
