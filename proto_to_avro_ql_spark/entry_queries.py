@@ -82,14 +82,21 @@ SURVEY2_CONTRACT_IDS: list[str] = [
     "ext_window_rank", "ext_multimodal",
 ]
 
-# Oracled extension entries that should fill the remaining driver-window
-# slots (high-value / recently-fixed plans first).
+# Oracled extension entries that fill the remaining driver-window
+# slots. ROTATION POLICY (round-3 verdict, next-round #1): flagship +
+# the 44 SURVEY §2 contract IDs stay pinned every round; these 5 slots
+# rotate each round to entries the driver has NEVER verified (212 of
+# 262 can't fit the 50-entry window otherwise), highest-value first.
+# Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    "src_proto_decode",         # round-2: binary proto ingestion (VERDICT missing #1)
-    "ext_dedup_ngram_jaccard",  # round-2 scale fix: verify oracle still green
-    "ext_dedup_minhash",        # round-2: newly oracled
-    "ext_dedup_simhash",        # round-2: newly oracled
-    "ext_corpus_pipeline",
+    # round 4 (out: src_proto_decode, ext_dedup_ngram_jaccard,
+    # ext_dedup_minhash, ext_dedup_simhash, ext_corpus_pipeline — all
+    # driver-green in r03; they remain locally gated by oracle_check):
+    "ext_cc_starcontraction",     # this round's window+observe rewrite
+    "ext_asof_join",              # headline custom operator, never driver-run
+    "ext_attribution",            # integer-ledger multi-touch attribution
+    "ext_bootstrap_ci",           # decimal/order-statistic CI kernel
+    "ext_dedup_lsh_incremental",  # the production ingest dedup shape
 ]
 
 
