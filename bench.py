@@ -10,9 +10,28 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
+# Timed passes per query; the reported number is the MEDIAN (round-3
+# verdict, next-round #3: single-shot timings made a +23% bm25 blip
+# indistinguishable from plan regression).
+N_RUNS = 3
+
+# The round-1 headline set, reported as a stable `headline13` subtotal
+# so round-over-round totals stay comparable as the set grows.
+HEADLINE13_N = 13
+
+# Known design-trade regressions, annotated so they don't read as
+# silent slowdowns (round-3 verdict, next-round #3).
+NOTES = {
+    "ext_zorder_manifest": (
+        "+78% vs r02 by design: banded rank + prefix sum replaced a "
+        "single-partition global ntile window — slower at local sf0.1, "
+        "removes a one-task global sort that kills the plan at scale"
+    ),
+}
 
 HEADLINE = [
     "flagship_report",
@@ -153,16 +172,26 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize the full pipeline
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        passes = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # materialize the full pipeline
+            passes.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(passes), 3)
+        print(
+            f"# {name}: {timings[name]}s median of "
+            f"{[round(p, 3) for p in passes]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     if os.environ.get("SPARK_GRAFT_BENCH_SINKS"):
         sink_comparison(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    headline13 = round(
+        sum(timings.get(q, 0.0) for q in HEADLINE[:HEADLINE13_N]), 3
+    )
     print(
         json.dumps(
             {
@@ -171,6 +200,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": N_RUNS,
+                "stat": "median",
+                "headline13": headline13,
+                "notes": {k: v for k, v in NOTES.items() if k in timings},
             }
         )
     )
