@@ -1,0 +1,81 @@
+"""The oracle-exactness invariants as an executable gate.
+
+The rules that fixed the r01/r02 driver failures lived only in prose
+(ROADMAP.md "Standing invariants"); tools/lint_oracles.py automates the
+regex-able subset. This test (a) keeps the whole corpus clean — all 254
+oracles plus the package source — and (b) proves the lint actually
+fires by planting one violation per rule.
+"""
+
+from __future__ import annotations
+
+from tools.lint_oracles import find_violations, lint_all
+
+
+class TestCorpusClean:
+    def test_every_oracle_and_source_file_clean(self):
+        bad = lint_all()
+        assert bad == {}, bad
+
+
+class TestPlantedViolationsFire:
+    def test_r1_round_of_float_sum(self):
+        # the literal r01 failure shape: float-accumulated sum, rounded
+        hits = find_violations(
+            "SELECT event_type, ROUND(SUM(value), 4) AS s"
+            " FROM events GROUP BY 1"
+        )
+        assert any(h.startswith("R1") for h in hits), hits
+
+    def test_r1_bare_float_sum(self):
+        hits = find_violations("SELECT SUM(l_extendedprice) FROM lineitem")
+        assert any(h.startswith("R1") for h in hits), hits
+
+    def test_r1_explicit_double_cast(self):
+        hits = find_violations("SELECT AVG(CAST(n_chars AS DOUBLE)) FROM d")
+        assert any(h.startswith("R1") for h in hits), hits
+
+    def test_r2_scaled_decimal_product(self):
+        hits = find_violations(
+            "SELECT CAST(a AS DECIMAL(38,6)) * CAST(b AS DECIMAL(38,6)) FROM t"
+        )
+        assert any(h.startswith("R2") for h in hits), hits
+
+    def test_r4_computed_to_scaled_decimal(self):
+        hits = find_violations(
+            "SELECT CAST(x / y AS DECIMAL(38,6)) FROM t"
+        )
+        assert any(h.startswith("R4") for h in hits), hits
+
+
+class TestSanctionedPatternsPass:
+    def test_decimal_accumulation_clean(self):
+        assert not find_violations(
+            "SELECT SUM(CAST(value AS DECIMAL(38,6))) FROM events"
+        )
+
+    def test_windowed_float_sum_clean(self):
+        # frame-ordered accumulation is deterministic on both engines
+        assert not find_violations(
+            "SELECT SUM(value) OVER (PARTITION BY k ORDER BY ts) FROM events"
+        )
+
+    def test_case_predicate_on_float_clean(self):
+        # float column only guards an integer summand
+        assert not find_violations(
+            "SELECT SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) FROM l"
+        )
+
+    def test_unscaled_decimal_product_clean(self):
+        # DECIMAL(38,0) products are the sanctioned integer-micros route
+        assert not find_violations(
+            "SELECT CAST(obs * 1000000 AS DECIMAL(38,0))"
+            " * CAST(rn AS DECIMAL(38,0)) FROM t"
+        )
+
+    def test_rounded_ln_into_decimal_clean(self):
+        # the sanctioned transcendental kernel: round first, then cast
+        assert not find_violations(
+            "SELECT CAST(ROUND(ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)), 6)"
+            " AS DECIMAL(38,6)) FROM t"
+        )

@@ -1,0 +1,283 @@
+"""Automated lint for the oracle-exactness invariants (ROADMAP.md
+"Standing invariants").
+
+Every driver correctness failure in rounds 1-3 traced to one of a
+small set of cross-engine float/decimal patterns; the rules lived only
+in prose, so a regression re-introducing one would cost a driver round
+to catch (round-3 verdict, next-round #5). This lints the automatable
+subset over every ORACLES entry AND the package source (Spark-side
+F.expr strings use the same SQL surface):
+
+R1 float-accumulated-aggregate: ``SUM(x)``/``AVG(x)`` where x
+   references a FLOATING-POINT source column of the testdata schema
+   (or an explicit ``AS DOUBLE`` cast) with no DECIMAL/HUGEINT
+   accumulation. A float-accumulated sum is partial-aggregation-order
+   dependent — the r01/r02 driver failures. Sanctioned route:
+   functions/stable.py dec_sum/dec_avg + the matching DECIMAL(38,6)
+   SQL. (``l_quantity`` is integer-valued in TPC-H — sums < 2^53 are
+   exact in doubles — so it is exempt, as the standing invariants
+   note for AVG-of-integer.)
+R2 scaled-decimal-product: DECIMAL(38,s>0) x DECIMAL(38,s>0). The
+   scale-2s product overflows precision 38 and each engine rounds the
+   overflow its own way (ext_zipf_fit, r3s5). Sanctioned route: integer
+   micros in DECIMAL(38,0)/HUGEINT.
+R4 computed-to-scaled-decimal: ``CAST(<expr with * or /> AS
+   DECIMAL(38,s>0))`` — Spark rounds the exact binary expansion,
+   DuckDB the 1e6-scaled double (ext_ewma/ext_pagerank, r3s3).
+   Exception: ``CAST(ROUND(...) AS DECIMAL...)`` — an already-rounded
+   value is exact at its scale.
+
+Non-automatable invariants (still prose-only, checked in review):
+``ROUND(quotient)`` as a final aggregate step is only a straddle when
+the quotient's INPUTS are order-dependent floats — type-blind regexes
+cannot tell an exact-integer ratio (sanctioned, ubiquitous) from a
+float one, and the float-input cases are what R1/R4 catch upstream;
+SUM-of-int needing CAST AS BIGINT outside the SUM (type knowledge);
+-0.0 folding via ``+ 0`` (value knowledge); len() vs size() int32
+width (schema knowledge).
+
+Usage: ``python -m tools.lint_oracles`` (exit 1 on violations); wired
+into pytest as tests/test_lint_oracles.py.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+# (entry_or_file, rule) pairs accepted after manual review, with the
+# justification recorded here.
+_SQUARE_OK = (
+    "CAST(value*value AS DECIMAL(38,6)) in the moment kernels: the cast"
+    " input is ONE IEEE multiply of raw bit-identical column values —"
+    " both engines quantize the SAME double (HALF_UP == half-away for"
+    " the non-negative square), unlike the forbidden derived-chain"
+    " casts (scaled products/quotient chains). The pandas twin mirrors"
+    " the exact semantics (Decimal(x*x).quantize HALF_UP). Verified"
+    " green at sf0.1 (r4); R4 stays strict for new code."
+)
+_ENTROPY_OK = (
+    "ext_entropy casts (c/n)*ln(c/n) per term: c, n exact ints; the"
+    " only divergence source is the documented 1-ulp JVM-vs-DuckDB ln"
+    " exposure (ROADMAP standing invariants), absorbed by the 6dp"
+    " quantization. Verified green at sf0.1 (r4)."
+)
+ALLOW: dict[tuple[str, str], str] = {
+    ("ext_zscore", "R4"): _SQUARE_OK,
+    ("ext_ab_test", "R4"): _SQUARE_OK,
+    ("udf_grouped_pandas", "R4"): _SQUARE_OK,
+    ("ext_entropy", "R4"): _ENTROPY_OK,
+    # the Spark-side mirrors of the same four entries live in the
+    # registry source (F.expr strings + the pandas twin's comment-
+    # documented kernel)
+    ("proto_to_avro_ql_spark/entry_registry.py", "R4"): _SQUARE_OK,
+}
+
+_FUNC_GUARDS = ("LN(", "LOG(", "LOG2(", "LOG10(", "EXP(", "SQRT(")
+
+
+def _norm(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql).upper()
+
+
+def _balanced(text: str, open_idx: int) -> str:
+    """Return the contents of the paren group opening at open_idx."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[open_idx + 1 : i]
+    return text[open_idx + 1 :]
+
+
+def _top_level(expr: str) -> str:
+    """Strip every parenthesized group, leaving depth-0 text only."""
+    out, depth = [], 0
+    for ch in expr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
+def _outside_guards(expr: str) -> str:
+    """Text of expr with the argument lists of LN/LOG/EXP/SQRT removed
+    (divisions inside them are the sanctioned rounded-ln kernel)."""
+    up = expr
+    for guard in _FUNC_GUARDS:
+        while True:
+            idx = up.find(guard)
+            if idx < 0:
+                break
+            inner = _balanced(up, idx + len(guard) - 1)
+            # replacement must not re-contain the "NAME(" needle or
+            # this loops forever
+            up = up.replace(guard + inner + ")", guard[:-1] + "⟨⟩", 1)
+    return up
+
+
+# Floating-point columns of the fixed testdata schema (TESTDATA.md).
+# l_quantity is integer-valued (exact in doubles), so exempt.
+_FLOAT_COLS = (
+    "C_ACCTBAL",
+    "S_ACCTBAL",
+    "P_RETAILPRICE",
+    "O_TOTALPRICE",
+    "L_EXTENDEDPRICE",
+    "L_DISCOUNT",
+    "L_TAX",
+    "VALUE",
+    "EMBEDDING",
+)
+_FLOAT_REF = re.compile(
+    r"\b(" + "|".join(_FLOAT_COLS) + r")\b|AS\s+DOUBLE|AS\s+FLOAT|AS\s+REAL"
+)
+
+
+def find_violations(sql: str) -> list[str]:
+    """All invariant violations in one SQL (or F.expr) string."""
+    out: list[str] = []
+    up = _norm(sql)
+
+    # R1: SUM/AVG accumulating a float column (or explicit double
+    # cast) without DECIMAL/HUGEINT accumulation. Two exemptions:
+    # .cast(DEC)/.cast(D38) — the Spark-side decimal constants from
+    # functions/stable.py; and windowed sums (SUM(x) OVER (ORDER BY)
+    # accumulates in deterministic frame order on both engines — the
+    # order-dependence is a property of parallel partial aggregation).
+    for m in re.finditer(r"\b(SUM|AVG)\s*\(", up):
+        arg = _balanced(up, m.end() - 1)
+        tail = up[m.end() + len(arg) + 1 : m.end() + len(arg) + 8]
+        if re.match(r"\s*\.?\s*OVER\b", tail):
+            continue
+        # a float column inside a CASE *predicate* guards an integer
+        # summand — only the accumulated value's type matters
+        summand = re.sub(r"\bWHEN\b.*?\bTHEN\b", "WHEN ⟨⟩ THEN", arg)
+        if _FLOAT_REF.search(summand) and not re.search(
+            r"DECIMAL|HUGEINT|CAST\s*\(\s*(DEC|D38)\s*\)", summand
+        ):
+            out.append(
+                f"R1 float-accumulated-aggregate: {m.group(1)}({arg[:60]}…)"
+            )
+
+    # R2: scaled-decimal x scaled-decimal product (textual form)
+    if re.search(
+        r"DECIMAL\s*\(\s*38\s*,\s*[1-9]\d*\s*\)\s*\)\s*\*\s*CAST\b[^)]*"
+        r"DECIMAL\s*\(\s*38\s*,\s*[1-9]\d*\s*\)",
+        up,
+    ):
+        out.append("R2 scaled-decimal-product: DECIMAL(38,s>0) * DECIMAL(38,s>0)")
+
+    # R4: computed (* or /) expression cast to a scaled decimal
+    for m in re.finditer(r"CAST\s*\(", up):
+        arg = _balanced(up, m.end() - 1)
+        # split at the LAST depth-0 " AS "
+        depth, as_idx = 0, -1
+        for i in range(len(arg) - 3):
+            if arg[i] == "(":
+                depth += 1
+            elif arg[i] == ")":
+                depth -= 1
+            elif depth == 0 and arg[i : i + 4] == " AS ":
+                as_idx = i
+        if as_idx < 0:
+            continue
+        target, inner = arg[as_idx + 4 :], arg[:as_idx].strip()
+        if not re.search(r"DECIMAL\s*\(\s*\d+\s*,\s*[1-9]\d*\s*\)", target):
+            continue
+        if inner.startswith("ROUND"):
+            continue  # already rounded → exact at its scale
+        flat = _top_level(_outside_guards(inner))
+        if re.search(r"(?<!/)/(?!/)|\*", flat):
+            out.append(f"R4 computed-to-scaled-decimal: CAST({arg[:60]}…)")
+
+    return out
+
+
+_SOURCE_GLOBS = [
+    "proto_to_avro_ql_spark/**/*.py",
+]
+
+
+def _strip_docstrings(source: str) -> str:
+    """Blank out module/class/function docstrings (prose like
+    'sum(value)' in a docstring is not an aggregation plan)."""
+    import ast
+
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return source
+    lines = source.splitlines(keepends=True)
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)):
+            body = getattr(node, "body", [])
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                doc = body[0].value
+                for ln in range(doc.lineno - 1, doc.end_lineno):
+                    lines[ln] = "\n"
+    return "".join(lines)
+
+
+def lint_all(repo_root: str | Path | None = None) -> dict[str, list[str]]:
+    """entry/file → violations, over ORACLES and the package source."""
+    root = Path(repo_root) if repo_root else Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root))
+    from proto_to_avro_ql_spark.entry_queries import ORACLES
+
+    bad: dict[str, list[str]] = {}
+    for name, sql in ORACLES.items():
+        hits = [
+            h
+            for h in find_violations(sql)
+            if (name, h.split(" ", 1)[0]) not in ALLOW
+        ]
+        if hits:
+            bad[name] = hits
+    # Spark-side: the same SQL surface appears in F.expr/selectExpr
+    # strings; entry_registry's ORACLES are already covered above, so
+    # only scan non-oracle string content = every other source file.
+    for pattern in _SOURCE_GLOBS:
+        for path in sorted(root.glob(pattern)):
+            if path.name == "entry_queries.py":
+                continue
+            rel = str(path.relative_to(root))
+            text = _strip_docstrings(path.read_text())
+            if rel.endswith("entry_registry.py"):
+                # oracles (covered above, keyed by entry) are the odd
+                # strings out here; strip them before the raw scan
+                for sql in ORACLES.values():
+                    text = text.replace(sql, "")
+            hits = [
+                h
+                for h in find_violations(text)
+                if (rel, h.split(" ", 1)[0]) not in ALLOW
+            ]
+            if hits:
+                bad[rel] = hits
+    return bad
+
+
+def main() -> int:
+    bad = lint_all()
+    for name, hits in sorted(bad.items()):
+        for h in hits:
+            print(f"VIOLATION {name}: {h}")
+    print(f"lint_oracles: {len(bad)} offender(s)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
