@@ -111,6 +111,11 @@ HEADLINE = [
     "ext_cc_starcontraction", # log-round star-contraction CC
     "ext_mann_whitney",      # banded-rank U test, integer kernel
     "ext_freq_triples",      # apriori triples over cached pairs
+    # round 4: corpus-maintenance operators claimed done this round
+    "ext_dedup_span",        # repeated-passage top-k, hash-only count shuffle
+    "ext_reservoir_sample",  # deterministic k-sample via TakeOrdered
+    "ext_minhash_merge",     # mergeable per-source MinHash signatures
+    "ext_snapshot_delta",    # incremental-crawl delta, (id, md5) join only
 ]
 
 

@@ -10794,3 +10794,317 @@ def q_ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / den).alias("zipf_slope"),
         (num * num / (den * deny)).alias("r2"),
     )
+
+
+# ===========================================================================
+# Round 4 — corpus-maintenance extensions: repeated-passage detection,
+# deterministic sampling, mergeable sketches, snapshot deltas.
+# ===========================================================================
+
+
+@register(
+    "ext_dedup_span",
+    r"""WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+               THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+               ELSE []::VARCHAR[] END) AS span
+      FROM toks
+    ), agg AS (
+      SELECT substr(md5(span), 1, 16) AS span_hash,
+             MIN(span) AS span,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_occurrences
+      FROM spans GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT span_hash, span, n_docs, n_occurrences
+    FROM agg
+    ORDER BY n_occurrences DESC, span_hash LIMIT 20""",
+)
+def q_ext_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection — the diagnostic behind substring-
+    level dedup (Lee et al.'s 'Deduplicating Training Data Makes
+    Language Models Better' removes repeated SPANS, not whole docs;
+    boilerplate headers/footers repeat across pages that are not
+    near-dups): every 8-token window is hashed and the most-repeated
+    cross-document spans surface with document and occurrence counts.
+    Two-pass scale shape: the counting aggregation shuffles ONLY
+    (span_hash, doc_id) — never text; the span text is resolved
+    AFTERWARDS by re-deriving windows and probing the top-20 hash set
+    broadcast (the resolve-text-after-top-k pattern — at 100 TB the
+    second pass touches 20 hashes, not the corpus's span inventory).
+    Windows explode over a cheap index sequence with slice AFTER the
+    generate (the README generate-pitfall rule). The ORACLE computes
+    the same result in one direct text-keyed aggregation —
+    cross-checking the two-pass decomposition against the naive
+    formulation."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.split(TX.normalize_text(F.col("text")), " ").alias("a")
+    )
+    idx = t.select(
+        "doc_id",
+        "a",
+        F.explode(
+            F.when(
+                F.expr("size(a) >= 8"), F.expr("sequence(1, size(a) - 7)")
+            ).otherwise(F.expr("cast(array() as array<int>)"))
+        ).alias("i"),
+    )
+    spans = idx.select(
+        "doc_id", F.expr("array_join(slice(a, i, 8), ' ')").alias("span")
+    )
+    hashed = spans.select(
+        "doc_id",
+        F.substring(F.md5("span"), 1, 16).alias("span_hash"),
+        "span",
+    )
+    counts = (
+        hashed.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), "span_hash").limit(20)
+    resolved = (
+        hashed.join(F.broadcast(top.select("span_hash")), "span_hash")
+        .groupBy("span_hash")
+        .agg(F.min("span").alias("span"))
+    )
+    return (
+        top.join(F.broadcast(resolved), "span_hash")
+        .select("span_hash", "span", "n_docs", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "span_hash")
+    )
+
+
+@register(
+    "ext_reservoir_sample",
+    """WITH r AS (
+         SELECT doc_id, source, lang,
+                row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                  AS rk
+         FROM documents
+       )
+       SELECT CAST(rk AS INTEGER) AS rk, doc_id, source, lang
+       FROM r WHERE rk <= 100""",
+)
+def q_ext_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample (distributed reservoir): rank
+    every row by a portable per-row hash and keep the k smallest —
+    equivalent to a seeded reservoir sample but embarrassingly
+    parallel and REPRODUCIBLE across engines/runs (the eyeball-sample
+    every corpus audit starts with; random() would be
+    partition-order-dependent). Spark plans orderBy+limit as
+    TakeOrderedAndProject: per-partition top-k then one k-row reduce —
+    no global sort ever materializes, the 100 TB shape. The final
+    row_number window runs over the bounded k-row relation only."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    top = (
+        docs.select("doc_id", "source", "lang", hk.alias("hk"))
+        .orderBy("hk")
+        .limit(100)
+    )
+    w = Window.orderBy("hk")  # bounded: 100 rows
+    return top.select(
+        F.row_number().over(w).alias("rk"), "doc_id", "source", "lang"
+    )
+
+
+@register(
+    "ext_minhash_merge",
+    r"""WITH toks AS (
+      SELECT DISTINCT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+    sig AS (
+      SELECT source, k,
+             MIN(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || tok), 1, 8))::BIGINT) AS mh
+      FROM t2 CROSS JOIN ks GROUP BY 1, 2
+    ), est AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM sig a JOIN sig b ON a.k = b.k AND a.source < b.source
+      GROUP BY 1, 2
+    ), sets AS (
+      SELECT source, COUNT(*) AS n FROM t2 GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS i
+      FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.src_a, e.src_b, e.n_match,
+           CAST(e.n_match * 1000000 // 16 AS BIGINT) AS est_jaccard_micro,
+           CAST(i.i * 1000000 // (na.n + nb.n - i.i) AS BIGINT)
+             AS exact_jaccard_micro
+    FROM est e
+    JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+    JOIN sets na ON na.source = e.src_a
+    JOIN sets nb ON nb.source = e.src_b""",
+)
+def q_ext_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE MinHash sketches: per-source token-set signatures and
+    cross-source Jaccard estimates, exact-verified. The property on
+    display is what makes sketches the 100 TB tool: min() is
+    associative, so a source's 16-component signature is ONE hash
+    aggregation with map-side partial combine — signatures of shards/
+    days/partitions merge by elementwise min without revisiting
+    tokens (the same algebra HLL/CMS registers rely on). All 16
+    minima compute in a single groupBy (16 agg columns melted by
+    stack()) — never a 16x row explode. Portable md5-derived hash
+    functions make the signatures bit-identical on both engines; the
+    est vs exact columns put the sketch error on display (k=16 →
+    stderr ~ 1/sqrt(16) = 25%). The exact side's token self-join is
+    the verification companion, not the scale path."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+        .cache()  # signature agg + set sizes + exact intersection share it
+    )
+
+    def hk(k: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{k}|"), F.col("tok"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    sig_wide = toks.groupBy("source").agg(
+        *[F.min(hk(k)).alias(f"h{k}") for k in range(16)]
+    )
+    sig = sig_wide.selectExpr(
+        "source",
+        "stack(16, "
+        + ", ".join(f"{k}, h{k}" for k in range(16))
+        + ") as (k, mh)",
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    est = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.mh") == F.col("b.mh"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match")
+        )
+    )
+    sets = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("ta.tok") == F.col("tb.tok"))
+            & (F.col("ta.source") < F.col("tb.source")),
+        )
+        .groupBy(
+            F.col("ta.source").alias("src_a"), F.col("tb.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sets.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sets.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(inter, ["src_a", "src_b"])
+        .join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_match",
+            F.expr("CAST(n_match * 1000000 DIV 16 AS BIGINT)").alias(
+                "est_jaccard_micro"
+            ),
+            F.expr("CAST(i * 1000000 DIV (n_a + n_b - i) AS BIGINT)").alias(
+                "exact_jaccard_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "ext_snapshot_delta",
+    """WITH old AS (
+         SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+       ), new AS (
+         SELECT doc_id,
+                md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS h
+         FROM documents WHERE doc_id % 13 <> 0
+       ), j AS (
+         SELECT o.h AS oh, n.h AS nh
+         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+       )
+       SELECT
+         CAST(SUM(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added,
+         CAST(SUM(CASE WHEN nh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted,
+         CAST(SUM(CASE WHEN oh IS NOT NULL AND nh IS NOT NULL
+                       AND oh <> nh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed,
+         CAST(SUM(CASE WHEN oh = nh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unchanged
+       FROM j""",
+)
+def q_ext_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta classification — the incremental-crawl primitive
+    (each recrawl, partition the corpus into added / deleted / changed
+    / unchanged BEFORE any expensive downstream work; only added+
+    changed re-enter the pipeline): two content-hashed snapshots are
+    synthesized deterministically from the documents table (10% absent
+    from the old crawl, 1/13 dropped by the new one, 1/7 revised) and
+    full-outer-joined on the document key. Scale shape: the join
+    carries ONLY (doc_id, md5) — text is hashed in the scan stage and
+    never shuffles; the classification is one hash aggregate with
+    map-side partials. In production the old side is the previous
+    run's persisted manifest, read without touching old payloads."""
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("oh")
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("nh"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    flag = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    return j.agg(
+        flag(F.col("oh").isNull()).alias("n_added"),
+        flag(F.col("nh").isNull()).alias("n_deleted"),
+        flag(
+            F.col("oh").isNotNull()
+            & F.col("nh").isNotNull()
+            & (F.col("oh") != F.col("nh"))
+        ).alias("n_changed"),
+        flag(F.col("oh") == F.col("nh")).alias("n_unchanged"),
+    )
