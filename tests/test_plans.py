@@ -1000,3 +1000,57 @@ class TestSession7Plans:
         vocabulary aggregate; ranking happens on the bounded relation."""
         plan = self._plan(spark, sf_dir, "ext_zipf_fit")
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestRound4Plans:
+    """Round-4 corpus-maintenance operators: shuffle payloads and
+    physical strategies that make them 100 TB-shaped."""
+
+    def _plan(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return physical_plan(QUERIES[name](spark, sf_dir))
+
+    def test_dedup_span_counting_shuffle_carries_no_text(self, spark, sf_dir):
+        """The span-counting aggregation must shuffle (span_hash,
+        doc_id) only; span TEXT is resolved after top-k through a
+        broadcast probe of the 20-hash set."""
+        plan = self._plan(spark, sf_dir, "ext_dedup_span")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "span_hash" in line:
+                assert "span#" not in line.split("hashpartitioning")[1], line
+
+    def test_reservoir_sample_is_take_ordered_not_global_sort(
+        self, spark, sf_dir
+    ):
+        """The k-sample must plan as per-partition top-k + one k-row
+        reduce (TakeOrderedAndProject) — never a full Sort/rangepartitioning
+        of the corpus; the only window runs over the bounded 100-row
+        relation."""
+        plan = self._plan(spark, sf_dir, "ext_reservoir_sample")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+
+    def test_minhash_merge_signature_is_one_aggregation(self, spark, sf_dir):
+        """All 16 signature minima compute inside ONE source-keyed
+        hash aggregate with map-side partial combine (the sketch-merge
+        algebra) — never a 16x row explode before the shuffle."""
+        plan = self._plan(spark, sf_dir, "ext_minhash_merge")
+        assert "partial_min" in plan, plan  # map-side combine of the minima
+        # stack() melts AFTER the aggregate; the generator must not
+        # appear upstream of the signature aggregation
+        agg_lines = [
+            l for l in plan.splitlines() if "HashAggregate" in l and "min(" in l
+        ]
+        assert agg_lines, plan
+
+    def test_snapshot_delta_join_carries_hashes_only(self, spark, sf_dir):
+        """The snapshot join must carry (doc_id, md5) — the raw text
+        column is hashed in the scan stage and never crosses an
+        exchange."""
+        plan = self._plan(spark, sf_dir, "ext_snapshot_delta")
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text#" not in line.split("hashpartitioning")[1], line
