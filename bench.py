@@ -115,7 +115,6 @@ HEADLINE = [
     "ext_dedup_span",        # repeated-passage top-k, hash-only count shuffle
     "ext_reservoir_sample",  # deterministic k-sample via TakeOrdered
     "ext_minhash_merge",     # mergeable per-source MinHash signatures
-    "ext_snapshot_delta",    # incremental-crawl delta, (id, md5) join only
 ]
 
 

@@ -11045,66 +11045,3 @@ def q_ext_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-
-@register(
-    "ext_snapshot_delta",
-    """WITH old AS (
-         SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
-       ), new AS (
-         SELECT doc_id,
-                md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
-                         ELSE text END) AS h
-         FROM documents WHERE doc_id % 13 <> 0
-       ), j AS (
-         SELECT o.h AS oh, n.h AS nh
-         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
-       )
-       SELECT
-         CAST(SUM(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_added,
-         CAST(SUM(CASE WHEN nh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_deleted,
-         CAST(SUM(CASE WHEN oh IS NOT NULL AND nh IS NOT NULL
-                       AND oh <> nh THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_changed,
-         CAST(SUM(CASE WHEN oh = nh THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_unchanged
-       FROM j""",
-)
-def q_ext_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot delta classification — the incremental-crawl primitive
-    (each recrawl, partition the corpus into added / deleted / changed
-    / unchanged BEFORE any expensive downstream work; only added+
-    changed re-enter the pipeline): two content-hashed snapshots are
-    synthesized deterministically from the documents table (10% absent
-    from the old crawl, 1/13 dropped by the new one, 1/7 revised) and
-    full-outer-joined on the document key. Scale shape: the join
-    carries ONLY (doc_id, md5) — text is hashed in the scan stage and
-    never shuffles; the classification is one hash aggregate with
-    map-side partials. In production the old side is the previous
-    run's persisted manifest, read without touching old payloads."""
-    docs = read_table(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") % 10 != 0).select(
-        "doc_id", F.md5("text").alias("oh")
-    )
-    new = docs.where(F.col("doc_id") % 13 != 0).select(
-        "doc_id",
-        F.md5(
-            F.when(
-                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
-            ).otherwise(F.col("text"))
-        ).alias("nh"),
-    )
-    j = old.join(new, "doc_id", "full_outer")
-    flag = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
-    return j.agg(
-        flag(F.col("oh").isNull()).alias("n_added"),
-        flag(F.col("nh").isNull()).alias("n_deleted"),
-        flag(
-            F.col("oh").isNotNull()
-            & F.col("nh").isNotNull()
-            & (F.col("oh") != F.col("nh"))
-        ).alias("n_changed"),
-        flag(F.col("oh") == F.col("nh")).alias("n_unchanged"),
-    )

@@ -1045,12 +1045,3 @@ class TestRound4Plans:
             l for l in plan.splitlines() if "HashAggregate" in l and "min(" in l
         ]
         assert agg_lines, plan
-
-    def test_snapshot_delta_join_carries_hashes_only(self, spark, sf_dir):
-        """The snapshot join must carry (doc_id, md5) — the raw text
-        column is hashed in the scan stage and never crosses an
-        exchange."""
-        plan = self._plan(spark, sf_dir, "ext_snapshot_delta")
-        for line in plan.splitlines():
-            if "Exchange hashpartitioning" in line:
-                assert "text#" not in line.split("hashpartitioning")[1], line
