@@ -1045,3 +1045,22 @@ class TestRound4Plans:
             l for l in plan.splitlines() if "HashAggregate" in l and "min(" in l
         ]
         assert agg_lines, plan
+
+
+class TestGlobalPlanHygiene:
+    def test_no_entry_plans_a_cartesian_product(self, spark, sf_dir):
+        """Global guard over EVERY queries() entry (~90 s): a
+        CartesianProduct in any plan means an equi join lost its keys
+        (1-row statistics crossJoins legitimately plan as the bounded
+        BroadcastNestedLoopJoin, which stays allowed). Sweeping all
+        265 entries catches the class of regression where a refactor
+        renames a join column and Catalyst silently degrades the join
+        to a cross product."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        bad = []
+        for name, fn in QUERIES.items():
+            plan = physical_plan(fn(spark, sf_dir))
+            if "CartesianProduct" in plan:
+                bad.append(name)
+        assert not bad, bad
