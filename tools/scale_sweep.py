@@ -85,6 +85,10 @@ SWEEP = [
     "ext_time_weighted_avg",
     "ext_entity_resolution",
     "ext_window_count_distinct",
+    # round 4
+    "ext_dedup_span",
+    "ext_reservoir_sample",
+    "ext_minhash_merge",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
