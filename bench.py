@@ -115,6 +115,7 @@ HEADLINE = [
     "ext_dedup_span",        # repeated-passage top-k, hash-only count shuffle
     "ext_reservoir_sample",  # deterministic k-sample via TakeOrdered
     "ext_minhash_merge",     # mergeable per-source MinHash signatures
+    "src_state_reader",      # statestore read of completed stream vs batch
 ]
 
 

@@ -11045,3 +11045,53 @@ def q_ext_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "src_state_reader",
+    """SELECT event_type, COUNT(*) AS n_events
+       FROM events GROUP BY event_type""",
+)
+def q_src_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE-STORE observability (Spark 4 State Data Source):
+    run the file-source event stream through a stateful aggregation to
+    completion (availableNow trigger, noop sink), then read the
+    query's internal state back as a TABLE via
+    ``spark.read.format("statestore").load(checkpoint)`` and verify it
+    against the equivalent batch aggregate — the DuckDB oracle is the
+    plain GROUP BY, so the entry pins that a completed stream's state
+    EQUALS the batch answer (the invariant every exactly-once claim
+    rests on). At 100 TB this is the debugging surface that matters:
+    state inspected as a DataFrame without stopping the pipeline or
+    attaching a debugger — skew in the state (hot keys), size per
+    partition, and staleness are all queryable. The checkpoint is
+    staged per-sf_dir (hash-keyed like the query cache) so re-runs
+    resume the offset log and reprocess nothing."""
+    import hashlib
+    import os
+    import tempfile
+
+    from proto_to_avro_ql_spark.streaming.events import stream_events
+
+    key = hashlib.sha256(
+        f"state_reader|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    ckpt = os.path.join(tempfile.gettempdir(), f"p2a_state_{key}", "ckpt")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )

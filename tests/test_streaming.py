@@ -268,3 +268,32 @@ class TestStreamConnector:
         drain()  # same checkpoint: resumes from offset idx=2
         got2 = {r.event_id for r in spark.read.parquet(out_dir).collect()}
         assert got2 == {1, 2, 3, 4, 5}, "resume must append ONLY the new file"
+
+
+class TestStateReader:
+    def test_state_store_equals_batch_and_resumes(self, spark, sf_dir):
+        """The statestore read of a completed streaming aggregation
+        equals the batch aggregate, and a second run resumes the
+        offset log (reprocesses nothing) with identical state."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        import pyspark.sql.functions as F
+
+        first = sorted(
+            map(tuple, QUERIES["src_state_reader"](spark, sf_dir).collect())
+        )
+        batch = sorted(
+            map(
+                tuple,
+                read_table(spark, sf_dir, "events")
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .collect(),
+            )
+        )
+        assert first == batch
+        second = sorted(
+            map(tuple, QUERIES["src_state_reader"](spark, sf_dir).collect())
+        )
+        assert second == first
