@@ -5522,27 +5522,26 @@ def q_ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
 
 
-@register(
-    "src_replay_connector",
-    """SELECT event_id, user_id, event_type, value
-       FROM events""",
-)
-def q_src_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's CUSTOM SOURCE, as a real Spark connector: its
-    gRPC row stream (Main.scala:60-66) has a line-file replay format
-    (Main.scala:106-120 — one base64 proto row per line); this entry
-    stages events in exactly that format and reads it back through a
-    Spark 4 Python DataSource (sources/replay_source.py) registered
-    as ``format("proto_replay")`` — one InputPartition per staged
-    file, lazy per-line wire decode on executors. Oracle = identity
-    over events, so any connector-planning, partitioning, base64, or
-    wire-format defect breaks the hash. (Payloads here are ~40 base64
-    chars, below the 76-char MIME wrap Spark's base64() would insert.)
-    """
+def _stage_replay_lines(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table in the reference's replay-line format
+    (one base64 proto row per line, Main.scala:106-120), hash-keyed by
+    sf_dir and reused across calls like the query cache: the staging
+    encode is FIXTURE SETUP (in production the replay directory already
+    exists), so re-running a connector entry should measure the
+    connector READ, not a repeated Python encode of the corpus. The
+    Spark-written _SUCCESS marker gates reuse."""
+    import hashlib
+    import os
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from proto_to_avro_ql_spark.sources.replay_source import ProtoReplayDataSource
+    key = hashlib.sha256(
+        f"replay_lines|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    staged = os.path.join(tempfile.gettempdir(), f"p2a_replay_{key}")
+    if os.path.exists(os.path.join(staged, "_SUCCESS")):
+        return staged
 
     @pandas_udf("binary")
     def enc(event_id, user_id, event_type, value):  # postponed eval
@@ -5562,11 +5561,32 @@ def q_src_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = ensure_min_parallelism(read_table(spark, sf_dir, "events"))
-    staged = tempfile.mkdtemp(prefix="replay_src_")
     ev.select(
         F.base64(enc("event_id", "user_id", "event_type", "value")).alias("line")
     ).repartition(4).write.mode("overwrite").text(staged)
+    return staged
 
+
+@register(
+    "src_replay_connector",
+    """SELECT event_id, user_id, event_type, value
+       FROM events""",
+)
+def q_src_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CUSTOM SOURCE, as a real Spark connector: its
+    gRPC row stream (Main.scala:60-66) has a line-file replay format
+    (Main.scala:106-120 — one base64 proto row per line); this entry
+    stages events in exactly that format and reads it back through a
+    Spark 4 Python DataSource (sources/replay_source.py) registered
+    as ``format("proto_replay")`` — one InputPartition per staged
+    file, lazy per-line wire decode on executors. Oracle = identity
+    over events, so any connector-planning, partitioning, base64, or
+    wire-format defect breaks the hash. (Payloads here are ~40 base64
+    chars, below the 76-char MIME wrap Spark's base64() would insert.)
+    """
+    from proto_to_avro_ql_spark.sources.replay_source import ProtoReplayDataSource
+
+    staged = _stage_replay_lines(spark, sf_dir)
     spark.dataSource.register(ProtoReplayDataSource)
     return spark.read.format("proto_replay").option("path", staged).load()
 
@@ -5586,36 +5606,11 @@ def q_src_stream_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     over events: connector offsets, batch boundaries, base64, and wire
     decode all verified by the hash. Complements src_replay_connector
     (the batch/backfill read of the same format)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     from proto_to_avro_ql_spark.sources.replay_source import (
         ProtoReplayStreamSource,
     )
 
-    @pandas_udf("binary")
-    def enc(event_id, user_id, event_type, value):  # postponed eval
-
-        return pd.Series(
-            [
-                encode_message(
-                    EVENT_SPEC,
-                    {
-                        "event_id": int(e),
-                        "user_id": int(u),
-                        "meta": {"event_type": t, "value": float(v)},
-                    },
-                )
-                for e, u, t, v in zip(event_id, user_id, event_type, value)
-            ]
-        )
-
-    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events"))
-    staged = tempfile.mkdtemp(prefix="replay_stream_")
-    ev.select(
-        F.base64(enc("event_id", "user_id", "event_type", "value")).alias("line")
-    ).repartition(4).write.mode("overwrite").text(staged)
-
+    staged = _stage_replay_lines(spark, sf_dir)
     spark.dataSource.register(ProtoReplayStreamSource)
     q = (
         spark.readStream.format("proto_replay_stream")
