@@ -551,3 +551,53 @@ class TestEntropyProperties:
         # permutation invariance: a bag-of-tokens statistic
         assert rows[1].token_entropy == rows[2].token_entropy
         assert rows[1].n_distinct == rows[2].n_distinct
+
+
+class TestGraphProperties:
+    """Fuzz the degree-oriented triangle machinery against brute force:
+    per-edge common-neighbor counts must match a Python reference on
+    arbitrary small graphs (hubs, cliques, paths, multi-edges)."""
+
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_edge_triangle_support_matches_brute_force(self, spark, edges):
+        from proto_to_avro_ql_spark.operators.graphs import (
+            edge_triangle_support,
+            node_degrees,
+            orient_by_degree,
+        )
+
+        simple = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        if not simple:
+            return
+        # brute force: adjacency sets, per-edge intersection
+        adj: dict[int, set[int]] = {}
+        for u, v in simple:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        expected = {
+            (u, v): len(adj[u] & adj[v])
+            for u, v in simple
+            if len(adj[u] & adj[v]) > 0
+        }
+
+        e0 = spark.createDataFrame(sorted(simple), "u long, v long")
+        oriented = orient_by_degree(e0, node_degrees(e0))
+        got = {
+            (r["u"], r["v"]): r["common"]
+            for r in edge_triangle_support(oriented).collect()
+        }
+        assert got == expected, (sorted(simple), got, expected)
