@@ -11090,3 +11090,26 @@ def q_src_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n_events"),
     )
+
+
+@register("ext_pq_search")  # rows-only: Lloyd's float iteration (see ext_kmeans)
+def q_ext_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ second stage — the
+    memory-bound regime of the ANN ladder brute → LSH → IVF → PQ): the
+    corpus compresses to m=16 per-subspace codes (64-dim float vector
+    → 16 small ints), queries stay full precision, and candidate
+    distance is m lookup-table adds (operators/simsearch.pq_codebooks
+    / pq_encode / pq_adc_topk). Scale shape: codebooks are m*k rows
+    (broadcast), encoding is one broadcast-join pass over the corpus,
+    and ADC search is a keyed join + hash aggregate — nothing
+    vector-sized ever shuffles. NO value-hash oracle by the same
+    justification as ext_kmeans/ext_sim_search_ivf (iterative float
+    centroid training is not portably expressible in DuckDB SQL);
+    pytest pins recall@5 and the exact-cosine quality ratio against
+    brute force, both far above the random baseline (~0.01 on this
+    corpus)."""
+    from proto_to_avro_ql_spark.operators.simsearch import pq_adc_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = [3, 17, 41, 77, 101, 150, 200, 260, 333, 444]
+    return pq_adc_topk(emb, qids, k=5, m=16, k_codes=32, iters=2)

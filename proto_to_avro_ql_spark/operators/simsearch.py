@@ -357,3 +357,171 @@ def semantic_dedup_cells(
         .distinct()
     )
     return emb.join(dups, id_col, "left_anti").select(id_col, cell_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's second stage): per-subspace codebooks,
+# 4-bit-ish codes, and asymmetric-distance search. Completes the ANN
+# ladder brute → LSH → IVF → PQ codes (the memory-bound regime: a
+# D-float vector becomes m small codes, so a 100 TB embedding corpus
+# fits in RAM-adjacent storage and distance evaluation becomes m
+# table lookups per candidate).
+# ---------------------------------------------------------------------------
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two float arrays, in codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: split each D-dim vector into m
+    contiguous D/m-dim subvectors and run deterministic Lloyd's (seeds
+    = the k lowest-id vectors, L2 metric — PQ quantizes distance, not
+    direction) independently per subspace. Returns (sub, code,
+    centroid) with m*k rows — tiny and broadcastable at any corpus
+    size. Scale shape per iteration: one broadcast assignment pass +
+    one map-side-combined per-dimension mean; the corpus never
+    shuffles by anything vector-sized."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sv = embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.slice(vec_col, s * sub + 1, sub).alias("_v"),
+        )
+        cents = sv.where(F.col("_id") < k).select(
+            F.col("_id").cast("int").alias("cell"), F.col("_v").alias("centroid")
+        )
+        for _ in range(iters):
+            scored = sv.crossJoin(F.broadcast(cents)).select(
+                "_id", "_v", "cell", l2sq(F.col("_v"), F.col("centroid")).alias("d")
+            )
+            w = Window.partitionBy("_id").orderBy(F.asc("d"), F.asc("cell"))
+            assigned = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("cell", F.col("_v").alias("v"))
+            )
+            cents = _mean_vectors(assigned, "v").select(
+                "cell", F.col("centroid").cast("array<float>").alias("centroid")
+            )
+        books.append(cents.select(F.lit(s).alias("sub"), "cell", "centroid"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each subvector snaps to its nearest
+    codebook centroid. ONE pass: the m*k codebook broadcasts, the
+    matching slice is taken per (row, sub) inside the join stage, and
+    a per-(id, sub) argmin window picks the code — the corpus is read
+    once regardless of m."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    sub = dim // m
+    scored = embeddings.crossJoin(F.broadcast(books)).select(
+        id_col,
+        "sub",
+        "cell",
+        l2sq(
+            F.slice(
+                F.col(vec_col),
+                F.col("sub") * F.lit(sub) + F.lit(1),
+                F.lit(sub),
+            ),
+            F.col("centroid"),
+        ).alias("d"),
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d"), F.asc("cell"))
+    picked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "sub", "cell")
+    )
+    return picked.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "cell"))),
+            lambda c: c["cell"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: queries stay full-precision, the
+    corpus is its codes. Per query a (sub, code) → partial-distance
+    lookup table (m*k rows) is built against the codebooks; candidate
+    distance = Σ over subspaces of the LUT entry for the candidate's
+    code — a keyed join + hash aggregate, never a vector-sized
+    shuffle. The approximation error vs exact cosine/L2 is pinned in
+    pytest (recall@k against brute force)."""
+    books = pq_codebooks(
+        embeddings, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    ).persist()
+    dim = len(embeddings.select(vec_col).first()[0])
+    sub = dim // m
+    codes = pq_encode(embeddings, books, m=m, id_col=id_col, vec_col=vec_col)
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    lut = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(books))
+        .select(
+            "query_id",
+            "sub",
+            "cell",
+            l2sq(
+                F.slice(
+                    F.col("qvec"),
+                    F.col("sub") * F.lit(sub) + F.lit(1),
+                    F.lit(sub),
+                ),
+                F.col("centroid"),
+            ).alias("pd"),
+        )
+    )
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "cell"),
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
