@@ -378,6 +378,18 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _sub_slices(vec_col: str, m: int, sub: int):
+    """(sub, subvector) pairs for one row: m slices exploded from a
+    cheap index transform (slice after the generate, per the
+    generate-pitfall rule)."""
+    return F.posexplode(
+        F.expr(
+            f"transform(sequence(0, {m - 1}),"
+            f" s -> slice({vec_col}, s * {sub} + 1, {sub}))"
+        )
+    )
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -389,40 +401,53 @@ def pq_codebooks(
     """Train per-subspace PQ codebooks: split each D-dim vector into m
     contiguous D/m-dim subvectors and run deterministic Lloyd's (seeds
     = the k lowest-id vectors, L2 metric — PQ quantizes distance, not
-    direction) independently per subspace. Returns (sub, code,
+    direction) independently per subspace. Returns (sub, cell,
     centroid) with m*k rows — tiny and broadcastable at any corpus
-    size. Scale shape per iteration: one broadcast assignment pass +
-    one map-side-combined per-dimension mean; the corpus never
-    shuffles by anything vector-sized."""
+    size. Scale shape: ALL m subspaces train together — per iteration
+    ONE broadcast assignment pass over the exploded (row, sub)
+    relation, argmin as a min(struct) HASH aggregate (no sort window),
+    then one map-side-combined per-dimension mean; the corpus is read
+    once per iteration regardless of m and never shuffles by anything
+    bigger than a subvector."""
     dim = len(embeddings.select(vec_col).first()[0])
     sub = dim // m
-    books = []
-    for s in range(m):
-        sv = embeddings.select(
-            F.col(id_col).alias("_id"),
-            F.slice(vec_col, s * sub + 1, sub).alias("_v"),
+    sv = embeddings.select(
+        F.col(id_col).alias("_id"), _sub_slices(vec_col, m, sub).alias("sub", "_v")
+    )
+    books = embeddings.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cell"),
+        _sub_slices(vec_col, m, sub).alias("sub", "centroid"),
+    )
+    for _ in range(iters):
+        scored = sv.join(F.broadcast(books), "sub").select(
+            "_id",
+            "sub",
+            "_v",
+            F.struct(
+                l2sq(F.col("_v"), F.col("centroid")).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
         )
-        cents = sv.where(F.col("_id") < k).select(
-            F.col("_id").cast("int").alias("cell"), F.col("_v").alias("centroid")
+        assigned = (
+            scored.groupBy("_id", "sub")
+            .agg(F.min("dc").alias("best"), F.first("_v").alias("v"))
+            .select("sub", F.col("best.cell").alias("cell"), "v")
         )
-        for _ in range(iters):
-            scored = sv.crossJoin(F.broadcast(cents)).select(
-                "_id", "_v", "cell", l2sq(F.col("_v"), F.col("centroid")).alias("d")
+        per_dim = assigned.select(
+            "sub", "cell", F.posexplode("v").alias("pos", "val")
+        ).groupBy("sub", "cell", "pos").agg(F.avg("val").alias("avg"))
+        books = (
+            per_dim.groupBy("sub", "cell")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "avg"))).alias("dims"))
+            .select(
+                "sub",
+                "cell",
+                F.transform("dims", lambda d: d["avg"])
+                .cast("array<float>")
+                .alias("centroid"),
             )
-            w = Window.partitionBy("_id").orderBy(F.asc("d"), F.asc("cell"))
-            assigned = (
-                scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("cell", F.col("_v").alias("v"))
-            )
-            cents = _mean_vectors(assigned, "v").select(
-                "cell", F.col("centroid").cast("array<float>").alias("centroid")
-            )
-        books.append(cents.select(F.lit(s).alias("sub"), "cell", "centroid"))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionAll(b)
-    return out
+        )
+    return books
 
 
 def pq_encode(
@@ -433,30 +458,27 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>): each subvector snaps to its nearest
-    codebook centroid. ONE pass: the m*k codebook broadcasts, the
-    matching slice is taken per (row, sub) inside the join stage, and
-    a per-(id, sub) argmin window picks the code — the corpus is read
-    once regardless of m."""
+    codebook centroid. ONE pass: slices explode once per row, the m*k
+    codebook broadcasts into a sub-keyed join, and a per-(id, sub)
+    min(struct) HASH aggregate picks the code — the corpus is read
+    once regardless of m and nothing sorts."""
     dim = len(embeddings.select(vec_col).first()[0])
     sub = dim // m
-    scored = embeddings.crossJoin(F.broadcast(books)).select(
+    sv = embeddings.select(
+        F.col(id_col), _sub_slices(vec_col, m, sub).alias("sub", "_v")
+    )
+    scored = sv.join(F.broadcast(books), "sub").select(
         id_col,
         "sub",
-        "cell",
-        l2sq(
-            F.slice(
-                F.col(vec_col),
-                F.col("sub") * F.lit(sub) + F.lit(1),
-                F.lit(sub),
-            ),
-            F.col("centroid"),
-        ).alias("d"),
+        F.struct(
+            l2sq(F.col("_v"), F.col("centroid")).alias("d"),
+            F.col("cell").alias("cell"),
+        ).alias("dc"),
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d"), F.asc("cell"))
     picked = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "sub", "cell")
+        scored.groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("best"))
+        .select(id_col, "sub", F.col("best.cell").alias("cell"))
     )
     return picked.groupBy(id_col).agg(
         F.transform(
