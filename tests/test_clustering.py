@@ -86,3 +86,23 @@ class TestGraphEdgeCases:
             [(i, i + 1) for i in range(10)], "id_a long, id_b long"
         )
         assert kcore_nodes(path, k=3).count() == 0
+
+
+def test_star_contraction_truncated_run_keeps_one_row_per_id(spark):
+    """Exhausting max_rounds before the checksum fixpoint must degrade
+    to coarse (min) labels — never duplicate (id, cluster_id) rows
+    (round-3 ADVICE #1): on a long path graph with max_rounds=1 the
+    edge relation still holds multiple parent edges per node."""
+    from proto_to_avro_ql_spark.operators.clustering import (
+        star_contraction_components,
+    )
+
+    n = 64
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = star_contraction_components(path, max_rounds=1).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == len(set(ids)) == n, (len(ids), len(set(ids)))
+    # labels may be coarse but must never exceed the node's own id
+    assert all(r["cluster_id"] <= r["id"] for r in out)
