@@ -95,7 +95,7 @@ AUDIT = {
     "ext_cusum": "CUSUM changepoint (integer n*Sk - k*Sn, type-keyed windows)",
     "ext_sql_udf": "SQL-defined function (inlined, no Python node)",
     "ext_key_skew_profile": "heavy-hitter profile (TakeOrdered over agg counts)",
-    "ext_graph_jaccard": "link scoring (adjacency intersection, no wedge rows)",
+    "ext_graph_jaccard": "link scoring (oriented triangle enumeration, no adjacency arrays)",
     "ext_spatial_join": "grid-blocked radius join (cell equi join, int predicate)",
     "ext_bootstrap_ci": "Poisson bootstrap (one explode + one agg, all replicates)",
     "ext_attribution": "integer-ledger attribution (user join + pid window)",
@@ -119,6 +119,12 @@ AUDIT = {
     "ext_token_overlap_matrix": "vocab overlap (cached type relation, token joins)",
     "ext_zipf_fit": "Zipf fit (TakeOrdered candidates, integer-micros moments)",
     "ext_mutual_information": "MI over contingency (cached, broadcast marginals)",
+    # round 4
+    "ext_dedup_span": "repeated passages (hash-only count shuffle, text after top-k)",
+    "ext_reservoir_sample": "deterministic k-sample (TakeOrdered, no global sort)",
+    "ext_minhash_merge": "mergeable MinHash (one map-side-partial signature agg)",
+    "ext_pq_search": "PQ ADC search (broadcast codebooks, LUT join + hash agg)",
+    "src_state_reader": "statestore read of a completed stream (vs batch oracle)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
