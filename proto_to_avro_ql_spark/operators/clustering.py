@@ -41,12 +41,20 @@ def connected_components(
     )
     sym = sym.persist()
     labels = labels.persist()
+    # fixpoint detection mirrors star_contraction_components: labels
+    # only ever DECREASE (least of self and neighbor min), so
+    # consecutive rounds with equal (count, label-hash-sum) observed
+    # metrics mean no label moved — the comparison join the previous
+    # version ran each round is gone; the checksum rides the round's
+    # own materializing action.
+    prev_sum = None
     for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -55,24 +63,27 @@ def connected_components(
                     "label"
                 ),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.xxhash64("id", "label").cast("decimal(38,0)")), F.lit(0)
+                ).alias("s"),
+            )
             .persist()
         )
+        new_labels.count()  # one action: cache + metrics
+        cur_sum = int(obs.get["s"])
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # truncate lineage: each round stacks joins on the previous
             # labels; past a few rounds the growing plan costs more to
-            # analyze/schedule than the data costs to copy.
+            # analyze/schedule than the data costs to copy. Reads the
+            # just-populated cache.
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
