@@ -116,6 +116,16 @@ HEADLINE = [
     "ext_reservoir_sample",  # deterministic k-sample via TakeOrdered
     "ext_minhash_merge",     # mergeable per-source MinHash signatures
     "src_state_reader",      # statestore read of completed stream vs batch
+    # round 4, session 2: inference stats, segmentation, join taxonomy,
+    # BFS distances, and two new source formats
+    "ext_prop_ztest",        # two-proportion z, one conditional agg pass
+    "ext_cohens_kappa",      # 2x2 agreement kernel, decimal marginal products
+    "ext_rfm",               # RFM quintile grid (global ntile at bench SF)
+    "ext_group_split",       # leakage-safe source-hash split report
+    "join_theta",            # pure inequality join, BroadcastNestedLoopJoin
+    "ext_shortest_path",     # 3-round multi-source BFS over shared edges
+    "src_binary_files",      # binaryFile whole-object ingest + md5 verify
+    "src_text_scan",         # line-text round trip (write.text/read.text)
 ]
 
 

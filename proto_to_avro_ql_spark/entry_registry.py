@@ -11113,3 +11113,505 @@ def q_ext_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     qids = [3, 17, 41, 77, 101, 150, 200, 260, 333, 444]
     return pq_adc_topk(emb, qids, k=5, m=16, k_codes=32, iters=2)
+
+
+# ===========================================================================
+# Round-4 widening #2: inference statistics (two-proportion z, Cohen's
+# kappa), RFM segmentation, leakage-safe group splitting, the missing
+# join-taxonomy member (pure theta / BroadcastNestedLoopJoin), BFS
+# shortest paths over the shared co-purchase graph, and two source
+# formats (binaryFile, line-text).
+# ===========================================================================
+
+
+@register(
+    "ext_prop_ztest",
+    """WITH assigned AS (
+         SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                  AS arm,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+         FROM events
+       ), m AS (
+         SELECT
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+         FROM assigned
+       )
+       SELECT n_a, n_b, x_a, x_b,
+              CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+              CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+              (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                     * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                AS z_stat
+       FROM m""",
+)
+def q_ext_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on the purchase rate between two md5-split
+    arms — the conversion-rate companion to ext_ab_test's Welch t on
+    values (rates and means are the two numbers every experiment
+    readout leads with). Exactness kernel: the four cell counts are
+    exact BIGINTs from ONE conditional aggregation pass; every derived
+    number (rates, pooled p, z) is a single deterministic IEEE
+    expression over those exact integers, written with the identical
+    tree on both sides — no rounding anywhere, so no straddle surface.
+    Scale shape: one map-side-combinable aggregate over the fact, a
+    1-row result; the arm column is a hash of the row id and never
+    shuffles raw rows."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    arm = hash_bucket(F.col("event_id"), 2)
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    m = ev.select(arm.alias("arm"), conv.alias("conv")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("x_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    rate_a = F.col("x_a").cast("double") / na_d
+    rate_b = F.col("x_b").cast("double") / nb_d
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (rate_a - rate_b) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na_d + F.lit(1.0) / nb_d)
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z_stat"),
+    )
+
+
+@register(
+    "ext_cohens_kappa",
+    r"""WITH rated AS (
+         SELECT
+           CASE WHEN len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 40
+                THEN 1 ELSE 0 END AS ra,
+           CASE WHEN n_chars >= 220 THEN 1 ELSE 0 END AS rb
+         FROM documents
+       ), m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(ra * rb) AS BIGINT) AS n11,
+                CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+                CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+                CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+         FROM rated
+       )
+       SELECT n, n11, n10, n01, n00,
+              (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(CAST(n11 + n10 AS HUGEINT) * CAST(n11 + n01 AS HUGEINT)
+                      + CAST(n01 + n00 AS HUGEINT) * CAST(n10 + n00 AS HUGEINT)
+                      AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              / (1.0
+                 - CAST(CAST(n11 + n10 AS HUGEINT) * CAST(n11 + n01 AS HUGEINT)
+                        + CAST(n01 + n00 AS HUGEINT) * CAST(n10 + n00 AS HUGEINT)
+                        AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+       FROM m""",
+)
+def q_ext_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two deterministic
+    document labelers (rater A: whitespace-token count >= 40; rater B:
+    n_chars >= 220) — the annotation-QA primitive behind every
+    labeling campaign: raw percent agreement flatters raters who
+    share a base rate, kappa subtracts the chance-agreement floor.
+    Exactness kernel: the 2x2 confusion table is exact BIGINTs from
+    one pass; the marginal products go through DECIMAL(38,0)/HUGEINT
+    (at 100 TB n^2 overflows int64 — the same decimal-product
+    invariant as ext_chi_square), and po/pe/kappa are identical IEEE
+    expression trees over those exact integers on both sides.
+    Scale shape: one map-side-combinable aggregate, 1-row result."""
+    docs = read_table(spark, sf_dir, "documents")
+    ra = F.when(TX.token_count_ws(F.col("text")) >= 40, 1).otherwise(0)
+    rb = F.when(F.col("n_chars") >= 220, 1).otherwise(0)
+    m = docs.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).alias("n00"),
+    )
+    D38 = "decimal(38,0)"
+    n_d = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n_d
+    pe_num = (
+        (F.col("n11") + F.col("n10")).cast(D38) * (F.col("n11") + F.col("n01")).cast(D38)
+        + (F.col("n01") + F.col("n00")).cast(D38) * (F.col("n10") + F.col("n00")).cast(D38)
+    ).cast("double")
+    pe = pe_num / (n_d * n_d)
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+@register(
+    "ext_rfm",
+    """WITH anchor AS (
+         SELECT MAX(CAST(ts AS DATE)) AS anchor_day FROM events
+       ), per_user AS (
+         SELECT user_id,
+                datediff('day', MAX(CAST(ts AS DATE)),
+                         (SELECT anchor_day FROM anchor)) AS recency_days,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY user_id
+       ), scored AS (
+         SELECT user_id, cents,
+                CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT)
+                  AS r_score,
+                CAST(NTILE(5) OVER (ORDER BY n_events ASC, user_id) AS BIGINT)
+                  AS f_score,
+                CAST(NTILE(5) OVER (ORDER BY cents ASC, user_id) AS BIGINT)
+                  AS m_score
+         FROM per_user
+       )
+       SELECT r_score, f_score, m_score,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(cents) AS BIGINT) AS cents
+       FROM scored GROUP BY 1, 2, 3""",
+)
+def q_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic customer-value grid every growth team builds first. Each
+    user gets three 1-5 scores (5 = most recent / most frequent /
+    highest spend) via NTILE over a deterministic total order (metric,
+    then user_id, so ties are portable), then the grid cells are
+    counted. Exactness: recency is integer days against the corpus
+    max-date anchor, frequency an exact count, monetary integer cents
+    (decimal-accumulated) — everything through the ntile and the final
+    rollup is integer. Scale shape: one per-user aggregate (map-side
+    combinable), a 1-row anchor broadcast, then ntile over the USER
+    relation — at 100 TB the global-sort window would be swapped for
+    approx-percentile cutoff joins (the documented ext_quantile_bins
+    trade); the per-cell rollup is 125 rows max."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("anchor_day"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents"),
+    )
+    scored = per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        "cents",
+        F.datediff(F.col("anchor_day"), F.col("last_day")).alias("recency_days"),
+        F.col("n_events"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), "user_id")
+    f_w = Window.orderBy(F.col("n_events").asc(), "user_id")
+    m_w = Window.orderBy(F.col("cents").asc(), "user_id")
+    return (
+        scored.select(
+            "cents",
+            F.ntile(5).over(r_w).cast("long").alias("r_score"),
+            F.ntile(5).over(f_w).cast("long").alias("f_score"),
+            F.ntile(5).over(m_w).cast("long").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+@register(
+    "ext_group_split",
+    r"""WITH bucketed AS (
+         SELECT source,
+                len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                  AS n_tokens,
+                ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 AS b
+         FROM documents
+       )
+       SELECT CASE WHEN b <= 6 THEN 'train'
+                   WHEN b = 7 THEN 'val'
+                   ELSE 'test' END AS split,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       FROM bucketed GROUP BY 1""",
+)
+def q_ext_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split: every document of a source
+    lands in the SAME split (bucket = md5 of the source, not of the
+    content) — the leakage guard ext_data_split's content-hash split
+    cannot give: near-duplicate docs from one domain must not straddle
+    train and test, or eval scores inflate. ~70/10/20 by source count;
+    the md5 bucket is portable across engines and partitionings.
+    Exactness: counts and integer token sums only. Scale shape: the
+    split column is a pure hash expression (no shuffle to assign), one
+    aggregate pass for the report; the assignment itself would be a
+    zero-shuffle withColumn in a pipeline."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("source"), 10)
+    split = (
+        F.when(b <= 6, "train").when(b == 7, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "source", TX.token_count_ws(F.col("text")).alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "join_theta",
+    """SELECT CAST(thr AS BIGINT) AS thr,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 100, 0)
+                   AS BIGINT) AS cents
+       FROM (VALUES (100000), (200000), (300000), (400000)) t(thr)
+       JOIN orders ON o_totalprice > thr
+       GROUP BY 1""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join — the join-taxonomy member the equi/outer/semi/
+    anti/null-safe/as-of/range/overlap/spatial family still lacked: a
+    single INEQUALITY predicate with no equi key at all ('how many
+    orders exceed each spend threshold'). Spark can only execute this
+    as a nested-loop join, so the SMALL side must broadcast:
+    broadcast(4-row thresholds) x orders plans BroadcastNestedLoopJoin
+    with the fact streaming through unshuffled — each threshold sees
+    every order, cost 4x one scan, no exchange. (Without the broadcast
+    hint a large-large theta join degenerates to a cartesian shuffle —
+    the anti-pattern ext_range_join's bin-join exists to avoid; this
+    entry IS the legitimate small-side case.) Exactness: count +
+    integer cents, grouped by the 4 thresholds."""
+    orders = read_table(spark, sf_dir, "orders")
+    thr = spark.createDataFrame([(100000,), (200000,), (300000,), (400000,)], "thr long")
+    joined = orders.join(F.broadcast(thr), F.col("o_totalprice") > F.col("thr"))
+    return joined.groupBy("thr").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def _shortest_path_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled multi-source BFS oracle: seeds at distance 0, then
+    ``rounds`` relax steps of dist = min(dist, neighbor dist + 1) over
+    the support>=2 co-purchase graph. Each round CTE is referenced
+    twice (carry + expand), so every stage is MATERIALIZED (DuckDB
+    inlines plain CTEs per reference — the exponential-expansion trap
+    ext_kcore hit)."""
+    parts = [
+        """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e AS MATERIALIZED (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       ), ed AS MATERIALIZED (
+         SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+       ), d0 AS MATERIALIZED (
+         SELECT id, CAST(0 AS BIGINT) AS dist FROM (
+           SELECT DISTINCT u AS id FROM ed
+         ) WHERE id % 50 = 0
+       )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+         SELECT id, MIN(dist) AS dist FROM (
+           SELECT id, dist FROM d{i-1}
+           UNION ALL
+           SELECT ed.v AS id, d.dist + 1 AS dist
+           FROM d{i-1} d JOIN ed ON ed.u = d.id
+         ) GROUP BY id
+       )"""
+        )
+    parts.append(
+        f"""
+       SELECT id, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("ext_shortest_path", _shortest_path_oracle_sql())
+def q_ext_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest paths (3 hops) over the support>=2
+    co-purchase graph: every part whose id is a multiple of 50 is a
+    seed (distance 0), and each round relaxes dist = min(dist,
+    min_neighbor(dist) + 1) — the 'distance to nearest
+    curated/flagged node' primitive behind influence radius, spam
+    proximity, and recommendation freshness checks. Completes the
+    iterative-graph family (pagerank = weighted walk, label_prop =
+    mode, cc = min-label fixpoint, BFS = min-distance frontier).
+    Spark shape: fixed 3 rounds, each ONE edge join + ONE min
+    aggregate with only (id, dist) longs in the shuffle; the frontier
+    relation never exceeds the reachable-node set, and rounds are
+    O(diameter) not O(n). The edge relation is built once by the
+    shared operators/graphs.copurchase_edges helper and reused both
+    directions. Exactness: integer distances, integer ids."""
+    from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
+    e = copurchase_edges(spark, sf_dir, min_support=2)
+    ed = (
+        e.select("u", "v")
+        .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .cache()  # all three rounds + the seed scan branch off it
+    )
+    dist = (
+        ed.select(F.col("u").alias("id"))
+        .distinct()
+        .where(F.col("id") % 50 == 0)
+        .select("id", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(3):
+        relaxed = dist.join(ed, dist["id"] == ed["u"]).select(
+            F.col("v").alias("id"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def _stage_binary_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the first 200 documents as one .bin file each (UTF-8 text
+    bytes) — the on-disk shape of a multimodal ingest drop zone (one
+    opaque object per record). Hash-keyed by sf_dir and reused across
+    calls like _stage_replay_lines: staging is FIXTURE SETUP (a real
+    drop zone already exists); the entry measures the binaryFile READ.
+    A _STAGED marker written after the loop gates reuse (partial
+    staging from a killed run is re-done, never trusted)."""
+    import hashlib
+    import os
+
+    key = hashlib.sha256(
+        f"binary_docs|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    staged = os.path.join(tempfile.gettempdir(), f"p2a_binfiles_{key}")
+    marker = os.path.join(staged, "_STAGED")
+    if os.path.exists(marker):
+        return staged
+    rows = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()  # capped fixture subset (200 rows), not a data path
+    )
+    os.makedirs(staged, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(staged, f"{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    with open(marker, "w") as f:
+        f.write(str(len(rows)))
+    return staged
+
+
+@register(
+    "src_binary_files",
+    """SELECT doc_id,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              md5(text) AS payload_md5
+       FROM documents WHERE doc_id < 200""",
+)
+def q_src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — Spark's native whole-file ingest for
+    opaque media objects (images/audio/video land as one row per file
+    with path/length/content), i.e. the READ side of the
+    ext_multimodal envelope: binaryFile scan → pack_blob → metadata
+    queries without ever decoding. 200 staged .bin files (one per
+    document, UTF-8 bytes) are read back and verified byte-exactly:
+    id parsed from the filename, length from the file's own metadata
+    column, md5 over the raw content. Scale shape: binaryFile
+    parallelizes one-file-per-task (no splitting inside an object —
+    correct for opaque media), filename pushdown via pathGlobFilter,
+    and ONLY the projected columns are materialized — at 100 TB you'd
+    partition the drop zone by date/shard so the directory listing
+    itself distributes. The length/content agreement (n_bytes vs the
+    md5'd payload) is the corruption check every ingest gate runs."""
+    staged = _stage_binary_docs(spark, sf_dir)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(staged)
+    )
+    return back.select(
+        F.regexp_extract(F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("payload_md5"),
+    )
+
+
+@register(
+    "src_text_scan",
+    r"""WITH norm AS (
+         SELECT doc_id,
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents
+       )
+       SELECT doc_id,
+              CAST(length(t) AS INTEGER) AS n_chars_norm,
+              CAST(len(string_split(t, ' ')) AS INTEGER) AS n_tokens
+       FROM norm""",
+)
+def q_src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-text source round trip (`spark.read.text` — the rawest
+    corpus interchange there is: one record per line, no schema, no
+    quoting; half the public text dumps a pipeline ingests arrive
+    exactly like this). Documents are written as
+    `<doc_id>\\t<normalized text>` lines via df.write.text, read back
+    as the single `value` column, and parsed with ordinary column
+    expressions (split on the first tab — normalization collapsed
+    interior tabs/newlines, so the frame is unambiguous BY
+    CONSTRUCTION, the property a line format must guarantee). The
+    oracle recomputes char/token counts from the table, so the
+    round trip proves write → line framing → read → parse loses
+    nothing. Scale shape: line-splittable (any file chunks across
+    tasks), schema-on-read costs one projection — but unlike
+    src_jsonl_scan there is NO type information, which is why this
+    tier of ingest exists only at the corpus boundary."""
+    import os
+
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), TX.normalize_text(F.col("text"))
+        ).alias("value")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="src_text_"), "docs_txt")
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    doc_id = F.split(F.col("value"), "\t", 2).getItem(0).cast("long")
+    body = F.split(F.col("value"), "\t", 2).getItem(1)
+    return back.select(
+        doc_id.alias("doc_id"),
+        F.length(body).alias("n_chars_norm"),
+        F.when(body == "", F.lit(0))
+        .otherwise(F.size(F.split(body, " ")))
+        .alias("n_tokens"),
+    )
