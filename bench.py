@@ -126,6 +126,11 @@ HEADLINE = [
     "ext_shortest_path",     # 3-round multi-source BFS over shared edges
     "src_binary_files",      # binaryFile whole-object ingest + md5 verify
     "src_text_scan",         # line-text round trip (write.text/read.text)
+    "ext_qte",               # per-decile quantile treatment effects, one agg
+    "ext_pit_features",      # point-in-time features + label, one pass
+    "ext_modularity",        # Newman Q of the LPA partition, integer kernel
+    "ext_hits",              # bipartite hub/authority path counting
+    "ext_negative_sampling", # hash-deterministic negatives, anti-join
 ]
 
 

@@ -11615,3 +11615,431 @@ def q_src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split(body, " ")))
         .alias("n_tokens"),
     )
+
+
+@register(
+    "ext_qte",
+    """WITH assigned AS (
+         SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                  AS arm,
+                value
+         FROM events
+       )
+       SELECT 1 AS decile,
+              ROUND(quantile_cont(value, 0.1) FILTER (arm = 0), 4) AS q_a,
+              ROUND(quantile_cont(value, 0.1) FILTER (arm = 1), 4) AS q_b,
+              ROUND(quantile_cont(value, 0.1) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.1) FILTER (arm = 1), 4) AS qte
+       FROM assigned
+       UNION ALL
+       SELECT 2, ROUND(quantile_cont(value, 0.2) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.2) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.2) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.2) FILTER (arm = 1), 4)
+       FROM assigned
+       UNION ALL
+       SELECT 3, ROUND(quantile_cont(value, 0.3) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.3) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.3) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.3) FILTER (arm = 1), 4)
+       FROM assigned
+       UNION ALL
+       SELECT 4, ROUND(quantile_cont(value, 0.4) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.4) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.4) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.4) FILTER (arm = 1), 4)
+       FROM assigned
+       UNION ALL
+       SELECT 5, ROUND(quantile_cont(value, 0.5) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.5) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.5) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.5) FILTER (arm = 1), 4)
+       FROM assigned
+       UNION ALL
+       SELECT 6, ROUND(quantile_cont(value, 0.6) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.6) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.6) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.6) FILTER (arm = 1), 4)
+       FROM assigned
+       UNION ALL
+       SELECT 7, ROUND(quantile_cont(value, 0.7) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.7) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.7) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.7) FILTER (arm = 1), 4)
+       FROM assigned
+       UNION ALL
+       SELECT 8, ROUND(quantile_cont(value, 0.8) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.8) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.8) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.8) FILTER (arm = 1), 4)
+       FROM assigned
+       UNION ALL
+       SELECT 9, ROUND(quantile_cont(value, 0.9) FILTER (arm = 0), 4),
+              ROUND(quantile_cont(value, 0.9) FILTER (arm = 1), 4),
+              ROUND(quantile_cont(value, 0.9) FILTER (arm = 0), 4)
+                - ROUND(quantile_cont(value, 0.9) FILTER (arm = 1), 4)
+       FROM assigned""",
+)
+def q_ext_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL A/B readout
+    (ext_ab_test compares means, ext_mann_whitney ranks; QTE shows
+    WHERE in the distribution the effect lives: a treatment that
+    lifts the p90 but not the median is invisible to both). Per
+    decile, the exact interpolated per-arm quantile and their
+    difference. Exactness: Spark `percentile` == DuckDB
+    `quantile_cont` bit-for-bit on raw double columns (the
+    agg_percentile precedent), both sides round to 4dp BEFORE the
+    subtraction so the diff is a single IEEE op on identical
+    doubles. Shape: ONE aggregation pass computes all 18 quantiles
+    (conditional inputs, no per-decile scan — the oracle's UNION ALL
+    is oracle-side only), then a 9-row stack unpivot."""
+    ev = read_table(spark, sf_dir, "events")
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    arm = hash_bucket(F.col("user_id"), 2)
+    assigned = ev.select(arm.alias("arm"), "value")
+    levels = [i / 10 for i in range(1, 10)]
+    aggs = []
+    for i, lv in enumerate(levels, start=1):
+        aggs.append(
+            F.round(
+                F.percentile(F.when(F.col("arm") == 0, F.col("value")), F.lit(lv)), 4
+            ).alias(f"qa_{i}")
+        )
+        aggs.append(
+            F.round(
+                F.percentile(F.when(F.col("arm") == 1, F.col("value")), F.lit(lv)), 4
+            ).alias(f"qb_{i}")
+        )
+    wide = assigned.agg(*aggs)
+    stack = ", ".join(f"{i}, qa_{i}, qb_{i}" for i in range(1, 10))
+    return wide.selectExpr(
+        f"stack(9, {stack}) as (decile, q_a, q_b)"
+    ).select(
+        F.col("decile").cast("int").alias("decile"),
+        "q_a",
+        "q_b",
+        (F.col("q_a") - F.col("q_b")).alias("qte"),
+    )
+
+
+@register(
+    "ext_pit_features",
+    """SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_before,
+         CAST(COALESCE(ROUND(SUM(CASE WHEN ts < TIMESTAMP '2024-01-20'
+                  THEN CAST(value AS DECIMAL(38,6)) END) * 100, 0), 0)
+              AS BIGINT) AS cents_before,
+         CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-20'
+                  THEN event_type END) AS BIGINT) AS n_types_before,
+         CAST(MAX(CASE WHEN ts >= TIMESTAMP '2024-01-20'
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS label
+       FROM events GROUP BY user_id""",
+)
+def q_ext_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature/label construction — the label-leakage
+    guard every supervised pipeline needs: features may only see
+    events BEFORE the cutoff, the label only events AT/AFTER it
+    (training a churn/propensity model on features that peek past the
+    cutoff is the classic silent-leak: great offline AUC, useless in
+    production). One conditional-aggregation pass builds both sides
+    of the temporal wall per user — no self-join, no second scan.
+    Exactness: counts, decimal-accumulated integer cents
+    (COALESCE'd to 0 for users with no pre-cutoff events, both
+    sides), and a 0/1 label. Scale shape: single map-side-combinable
+    aggregate keyed by user; the cutoff predicate is a scan-stage
+    filter expression, so at 100 TB the time wall costs nothing
+    beyond the one pass you were already paying."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    before = F.col("ts") < cutoff
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(before, 1).otherwise(0)).alias("n_before"),
+        F.coalesce(
+            F.round(F.sum(F.when(before, F.col("value").cast(DEC))) * 100, 0),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cents_before"),
+        F.countDistinct(F.when(before, F.col("event_type"))).alias("n_types_before"),
+        F.max(
+            F.when((~before) & (F.col("event_type") == "purchase"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("label"),
+    )
+
+
+@register(
+    "ext_modularity",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e0 AS MATERIALIZED (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       ), adj AS MATERIALIZED (
+         SELECT u AS node, v AS nbr FROM e0
+         UNION ALL SELECT v AS node, u AS nbr FROM e0
+       ), l0 AS MATERIALIZED (
+         SELECT DISTINCT node, node AS label FROM adj
+       ), r1 AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT a.node, l.label,
+                  row_number() OVER (PARTITION BY a.node
+                    ORDER BY COUNT(*) DESC, l.label) AS rn
+           FROM adj a JOIN l0 l ON a.nbr = l.node
+           GROUP BY a.node, l.label
+         ) q WHERE rn = 1
+       ), r2 AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT a.node, l.label,
+                  row_number() OVER (PARTITION BY a.node
+                    ORDER BY COUNT(*) DESC, l.label) AS rn
+           FROM adj a JOIN r1 l ON a.nbr = l.node
+           GROUP BY a.node, l.label
+         ) q WHERE rn = 1
+       ), r3 AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT a.node, l.label,
+                  row_number() OVER (PARTITION BY a.node
+                    ORDER BY COUNT(*) DESC, l.label) AS rn
+           FROM adj a JOIN r2 l ON a.nbr = l.node
+           GROUP BY a.node, l.label
+         ) q WHERE rn = 1
+       ), m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0
+       ), intra AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS e_in
+         FROM e0 JOIN r3 lu ON lu.node = e0.u
+                 JOIN r3 lv ON lv.node = e0.v
+         WHERE lu.label = lv.label
+       ), deg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+       ), dc AS (
+         SELECT r3.label, CAST(SUM(deg.d) AS BIGINT) AS d_c
+         FROM deg JOIN r3 ON r3.node = deg.node
+         GROUP BY r3.label
+       ), agg AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                CAST(SUM(CAST(d_c AS HUGEINT) * CAST(d_c AS HUGEINT)) AS DOUBLE)
+                  AS sum_dc2
+         FROM dc
+       )
+       SELECT m.m, intra.e_in, agg.n_communities,
+              (4.0 * CAST(m.m AS DOUBLE) * CAST(intra.e_in AS DOUBLE)
+               - agg.sum_dc2)
+              / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)) AS modularity
+       FROM m, intra, agg""",
+)
+def q_ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 3-round label-propagation partition —
+    the number that says whether ext_label_propagation's communities
+    are REAL structure or noise (Q near 0: no better than random;
+    0.3+: strong community structure). Q = Σ_c [e_c/m − (D_c/2m)²]
+    computed WITHOUT summing per-community doubles: the identity
+    Q = (4m·Σe_c − ΣD_c²) / 4m² keeps every accumulation integral
+    (Σe_c and ΣD_c² are exact in BIGINT/HUGEINT — summing the
+    per-community double terms instead would be partial-order
+    dependent, the exact trap functions/stable.py exists for), and
+    the final Q is one IEEE expression over exact integers, identical
+    tree both sides. Shape: the LPA rounds reuse the cached adjacency
+    (same iterate-over-cached-edges shape as the LPA entry); the Q
+    kernel adds two keyed joins + three 1-row aggregates, nothing
+    wider than (node, label) in any shuffle."""
+    from pyspark.sql import Window
+
+    from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
+    e0 = copurchase_edges(spark, sf_dir, min_support=2).cache()
+    adj = (
+        e0.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e0.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .cache()  # LPA rounds + degree aggregate share it
+    )
+    labels = adj.select("node").distinct().select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(3):
+        nbr_labels = adj.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        labels = (
+            nbr_labels.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    labels = labels.cache()  # intra-edge join (u AND v sides) + D_c rollup
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        e0.join(labels.select(F.col("node").alias("u"), F.col("label").alias("lu")), "u")
+        .join(labels.select(F.col("node").alias("v"), F.col("label").alias("lv")), "v")
+        .where(F.col("lu") == F.col("lv"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    D38 = "decimal(38,0)"
+    agg = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.col("d_c").cast(D38) * F.col("d_c").cast(D38))
+            .cast("double")
+            .alias("sum_dc2"),
+        )
+    )
+    joined = m.join(F.broadcast(intra)).join(F.broadcast(agg))
+    m_d = F.col("m").cast("double")
+    return joined.select(
+        "m",
+        "e_in",
+        "n_communities",
+        (
+            (F.lit(4.0) * m_d * F.col("e_in").cast("double") - F.col("sum_dc2"))
+            / (F.lit(4.0) * m_d * m_d)
+        ).alias("modularity"),
+    )
+
+
+@register(
+    "ext_hits",
+    """WITH pe AS (
+         SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       ), a1 AS (
+         SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM pe GROUP BY p
+       ), h1 AS (
+         SELECT pe.u, CAST(SUM(a1.a) AS BIGINT) AS h
+         FROM pe JOIN a1 ON a1.p = pe.p GROUP BY pe.u
+       ), a2 AS (
+         SELECT pe.p, CAST(SUM(h1.h) AS BIGINT) AS authority
+         FROM pe JOIN h1 ON h1.u = pe.u GROUP BY pe.p
+       )
+       SELECT p, authority FROM a2
+       ORDER BY authority DESC, p LIMIT 20""",
+)
+def q_ext_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scoring over the bipartite customer→part
+    purchase graph, UNNORMALIZED (one full mutual-reinforcement
+    iteration: authority = Σ hub, hub = Σ authority) — unnormalized
+    HITS is exact PATH COUNTING, so every score is an integer and the
+    entry stays value-hash-oracle-able where normalized power
+    iteration (float division by a global norm each round) would be
+    order-dependent; the ranking is identical because the norm is a
+    positive global constant. Completes the centrality family
+    (pagerank = random-walk centrality on the co-purchase projection;
+    HITS separates 'buys influential parts' from 'bought by
+    influential buyers' on the bipartite form). Shape: two keyed
+    aggregate+join rounds over the (u, p) edge relation, top-20 via
+    TakeOrderedAndProject — per-partition heaps, no global sort. At
+    100 TB the BIGINT path counts would move to DECIMAL(38,0) (the
+    documented overflow swap)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
+    )
+    l = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    pe = o.join(l, "ok").select("u", "p").distinct().cache()
+    a1 = pe.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = pe.join(a1, "p").groupBy("u").agg(F.sum("a").alias("h"))
+    a2 = pe.join(h1, "u").groupBy("p").agg(F.sum("h").alias("authority"))
+    return a2.orderBy(F.desc("authority"), "p").limit(20)
+
+
+@register(
+    "ext_negative_sampling",
+    """WITH pos AS (
+         SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       ), np AS (
+         SELECT CAST(MAX(p_partkey) + 1 AS BIGINT) AS n_parts FROM part
+       ), cand AS (
+         SELECT u,
+                ('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+                                    || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                  % (SELECT n_parts FROM np) AS p,
+                j
+         FROM (SELECT DISTINCT u FROM pos) users,
+              (SELECT UNNEST(generate_series(1, 6)) AS j) js
+       ), dedup AS (
+         SELECT u, p, CAST(MIN(j) AS BIGINT) AS j FROM cand GROUP BY u, p
+       ), neg AS (
+         SELECT d.u, d.p, d.j,
+                row_number() OVER (PARTITION BY d.u ORDER BY d.j, d.p) AS rank
+         FROM dedup d ANTI JOIN pos ON pos.u = d.u AND pos.p = d.p
+       )
+       SELECT u AS o_custkey, p AS neg_pk, CAST(rank AS BIGINT) AS rank
+       FROM neg WHERE rank <= 3""",
+)
+def q_ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: every customer with purchases gets 3 parts they did NOT
+    buy, drawn by a portable content hash (md5 of user:slot mod the
+    part-id domain) — no RNG, so the sample is identical on any
+    engine, partitioning, or rerun, and resumable ingest never
+    re-deals different negatives (the reproducibility property
+    ext_train_shuffle gives orderings, extended to pair mining).
+    Over-draw 6 slots, dedupe hash collisions keeping the earliest
+    slot, ANTI-join the positives, keep the first 3 by (slot, part) —
+    over-drawing makes 'a slot hit a positive' a per-row drop instead
+    of a retry loop (no iteration, one pass). Shape: positives build
+    once (order⋈lineitem, keys only), candidates are a 6-row explode
+    per user (narrow), the anti-join is keyed — nothing quadratic,
+    nothing random. The 1-row part-domain max broadcasts."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
+    )
+    l = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    pos = o.join(l, "ok").select("u", "p").distinct().cache()
+    n_parts = read_table(spark, sf_dir, "part").agg(
+        (F.max("p_partkey") + 1).alias("n_parts")
+    )
+    users = pos.select("u").distinct()
+    cand = (
+        users.join(F.broadcast(n_parts))
+        .select("u", "n_parts", F.explode(F.sequence(F.lit(1), F.lit(6))).alias("j"))
+        .select(
+            "u",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("u").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_parts")
+            ).alias("p"),
+        )
+    )
+    from pyspark.sql import Window
+
+    dedup = cand.groupBy("u", "p").agg(F.min("j").alias("j"))
+    neg = dedup.join(pos, ["u", "p"], "left_anti")
+    w = Window.partitionBy("u").orderBy("j", "p")
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("u").alias("o_custkey"),
+            F.col("p").alias("neg_pk"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
