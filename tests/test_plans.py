@@ -1064,3 +1064,90 @@ class TestGlobalPlanHygiene:
             if "CartesianProduct" in plan:
                 bad.append(name)
         assert not bad, bad
+
+
+class TestRound4Session2Plans:
+    """Round-4 session-2 operators: the physical strategies that keep
+    the new entries 100 TB-shaped."""
+
+    def _plan(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return physical_plan(QUERIES[name](spark, sf_dir))
+
+    def test_join_theta_broadcasts_the_small_side(self, spark, sf_dir):
+        """A pure inequality join has no equi key, so the ONLY scalable
+        physical strategy is nested-loop with the 4-row side broadcast:
+        the fact streams through unshuffled. A CartesianProduct or a
+        shuffle of orders before the join would mean the hint was
+        lost."""
+        plan = self._plan(spark, sf_dir, "join_theta")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_shortest_path_reuses_cached_edges(self, spark, sf_dir):
+        """All three BFS rounds must join against the SAME cached edge
+        relation (InMemoryTableScan), not rebuild the lineitem
+        self-join per round; shuffles carry only (id, dist) longs."""
+        plan = self._plan(spark, sf_dir, "ext_shortest_path")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_prop_ztest_is_one_partial_aggregate_pass(self, spark, sf_dir):
+        """All four cell counts of the z-test come from ONE
+        map-side-combinable aggregation over the fact — no window, no
+        self-join, no second scan."""
+        plan = self._plan(spark, sf_dir, "ext_prop_ztest")
+        assert "partial_sum" in plan, plan
+        assert "Window" not in plan, plan
+        assert plan.count("FileScan") == 1, plan
+
+    def test_pit_features_single_scan_builds_both_sides_of_the_wall(
+        self, spark, sf_dir
+    ):
+        """Features (before cutoff) and label (after) must come from
+        one conditional-aggregation pass — a self-join of the fact
+        against itself across the time wall is the anti-pattern."""
+        plan = self._plan(spark, sf_dir, "ext_pit_features")
+        assert plan.count("FileScan") == 1, plan
+        assert "Join" not in plan, plan
+
+    def test_qte_reads_events_once_for_all_deciles(self, spark, sf_dir):
+        """All 18 per-arm quantiles compute in ONE aggregation over one
+        scan (conditional inputs); the 9-row melt happens after. The
+        oracle's per-decile UNION ALL is oracle-side only."""
+        plan = self._plan(spark, sf_dir, "ext_qte")
+        assert plan.count("FileScan") == 1, plan
+
+    def test_hits_topk_is_take_ordered_not_global_sort(self, spark, sf_dir):
+        """Top-20 authorities must plan as per-partition heaps + one
+        20-row reduce, never a rangepartitioning sort of the part
+        relation."""
+        plan = self._plan(spark, sf_dir, "ext_hits")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+
+    def test_negative_sampling_anti_join_is_keyed(self, spark, sf_dir):
+        """Candidate filtering must be a keyed LeftAnti join against
+        the positives — not a nested-loop containment check — and the
+        1-row part-domain max broadcasts."""
+        plan = self._plan(spark, sf_dir, "ext_negative_sampling")
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_binary_files_scan_projects_metadata_lazily(self, spark, sf_dir):
+        """The binaryFile source must appear as its own scan relation;
+        the md5/length projection happens in-plan (no Python hop)."""
+        plan = self._plan(spark, sf_dir, "src_binary_files")
+        assert "binaryFile" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_modularity_reuses_cached_labels_and_edges(self, spark, sf_dir):
+        """The intra-edge join probes the cached label relation on BOTH
+        endpoints and the Q kernel is integer until the final division:
+        cached relations must appear, and no per-community double sum
+        may feed a partial_sum of doubles."""
+        plan = self._plan(spark, sf_dir, "ext_modularity")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
