@@ -131,6 +131,8 @@ HEADLINE = [
     "ext_modularity",        # Newman Q of the LPA partition, integer kernel
     "ext_hits",              # bipartite hub/authority path counting
     "ext_negative_sampling", # hash-deterministic negatives, anti-join
+    "ext_gdpr_cascade",      # erasure-impact audit, broadcast semi probes
+    "ext_runs_test",         # Wald-Wolfowitz randomness screen
 ]
 
 

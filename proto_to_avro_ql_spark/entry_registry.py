@@ -12043,3 +12043,190 @@ def q_ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "ext_gdpr_cascade",
+    """WITH del_c AS (
+         SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+       ), del_o AS (
+         SELECT o_orderkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+       )
+       SELECT 'customer' AS entity,
+              CAST((SELECT COUNT(*) FROM del_c) AS BIGINT) AS n_delete,
+              CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total
+       UNION ALL
+       SELECT 'orders',
+              CAST((SELECT COUNT(*) FROM del_o) AS BIGINT),
+              CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+       UNION ALL
+       SELECT 'lineitem',
+              CAST((SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+                   AS BIGINT),
+              CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+       UNION ALL
+       SELECT 'events',
+              CAST((SELECT COUNT(*) FROM events WHERE user_id % 37 = 0)
+                   AS BIGINT),
+              CAST((SELECT COUNT(*) FROM events) AS BIGINT)""",
+)
+def q_ext_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion cohort
+    (customers whose key hits the request list — modeled as
+    c_custkey % 37 = 0), report per table how many rows the cascade
+    removes (customer → their orders → those orders' line items, plus
+    the user-keyed event fact) against each table's total — the
+    report every GDPR/CCPA erasure pipeline runs BEFORE executing the
+    delete, and re-runs after expecting zeros. Shape: the cohort and
+    its order keys are keys-only relations that broadcast; each
+    cascade count is a LeftSemi probe of one fact (no fact ever
+    joins another fact); the four 1-row aggregates union into the
+    report. At 100 TB this is exactly the deletion-vector build
+    path: the semi-join sides are the erasure manifests."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    del_c = cust.where(F.col("c_custkey") % 37 == 0).select("c_custkey").cache()
+    del_o = (
+        orders.join(
+            F.broadcast(del_c), orders["o_custkey"] == del_c["c_custkey"], "leftsemi"
+        )
+        .select("o_orderkey")
+        .cache()
+    )
+
+    def report(entity: str, n_delete, n_total) -> DataFrame:
+        return n_delete.join(n_total).select(
+            F.lit(entity).alias("entity"), "n_delete", "n_total"
+        )
+
+    r1 = report(
+        "customer",
+        del_c.agg(F.count(F.lit(1)).alias("n_delete")),
+        cust.agg(F.count(F.lit(1)).alias("n_total")),
+    )
+    r2 = report(
+        "orders",
+        del_o.agg(F.count(F.lit(1)).alias("n_delete")),
+        orders.agg(F.count(F.lit(1)).alias("n_total")),
+    )
+    r3 = report(
+        "lineitem",
+        li.join(F.broadcast(del_o), li["l_orderkey"] == del_o["o_orderkey"], "leftsemi")
+        .agg(F.count(F.lit(1)).alias("n_delete")),
+        li.agg(F.count(F.lit(1)).alias("n_total")),
+    )
+    r4 = report(
+        "events",
+        ev.where(F.col("user_id") % 37 == 0).agg(F.count(F.lit(1)).alias("n_delete")),
+        ev.agg(F.count(F.lit(1)).alias("n_total")),
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+
+@register(
+    "ext_runs_test",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), lagged AS (
+         SELECT event_type, day, cents,
+                lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+         FROM d
+       ), signs AS (
+         SELECT event_type, day,
+                CASE WHEN cents > prev THEN 1 ELSE 0 END AS s
+         FROM lagged WHERE prev IS NOT NULL AND cents <> prev
+       ), changes AS (
+         SELECT event_type, s,
+                lag(s) OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+         FROM signs
+       ), m AS (
+         SELECT event_type,
+                CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(1 + SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs
+         FROM changes GROUP BY event_type
+       )
+       SELECT event_type, n1, n2, runs,
+              (CAST(runs AS DOUBLE)
+               - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / CAST(n1 + n2 AS DOUBLE) + 1.0))
+              / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                     / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS z_stat
+       FROM m""",
+)
+def q_ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue up/down sequence
+    per event type — the randomness screen beside ext_benford and
+    ext_cusum: too FEW runs means trending/autocorrelated data, too
+    MANY means oscillation (both make naive A/B variance estimates
+    wrong, which is why experimentation platforms run this on their
+    guardrail metrics). Up/down signs come from EXACT integer-cents
+    comparisons (ties dropped, the standard treatment), runs counted
+    by one lag over the sign sequence; n1/n2/R are exact integers and
+    the normal-approximation z is one IEEE expression over them,
+    identical tree both sides. Shape: one (type, day) aggregate, two
+    narrow per-type windows over the tiny daily relation, 5-row
+    output."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type", "day", "cents", F.lag("cents").over(w).alias("prev")
+    )
+    signs = lagged.where(
+        F.col("prev").isNotNull() & (F.col("cents") != F.col("prev"))
+    ).select(
+        "event_type",
+        "day",
+        F.when(F.col("cents") > F.col("prev"), 1).otherwise(0).alias("s"),
+    )
+    changes = signs.select(
+        "event_type", "s", F.lag("s").over(w).alias("prev_s")
+    )
+    m = changes.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s")), 1
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    return m.select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z_stat"),
+    )
