@@ -125,6 +125,18 @@ AUDIT = {
     "ext_minhash_merge": "mergeable MinHash (one map-side-partial signature agg)",
     "ext_pq_search": "PQ ADC search (broadcast codebooks, LUT join + hash agg)",
     "src_state_reader": "statestore read of a completed stream (vs batch oracle)",
+    # round 4, session 2
+    "ext_prop_ztest": "two-proportion z (one conditional agg pass, 1-row result)",
+    "ext_rfm": "RFM quintile grid (per-user agg, anchor broadcast, global ntile)",
+    "join_theta": "pure inequality join (broadcast nested loop, fact unshuffled)",
+    "ext_shortest_path": "3-round BFS (cached edges, (id,dist)-only shuffles)",
+    "src_binary_files": "binaryFile whole-object scan (JVM-side md5/length)",
+    "ext_qte": "per-decile treatment effects (one scan, 18 quantiles, stack melt)",
+    "ext_modularity": "Newman Q of the LPA partition (integer kernel, cached labels)",
+    "ext_hits": "bipartite HITS path counting (keyed agg rounds, TakeOrdered)",
+    "ext_negative_sampling": "hash negatives (narrow explode, keyed anti join)",
+    "ext_gdpr_cascade": "erasure-impact audit (broadcast semi probes, 1-row aggs)",
+    "ext_runs_test": "runs test (one daily agg, two narrow windows, 5-row output)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
