@@ -133,6 +133,9 @@ HEADLINE = [
     "ext_negative_sampling", # hash-deterministic negatives, anti-join
     "ext_gdpr_cascade",      # erasure-impact audit, broadcast semi probes
     "ext_runs_test",         # Wald-Wolfowitz randomness screen
+    "ext_fk_audit",          # referential-integrity orphan probes
+    "ext_partition_gaps",    # calendar-vs-observed ingest completeness
+    "ext_scd2_build",        # SCD2 interval build, one lead window
 ]
 
 

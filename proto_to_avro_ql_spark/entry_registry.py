@@ -12230,3 +12230,168 @@ def q_ext_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         ((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z_stat"),
     )
+
+
+@register(
+    "ext_fk_audit",
+    """SELECT 'lineitem->orders' AS relationship,
+              CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+              CAST((SELECT COUNT(*) FROM lineitem l
+                    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                   AS BIGINT) AS n_orphan
+       UNION ALL
+       SELECT 'orders->customer',
+              CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+              CAST((SELECT COUNT(*) FROM orders o
+                    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+                   AS BIGINT)
+       UNION ALL
+       SELECT 'lineitem->supplier',
+              CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+              CAST((SELECT COUNT(*) FROM lineitem l
+                    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+                   AS BIGINT)
+       UNION ALL
+       SELECT 'events->customer(user_id)',
+              CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+              CAST((SELECT COUNT(*) FROM events e
+                    WHERE e.user_id NOT IN (SELECT c_custkey FROM customer))
+                   AS BIGINT)""",
+)
+def q_ext_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the inverse of ext_gdpr_cascade's
+    semi probes: per declared relationship, how many child rows exist
+    and how many are ORPHANS (no matching parent key). Three in-domain
+    relationships plus one deliberately cross-domain probe
+    (events.user_id against the customer dimension) that yields real
+    orphans, exercising the nonzero path — a healthy lake reports
+    zeros, and the zeros are only trustworthy if the check can
+    produce non-zeros. Shape: each orphan count is one LeftAnti join
+    with the PARENT side broadcast (dimension keys are the small
+    side by construction); facts never join facts, and each fact is
+    scanned key-only. This is the dbt-style `relationships` test
+    rebuilt as broadcast anti probes — at 100 TB the orphan scan is
+    the same cost as the fact scan you already pay."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    ev = read_table(spark, sf_dir, "events")
+
+    def audit(rel: str, child: DataFrame, key: str, parent: DataFrame, pkey: str) -> DataFrame:
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = child.join(
+            F.broadcast(parent.select(pkey)),
+            child[key] == F.col(pkey),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphan"))
+        return total.join(orphans).select(
+            F.lit(rel).alias("relationship"), "n_child", "n_orphan"
+        )
+
+    return (
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"))
+        .unionByName(
+            audit("events->customer(user_id)", ev, "user_id", cust, "c_custkey")
+        )
+    )
+
+
+@register(
+    "ext_partition_gaps",
+    """WITH span AS (
+         SELECT event_type,
+                MIN(CAST(ts AS DATE)) AS first_day,
+                MAX(CAST(ts AS DATE)) AS last_day,
+                CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_observed
+         FROM events GROUP BY event_type
+       )
+       SELECT event_type,
+              strftime(first_day, '%Y-%m-%d') AS first_day,
+              strftime(last_day, '%Y-%m-%d') AS last_day,
+              CAST(datediff('day', first_day, last_day) + 1 AS BIGINT)
+                AS n_expected,
+              n_observed,
+              CAST(datediff('day', first_day, last_day) + 1 AS BIGINT)
+                - n_observed AS n_missing
+       FROM span""",
+)
+def q_ext_partition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-completeness audit: per event type, the calendar span it
+    covers, how many distinct days actually landed, and how many are
+    MISSING — the 'did yesterday's partition arrive' check every
+    scheduled pipeline gates on (a day silently dropped by an
+    upstream outage is invisible to row-count monitoring when volume
+    varies; the calendar-vs-observed diff is not). Healthy data
+    reports n_missing = 0, and the expected-vs-observed pair keeps
+    the hash non-trivial either way. Shape: ONE aggregate over
+    (type, day) — the span bounds and the distinct-day count come
+    from the same pass; n_expected is date arithmetic on the bounds,
+    no calendar relation is materialized or joined. Dates render as
+    ISO strings (house convention)."""
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.groupBy("event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_observed"),
+    )
+    n_expected = (F.datediff("last_day", "first_day") + 1).cast("long")
+    return span.select(
+        "event_type",
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        n_expected.alias("n_expected"),
+        "n_observed",
+        (n_expected - F.col("n_observed")).alias("n_missing"),
+    )
+
+
+@register(
+    "ext_scd2_build",
+    """SELECT o_custkey,
+              o_orderpriority AS priority,
+              strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+              COALESCE(
+                strftime(
+                  lead(CAST(o_orderdate AS DATE)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                  '%Y-%m-%d'),
+                '9999-12-31') AS valid_to,
+              CAST(CASE WHEN lead(o_orderkey) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(o_orderdate AS DATE), o_orderkey) IS NULL
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_current
+       FROM orders""",
+)
+def q_ext_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension BUILD — the write side of ext_scd2_join's
+    lookup: turn a change log (each order carries the customer's
+    then-current priority attribute) into validity intervals
+    [valid_from, valid_to) with an is_current flag, the standard
+    warehouse history table. One lead() window per customer with a
+    deterministic total order (date, then order key, so same-day
+    changes chain portably); the open interval closes at the sentinel
+    9999-12-31. Shape: ONE user-keyed window over the change log —
+    no self-join (the naive interval build joins the log to itself
+    on 'next change after', which is quadratic per key); shuffle
+    carries (custkey, date, key, attribute) only. Dates render as
+    ISO strings (house convention)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(day, "o_orderkey")
+    nxt_day = F.lead(day).over(w)
+    nxt_key = F.lead("o_orderkey").over(w)
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(day, "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt_day, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        F.when(nxt_key.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
