@@ -136,6 +136,7 @@ HEADLINE = [
     "ext_fk_audit",          # referential-integrity orphan probes
     "ext_partition_gaps",    # calendar-vs-observed ingest completeness
     "ext_scd2_build",        # SCD2 interval build, one lead window
+    "ext_stratified_ate",    # post-stratified A/B estimate, ordered combine
 ]
 
 

@@ -12395,3 +12395,109 @@ def q_ext_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(nxt_key.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )
+
+
+@register(
+    "ext_stratified_ate",
+    """WITH assigned AS (
+         SELECT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                  AS arm,
+                value
+         FROM events
+       ), s AS (
+         SELECT event_type,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(COALESCE(ROUND(SUM(CASE WHEN arm = 0
+                    THEN CAST(value AS DECIMAL(38,6)) END) * 100, 0), 0)
+                AS BIGINT) AS cents_t,
+           CAST(COALESCE(ROUND(SUM(CASE WHEN arm = 1
+                    THEN CAST(value AS DECIMAL(38,6)) END) * 100, 0), 0)
+                AS BIGINT) AS cents_c
+         FROM assigned GROUP BY event_type
+       ), t AS (
+         SELECT event_type, n_t, n_c,
+                CAST(n_t + n_c AS BIGINT) AS n_s,
+                (CAST(cents_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(cents_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 100.0
+                  AS diff_s,
+                CAST(SUM(n_t + n_c) OVER () AS DOUBLE) AS n_total
+         FROM s
+       )
+       SELECT event_type, n_s, n_t, n_c, diff_s,
+              SUM(CAST(n_s AS DOUBLE) / n_total * diff_s) OVER (
+                ORDER BY event_type
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS ate_running
+       FROM t""",
+)
+def q_ext_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average treatment effect — the covariate-adjusted
+    A/B estimate that closes the causal family (ext_ab_test: raw
+    means; ext_cuped: pre-period adjustment; ext_diff_in_diff:
+    parallel trends; this: post-stratification — when assignment is
+    fine but a covariate predicts the metric, weighting per-stratum
+    effects by stratum size removes its variance contribution). Per
+    stratum: exact arm counts and integer-cents sums from ONE
+    conditional aggregation; the per-stratum effect is an IEEE
+    expression over exact integers. The cross-stratum combination —
+    the one place a sum of DOUBLES is unavoidable — accumulates in a
+    deterministic ORDERED window frame (frame-ordered running sum,
+    not a parallel aggregate, the one double-sum form that is
+    portable; the final row's ate_running IS the ATE). Shape: one
+    fact aggregate + one 5-row window."""
+    from pyspark.sql import Window
+
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    arm = hash_bucket(F.col("user_id"), 2)
+    s = (
+        ev.select("event_type", arm.alias("arm"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_c"),
+            F.coalesce(
+                F.round(
+                    F.sum(F.when(F.col("arm") == 0, F.col("value").cast(DEC))) * 100, 0
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents_t"),
+            F.coalesce(
+                F.round(
+                    F.sum(F.when(F.col("arm") == 1, F.col("value").cast(DEC))) * 100, 0
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cents_c"),
+        )
+    )
+    n_s = (F.col("n_t") + F.col("n_c")).cast("long")
+    diff_s = (
+        F.col("cents_t").cast("double") / F.col("n_t").cast("double")
+        - F.col("cents_c").cast("double") / F.col("n_c").cast("double")
+    ) / F.lit(100.0)
+    t = s.select(
+        "event_type",
+        "n_t",
+        "n_c",
+        n_s.alias("n_s"),
+        diff_s.alias("diff_s"),
+        F.sum(F.col("n_t") + F.col("n_c")).over(Window.partitionBy()).cast("double").alias("n_total"),
+    )
+    run = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
+    return t.select(
+        "event_type",
+        "n_s",
+        "n_t",
+        "n_c",
+        "diff_s",
+        F.sum(F.col("n_s").cast("double") / F.col("n_total") * F.col("diff_s"))
+        .over(run)
+        .alias("ate_running"),
+    )

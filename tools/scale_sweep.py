@@ -89,6 +89,16 @@ SWEEP = [
     "ext_dedup_span",
     "ext_reservoir_sample",
     "ext_minhash_merge",
+    # round 4, session 2
+    "ext_shortest_path",
+    "ext_modularity",
+    "ext_hits",
+    "ext_negative_sampling",
+    "ext_qte",
+    "ext_pit_features",
+    "join_theta",
+    "ext_scd2_build",
+    "src_binary_files",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
