@@ -137,6 +137,8 @@ HEADLINE = [
     "ext_partition_gaps",    # calendar-vs-observed ingest completeness
     "ext_scd2_build",        # SCD2 interval build, one lead window
     "ext_stratified_ate",    # post-stratified A/B estimate, ordered combine
+    "udf_grouped_arrow",     # grouped-map applyInArrow (Arrow-native hop)
+    "ext_sql_scripting",     # BEGIN..END WHILE loop, per-iter pushed count
 ]
 
 

@@ -12501,3 +12501,103 @@ def q_ext_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(run)
         .alias("ate_running"),
     )
+
+
+@register(
+    "udf_grouped_arrow",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(MIN(event_id) AS BIGINT) AS id_min,
+              CAST(MAX(event_id) AS BIGINT) AS id_max,
+              CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+       FROM events GROUP BY event_type""",
+)
+def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInArrow`` — the LAST §2.8 arbitrary-Python
+    surface (scalar pandas_udf, grouped/cogrouped applyInPandas,
+    grouped-agg pandas, mapInPandas, mapInArrow, and static +
+    polymorphic UDTFs are already covered): the user function
+    receives each group as a raw ``pyarrow.Table`` and returns one —
+    NO pandas materialization at all, so the Python hop costs one
+    Arrow IPC each way and zero dataframe conversion (the difference
+    that matters when groups are wide binary/media rows). The kernel
+    keeps to order-independent exact integers (count, min/max id,
+    int64 sum) so the oracle is the plain GROUP BY — the entry pins
+    the SURFACE, not novel math. Scale shape: one shuffle on the
+    group key, Arrow batches bounded by group size; skewed groups
+    are the documented applyInPandas caveat and the same salting
+    recipe applies."""
+    import pyarrow as pa
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+
+    def agg(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": [tbl["event_type"][0].as_py()],
+                "n_events": pa.array([tbl.num_rows], pa.int64()),
+                "id_min": pa.array([pc.min(tbl["event_id"]).as_py()], pa.int64()),
+                "id_max": pa.array([pc.max(tbl["event_id"]).as_py()], pa.int64()),
+                "user_id_sum": pa.array([pc.sum(tbl["user_id"]).as_py()], pa.int64()),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        agg,
+        schema="event_type string, n_events long, id_min long, id_max long, "
+        "user_id_sum long",
+    )
+
+
+@register(
+    "ext_sql_scripting",
+    """WITH powers AS (
+         SELECT CAST(power(2, k) AS BIGINT) AS thr
+         FROM (SELECT UNNEST(generate_series(0, 40)) AS k)
+       ), counted AS (
+         SELECT thr,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_totalprice > thr) AS n_above
+         FROM powers
+       )
+       SELECT thr AS threshold, n_above
+       FROM counted WHERE n_above < 100
+       ORDER BY thr LIMIT 1""",
+)
+def q_ext_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.1's BEGIN…END procedural blocks —
+    DECLARE'd session variables, SET, WHILE control flow inside the
+    SQL surface itself): find the smallest power-of-two spend
+    threshold exceeded by fewer than 100 orders by DOUBLING a
+    declared variable in a WHILE loop — the 'escalate until the
+    report is small enough' idiom that previously required driver
+    Python. Each loop iteration is a real distributed COUNT; the
+    script's final SELECT is the entry's result. The oracle proves
+    the procedural loop equals the declarative form (all 41 candidate
+    thresholds counted, first satisfying one kept) — control flow is
+    orchestration, not semantics. Scale shape per iteration: one
+    scan-stage count with the predicate pushed down; the loop runs
+    O(log max_price) times."""
+    df = read_table(spark, sf_dir, "orders")
+    df.createOrReplaceTempView("orders_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 1;
+          DECLARE n_above BIGINT DEFAULT 0;
+          SET n_above = (SELECT COUNT(*) FROM orders_script
+                         WHERE o_totalprice > thr);
+          WHILE n_above >= 100 DO
+            SET thr = thr * 2;
+            SET n_above = (SELECT COUNT(*) FROM orders_script
+                           WHERE o_totalprice > thr);
+          END WHILE;
+          SELECT thr AS threshold, n_above;
+        END
+        """
+    )
