@@ -870,3 +870,120 @@ class TestSession5References:
         assert got.zipf_slope == pytest.approx(slope, abs=1e-4)
         assert got.r2 == pytest.approx(r * r, abs=1e-4)
         assert got.zipf_slope < 0  # frequencies decay with rank
+
+
+class TestRound4Session2Semantics:
+    """Semantic self-checks for the session-2 operators — properties
+    the DuckDB oracle can't express (it would just re-run the same
+    SQL): invariants that must hold by the MEANING of each operator."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_shortest_path_distances_match_brute_force_bfs(self, spark, sf_dir):
+        """Driver-side BFS over the collected edge list must agree with
+        the distributed 3-round relaxation exactly."""
+        from collections import deque
+
+        from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
+        edges = copurchase_edges(spark, sf_dir, min_support=2).collect()
+        adj: dict[int, set[int]] = {}
+        for r in edges:
+            adj.setdefault(r["u"], set()).add(r["v"])
+            adj.setdefault(r["v"], set()).add(r["u"])
+        seeds = sorted(n for n in adj if n % 50 == 0)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            n = q.popleft()
+            if dist[n] >= 3:
+                continue
+            for nb in adj[n]:
+                if nb not in dist:
+                    dist[nb] = dist[n] + 1
+                    q.append(nb)
+        got = {
+            r["id"]: r["dist"]
+            for r in self._run(spark, sf_dir, "ext_shortest_path").collect()
+        }
+        assert got == dist
+
+    def test_modularity_is_bounded_and_consistent(self, spark, sf_dir):
+        """Q ∈ [-0.5, 1] by definition; intra-community edges cannot
+        exceed total edges; community count cannot exceed node count."""
+        row = self._run(spark, sf_dir, "ext_modularity").collect()[0]
+        assert -0.5 <= row["modularity"] <= 1.0
+        assert 0 <= row["e_in"] <= row["m"]
+        assert row["n_communities"] >= 1
+
+    def test_negative_samples_never_hit_positives(self, spark, sf_dir):
+        """The defining property: no sampled negative may be a real
+        (customer, part) purchase, and every customer gets at most 3."""
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        neg = self._run(spark, sf_dir, "ext_negative_sampling")
+        o = read_table(spark, sf_dir, "orders").selectExpr(
+            "o_orderkey AS ok", "o_custkey AS u"
+        )
+        l = read_table(spark, sf_dir, "lineitem").selectExpr(
+            "l_orderkey AS ok", "l_partkey AS p"
+        )
+        pos = o.join(l, "ok").select("u", "p").distinct()
+        hits = neg.join(
+            pos,
+            (neg["o_custkey"] == pos["u"]) & (neg["neg_pk"] == pos["p"]),
+            "inner",
+        ).count()
+        assert hits == 0
+        per_user = neg.groupBy("o_custkey").count().agg({"count": "max"}).collect()[0][0]
+        assert per_user <= 3
+
+    def test_scd2_intervals_chain_with_one_current_row_per_key(self, spark, sf_dir):
+        """Interval chaining: per customer the rows ordered by
+        valid_from must tile (each valid_to equals the next
+        valid_from), exactly one row is open (9999-12-31), and that
+        row is the is_current one."""
+        rows = self._run(spark, sf_dir, "ext_scd2_build").collect()
+        by_cust: dict[int, list] = {}
+        for r in rows:
+            by_cust.setdefault(r["o_custkey"], []).append(r)
+        for cust, rs in by_cust.items():
+            rs.sort(key=lambda r: (r["valid_from"], r["valid_to"]))
+            open_rows = [r for r in rs if r["valid_to"] == "9999-12-31"]
+            assert len(open_rows) == 1, cust
+            assert all(
+                (r["valid_to"] == "9999-12-31") == (r["is_current"] == 1) for r in rs
+            ), cust
+
+    def test_prop_ztest_rates_consistent_with_counts(self, spark, sf_dir):
+        row = self._run(spark, sf_dir, "ext_prop_ztest").collect()[0]
+        assert row["rate_a"] == row["x_a"] / row["n_a"]
+        assert row["rate_b"] == row["x_b"] / row["n_b"]
+
+    def test_group_split_sources_never_straddle_splits(self, spark, sf_dir):
+        """The leakage guard itself: summing n_sources across splits
+        must equal the corpus' distinct-source count (a source in two
+        splits would double-count)."""
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        out = self._run(spark, sf_dir, "ext_group_split").collect()
+        total_sources = (
+            read_table(spark, sf_dir, "documents").select("source").distinct().count()
+        )
+        assert sum(r["n_sources"] for r in out) == total_sources
+
+    def test_rfm_scores_cover_the_grid_and_users(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        out = self._run(spark, sf_dir, "ext_rfm").collect()
+        n_users = (
+            read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+        assert sum(r["n_users"] for r in out) == n_users
+        for r in out:
+            assert 1 <= r["r_score"] <= 5
+            assert 1 <= r["f_score"] <= 5
+            assert 1 <= r["m_score"] <= 5
