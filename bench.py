@@ -26,6 +26,11 @@ HEADLINE13_N = 13
 # Known design-trade regressions, annotated so they don't read as
 # silent slowdowns (round-3 verdict, next-round #3).
 NOTES = {
+    "ext_sql_scripting": (
+        "inherently iterative: a BEGIN..END WHILE loop issuing ~20 "
+        "SEQUENTIAL tiny counts — per-job scheduling latency, not plan "
+        "cost; each iteration is one pushed-down scan-stage count"
+    ),
     "ext_zorder_manifest": (
         "+78% vs r02 by design: banded rank + prefix sum replaced a "
         "single-partition global ntile window — slower at local sf0.1, "
