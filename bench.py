@@ -144,6 +144,7 @@ HEADLINE = [
     "ext_stratified_ate",    # post-stratified A/B estimate, ordered combine
     "udf_grouped_arrow",     # grouped-map applyInArrow (Arrow-native hop)
     "ext_sql_scripting",     # BEGIN..END WHILE loop, per-iter pushed count
+    "sink_stream_foreachbatch",  # foreachBatch idempotent-overwrite sink
 ]
 
 

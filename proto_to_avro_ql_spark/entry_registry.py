@@ -12601,3 +12601,63 @@ def q_ext_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "sink_stream_foreachbatch",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                   AS BIGINT) AS cents
+       FROM events GROUP BY event_type""",
+)
+def q_sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``foreachBatch`` streaming SINK — the escape hatch every
+    production pipeline ends in when the destination isn't a built-in
+    sink (JDBC, MERGE targets, multi-table fan-out): the stream's
+    complete-mode aggregate is handed to a user function per
+    micro-batch, which here writes an idempotent overwrite of the
+    result table (overwrite + deterministic content = safe replay —
+    the batch id is the dedup key a real MERGE would use). Runs the
+    file-source event stream to completion (availableNow), then reads
+    the written table back; the oracle is the plain batch GROUP BY, so
+    the entry pins the Kappa consistency claim ON THE SINK PATH:
+    stream → foreachBatch → storage → read equals batch. Checkpoint
+    and output are hash-staged per sf_dir (re-runs resume the offset
+    log, reprocess nothing, and read the same table). Scale shape:
+    the aggregate state is one row per event type; the foreachBatch
+    write is a driver-coordinated distributed parquet write, not a
+    collect."""
+    import hashlib
+    import os
+
+    from proto_to_avro_ql_spark.streaming.events import stream_events
+
+    key = hashlib.sha256(
+        f"feb_sink|{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"p2a_feb_{key}")
+    out, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("event_type", "n_events", "cents")
