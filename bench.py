@@ -145,6 +145,10 @@ HEADLINE = [
     "udf_grouped_arrow",     # grouped-map applyInArrow (Arrow-native hop)
     "ext_sql_scripting",     # BEGIN..END WHILE loop, per-iter pushed count
     "sink_stream_foreachbatch",  # foreachBatch idempotent-overwrite sink
+    "ext_backtest_naive",    # seasonal-naive forecast MAE/bias baseline
+    "ext_assortativity",     # degree-mixing Pearson r, integer moments
+    "ext_clustering_coeff",  # transitivity via oriented triangle reuse
+    "ext_theilsen",          # robust median-of-slopes trend
 ]
 
 

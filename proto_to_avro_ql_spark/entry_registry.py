@@ -12661,3 +12661,278 @@ def q_sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out).select("event_type", "n_events", "cents")
+
+
+@register(
+    "ext_backtest_naive",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), f AS (
+         SELECT event_type, day, cents,
+                lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+                  AS forecast
+         FROM d
+       )
+       SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_eval,
+              CAST(SUM(ABS(cents - forecast)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mae,
+              CAST(SUM(cents - forecast) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) / 100.0 AS bias
+       FROM f WHERE forecast IS NOT NULL
+       GROUP BY event_type""",
+)
+def q_ext_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecast
+    model must beat before it ships (predict each day's revenue with
+    the value 7 days earlier; report MAE and signed bias per type).
+    The eval harness matters more than the model: the same
+    lag-forecast/actual join-free structure evaluates ANY per-key
+    forecast column. Exactness: integer-cents actuals and forecasts,
+    absolute/signed errors summed as exact integers, the final
+    MAE/bias one IEEE expression each. Shape: one (type, day)
+    aggregate + one lag window over the tiny daily relation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.select(
+        "event_type", "cents", F.lag("cents", 7).over(w).alias("forecast")
+    ).where(F.col("forecast").isNotNull())
+    n_d = F.count(F.lit(1)).cast("double")
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        (
+            F.sum(F.abs(F.col("cents") - F.col("forecast"))).cast("double")
+            / n_d
+            / F.lit(100.0)
+        ).alias("mae"),
+        (
+            F.sum(F.col("cents") - F.col("forecast")).cast("double")
+            / n_d
+            / F.lit(100.0)
+        ).alias("bias"),
+    )
+
+
+@register(
+    "ext_assortativity",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e0 AS MATERIALIZED (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       ), deg AS MATERIALIZED (
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+           SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+         ) GROUP BY n
+       ), pairs AS (
+         SELECT du.d AS x, dv.d AS y
+         FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v
+         UNION ALL
+         SELECT dv.d AS x, du.d AS y
+         FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v
+       ), m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(x AS HUGEINT)) AS sx,
+                SUM(CAST(y AS HUGEINT)) AS sy,
+                SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+         FROM pairs
+       )
+       SELECT n AS n_endpoints,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+       FROM m""",
+)
+def q_ext_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Pearson r of
+    endpoint degrees across edges (positive: hubs buddy with hubs,
+    the social-network shape; negative: hub-and-spoke, the
+    catalog/star shape — the single number that says which skew
+    mitigation a graph workload needs before you run it). Both edge
+    directions contribute one (x, y) pair so r is symmetric. The
+    ext_trend_ols integer-moment kernel: all five sums exact in
+    128-bit over integer degrees, r one IEEE expression, identical
+    tree both sides. Shape: one degree aggregate, two keyed joins
+    (degree table broadcastable), one 1-row moment aggregate."""
+    from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
+    e0 = copurchase_edges(spark, sf_dir, min_support=2).cache()
+    deg = (
+        e0.select(F.col("u").alias("n"))
+        .unionAll(e0.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("y"))
+    joined = e0.join(du, "u").join(dv, "v").select("x", "y")
+    pairs = joined.unionAll(joined.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    D38 = "decimal(38,0)"
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D38)).alias("sx"),
+        F.sum(F.col("y").cast(D38)).alias("sy"),
+        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").alias("n_endpoints"),
+        (num / (F.sqrt(denx) * F.sqrt(deny))).alias("assortativity"),
+    )
+
+
+@register(
+    "ext_clustering_coeff",
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), e0 AS MATERIALIZED (
+         SELECT a.pk AS u, b.pk AS v
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
+       ), tri AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS t
+         FROM e0 ab JOIN e0 bc ON bc.u = ab.v
+                    JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v
+       ), deg AS (
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+           SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+         ) GROUP BY n
+       ), wed AS (
+         SELECT CAST(SUM(CAST(d AS HUGEINT) * CAST(d - 1 AS HUGEINT)) / 2
+                     AS BIGINT) AS w,
+                CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM deg
+       )
+       SELECT wed.n_nodes,
+              CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS m,
+              tri.t AS triangles,
+              wed.w AS wedges,
+              3.0 * CAST(tri.t AS DOUBLE) / CAST(wed.w AS DOUBLE)
+                AS global_cc
+       FROM tri, wed""",
+)
+def q_ext_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) — 3·triangles /
+    wedges, the canonical 'how cliquish is this graph' number that
+    pairs with ext_modularity (communities) and ext_assortativity
+    (mixing) to complete the graph-health panel. Triangles reuse the
+    degree-oriented out-list machinery (operators/graphs.
+    edge_triangle_support — per-task fan-out bounded O(√m), each
+    triangle credits its 3 edges so T = Σsupport/3 exactly); wedges
+    are Σ d(d−1)/2 over exact integer degrees in 128-bit. One IEEE
+    division at the end. The oracle counts triangles independently
+    via the 3-way u<v<w join — a deliberately different formulation."""
+    from proto_to_avro_ql_spark.operators.graphs import (
+        copurchase_edges,
+        edge_triangle_support,
+        node_degrees,
+        orient_by_degree,
+    )
+
+    e0 = copurchase_edges(spark, sf_dir, min_support=2).cache()
+    deg = node_degrees(e0)
+    oriented = orient_by_degree(e0, deg).cache()
+    t = edge_triangle_support(oriented).agg(
+        (F.sum("common") / 3).cast("long").alias("t")
+    )
+    D38 = "decimal(38,0)"
+    wed = deg.agg(
+        (F.sum(F.col("d").cast(D38) * (F.col("d") - 1).cast(D38)) / 2)
+        .cast("long")
+        .alias("w"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    joined = t.join(F.broadcast(wed)).join(F.broadcast(m))
+    return joined.select(
+        "n_nodes",
+        "m",
+        F.col("t").alias("triangles"),
+        F.col("w").alias("wedges"),
+        (F.lit(3.0) * F.col("t").cast("double") / F.col("w").cast("double")).alias(
+            "global_cc"
+        ),
+    )
+
+
+@register(
+    "ext_theilsen",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), xy AS (
+         SELECT event_type,
+                CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS x,
+                cents AS y
+         FROM d
+       ), slopes AS (
+         SELECT a.event_type,
+                CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) / 100.0
+                  AS slope
+         FROM xy a JOIN xy b
+           ON a.event_type = b.event_type AND a.x < b.x
+       )
+       SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              quantile_cont(slope, 0.5) AS slope_per_day
+       FROM slopes GROUP BY event_type""",
+)
+def q_ext_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend — the median of all pairwise slopes, the
+    outlier-proof companion to ext_trend_ols (one corrupted day moves
+    an OLS slope arbitrarily; Theil–Sen tolerates ~29% contamination,
+    which is why monitoring pipelines prefer it for alerting). Each
+    slope is ONE IEEE division of exact integers (cents diff over day
+    diff), identical values both sides, so the interpolated median
+    matches bit-for-bit (the agg_percentile precedent). Shape: the
+    pair join is per-type over the DAILY relation — O(days²) per
+    type, bounded by the calendar (≈5·10⁵ pairs for 3 years), never
+    by the fact; at lake scale the daily rollup IS the reduction."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    xy = d.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    a = xy.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = xy.select(
+        F.col("event_type").alias("et_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("xa") < F.col("xb"))
+    ).select(
+        "event_type",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+            / F.lit(100.0)
+        ).alias("slope"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("slope_per_day"),
+    )
