@@ -1151,3 +1151,54 @@ class TestRound4Session2Plans:
         plan = self._plan(spark, sf_dir, "ext_modularity")
         assert "InMemoryTableScan" in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestRound4Session2LateBatchPlans:
+    """Plan contracts for the post-close session-2 batches (data ops,
+    surfaces, robust stats)."""
+
+    def _plan(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return physical_plan(QUERIES[name](spark, sf_dir))
+
+    def test_fk_audit_anti_joins_broadcast_the_parent_keys(self, spark, sf_dir):
+        """Every orphan probe must be a BroadcastHashJoin LeftAnti on
+        the parent-key relation — a shuffled anti join would move the
+        fact for a key-only containment check."""
+        plan = self._plan(spark, sf_dir, "ext_fk_audit")
+        assert "LeftAnti, BuildRight" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_gdpr_cascade_facts_never_join_facts(self, spark, sf_dir):
+        """Cascade counts are semi probes against broadcast key sets;
+        lineitem and orders must not shuffle against each other."""
+        plan = self._plan(spark, sf_dir, "ext_gdpr_cascade")
+        assert "LeftSemi" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_stratified_ate_is_one_pass_plus_bounded_window(self, spark, sf_dir):
+        """All per-stratum cells from ONE conditional aggregate over
+        one scan; the only windows run over the 5-row stratum
+        relation."""
+        plan = self._plan(spark, sf_dir, "ext_stratified_ate")
+        assert plan.count("FileScan") == 1, plan
+        assert "partial_sum" in plan, plan
+
+    def test_theilsen_pair_join_is_keyed_on_type(self, spark, sf_dir):
+        """The slope pair join must be an equi join on event_type with
+        the inequality as a post-condition — a cartesian of the daily
+        relations would lose the per-type bound."""
+        plan = self._plan(spark, sf_dir, "ext_theilsen")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_clustering_coeff_reuses_cached_oriented_lists(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "ext_clustering_coeff")
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_backtest_naive_single_scan_single_window(self, spark, sf_dir):
+        plan = self._plan(spark, sf_dir, "ext_backtest_naive")
+        assert plan.count("FileScan") == 1, plan
+        assert plan.count("Window") == 1, plan

@@ -137,6 +137,14 @@ AUDIT = {
     "ext_negative_sampling": "hash negatives (narrow explode, keyed anti join)",
     "ext_gdpr_cascade": "erasure-impact audit (broadcast semi probes, 1-row aggs)",
     "ext_runs_test": "runs test (one daily agg, two narrow windows, 5-row output)",
+    "ext_stratified_ate": "post-stratified ATE (one conditional agg, ordered-frame combine)",
+    "udf_grouped_arrow": "grouped-map applyInArrow (one group-key shuffle, Arrow hop)",
+    "sink_stream_foreachbatch": "foreachBatch sink read-back (written table scan)",
+    "ext_backtest_naive": "seasonal-naive backtest (daily agg + lag window)",
+    "ext_assortativity": "degree-mixing r (degree agg + keyed joins, 1-row moments)",
+    "ext_clustering_coeff": "transitivity (oriented out-list triangles + degree wedges)",
+    "ext_theilsen": "Theil-Sen (daily rollup, per-type bounded pair join, median)",
+    "ext_fk_audit": "FK orphans (broadcast anti probes per relationship)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
