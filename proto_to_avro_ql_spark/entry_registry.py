@@ -12262,11 +12262,12 @@ def q_ext_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — the inverse of ext_gdpr_cascade's
     semi probes: per declared relationship, how many child rows exist
     and how many are ORPHANS (no matching parent key). Three in-domain
-    relationships plus one deliberately cross-domain probe
-    (events.user_id against the customer dimension) that yields real
-    orphans, exercising the nonzero path — a healthy lake reports
-    zeros, and the zeros are only trustworthy if the check can
-    produce non-zeros. Shape: each orphan count is one LeftAnti join
+    relationships plus a cross-domain probe (events.user_id against
+    the customer dimension — at the shipped scales user ids happen to
+    be a subset of customer keys, so even this reports 0). A healthy
+    lake reports zeros everywhere; the NONZERO path is proven in
+    tests/test_statistics.py by planting an orphan through the same
+    anti-join shape. Shape: each orphan count is one LeftAnti join
     with the PARENT side broadcast (dimension keys are the small
     side by construction); facts never join facts, and each fact is
     scanned key-only. This is the dbt-style `relationships` test

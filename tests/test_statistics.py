@@ -987,3 +987,48 @@ class TestRound4Session2Semantics:
             assert 1 <= r["r_score"] <= 5
             assert 1 <= r["f_score"] <= 5
             assert 1 <= r["m_score"] <= 5
+
+    def test_fk_audit_healthy_zeros_and_planted_orphan_detected(
+        self, spark, sf_dir
+    ):
+        """The shipped relationships are all healthy (zeros); the
+        NONZERO path is proven by planting an orphan child row and
+        running the same broadcast anti-join shape."""
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        rows = {
+            r["relationship"]: r["n_orphan"]
+            for r in self._run(spark, sf_dir, "ext_fk_audit").collect()
+        }
+        assert set(rows.values()) == {0}, rows
+        orders = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+        planted = li.unionByName(
+            spark.createDataFrame([(-1,)], "l_orderkey long")
+        )
+        n = planted.join(
+            F.broadcast(orders.select("o_orderkey")),
+            planted["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).count()
+        assert n == 1
+
+    def test_cohens_kappa_bounded_and_counts_partition(self, spark, sf_dir):
+        row = self._run(spark, sf_dir, "ext_cohens_kappa").collect()[0]
+        assert -1.0 <= row["kappa"] <= 1.0
+        assert row["n11"] + row["n10"] + row["n01"] + row["n00"] == row["n"]
+
+    def test_clustering_coeff_consistent_with_triangle_relation(
+        self, spark, sf_dir
+    ):
+        row = self._run(spark, sf_dir, "ext_clustering_coeff").collect()[0]
+        assert 0.0 <= row["global_cc"] <= 1.0
+        assert row["wedges"] >= 3 * row["triangles"]
+
+    def test_backtest_mae_dominates_abs_bias(self, spark, sf_dir):
+        """|bias| <= MAE by the triangle inequality — a cheap check the
+        two aggregates weren't crossed."""
+        for r in self._run(spark, sf_dir, "ext_backtest_naive").collect():
+            assert abs(r["bias"]) <= r["mae"] + 1e-12
