@@ -149,6 +149,8 @@ HEADLINE = [
     "ext_assortativity",     # degree-mixing Pearson r, integer moments
     "ext_clustering_coeff",  # transitivity via oriented triangle reuse
     "ext_theilsen",          # robust median-of-slopes trend
+    "ext_rate_test",         # two-count Poisson rate z, one pass
+    "ext_hash_uniformity",   # chi-square canary on the md5 bucketing
 ]
 
 

@@ -12937,3 +12937,108 @@ def q_ext_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.percentile("slope", F.lit(0.5)).alias("slope_per_day"),
     )
+
+
+@register(
+    "ext_rate_test",
+    """WITH assigned AS (
+         SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                  AS arm,
+                event_type
+         FROM events
+       ), m AS (
+         SELECT event_type,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+         FROM assigned GROUP BY event_type
+       )
+       SELECT event_type, x_a, x_b,
+              (CAST(x_a AS DOUBLE) - CAST(x_b AS DOUBLE))
+                / sqrt(CAST(x_a + x_b AS DOUBLE)) AS z_stat
+       FROM m""",
+)
+def q_ext_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-count Poisson rate test (conditional/binomial form): under
+    equal exposure — guaranteed here by the 50/50 md5 split — equal
+    rates imply x_a ~ Binomial(x_a+x_b, 1/2), giving the classic
+    z = (x_a − x_b)/√(x_a + x_b). This is the COUNT-metric experiment
+    readout (events per arm: crashes, orders, clicks) completing the
+    family: ext_ab_test = continuous means, ext_prop_ztest =
+    proportions of a denominator, this = bare counts where the only
+    denominator is exposure itself. Exactness: two exact BIGINTs per
+    stratum from one conditional pass; z is one IEEE expression.
+    Shape: one map-side-combinable aggregate, 5-row output."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    arm = hash_bucket(F.col("event_id"), 2)
+    m = (
+        ev.select("event_type", arm.alias("arm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("x_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("x_b"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "x_a",
+        "x_b",
+        (
+            (F.col("x_a").cast("double") - F.col("x_b").cast("double"))
+            / F.sqrt((F.col("x_a") + F.col("x_b")).cast("double"))
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "ext_hash_uniformity",
+    """WITH b AS (
+         SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 20
+                  AS bucket
+         FROM events
+       ), c AS (
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bucket
+       ), m AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                CAST(SUM(n) AS BIGINT) AS total,
+                SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sum_n2
+         FROM c
+       )
+       SELECT n_buckets, total,
+              CAST(sum_n2 AS DOUBLE) * 20.0 / CAST(total AS DOUBLE)
+                - CAST(total AS DOUBLE) AS chi_square
+       FROM m""",
+)
+def q_ext_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-uniformity audit of the md5 bucketing EVERYTHING ELSE here
+    rides on (A/B arms, train/val/test splits, stratified samples,
+    salting): chi-square of 20-bucket counts against uniform via the
+    identity Σ(n_i−E)²/E = k·Σn_i²/N − N, which keeps the
+    accumulation all-integer (Σn² in 128-bit) instead of summing
+    per-bucket float deviations — the one final expression is IEEE
+    over exact integers. A skewed hash silently biases every
+    downstream split; this is the canary. Shape: one bucket
+    aggregate (map-side combined) + one 1-row moment rollup."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    c = (
+        ev.select(hash_bucket(F.col("event_id"), 20).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    D38 = "decimal(38,0)"
+    m = c.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n").cast(D38) * F.col("n").cast(D38)).alias("sum_n2"),
+    )
+    return m.select(
+        "n_buckets",
+        "total",
+        (
+            F.col("sum_n2").cast("double") * F.lit(20.0) / F.col("total").cast("double")
+            - F.col("total").cast("double")
+        ).alias("chi_square"),
+    )
