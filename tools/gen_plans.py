@@ -145,6 +145,8 @@ AUDIT = {
     "ext_clustering_coeff": "transitivity (oriented out-list triangles + degree wedges)",
     "ext_theilsen": "Theil-Sen (daily rollup, per-type bounded pair join, median)",
     "ext_fk_audit": "FK orphans (broadcast anti probes per relationship)",
+    "ext_rate_test": "two-count rate z (one conditional agg pass)",
+    "ext_hash_uniformity": "hash-bucket chi-square (bucket agg + 1-row moments)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
