@@ -151,6 +151,9 @@ HEADLINE = [
     "ext_theilsen",          # robust median-of-slopes trend
     "ext_rate_test",         # two-count Poisson rate z, one pass
     "ext_hash_uniformity",   # chi-square canary on the md5 bucketing
+    "ext_wilson_interval",   # Wilson score CI, closed form over (n, x)
+    "ext_mde_sizing",        # samples-per-arm from observed moments
+    "ext_srm_check",         # sample-ratio-mismatch guardrail
 ]
 
 

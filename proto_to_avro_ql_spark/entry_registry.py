@@ -13042,3 +13042,170 @@ def q_ext_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("total").cast("double")
         ).alias("chi_square"),
     )
+
+
+@register(
+    "ext_wilson_interval",
+    """WITH m AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS x
+         FROM events GROUP BY event_type
+       )
+       SELECT event_type, n, x,
+              CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+              (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+               + 1.9599639845400545 * 1.9599639845400545 / (2.0 * CAST(n AS DOUBLE))
+               - 1.9599639845400545
+                 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                        + 1.9599639845400545 * 1.9599639845400545
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+              / (1.0 + 1.9599639845400545 * 1.9599639845400545 / CAST(n AS DOUBLE))
+                AS ci_lo,
+              (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+               + 1.9599639845400545 * 1.9599639845400545 / (2.0 * CAST(n AS DOUBLE))
+               + 1.9599639845400545
+                 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                        + 1.9599639845400545 * 1.9599639845400545
+                          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+              / (1.0 + 1.9599639845400545 * 1.9599639845400545 / CAST(n AS DOUBLE))
+                AS ci_hi
+       FROM m""",
+)
+def q_ext_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for a proportion (share of events with
+    value > 100, per type) — the CI that stays inside [0,1] and
+    behaves at small n where the naive Wald interval collapses (the
+    reason ranking systems and experiment dashboards standardized on
+    Wilson). z₀.₉₇₅ is embedded as the same 17-digit literal on both
+    sides, so every term of the closed form is one IEEE expression
+    over the exact (n, x) integers — no rounding anywhere. Shape: one
+    conditional aggregate, 5-row output."""
+    Z = 1.9599639845400545
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("x"),
+    )
+    n_d = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n_d
+    z2 = F.lit(Z) * F.lit(Z)
+    center = p + z2 / (F.lit(2.0) * n_d)
+    half = F.lit(Z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n_d + z2 / (F.lit(4.0) * n_d * n_d)
+    )
+    denom = F.lit(1.0) + z2 / n_d
+    return m.select(
+        "event_type",
+        "n",
+        "x",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("ci_lo"),
+        ((center + half) / denom).alias("ci_hi"),
+    )
+
+
+@register(
+    "ext_mde_sizing",
+    """WITH m AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+         FROM events GROUP BY event_type
+       )
+       SELECT event_type, n,
+              s / CAST(n AS DOUBLE) AS mean_value,
+              CAST(CEIL(16.0 * ((ss - s * s / CAST(n AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1.0))
+                        / ((0.05 * s / CAST(n AS DOUBLE))
+                           * (0.05 * s / CAST(n AS DOUBLE))))
+                   AS BIGINT) AS n_per_arm_5pct
+       FROM m""",
+)
+def q_ext_mde_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from observed moments: per metric stratum, the
+    samples-per-arm needed to detect a 5% lift at 80% power / 5% alpha
+    via the standard n ≈ 16·σ²/δ² rule — the design-phase number every
+    A/B platform surfaces BEFORE a test ships (running an underpowered
+    test wastes traffic; this is the query that says how long to
+    run). Variance comes from decimal-exact sums and sums-of-squares
+    (the ext_ab_test moment kernel); the CEIL lands on an exact
+    integer from a deterministic double expression, identical both
+    sides. Shape: one map-side-combinable aggregate, 5-row output."""
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("ss"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s") / n_d
+    var = (F.col("ss") - F.col("s") * F.col("s") / n_d) / (n_d - F.lit(1.0))
+    delta = F.lit(0.05) * mean
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_value"),
+        F.ceil(F.lit(16.0) * var / (delta * delta)).cast("long").alias("n_per_arm_5pct"),
+    )
+
+
+@register(
+    "ext_srm_check",
+    """WITH assigned AS (
+         SELECT DISTINCT user_id,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                  AS arm
+         FROM events
+       ), m AS (
+         SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         FROM assigned
+       )
+       SELECT n_a, n_b,
+              (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                / CAST(n_a + n_b AS DOUBLE) AS chi_square,
+              CAST(CASE WHEN (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                        * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                        / CAST(n_a + n_b AS DOUBLE) > 3.841458820694124
+                   THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+       FROM m""",
+)
+def q_ext_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch guardrail — the FIRST check every
+    experiment platform runs on every readout: if the 50/50 user
+    split didn't land 50/50 (beyond chance), the assignment or
+    logging pipeline is broken and every downstream metric is
+    invalid. Chi-square against the expected even split reduces to
+    (n_a−n_b)²/(n_a+n_b) for two arms — exact integer counts of
+    DISTINCT users (assignment is per-user, so the unit of analysis
+    must be too), one IEEE expression, and the flag compares against
+    the χ²₁,₀.₀₅ critical value embedded as the same literal on both
+    sides. Complements ext_hash_uniformity (infra-level bucket
+    uniformity) at the per-experiment level. Shape: one distinct +
+    one 1-row aggregate."""
+    from proto_to_avro_ql_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        "user_id", hash_bucket(F.col("user_id"), 2).alias("arm")
+    ).distinct()
+    m = assigned.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    diff = F.col("n_a").cast("double") - F.col("n_b").cast("double")
+    chi = diff * diff / (F.col("n_a") + F.col("n_b")).cast("double")
+    return m.select(
+        "n_a",
+        "n_b",
+        chi.alias("chi_square"),
+        F.when(chi > F.lit(3.841458820694124), 1).otherwise(0).cast("long").alias("srm_flag"),
+    )

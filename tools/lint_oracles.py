@@ -72,6 +72,7 @@ ALLOW: dict[tuple[str, str], str] = {
     # registry source (F.expr strings + the pandas twin's comment-
     # documented kernel)
     ("proto_to_avro_ql_spark/entry_registry.py", "R4"): _SQUARE_OK,
+    ("ext_mde_sizing", "R4"): _SQUARE_OK,
 }
 
 _FUNC_GUARDS = ("LN(", "LOG(", "LOG2(", "LOG10(", "EXP(", "SQRT(")
@@ -158,8 +159,14 @@ def find_violations(sql: str) -> list[str]:
         if re.match(r"\s*\.?\s*OVER\b", tail):
             continue
         # a float column inside a CASE *predicate* guards an integer
-        # summand — only the accumulated value's type matters
+        # summand — only the accumulated value's type matters. Cover
+        # both spellings: SQL `WHEN <pred> THEN` and the Spark-side
+        # `F.when(<float-col comparison>, <int>)` (a comparison is a
+        # predicate, never the accumulated value — r4s2).
         summand = re.sub(r"\bWHEN\b.*?\bTHEN\b", "WHEN ⟨⟩ THEN", arg)
+        summand = re.sub(
+            r'F\.COL\("[A-Z0-9_]+"\)\s*(?:[<>]=?|==)\s*[0-9.E+-]+', "⟨⟩", summand
+        )
         if _FLOAT_REF.search(summand) and not re.search(
             r"DECIMAL|HUGEINT|CAST\s*\(\s*(DEC|D38)\s*\)", summand
         ):
