@@ -154,6 +154,8 @@ HEADLINE = [
     "ext_wilson_interval",   # Wilson score CI, closed form over (n, x)
     "ext_mde_sizing",        # samples-per-arm from observed moments
     "ext_srm_check",         # sample-ratio-mismatch guardrail
+    "ext_contribution_analysis",  # period-over-period delta decomposition
+    "ext_pareto_frontier",   # 2-D skyline via one ordered window
 ]
 
 

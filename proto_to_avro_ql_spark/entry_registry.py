@@ -13209,3 +13209,128 @@ def q_ext_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi.alias("chi_square"),
         F.when(chi > F.lit(3.841458820694124), 1).otherwise(0).cast("long").alias("srm_flag"),
     )
+
+
+@register(
+    "ext_contribution_analysis",
+    """WITH d AS (
+         SELECT event_type,
+                CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                     THEN 0 ELSE 1 END AS period,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) * 100, 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), w AS (
+         SELECT event_type,
+                CAST(COALESCE(SUM(CASE WHEN period = 0 THEN cents END), 0)
+                     AS BIGINT) AS cents_p0,
+                CAST(COALESCE(SUM(CASE WHEN period = 1 THEN cents END), 0)
+                     AS BIGINT) AS cents_p1
+         FROM d GROUP BY event_type
+       ), t AS (
+         SELECT event_type, cents_p0, cents_p1,
+                CAST(cents_p1 - cents_p0 AS BIGINT) AS delta_cents,
+                CAST(SUM(cents_p1 - cents_p0) OVER () AS BIGINT)
+                  AS total_delta_cents
+         FROM w
+       )
+       SELECT event_type, cents_p0, cents_p1, delta_cents,
+              CAST(delta_cents AS DOUBLE)
+                / CAST(total_delta_cents AS DOUBLE) AS contribution
+       FROM t""",
+)
+def q_ext_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric contribution analysis — the 'why did revenue move' panel:
+    split the window into two periods at a fixed date, compute each
+    segment's revenue delta, and express it as a share of the total
+    movement (the root-cause decomposition every metrics tree /
+    anomaly triage tool renders; segments with opposite-signed
+    contributions cancel, which is exactly what the panel exposes).
+    Exactness: per-(segment, period) integer cents from one pass,
+    deltas and the total integer, contribution one IEEE division.
+    Shape: one fact aggregate + one 5-row unpartitioned window over
+    the SEGMENT relation (cardinality-bounded by the segment count,
+    the documented bounded-window pattern)."""
+    ev = read_table(spark, sf_dir, "events")
+    period = F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0).otherwise(1)
+    d = ev.groupBy("event_type", period.alias("period")).agg(
+        F.round(F.sum(F.col("value").cast(DEC)) * 100, 0).cast("long").alias("cents")
+    )
+    w = d.groupBy("event_type").agg(
+        F.coalesce(F.sum(F.when(F.col("period") == 0, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("cents_p0"),
+        F.coalesce(F.sum(F.when(F.col("period") == 1, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("cents_p1"),
+    )
+    from pyspark.sql import Window
+
+    delta = (F.col("cents_p1") - F.col("cents_p0")).cast("long")
+    t = w.select(
+        "event_type",
+        "cents_p0",
+        "cents_p1",
+        delta.alias("delta_cents"),
+        F.sum(delta).over(Window.partitionBy()).cast("long").alias("total_delta_cents"),
+    )
+    return t.select(
+        "event_type",
+        "cents_p0",
+        "cents_p1",
+        "delta_cents",
+        (
+            F.col("delta_cents").cast("double")
+            / F.col("total_delta_cents").cast("double")
+        ).alias("contribution"),
+    )
+
+
+@register(
+    "ext_pareto_frontier",
+    """WITH ranked AS (
+         SELECT p_partkey, p_retailprice, p_size,
+                MAX(p_size) OVER (
+                  ORDER BY p_retailprice, p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS best_size_cheaper
+         FROM part
+       )
+       SELECT p_partkey,
+              p_retailprice,
+              CAST(p_size AS BIGINT) AS p_size
+       FROM ranked
+       WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper""",
+)
+def q_ext_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on the
+    (price ↓, size ↑) trade-off — the dominance query behind
+    catalog curation, offer pruning, and hyperparameter selection
+    ('show only options where nothing is both cheaper AND bigger').
+    The naive formulation is a quadratic NOT EXISTS self-join; for
+    two criteria it collapses to ONE ordered window: sort by price,
+    keep a row iff its size beats the running max among strictly
+    cheaper rows (ties broken by part key so the frontier is
+    deterministic). Exactness: integer sizes, raw price doubles only
+    ORDERED on, never accumulated. Shape: one global sort-window —
+    at lake scale the banded-rank recipe (layout.banded_global_rank)
+    splits it, the same seam as the other order-statistic entries."""
+    from pyspark.sql import Window
+
+    part = read_table(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = part.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w).alias("best_size_cheaper"),
+    )
+    return ranked.where(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("p_size") > F.col("best_size_cheaper"))
+    ).select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
