@@ -1032,3 +1032,55 @@ class TestRound4Session2Semantics:
         two aggregates weren't crossed."""
         for r in self._run(spark, sf_dir, "ext_backtest_naive").collect():
             assert abs(r["bias"]) <= r["mae"] + 1e-12
+
+    def test_wilson_interval_contains_p_hat_inside_unit_range(self, spark, sf_dir):
+        for r in self._run(spark, sf_dir, "ext_wilson_interval").collect():
+            assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+
+    def test_srm_check_passes_on_the_healthy_md5_split(self, spark, sf_dir):
+        row = self._run(spark, sf_dir, "ext_srm_check").collect()[0]
+        assert row["srm_flag"] == 0
+        assert row["chi_square"] >= 0.0
+
+    def test_pareto_frontier_is_exactly_the_undominated_set(self, spark, sf_dir):
+        """Brute-force dominance check: a part is on the frontier iff
+        no other part is strictly cheaper-or-equal AND bigger with at
+        least one strict."""
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        parts = read_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_retailprice", "p_size"
+        ).collect()
+        def dominated(a):
+            return any(
+                (b["p_retailprice"] <= a["p_retailprice"] and b["p_size"] >= a["p_size"])
+                and (b["p_retailprice"] < a["p_retailprice"] or b["p_size"] > a["p_size"])
+                for b in parts
+            )
+        expected = {p["p_partkey"] for p in parts if not dominated(p)}
+        got = {
+            r["p_partkey"]
+            for r in self._run(spark, sf_dir, "ext_pareto_frontier").collect()
+        }
+        # the windowed skyline breaks price ties by part key, so of two
+        # same-price same-size parts only the lower key survives —
+        # brute force keeps both (neither strictly dominates); the
+        # windowed set is therefore a subset resolving ties minimally
+        assert got <= expected
+        missing = expected - got
+        by_key = {p["p_partkey"]: p for p in parts}
+        for k in missing:
+            a = by_key[k]
+            assert any(
+                b["p_retailprice"] == a["p_retailprice"]
+                and b["p_size"] >= a["p_size"]
+                and b["p_partkey"] < k
+                for b in parts
+            ), f"{k} missing without a tie justification"
+
+    def test_contribution_shares_sum_to_one(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_contribution_analysis").collect()
+        assert abs(sum(r["contribution"] for r in rows) - 1.0) < 1e-9
+        total = sum(r["delta_cents"] for r in rows)
+        assert all(r["cents_p1"] - r["cents_p0"] == r["delta_cents"] for r in rows)
+        assert total != 0
