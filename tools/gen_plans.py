@@ -147,6 +147,11 @@ AUDIT = {
     "ext_fk_audit": "FK orphans (broadcast anti probes per relationship)",
     "ext_rate_test": "two-count rate z (one conditional agg pass)",
     "ext_hash_uniformity": "hash-bucket chi-square (bucket agg + 1-row moments)",
+    "ext_wilson_interval": "Wilson CI (one conditional agg, closed form)",
+    "ext_mde_sizing": "MDE sizing (decimal moment kernel, 5-row output)",
+    "ext_srm_check": "SRM guardrail (distinct users + 1-row chi-square)",
+    "ext_contribution_analysis": "delta decomposition (one agg + bounded window)",
+    "ext_pareto_frontier": "2-D skyline (one ordered running-max window)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
