@@ -13334,3 +13334,568 @@ def q_ext_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
     )
+
+
+# ===========================================================================
+# Round 4, batch 9 — rank statistics, privacy distance, readability,
+# association rules, OHLC bars, Holt linear smoothing
+# ===========================================================================
+
+
+@register(
+    "ext_spearman",
+    """WITH s AS (
+         SELECT l_returnflag AS g,
+                CAST(CAST(l_quantity AS DECIMAL(38,2)) AS BIGINT) AS x,
+                CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                  // 100000 AS yb
+         FROM lineitem
+       ), cells AS (
+         SELECT g, x, yb, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM s GROUP BY 1, 2, 3
+       ), xm0 AS (
+         SELECT g, x, CAST(SUM(cnt) AS BIGINT) AS cx FROM cells GROUP BY 1, 2
+       ), xm AS (
+         SELECT g, x,
+                2 * SUM(cx) OVER (PARTITION BY g ORDER BY x) - cx + 1 AS rx
+         FROM xm0
+       ), ym0 AS (
+         SELECT g, yb, CAST(SUM(cnt) AS BIGINT) AS cy FROM cells GROUP BY 1, 2
+       ), ym AS (
+         SELECT g, yb,
+                2 * SUM(cy) OVER (PARTITION BY g ORDER BY yb) - cy + 1 AS ry
+         FROM ym0
+       ), j AS (
+         SELECT c.g, CAST(c.cnt AS HUGEINT) AS cnt,
+                CAST(x.rx AS HUGEINT) AS rx, CAST(y.ry AS HUGEINT) AS ry
+         FROM cells c
+         JOIN xm x ON x.g = c.g AND x.x = c.x
+         JOIN ym y ON y.g = c.g AND y.yb = c.yb
+       ), a AS (
+         SELECT g, SUM(cnt) AS n,
+                SUM(cnt * rx) AS sx, SUM(cnt * ry) AS sy,
+                SUM(cnt * rx * rx) AS sxx, SUM(cnt * ry * ry) AS syy,
+                SUM(cnt * rx * ry) AS sxy
+         FROM j GROUP BY g
+       )
+       SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+       FROM a""",
+)
+def q_ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Spearman rank correlation (quantity vs price bucket per
+    return flag) — the tie-robust monotone-association statistic
+    (Pearson on average ranks). The kernel runs on the CONTINGENCY
+    relation, not the rows: one fact-scale aggregation to
+    (group, x, y, count) cells, then tie-averaged ranks come from
+    prefix sums over the per-group VALUE marginals (2*avg_rank =
+    2*cum_before + tie_count + 1, kept doubled so ranks stay integral)
+    and every Pearson sum is a count-weighted product over cells.
+    The windows run over the marginal relations (|groups| x |distinct
+    values| rows — cardinality-bounded, never fact-scale), so there is
+    no per-group fact sort anywhere. Exactness: ranks and counts are
+    exact integers accumulated in DECIMAL(38,0)/HUGEINT; the single
+    final division and sqrt run on identical exact integers on both
+    engines (deterministic IEEE). Scale: the only fact-scale exchange
+    is the cells groupBy; everything downstream is marginal-sized."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("decimal(38,2)").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            " DIV 100000 AS BIGINT)"
+        ).alias("yb"),
+    )
+    cells = s.groupBy("g", "x", "yb").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy("g").orderBy("x")
+    xm = (
+        cells.groupBy("g", "x").agg(F.sum("cnt").alias("cx"))
+        .select("g", "x", (2 * F.sum("cx").over(wx) - F.col("cx") + 1).alias("rx"))
+    )
+    wy = Window.partitionBy("g").orderBy("yb")
+    ym = (
+        cells.groupBy("g", "yb").agg(F.sum("cnt").alias("cy"))
+        .select("g", "yb", (2 * F.sum("cy").over(wy) - F.col("cy") + 1).alias("ry"))
+    )
+    D = "decimal(38,0)"
+    j = (
+        cells.join(xm, ["g", "x"]).join(ym, ["g", "yb"])
+        .select(
+            "g",
+            F.col("cnt").cast(D).alias("cnt"),
+            F.col("rx").cast(D).alias("rx"),
+            F.col("ry").cast(D).alias("ry"),
+        )
+    )
+    a = j.groupBy("g").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("rx")).alias("sx"),
+        F.sum(F.col("cnt") * F.col("ry")).alias("sy"),
+        F.sum(F.col("cnt") * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("cnt") * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("cnt") * F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return a.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        (num / F.sqrt(d1 * d2)).alias("rho"),
+    )
+
+
+@register(
+    "ext_t_closeness",
+    """WITH s AS (
+         SELECT lang, source, CAST(n_chars AS BIGINT) // 150 AS sens
+         FROM documents
+       ), cells AS (
+         SELECT lang, source, sens, CAST(COUNT(*) AS BIGINT) AS n_gs
+         FROM s GROUP BY 1, 2, 3
+       ), grp AS (
+         SELECT lang, source, CAST(SUM(n_gs) AS BIGINT) AS n_g
+         FROM cells GROUP BY 1, 2
+       ), sv AS (
+         SELECT sens, CAST(SUM(n_gs) AS BIGINT) AS n_s FROM cells GROUP BY 1
+       ), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM sv),
+       grid AS (
+         SELECT g.lang, g.source, g.n_g, sv.sens, sv.n_s, tot.n,
+                COALESCE(c.n_gs, 0) AS n_gs
+         FROM grp g CROSS JOIN sv CROSS JOIN tot
+         LEFT JOIN cells c
+           ON c.lang = g.lang AND c.source = g.source AND c.sens = sv.sens
+       ), agg AS (
+         SELECT lang, source, n_g, MAX(n) AS n,
+                SUM(ABS(CAST(n_gs AS HUGEINT) * n
+                        - CAST(n_s AS HUGEINT) * n_g)) AS num
+         FROM grid GROUP BY 1, 2, 3
+       )
+       SELECT lang, source, n_g,
+              CAST(num AS DOUBLE)
+                / CAST(2 * CAST(n_g AS HUGEINT) * n AS DOUBLE) AS t_dist,
+              CAST(num AS DOUBLE)
+                / CAST(2 * CAST(n_g AS HUGEINT) * n AS DOUBLE) > 0.2 AS breach
+       FROM agg""",
+)
+def q_ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release check — completes the privacy family beside
+    ext_kanon_check (k-anonymity) and ext_l_diversity: for every
+    quasi-identifier group (lang, source), the variational distance
+    between the group's sensitive-attribute distribution (doc-length
+    bucket) and the corpus-wide distribution, t(g) = 1/2 * sum_s
+    |p(s|g) - p(s)|. A group can be k-anonymous AND diverse yet leak
+    because its sensitive mix differs sharply from the population —
+    that is what t-closeness catches. Kernel: ONE fact-scale groupBy
+    to (group, sens, count) cells; marginals, the full group x value
+    grid (missing cells contribute |0 - p(s)|, via the cramers_v-style
+    cross-join + left-join), and the distance all run on the tiny cell
+    relation. Exactness: t = sum|n_gs*n - n_s*n_g| / (2*n_g*n) is one
+    double division of exact DECIMAL(38,0)/HUGEINT integers."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang", "source", F.expr("CAST(n_chars DIV 150 AS BIGINT)").alias("sens")
+    )
+    cells = s.groupBy("lang", "source", "sens").agg(F.count(F.lit(1)).alias("n_gs"))
+    grp = cells.groupBy("lang", "source").agg(F.sum("n_gs").alias("n_g"))
+    sv = cells.groupBy("sens").agg(F.sum("n_gs").alias("n_s"))
+    tot = sv.agg(F.sum("n_s").alias("n"))
+    D = "decimal(38,0)"
+    grid = (
+        grp.crossJoin(F.broadcast(sv))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["lang", "source", "sens"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_g",
+            "n",
+            F.col("n_s").cast(D).alias("n_s"),
+            F.coalesce(F.col("n_gs"), F.lit(0)).cast(D).alias("n_gs"),
+        )
+    )
+    agg = grid.groupBy("lang", "source", "n_g").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.abs(
+                F.col("n_gs") * F.col("n").cast(D) - F.col("n_s") * F.col("n_g").cast(D)
+            )
+        ).alias("num"),
+    )
+    t = F.col("num").cast("double") / (
+        (F.lit(2).cast(D) * F.col("n_g").cast(D) * F.col("n").cast(D)).cast("double")
+    )
+    return agg.select(
+        "lang",
+        "source",
+        F.col("n_g").cast("bigint").alias("n_g"),
+        t.alias("t_dist"),
+        (t > 0.2).alias("breach"),
+    )
+
+
+@register(
+    "ext_readability",
+    r"""WITH d AS (
+         SELECT lang, source,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+                GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                              AS BIGINT), 1) AS sen,
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     AS BIGINT) AS vg
+         FROM documents
+       ), e AS (
+         SELECT lang, source, w, sen, GREATEST(vg, w) AS syl,
+                206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+                        - 84.6 * (CAST(GREATEST(vg, w) AS DOUBLE)
+                                  / CAST(w AS DOUBLE)) AS fl
+         FROM d WHERE w > 0
+       )
+       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(w) AS BIGINT) AS words,
+              CAST(SUM(sen) AS BIGINT) AS sentences,
+              CAST(SUM(syl) AS BIGINT) AS syllables,
+              206.835 - 1.015 * (CAST(SUM(w) AS DOUBLE)
+                                 / CAST(SUM(sen) AS DOUBLE))
+                      - 84.6 * (CAST(SUM(syl) AS DOUBLE)
+                                / CAST(SUM(w) AS DOUBLE)) AS flesch,
+              CAST(SUM(CASE WHEN fl < 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_difficult
+       FROM e GROUP BY 1, 2""",
+)
+def q_ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per (lang, source) — the classic
+    text-difficulty signal beside ext_quality_score and
+    ext_gopher_rules in a training-data quality stack. Words are
+    non-space runs, sentences are [.!?] runs (floored at 1), and
+    syllables use the standard vowel-group approximation floored at
+    one per word (GREATEST(vowel_groups, words) — a zero-vowel word
+    still counts one syllable). The corpus-level score is computed
+    from SUMMED INTEGER counts (206.835 - 1.015*W/S - 84.6*Y/W on the
+    group totals), never by averaging per-doc doubles — float
+    averaging is partial-aggregation-order dependent, integer sums
+    are not. The per-doc difficult flag (flesch < 50) IS a double
+    comparison, but on a value computed by the identical IEEE
+    expression from identical per-row integers on both engines.
+    Shape: pure column expressions + one group aggregation; zero
+    Python, zero extra exchanges, text never shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("w"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("bigint"), F.lit(1)
+        ).alias("sen"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("bigint")
+        .alias("vg"),
+    ).where(F.col("w") > 0)
+    e = d.select(
+        "lang",
+        "source",
+        "w",
+        "sen",
+        F.greatest("vg", "w").alias("syl"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("w").cast("double") / F.col("sen").cast("double"))
+            - F.lit(84.6)
+            * (F.greatest("vg", "w").cast("double") / F.col("w").cast("double"))
+        ).alias("fl"),
+    )
+    return e.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("sen").alias("sentences"),
+        F.sum("syl").alias("syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.sum("w").cast("double") / F.sum("sen").cast("double"))
+            - F.lit(84.6) * (F.sum("syl").cast("double") / F.sum("w").cast("double"))
+        ).alias("flesch"),
+        F.sum(F.when(F.col("fl") < 50.0, 1).otherwise(0)).alias("n_difficult"),
+    )
+
+
+@register(
+    "ext_assoc_rules",
+    """WITH b AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       ), nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+       ni AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+       pc AS (
+         SELECT a.pk AS u, c.pk AS v, CAST(COUNT(*) AS BIGINT) AS n_pair
+         FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       ), bd AS (
+         SELECT u AS antecedent, v AS consequent, n_pair FROM pc
+         UNION ALL
+         SELECT v AS antecedent, u AS consequent, n_pair FROM pc
+       ), r AS (
+         SELECT d.antecedent, d.consequent, d.n_pair,
+                ia.n_item AS n_ante, ic.n_item AS n_cons, nb.n_orders
+         FROM bd d
+         JOIN ni ia ON ia.pk = d.antecedent
+         JOIN ni ic ON ic.pk = d.consequent
+         CROSS JOIN nb
+       )
+       SELECT antecedent, consequent, n_pair, n_ante, n_cons,
+              CAST(n_pair AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+              CAST(n_pair AS DOUBLE) / CAST(n_ante AS DOUBLE) AS confidence,
+              (CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE))
+                / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)) AS lift
+       FROM r
+       ORDER BY lift DESC, confidence DESC, antecedent, consequent
+       LIMIT 100""",
+)
+def q_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support / confidence / lift) over order
+    baskets — the market-basket layer ABOVE ext_copurchase's raw pair
+    counts: each surviving pair emits BOTH directed rules a→b and b→a
+    (confidence is asymmetric), scored support = n_ab/N, confidence =
+    n_ab/n_a, lift = n_ab*N/(n_a*n_b), min pair support 2 (one-off
+    co-occurrence is noise), top-100 by lift with a total tiebreak
+    (lift, confidence, antecedent, consequent) so the cut is
+    deterministic. Pair generation reuses the copurchase in-task
+    sorted-basket slice (operators/graphs.py: one basket-keyed agg, no
+    fact self-join; the oracle independently formulates it as the
+    classic a.ok = c.ok AND a.pk < c.pk self-join). Item marginals
+    join on part key (keyed shuffle, scales); the basket total N rides
+    in as a broadcast 1-row relation; the top-k is
+    TakeOrderedAndProject over the support-filtered pair relation —
+    no global sort materializes. All ratios are single double
+    divisions of exact integer counts."""
+    from proto_to_avro_ql_spark.operators.graphs import copurchase_baskets
+
+    b = copurchase_baskets(spark, sf_dir)
+    nb = b.agg(F.count_distinct("ok").alias("n_orders"))
+    ni = b.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    bk = b.groupBy("ok").agg(F.sort_array(F.collect_list("pk")).alias("pks"))
+    pairs = bk.select(F.posexplode("pks").alias("i", "u"), "pks").select(
+        "u", F.explode(F.expr("slice(pks, i + 2, size(pks) - i - 1)")).alias("v")
+    )
+    pc = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    bd = pc.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "n_pair"
+    ).unionByName(
+        pc.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "n_pair"
+        )
+    )
+    r = (
+        bd.join(ni.withColumnRenamed("pk", "antecedent")
+                  .withColumnRenamed("n_item", "n_ante"), "antecedent")
+        .join(ni.withColumnRenamed("pk", "consequent")
+                .withColumnRenamed("n_item", "n_cons"), "consequent")
+        .crossJoin(F.broadcast(nb))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    out = r.select(
+        "antecedent",
+        "consequent",
+        "n_pair",
+        "n_ante",
+        "n_cons",
+        (d("n_pair") / d("n_orders")).alias("support"),
+        (d("n_pair") / d("n_ante")).alias("confidence"),
+        ((d("n_pair") * d("n_orders")) / (d("n_ante") * d("n_cons"))).alias("lift"),
+    )
+    return out.orderBy(
+        F.desc("lift"), F.desc("confidence"), "antecedent", "consequent"
+    ).limit(100)
+
+
+@register(
+    "ext_ohlc",
+    """WITH s AS (
+         SELECT event_type,
+                strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents,
+                ts, event_id
+         FROM events WHERE value IS NOT NULL
+       ), r AS (
+         SELECT event_type, day, cents,
+                row_number() OVER (PARTITION BY event_type, day
+                                   ORDER BY ts, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type, day) AS cnt
+         FROM s
+       )
+       SELECT event_type, day,
+              CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_cents,
+              CAST(MAX(cents) AS BIGINT) AS high_cents,
+              CAST(MIN(cents) AS BIGINT) AS low_cents,
+              CAST(MAX(CASE WHEN rn = cnt THEN cents END) AS BIGINT)
+                AS close_cents,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM r GROUP BY 1, 2""",
+)
+def q_ext_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (open/high/low/close) per (event_type,
+    day) — the first/last-by-time downsampling shape every metrics and
+    market-data pipeline needs, which plain min/max aggregation cannot
+    express. Open and close are positional: ONE window node (two
+    functions, same spec) over the (type, day)-keyed exchange assigns
+    row_number ascending and the partition count; the same-key
+    group-by then picks rn=1 (open) and rn=cnt (close) as conditional
+    maxes beside the true high/low — AQE reuses the window's
+    partitioning for the aggregation, so the whole bar costs one
+    shuffle. Partition count = types x days grows with the data (no
+    few-partition window skew), and (ts, event_id) is a unique total
+    order so open/close are deterministic. Values ride as exact cents
+    (the verified decimal cast); no float arithmetic anywhere."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        (F.col("value").cast("decimal(38,2)") * 100).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", "day")
+    r = s.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents"))).alias(
+            "close_cents"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "ext_holt",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), span AS (
+         SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+       ), grid AS (
+         SELECT s.event_type,
+                unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d
+         FROM span s
+       ), gg AS (
+         SELECT g.event_type, g.d,
+                CAST(date_diff('day', s.d0, g.d) AS BIGINT) AS idx,
+                COALESCE(dl.n, 0) AS n
+         FROM grid g
+         JOIN span s ON s.event_type = g.event_type
+         LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = g.d
+       ), rec AS (
+         WITH RECURSIVE r(event_type, idx, l, b) AS (
+           SELECT event_type, idx, CAST(n * 1000000 AS BIGINT),
+                  CAST(0 AS BIGINT)
+           FROM gg WHERE idx = 0
+           UNION ALL
+           SELECT g.event_type, g.idx,
+                  (g.n * 1000000 + r.l + r.b) // 2,
+                  (((g.n * 1000000 + r.l + r.b) // 2) - r.l + r.b) // 2
+           FROM r JOIN gg g ON g.event_type = r.event_type
+                           AND g.idx = r.idx + 1
+         ) SELECT * FROM r
+       )
+       SELECT gg.event_type, strftime(gg.d, '%Y-%m-%d') AS day,
+              gg.n AS n_events,
+              CAST(rec.l AS DOUBLE) / 1000000.0 AS level,
+              CAST(rec.b AS DOUBLE) / 1000000.0 AS trend
+       FROM gg JOIN rec ON rec.event_type = gg.event_type
+                       AND rec.idx = gg.idx""",
+)
+def q_ext_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of the daily event
+    count per type, alpha = beta = 1/2 — the level+trend forecaster
+    one step up from ext_ewma's single-state smoother:
+    l_t = (y_t + l_{t-1} + b_{t-1})/2, b_t = ((l_t - l_{t-1}) +
+    b_{t-1})/2, seeded l_0 = y_0, b_0 = 0 on a DENSE per-type day grid
+    (sequence+explode resample; gap days are y=0). A coupled two-state
+    recurrence has unbounded memory, so it cannot be a lag window (the
+    ewma trick) — this is exactly the custom-stateful-operator seam:
+    Spark runs the recurrence per series via applyInPandas AFTER the
+    fact-scale daily aggregation, so the Python hop sees series-length
+    rows (types x days), never event rows; at 100 TB the heavy
+    aggregation is distributed JVM work and the sequential part is
+    irreducibly per-series. Exactness: the whole state evolves in
+    INTEGER MICROS with truncating halving — Spark-side Python uses
+    sign-branched truncating div, DuckDB's bigint // truncates toward
+    zero identically (probed), so every level/trend is bit-identical;
+    the oracle is a true WITH RECURSIVE over the same grid. Final
+    doubles are one exact-int division."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        "d0",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d"),
+    )
+    gg = (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.datediff(F.to_date("d"), F.to_date("d0")).cast("bigint").alias("idx"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+
+        def tdiv(a: int, b: int) -> int:
+            return -((-a) // b) if a < 0 else a // b
+
+        ls, bs = [], []
+        l = b = 0
+        for i, n in enumerate(pdf["n_events"]):
+            v = int(n) * 1_000_000
+            if i == 0:
+                l, b = v, 0
+            else:
+                l_new = tdiv(v + l + b, 2)
+                b = tdiv(l_new - l + b, 2)
+                l = l_new
+            ls.append(l)
+            bs.append(b)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "n_events": pdf["n_events"],
+                "level": [x / 1e6 for x in ls],
+                "trend": [x / 1e6 for x in bs],
+            }
+        )
+
+    return gg.groupBy("event_type").applyInPandas(
+        holt,
+        schema="event_type string, day string, n_events long, "
+        "level double, trend double",
+    )

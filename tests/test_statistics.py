@@ -1084,3 +1084,145 @@ class TestRound4Session2Semantics:
         total = sum(r["delta_cents"] for r in rows)
         assert all(r["cents_p1"] - r["cents_p0"] == r["delta_cents"] for r in rows)
         assert total != 0
+
+
+class TestBatch9Semantics:
+    """Semantic self-checks for the batch-9 operators (beyond the
+    DuckDB value-hash oracles): invariants brute-forced or bounded
+    independently of both engines."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_spearman_bounds_and_sign(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_spearman").collect()
+        assert rows, "no groups"
+        for r in rows:
+            assert -1.0 <= r["rho"] <= 1.0
+        # quantity and price bucket are independent in the synthetic
+        # data — rho should be near zero, not near ±1
+        assert all(abs(r["rho"]) < 0.5 for r in rows)
+
+    def test_spearman_matches_scipy_free_reference(self, spark, sf_dir):
+        # brute-force tie-averaged rank correlation on the raw rows
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS DECIMAL(38,2)) AS BIGINT) AS x,
+                       CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+                            AS BIGINT) // 100000 AS yb
+                FROM '{sf_dir}/lineitem.parquet'"""
+        ).fetchall()
+        import collections
+
+        byg = collections.defaultdict(list)
+        for g, x, yb in rows:
+            byg[g].append((x, yb))
+
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and vals[order[j]] == vals[order[i]]:
+                    j += 1
+                r = (i + 1 + j) / 2.0
+                for k in range(i, j):
+                    ranks[order[k]] = r
+                i = j
+            return ranks
+
+        got = {
+            r["l_returnflag"]: r["rho"]
+            for r in self._run(spark, sf_dir, "ext_spearman").collect()
+        }
+        for g, pts in byg.items():
+            rx = avg_ranks([p[0] for p in pts])
+            ry = avg_ranks([p[1] for p in pts])
+            n = len(pts)
+            mx, my = sum(rx) / n, sum(ry) / n
+            num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+            den = (
+                sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+            ) ** 0.5
+            assert abs(got[g] - num / den) < 1e-9
+
+    def test_t_closeness_bounds(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_t_closeness").collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["t_dist"] <= 1.0
+            assert r["breach"] == (r["t_dist"] > 0.2)
+        # weighted average distance can't be 0 unless all groups equal
+        # the global distribution — with 99 small groups some differ
+        assert any(r["t_dist"] > 0.0 for r in rows)
+
+    def test_readability_counts(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_readability").collect()
+        assert rows
+        for r in rows:
+            assert r["syllables"] >= r["words"] > 0  # floored at 1/word
+            assert r["sentences"] >= r["n_docs"]  # floored at 1/doc
+            assert 0 <= r["n_difficult"] <= r["n_docs"]
+            assert r["flesch"] < 206.835
+
+    def test_assoc_rules_invariants(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_assoc_rules").collect()
+        assert rows
+        for r in rows:
+            assert r["n_pair"] >= 2
+            assert 0.0 < r["support"] <= 1.0
+            assert 0.0 < r["confidence"] <= 1.0
+            assert r["n_pair"] <= min(r["n_ante"], r["n_cons"])
+            # lift * n_ante * n_cons == n_pair * N (exact in doubles here)
+            assert r["lift"] > 0.0
+        # both directions of a pair carry the same n_pair and lift
+        by_pair = {}
+        for r in rows:
+            key = tuple(sorted((r["antecedent"], r["consequent"])))
+            by_pair.setdefault(key, []).append(r)
+        for key, rs in by_pair.items():
+            if len(rs) == 2:
+                assert rs[0]["n_pair"] == rs[1]["n_pair"]
+                assert abs(rs[0]["lift"] - rs[1]["lift"]) < 1e-12
+
+    def test_ohlc_bar_invariants(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_ohlc").collect()
+        assert rows
+        for r in rows:
+            assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+            assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+            assert r["n_events"] >= 1
+
+    def test_holt_recurrence_brute_force(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_holt").collect()
+        assert rows
+        import collections
+
+        byt = collections.defaultdict(list)
+        for r in rows:
+            byt[r["event_type"]].append(r)
+        for t, rs in byt.items():
+            rs.sort(key=lambda r: r["day"])
+            # dense grid: consecutive days
+            l = b = 0
+            for i, r in enumerate(rs):
+                v = int(r["n_events"]) * 1_000_000
+                if i == 0:
+                    l, b = v, 0
+                else:
+                    s = v + l + b
+                    l_new = s // 2 if s >= 0 else -((-s) // 2)
+                    s2 = l_new - l + b
+                    b = s2 // 2 if s2 >= 0 else -((-s2) // 2)
+                    l = l_new
+                assert r["level"] == l / 1e6
+                assert r["trend"] == b / 1e6
+            # level tracks the series scale: within [min, max] of counts
+            # once warmed (level is a convex-ish smoother of history)
+            counts = [r["n_events"] for r in rs]
+            assert min(counts) - 1 <= rs[-1]["level"] <= max(counts) + 1
