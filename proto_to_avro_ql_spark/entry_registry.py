@@ -13409,7 +13409,9 @@ def q_ext_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 100000 AS BIGINT)"
         ).alias("yb"),
     )
-    cells = s.groupBy("g", "x", "yb").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = s.groupBy("g", "x", "yb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).cache()  # marginals + the cell join all branch off it (one fact scan)
     from pyspark.sql import Window
 
     wx = Window.partitionBy("g").orderBy("x")
@@ -13501,7 +13503,9 @@ def q_ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select(
         "lang", "source", F.expr("CAST(n_chars DIV 150 AS BIGINT)").alias("sens")
     )
-    cells = s.groupBy("lang", "source", "sens").agg(F.count(F.lit(1)).alias("n_gs"))
+    cells = s.groupBy("lang", "source", "sens").agg(
+        F.count(F.lit(1)).alias("n_gs")
+    ).cache()  # both marginals, the total, and the grid join share it
     grp = cells.groupBy("lang", "source").agg(F.sum("n_gs").alias("n_g"))
     sv = cells.groupBy("sens").agg(F.sum("n_gs").alias("n_s"))
     tot = sv.agg(F.sum("n_s").alias("n"))
@@ -13674,7 +13678,7 @@ def q_ext_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions of exact integer counts."""
     from proto_to_avro_ql_spark.operators.graphs import copurchase_baskets
 
-    b = copurchase_baskets(spark, sf_dir)
+    b = copurchase_baskets(spark, sf_dir).cache()  # N, marginals, pairs share it
     nb = b.agg(F.count_distinct("ok").alias("n_orders"))
     ni = b.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
     bk = b.groupBy("ok").agg(F.sort_array(F.collect_list("pk")).alias("pks"))
@@ -13845,7 +13849,7 @@ def q_ext_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).cache()  # span + grid join share it
     span = daily.groupBy("event_type").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )

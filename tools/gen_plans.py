@@ -152,6 +152,13 @@ AUDIT = {
     "ext_srm_check": "SRM guardrail (distinct users + 1-row chi-square)",
     "ext_contribution_analysis": "delta decomposition (one agg + bounded window)",
     "ext_pareto_frontier": "2-D skyline (one ordered running-max window)",
+    # round 4, batch 9
+    "ext_spearman": "rank correlation on contingency cells (marginal-sized windows)",
+    "ext_t_closeness": "distribution-distance privacy check (cell-relation math)",
+    "ext_readability": "Flesch scoring (pure column exprs, one group agg)",
+    "ext_assoc_rules": "market-basket rules (in-task pairs, TakeOrdered top-k)",
+    "ext_ohlc": "OHLC bars (ONE window node + same-key agg)",
+    "ext_holt": "Holt level+trend (fact-scale agg, series-sized Python)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
