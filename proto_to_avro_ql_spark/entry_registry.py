@@ -13903,3 +13903,577 @@ def q_ext_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, day string, n_events long, "
         "level double, trend double",
     )
+
+
+# ===========================================================================
+# Round 4, batch 10 — rank-pair statistics, causal matching, monitoring
+# ===========================================================================
+
+
+@register(
+    "ext_kendall_tau",
+    """WITH s AS (
+         SELECT l_returnflag AS g,
+                CAST(CAST(l_quantity AS DECIMAL(38,2)) AS BIGINT) AS x,
+                CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                  // 100000 AS yb
+         FROM lineitem
+       ), cells AS (
+         SELECT g, x, yb, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM s GROUP BY 1, 2, 3
+       ), xm0 AS (
+         SELECT g, x, CAST(SUM(cnt) AS BIGINT) AS tot_x FROM cells GROUP BY 1, 2
+       ), xm AS (
+         SELECT g, x, tot_x,
+                SUM(tot_x) OVER (PARTITION BY g ORDER BY x) - tot_x AS t_lt
+         FROM xm0
+       ), ym AS (
+         SELECT g, yb, CAST(SUM(cnt) AS BIGINT) AS tot_y FROM cells GROUP BY 1, 2
+       ), grid AS (
+         SELECT xm.g, xm.x, ym.yb, xm.t_lt,
+                CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n
+         FROM xm JOIN ym ON ym.g = xm.g
+         LEFT JOIN cells c ON c.g = xm.g AND c.x = xm.x AND c.yb = ym.yb
+       ), pfx1 AS (
+         SELECT g, x, yb, n, t_lt,
+                SUM(n) OVER (PARTITION BY g, x ORDER BY yb) AS rx,
+                SUM(n) OVER (PARTITION BY g, yb ORDER BY x) AS cy
+         FROM grid
+       ), pfx AS (
+         SELECT g, x, yb, n, rx, cy, t_lt,
+                SUM(rx) OVER (PARTITION BY g, yb ORDER BY x) AS p
+         FROM pfx1
+       ), cd AS (
+         SELECT g,
+                SUM(CAST(n AS HUGEINT) * (p - rx - cy + n)) AS c,
+                SUM(CAST(n AS HUGEINT) * (t_lt - (p - rx))) AS d
+         FROM pfx GROUP BY g
+       ), ties AS (
+         SELECT g, CAST(SUM(tot_x) AS HUGEINT) AS nn,
+                SUM(CAST(tot_x AS HUGEINT) * (tot_x - 1) / 2) AS n1
+         FROM xm GROUP BY g
+       ), ties2 AS (
+         SELECT g, SUM(CAST(tot_y AS HUGEINT) * (tot_y - 1) / 2) AS n2
+         FROM ym GROUP BY g
+       )
+       SELECT cd.g AS l_returnflag, CAST(t.nn AS BIGINT) AS n,
+              CAST(cd.c AS BIGINT) AS concordant,
+              CAST(cd.d AS BIGINT) AS discordant,
+              CAST(cd.c - cd.d AS DOUBLE)
+                / sqrt(CAST(t.nn * (t.nn - 1) / 2 - t.n1 AS DOUBLE)
+                       * CAST(t.nn * (t.nn - 1) / 2 - t2.n2 AS DOUBLE)) AS tau_b
+       FROM cd JOIN ties t ON t.g = cd.g JOIN ties2 t2 ON t2.g = cd.g""",
+)
+def q_ext_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected concordance) per return flag, on the
+    same (quantity, price-bucket) pairing as ext_spearman — the second
+    classical rank-association statistic, preferred when tie mass is
+    heavy. The naive kernel is an all-pairs O(n^2) sign count; this
+    computes C and D EXACTLY from the contingency grid with 2-D prefix
+    sums: for each cell, pairs-below-left N_ltlt = P - Rx - Cy + n and
+    pairs-below-right N_ltgt = T_lt - (P - Rx), where Rx/Cy/P are
+    cumulative sums along rows, columns, and both (the nested-window
+    formulation), so each concordant/discordant pair is counted once
+    at its upper cell. Everything runs on the DENSE marginal grid
+    (|X| x |Y| per group — cardinality-bounded, never fact-scale); the
+    only fact-scale exchange is the cells groupBy (shared with
+    ext_spearman's kernel). Tie terms n1/n2 come from the marginals;
+    tau_b = (C-D)/sqrt((n0-n1)(n0-n2)) is one double expression over
+    exact HUGEINT/DECIMAL(38,0) integers. The pytest brute-forces
+    every pair at sf0.001 and matches to 1e-12."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("decimal(38,2)").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            " DIV 100000 AS BIGINT)"
+        ).alias("yb"),
+    )
+    cells = s.groupBy("g", "x", "yb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).cache()  # marginals + dense grid branch off it (one fact scan)
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g").orderBy("x")
+    xm = (
+        cells.groupBy("g", "x").agg(F.sum("cnt").alias("tot_x"))
+        .select(
+            "g", "x", "tot_x",
+            (F.sum("tot_x").over(wg) - F.col("tot_x")).alias("t_lt"),
+        )
+    )
+    ym = cells.groupBy("g", "yb").agg(F.sum("cnt").alias("tot_y"))
+    grid = (
+        xm.join(ym, "g")
+        .join(cells, ["g", "x", "yb"], "left")
+        .select(
+            "g", "x", "yb", "t_lt",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    wrow = Window.partitionBy("g", "x").orderBy("yb")
+    wcol = Window.partitionBy("g", "yb").orderBy("x")
+    pfx = grid.select(
+        "g",
+        "n",
+        "t_lt",
+        F.sum("n").over(wrow).alias("rx"),
+        F.sum("n").over(wcol).alias("cy"),
+        F.sum(F.sum("n").over(wrow)).over(wcol).alias("p"),
+    )
+    D = "decimal(38,0)"
+    nD = F.col("n").cast(D)
+    cd = pfx.groupBy("g").agg(
+        F.sum(nD * (F.col("p") - F.col("rx") - F.col("cy") + F.col("n")).cast(D))
+        .alias("c"),
+        F.sum(nD * (F.col("t_lt") - (F.col("p") - F.col("rx"))).cast(D)).alias("d"),
+    )
+    ties = xm.groupBy("g").agg(
+        F.sum("tot_x").cast(D).alias("nn"),
+        F.sum((F.col("tot_x").cast(D) * (F.col("tot_x") - 1) / 2).cast(D)).alias(
+            "n1"
+        ),
+    )
+    ties2 = ym.groupBy("g").agg(
+        F.sum((F.col("tot_y").cast(D) * (F.col("tot_y") - 1) / 2).cast(D)).alias(
+            "n2"
+        )
+    )
+    n0 = (F.col("nn") * (F.col("nn") - 1) / 2).cast(D)
+    return (
+        cd.join(ties, "g")
+        .join(ties2, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("nn").cast("bigint").alias("n"),
+            F.col("c").cast("bigint").alias("concordant"),
+            F.col("d").cast("bigint").alias("discordant"),
+            (
+                (F.col("c") - F.col("d")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                )
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "ext_mann_kendall",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), pairs AS (
+         SELECT a.event_type,
+                CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END
+                  AS sgn
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.d < b.d
+       ), s AS (
+         SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+         FROM pairs GROUP BY 1
+       ), nn AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY 1
+       ), ties AS (
+         SELECT event_type,
+                CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+         FROM (
+           SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+           FROM daily GROUP BY 1, 2
+         ) GROUP BY 1
+       )
+       SELECT s.event_type, nn.n_days, s.s_stat,
+              CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+                   - ties.tie18 AS DOUBLE) / 18.0 AS var_s,
+              CASE
+                WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                  / sqrt(CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+                              - ties.tie18 AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                  / sqrt(CAST(nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+                              - ties.tie18 AS DOUBLE) / 18.0)
+                ELSE 0.0
+              END AS z
+       FROM s JOIN nn ON nn.event_type = s.event_type
+       JOIN ties ON ties.event_type = s.event_type""",
+)
+def q_ext_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type on the daily
+    count series — the nonparametric 'is this metric drifting' test
+    that pairs with ext_theilsen's slope estimate (MK decides IF there
+    is a trend, Theil-Sen says how steep). S = sum of sign(y_j - y_i)
+    over ordered day pairs; Var(S) carries the standard tie
+    correction sum t(t-1)(2t+5)/18; z applies the +/-1 continuity
+    correction, sign-branched. The pair join is quadratic in DAYS,
+    not in events — the fact-scale work is one (type, day) count
+    aggregation, after which the self-join runs on a series-sized
+    relation (types x days rows; at ten years of daily grain that is
+    ~3.7k rows per type). Every S and tie term is an exact integer;
+    var and z are single double expressions over them, identical on
+    both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n")).cache()  # pairs + marginals share it
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.n") > F.col("a.n"), 1)
+        .when(F.col("b.n") < F.col("a.n"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = pairs.groupBy("event_type").agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie18")
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var18),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var18),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(nn, "event_type")
+        .join(ties, "event_type")
+        .select("event_type", "n_days", "s_stat", var18.alias("var_s"), z.alias("z"))
+    )
+
+
+@register(
+    "ext_psm_match",
+    """WITH s AS (
+         SELECT o_orderkey AS okey,
+                CAST(o_custkey % 2 AS BIGINT) AS treated,
+                CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                  AS cents,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         FROM orders
+       ), banded AS (
+         SELECT *, cents // 1000000 AS band FROM s
+       ), w AS (
+         SELECT *,
+                last_value(CASE WHEN treated = 0 THEN cents END IGNORE NULLS)
+                  OVER (PARTITION BY band ORDER BY cents, okey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS prev_c,
+                first_value(CASE WHEN treated = 0 THEN cents END IGNORE NULLS)
+                  OVER (PARTITION BY band ORDER BY cents, okey
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS next_c
+         FROM banded
+       ), t AS (
+         SELECT band, okey, cents, y,
+                CASE
+                  WHEN prev_c IS NULL AND next_c IS NULL THEN NULL
+                  WHEN prev_c IS NULL THEN next_c
+                  WHEN next_c IS NULL THEN prev_c
+                  WHEN cents - prev_c <= next_c - cents THEN prev_c
+                  ELSE next_c
+                END AS match_c
+         FROM w WHERE treated = 1
+       ), rep AS (
+         SELECT band, cents, arg_min(y, okey) AS yc
+         FROM banded WHERE treated = 0 GROUP BY 1, 2
+       )
+       SELECT t.band,
+              CAST(COUNT(*) AS BIGINT) AS n_treated,
+              CAST(COUNT(t.match_c) AS BIGINT) AS n_matched,
+              CAST(SUM(CASE WHEN t.match_c IS NOT NULL THEN t.y END) AS BIGINT)
+                AS sum_yt,
+              CAST(SUM(rep.yc) AS BIGINT) AS sum_yc,
+              CAST(SUM(CASE WHEN t.match_c IS NOT NULL THEN t.y END)
+                   - SUM(rep.yc) AS DOUBLE)
+                / CAST(COUNT(t.match_c) AS DOUBLE) AS att
+       FROM t LEFT JOIN rep ON rep.band = t.band AND rep.cents = t.match_c
+       GROUP BY t.band
+       HAVING COUNT(t.match_c) > 0""",
+)
+def q_ext_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching with a caliper — the causal-inference
+    workhorse beside ext_stratified_ate/ext_cuped: each treated order
+    (synthetic assignment: customer parity) is matched 1-NN WITH
+    replacement to the nearest control on the score (order value in
+    exact cents), restricted to the same caliper band ($10k), and the
+    per-band ATT is mean(y_treated - y_matched_control) on the
+    order-fulfilled outcome. Nearest-neighbor search is NOT a
+    quadratic join: within each band the union of treated+control
+    rows is sorted once by (cents, key) and two IGNORE-NULLS edge
+    windows (last preceding control / first following control — the
+    forward-fill machinery) give both candidates; the closer one wins
+    with a deterministic tie-break toward the lower side, and treated
+    rows with no in-band control are reported unmatched (that is what
+    a caliper means). The matched control's outcome joins back via a
+    per-(band, cents) representative (arg_min by key — deterministic).
+    Shape: one shuffle on band for the windows, keyed joins after;
+    bands grow with the score range so no few-partition skew. All
+    counts/outcomes are exact integers; ATT is one double division."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_custkey") % 2).cast("bigint").alias("treated"),
+        (F.col("o_totalprice").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    ).withColumn("band", F.expr("cents DIV 1000000"))
+    c_cents = F.when(F.col("treated") == 0, F.col("cents"))
+    wp = (
+        Window.partitionBy("band")
+        .orderBy("cents", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("band")
+        .orderBy("cents", "okey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = s.select(
+        "band",
+        "okey",
+        "cents",
+        "y",
+        "treated",
+        F.last(c_cents, ignorenulls=True).over(wp).alias("prev_c"),
+        F.first(c_cents, ignorenulls=True).over(wn).alias("next_c"),
+    )
+    t = w.where(F.col("treated") == 1).select(
+        "band",
+        "okey",
+        "cents",
+        "y",
+        F.when(F.col("prev_c").isNull() & F.col("next_c").isNull(), F.lit(None))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .when(
+            F.col("cents") - F.col("prev_c") <= F.col("next_c") - F.col("cents"),
+            F.col("prev_c"),
+        )
+        .otherwise(F.col("next_c"))
+        .alias("match_c"),
+    )
+    rep = (
+        s.where(F.col("treated") == 0)
+        .groupBy("band", "cents")
+        .agg(F.min_by("y", "okey").alias("yc"))
+    )
+    rep = rep.select(
+        F.col("band").alias("r_band"), F.col("cents").alias("r_cents"), "yc"
+    )
+    j = t.join(
+        rep,
+        (F.col("r_band") == F.col("band")) & (F.col("r_cents") == F.col("match_c")),
+        "left",
+    ).select("band", "y", "match_c", "yc")
+    matched_y = F.when(F.col("match_c").isNotNull(), F.col("y"))
+    agg = j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_treated"),
+        F.count("match_c").alias("n_matched"),
+        F.sum(matched_y).cast("bigint").alias("sum_yt"),
+        F.sum("yc").cast("bigint").alias("sum_yc"),
+    )
+    return agg.where(F.col("n_matched") > 0).select(
+        "band",
+        "n_treated",
+        "n_matched",
+        "sum_yt",
+        "sum_yc",
+        (
+            (F.col("sum_yt") - F.col("sum_yc")).cast("double")
+            / F.col("n_matched").cast("double")
+        ).alias("att"),
+    )
+
+
+@register(
+    "ext_uplift_deciles",
+    """WITH s AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents,
+                event_id,
+                CAST(user_id % 2 AS BIGINT) AS treated,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         FROM events WHERE value IS NOT NULL
+       ), r AS (
+         SELECT treated, y,
+                CAST(ntile(10) OVER (ORDER BY cents DESC, event_id) AS BIGINT)
+                  AS decile
+         FROM s
+       ), d AS (
+         SELECT decile,
+                CAST(SUM(treated) AS BIGINT) AS n_t,
+                CAST(SUM(treated * y) AS BIGINT) AS pos_t,
+                CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+                CAST(SUM((1 - treated) * y) AS BIGINT) AS pos_c
+         FROM r GROUP BY 1
+       )
+       SELECT decile, n_t, pos_t, n_c, pos_c,
+              CAST(pos_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                - CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS uplift
+       FROM d WHERE n_t > 0 AND n_c > 0""",
+)
+def q_ext_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile table — the treatment-effect analogue of
+    ext_lift_table: rank everything by model score (order value),
+    cut global deciles, and within each decile compare the
+    conversion rate of the treated arm (user parity) against control,
+    uplift = p_t - p_c. This is how a targeting model is validated
+    ('does the model rank people by INCREMENTAL response?') — a
+    monotone uplift column is the goal. The global decile cut reuses
+    banded_global_rank + ntile_from_rank (exact NTILE semantics with
+    NO single-partition window — band prefix sums split the sort);
+    each decile's four counts are exact integers from one hash
+    aggregation, and uplift is a difference of two single double
+    divisions (identical IEEE both engines). Deciles with an empty
+    arm are excluded (cannot happen at realistic row counts; the
+    guard keeps tiny-SF determinism)."""
+    from proto_to_avro_ql_spark.operators.layout import (
+        banded_global_rank,
+        ntile_from_rank,
+    )
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        (-(F.col("value").cast("decimal(38,2)") * 100).cast("long")).alias("vc"),
+        "event_id",
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ranked = banded_global_rank(
+        s, F.expr("vc DIV 1000"), [F.col("vc"), F.col("event_id")], rank_name="_r"
+    )
+    total = s.count()
+    r = ranked.select(
+        "treated",
+        "y",
+        (ntile_from_rank(F.col("_r"), F.lit(total), 10) + 1).alias("decile"),
+    )
+    d = r.groupBy("decile").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(F.col("treated") * F.col("y")).cast("bigint").alias("pos_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("treated")) * F.col("y")).cast("bigint").alias("pos_c"),
+    )
+    return d.where((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "decile",
+        "n_t",
+        "pos_t",
+        "n_c",
+        "pos_c",
+        (
+            F.col("pos_t").cast("double") / F.col("n_t").cast("double")
+            - F.col("pos_c").cast("double") / F.col("n_c").cast("double")
+        ).alias("uplift"),
+    )
+
+
+@register(
+    "ext_anomaly_band",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), w AS (
+         SELECT event_type, d, n,
+                list(n) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                  AS hist
+         FROM daily
+       ), m AS (
+         SELECT event_type, d, n,
+                list_sort(hist)[4] AS med7, hist
+         FROM w WHERE len(hist) = 7
+       ), a AS (
+         SELECT event_type, d, n, med7,
+                list_sort(list_transform(hist, v -> abs(v - med7)))[4] AS mad7
+         FROM m
+       )
+       SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n AS n_events,
+              CAST(med7 AS BIGINT) AS med7, CAST(mad7 AS BIGINT) AS mad7,
+              abs(n - med7) > 3 * GREATEST(mad7, 1) AS is_anomaly
+       FROM a""",
+)
+def q_ext_anomaly_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the daily event-count series per
+    type: each day is compared against the MEDIAN of its 7 trailing
+    days, flagged when it deviates by more than 3x the trailing MAD
+    (median absolute deviation, floored at 1) — the
+    median/MAD control band that, unlike mean/stddev (ext_zscore),
+    does not let the anomaly itself inflate the band. The trailing
+    history is a BOUNDED 7-element window frame (collect over ROWS
+    7 PRECEDING..1 PRECEDING — constant state per row, the same
+    bounded-frame class as ext_moving_avg), and both order statistics
+    are exact integer selections from the sorted 7-array, so the
+    whole detector is integer-exact with zero float noise. Days
+    without a full 7-day history emit nothing (no partial-window
+    false positives). Fact-scale work is one (type, day) count
+    aggregation; the window runs on the series-sized relation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wspec = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.collect_list("n").over(wspec).alias("hist"),
+    ).where(F.size("hist") == 7)
+    m = w.select(
+        "event_type",
+        "d",
+        "n",
+        F.element_at(F.sort_array("hist"), 4).alias("med7"),
+        "hist",
+    )
+    a = m.select(
+        "event_type",
+        "d",
+        "n",
+        "med7",
+        F.element_at(
+            F.sort_array(F.transform("hist", lambda v: F.abs(v - F.col("med7")))),
+            4,
+        ).alias("mad7"),
+    )
+    return a.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_events"),
+        F.col("med7").cast("bigint").alias("med7"),
+        F.col("mad7").cast("bigint").alias("mad7"),
+        (
+            F.abs(F.col("n") - F.col("med7"))
+            > 3 * F.greatest(F.col("mad7"), F.lit(1))
+        ).alias("is_anomaly"),
+    )

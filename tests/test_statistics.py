@@ -1226,3 +1226,181 @@ class TestBatch9Semantics:
             # once warmed (level is a convex-ish smoother of history)
             counts = [r["n_events"] for r in rs]
             assert min(counts) - 1 <= rs[-1]["level"] <= max(counts) + 1
+
+
+class TestBatch10Semantics:
+    """Semantic self-checks for batch 10 (rank-pair statistics, causal
+    matching, monitoring) — brute-force references independent of both
+    engines."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_kendall_tau_brute_force(self, spark, sf_dir):
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS DECIMAL(38,2)) AS BIGINT) AS x,
+                       CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+                            AS BIGINT) // 100000 AS yb
+                FROM '{sf_dir}/lineitem.parquet'"""
+        ).fetchall()
+        import collections
+
+        byg = collections.defaultdict(list)
+        for g, x, yb in rows:
+            byg[g].append((x, yb))
+        got = {
+            r["l_returnflag"]: r
+            for r in self._run(spark, sf_dir, "ext_kendall_tau").collect()
+        }
+        for g, pts in byg.items():
+            C = D = 0
+            for i in range(len(pts)):
+                for j in range(i + 1, len(pts)):
+                    dx = pts[i][0] - pts[j][0]
+                    dy = pts[i][1] - pts[j][1]
+                    if dx * dy > 0:
+                        C += 1
+                    elif dx * dy < 0:
+                        D += 1
+            r = got[g]
+            assert (r["concordant"], r["discordant"]) == (C, D), g
+            n = len(pts)
+            n0 = n * (n - 1) // 2
+            xt = collections.Counter(p[0] for p in pts)
+            yt = collections.Counter(p[1] for p in pts)
+            n1 = sum(t * (t - 1) // 2 for t in xt.values())
+            n2 = sum(t * (t - 1) // 2 for t in yt.values())
+            ref = (C - D) / ((n0 - n1) * (n0 - n2)) ** 0.5
+            assert abs(r["tau_b"] - ref) < 1e-9
+            assert -1.0 <= r["tau_b"] <= 1.0
+
+    def test_mann_kendall_brute_force(self, spark, sf_dir):
+        import duckdb
+
+        daily = duckdb.sql(
+            f"""SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+                FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).fetchall()
+        import collections
+
+        byt = collections.defaultdict(list)
+        for t, d, n in daily:
+            byt[t].append(n)
+        got = {
+            r["event_type"]: r
+            for r in self._run(spark, sf_dir, "ext_mann_kendall").collect()
+        }
+        for t, ns in byt.items():
+            S = sum(
+                (ns[j] > ns[i]) - (ns[j] < ns[i])
+                for i in range(len(ns))
+                for j in range(i + 1, len(ns))
+            )
+            r = got[t]
+            assert r["s_stat"] == S
+            n = len(ns)
+            ties = collections.Counter(ns)
+            var = (
+                n * (n - 1) * (2 * n + 5)
+                - sum(c * (c - 1) * (2 * c + 5) for c in ties.values())
+            ) / 18.0
+            assert abs(r["var_s"] - var) < 1e-9
+            if S > 0:
+                assert abs(r["z"] - (S - 1) / var**0.5) < 1e-9
+            elif S < 0:
+                assert abs(r["z"] - (S + 1) / var**0.5) < 1e-9
+            else:
+                assert r["z"] == 0.0
+
+    def test_psm_match_nearest_in_band(self, spark, sf_dir):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"""SELECT o_orderkey,
+                       CAST(o_custkey % 2 AS BIGINT),
+                       CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT),
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                FROM '{sf_dir}/orders.parquet'"""
+        ).fetchall()
+        import collections
+
+        bands = collections.defaultdict(lambda: ([], []))
+        for okey, tr, cents, y in raw:
+            bands[cents // 1000000][tr].append((cents, okey, y))
+        expect = collections.defaultdict(
+            lambda: {"n_treated": 0, "n_matched": 0, "sum_yt": 0, "sum_yc": 0}
+        )
+        for band, (ctrl, treat) in bands.items():
+            for cents, okey, y in treat:
+                e = expect[band]
+                e["n_treated"] += 1
+                if not ctrl:
+                    continue
+                # nearest control cents; tie -> lower side (prev)
+                best = min(
+                    ctrl,
+                    key=lambda c: (
+                        abs(c[0] - cents),
+                        0 if c[0] <= cents else 1,
+                    ),
+                )[0]
+                # representative control at that cents = min okey
+                reps = [c for c in ctrl if c[0] == best]
+                yc = min(reps, key=lambda c: c[1])[2]
+                e["n_matched"] += 1
+                e["sum_yt"] += y
+                e["sum_yc"] += yc
+        got = {
+            r["band"]: r for r in self._run(spark, sf_dir, "ext_psm_match").collect()
+        }
+        for band, e in expect.items():
+            if e["n_matched"] == 0:
+                assert band not in got
+                continue
+            r = got[band]
+            for k in ("n_treated", "n_matched", "sum_yt", "sum_yc"):
+                assert r[k] == e[k], (band, k, r[k], e[k])
+
+    def test_uplift_deciles_shape(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_uplift_deciles").collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert -1.0 <= r["uplift"] <= 1.0
+            assert 0 <= r["pos_t"] <= r["n_t"]
+            assert 0 <= r["pos_c"] <= r["n_c"]
+        # the arms partition each decile; decile sizes are NTILE-equal
+        sizes = sorted(r["n_t"] + r["n_c"] for r in rows)
+        assert sizes[-1] - sizes[0] <= 1
+
+    def test_anomaly_band_brute_force(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_anomaly_band").collect()
+        assert rows
+        import duckdb
+        import collections
+
+        daily = duckdb.sql(
+            f"""SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                       COUNT(*) FROM '{sf_dir}/events.parquet'
+                GROUP BY 1, date_trunc('day', ts) ORDER BY 1, 2"""
+        ).fetchall()
+        byt = collections.defaultdict(list)
+        for t, d, n in daily:
+            byt[t].append((d, n))
+        got = {(r["event_type"], r["day"]): r for r in rows}
+        n_checked = 0
+        for t, series in byt.items():
+            for i in range(7, len(series)):
+                hist = sorted(n for _, n in series[i - 7 : i])
+                med = hist[3]
+                mad = sorted(abs(v - med) for v in hist)[3]
+                d, n = series[i]
+                r = got[(t, d)]
+                assert (r["med7"], r["mad7"]) == (med, mad)
+                assert r["is_anomaly"] == (abs(n - med) > 3 * max(mad, 1))
+                n_checked += 1
+        assert n_checked == len(rows)

@@ -159,6 +159,12 @@ AUDIT = {
     "ext_assoc_rules": "market-basket rules (in-task pairs, TakeOrdered top-k)",
     "ext_ohlc": "OHLC bars (ONE window node + same-key agg)",
     "ext_holt": "Holt level+trend (fact-scale agg, series-sized Python)",
+    # round 4, batch 10
+    "ext_kendall_tau": "tau-b via 2-D prefix sums on the dense cell grid",
+    "ext_mann_kendall": "MK trend test (pair join on series-sized relation)",
+    "ext_psm_match": "caliper 1-NN matching (edge windows, keyed joins)",
+    "ext_uplift_deciles": "uplift by decile (banded ntile, one count agg)",
+    "ext_anomaly_band": "median/MAD control band (bounded 7-row frames)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
