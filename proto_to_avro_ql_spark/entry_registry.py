@@ -14477,3 +14477,348 @@ def q_ext_anomaly_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 3 * F.greatest(F.col("mad7"), F.lit(1))
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "ext_dbscan_grid",
+    """WITH pts AS (
+         SELECT vec_id,
+                CAST(floor(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT) AS cx,
+                CAST(floor(CAST(embedding[2] AS DOUBLE) * 10) AS BIGINT) AS cy
+         FROM embeddings
+       ), cells AS (
+         SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS c,
+                (cx + 100) * 1000 + (cy + 100) AS key
+         FROM pts GROUP BY 1, 2
+       ), dense AS (SELECT * FROM cells WHERE c >= 5),
+       edges AS (
+         SELECT a.key AS src, b.key AS dst
+         FROM dense a JOIN dense b
+           ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+          AND a.key <> b.key
+       ), rec AS (
+         WITH RECURSIVE r(cell, label) AS (
+           SELECT key, key FROM dense
+           UNION
+           SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.cell
+         ) SELECT cell, MIN(label) AS cluster_id FROM r GROUP BY cell
+       ), labeled AS (
+         SELECT p.vec_id,
+                CASE WHEN d.key IS NULL THEN -1 ELSE rec.cluster_id END
+                  AS cluster_id,
+                CASE WHEN d.key IS NULL THEN
+                  (p.cx + 100) * 1000 + (p.cy + 100) ELSE d.key END AS cell_key
+         FROM pts p
+         LEFT JOIN dense d ON d.cx = p.cx AND d.cy = p.cy
+         LEFT JOIN rec ON rec.cell = d.key
+       )
+       SELECT cluster_id,
+              CAST(COUNT(DISTINCT cell_key) AS BIGINT) AS n_cells,
+              CAST(COUNT(*) AS BIGINT) AS n_points
+       FROM labeled GROUP BY 1""",
+)
+def q_ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based DBSCAN over the embedding space (first two dims,
+    cell = 0.1, minPts = 5 per cell): density clustering that scales —
+    instead of the classic eps-neighborhood point query (quadratic, or
+    an index Spark doesn't have), points hash once into grid cells,
+    cells with >= minPts points are 'dense', 8-adjacent dense cells
+    connect, and clusters are CONNECTED COMPONENTS of the dense-cell
+    graph (the operators/clustering.py machinery — same contract as
+    ext_dedup_cluster: cluster_id = min reachable cell key). Points in
+    sparse cells report as noise (cluster_id -1) — the standard grid
+    approximation of DBSCAN's border rule. Scale shape: the only
+    fact-scale operations are the (cx, cy) bucket aggregation and one
+    broadcast join of points to the dense-cell labels; the component
+    iteration runs on the CELL graph (|cells| ~ data diameter /
+    cell size, thousands at most — independent of row count). The
+    oracle computes the same components via a recursive
+    transitive-closure CTE on the tiny cell graph. All keys, counts,
+    and labels are exact integers; the only float op is the
+    grid-bucket floor, identical on identical doubles."""
+    from proto_to_avro_ql_spark.operators.clustering import connected_components
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 10)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 10)
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("key", (F.col("cx") + 100) * 1000 + (F.col("cy") + 100))
+        .cache()  # dense filter + point labeling share it
+    )
+    dense = cells.where(F.col("c") >= 5)
+    a, b = dense.alias("a"), dense.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.key") < F.col("b.key")),
+    ).select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
+    comp = connected_components(edges)
+    labeled = (
+        pts.join(
+            dense.select("cx", "cy", F.col("key").alias("dense_key")),
+            ["cx", "cy"],
+            "left",
+        )
+        .join(
+            comp.select(
+                F.col("id").alias("dense_key"), F.col("cluster_id").alias("comp_id")
+            ),
+            "dense_key",
+            "left",
+        )
+        .select(
+            F.when(F.col("dense_key").isNull(), F.lit(-1))
+            .otherwise(F.coalesce(F.col("comp_id"), F.col("dense_key")))
+            .alias("cluster_id"),
+            F.when(
+                F.col("dense_key").isNull(),
+                (F.col("cx") + 100) * 1000 + (F.col("cy") + 100),
+            )
+            .otherwise(F.col("dense_key"))
+            .alias("cell_key"),
+        )
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count_distinct("cell_key").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@register(
+    "ext_seasonal_decompose",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), t AS (
+         SELECT event_type, d, n,
+                SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+                COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7
+         FROM daily
+       ), mid AS (
+         SELECT event_type, d, n, sum7,
+                CAST(date_part('dow', d) + 1 AS BIGINT) AS wd,
+                7 * n - sum7 AS ds
+         FROM t WHERE w7 = 7
+       ), seas AS (
+         SELECT event_type, wd, CAST(SUM(ds) AS BIGINT) AS s_num,
+                CAST(COUNT(*) AS BIGINT) AS s_cnt
+         FROM mid GROUP BY 1, 2
+       )
+       SELECT m.event_type, strftime(m.d, '%Y-%m-%d') AS day,
+              m.n AS n_events,
+              CAST(m.sum7 AS DOUBLE) / 7.0 AS trend,
+              CAST(s.s_num AS DOUBLE) / CAST(7 * s.s_cnt AS DOUBLE) AS seasonal,
+              CAST(m.n AS DOUBLE) - CAST(m.sum7 AS DOUBLE) / 7.0
+                - CAST(s.s_num AS DOUBLE) / CAST(7 * s.s_cnt AS DOUBLE)
+                AS residual
+       FROM mid m JOIN seas s ON s.event_type = m.event_type AND s.wd = m.wd""",
+)
+def q_ext_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (trend + weekday seasonal +
+    residual) of the daily event-count series per type — the
+    classical STL-lite decomposition behind ext_seasonal_index and
+    ext_backtest_naive: trend is a CENTERED 7-day moving average
+    (full windows only — no edge bias), the seasonal component is the
+    per-weekday mean of the detrended series, and the residual is
+    what monitoring actually alerts on. Exactness: the detrended
+    series is kept SCALED BY 7 (7n - sum7, an exact integer) so the
+    weekday means stay ratios of exact integers; trend, seasonal, and
+    residual are then single double expressions over those integers —
+    identical IEEE on both engines, no float accumulation anywhere
+    (the r01 lesson). Weekday numbering is pinned cross-engine
+    (DuckDB dow+1 = Spark dayofweek, Sunday = 1). Shape: one
+    fact-scale (type, day) aggregation, then bounded 7-row frames and
+    a weekday join on the series-sized relation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum("n").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("w7"),
+    )
+    mid = t.where(F.col("w7") == 7).select(
+        "event_type",
+        "d",
+        "n",
+        "sum7",
+        F.dayofweek("d").cast("bigint").alias("wd"),
+        (7 * F.col("n") - F.col("sum7")).alias("ds"),
+    ).cache()  # seasonal means + the final join share it
+    seas = mid.groupBy("event_type", "wd").agg(
+        F.sum("ds").cast("bigint").alias("s_num"),
+        F.count(F.lit(1)).alias("s_cnt"),
+    )
+    trend = F.col("sum7").cast("double") / F.lit(7.0)
+    seasonal = F.col("s_num").cast("double") / (7 * F.col("s_cnt")).cast("double")
+    return mid.join(seas, ["event_type", "wd"]).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_events"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("n").cast("double") - trend - seasonal).alias("residual"),
+    )
+
+
+@register(
+    "ext_jl_projection",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))
+                            * 1000000 AS BIGINT)) AS m
+         FROM embeddings
+       ), js AS (SELECT unnest(generate_series(0, 7)) AS j)
+       SELECT e.vec_id, js.j,
+              CAST(list_sum(list_transform(
+                     list_zip(m, generate_series(0, len(m) - 1)),
+                     p -> CASE WHEN
+                       ((((p[2] * 64 + js.j + 1) * (p[2] * 64 + js.j + 1))
+                          % 2147483647) * (p[2] * 64 + js.j + 1)
+                          % 2147483647) * 2654435761 % 2147483647
+                         // 1024 % 2 = 0
+                       THEN p[1] ELSE -p[1] END))
+                   AS DOUBLE) / 1000000.0 AS proj
+       FROM e CROSS JOIN js""",
+)
+def q_ext_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection of the 64-dim
+    embeddings down to 8 dims — the dimensionality-reduction front
+    end for ANN/clustering at scale (project once, then bucket or
+    index in the small space; pairwise distances are preserved within
+    JL distortion). The 'random' signs are a DETERMINISTIC
+    nonlinear integer mix of (dim, target): bit 10 of
+    (v^3 * 2654435761) mod 2^31-1 with v = 64i + j + 1 (stepwise
+    mods keep every product inside BIGINT) — reproducible on any
+    engine with no RNG or hash-function concerns, and empirically
+    balanced (checked: 8 distinct sign columns, pairwise agreement
+    22-42 of 64 — a linear LCG parity here is DEGENERATE, all
+    columns equal up to global flips). Exactness: each float element is
+    converted ONCE to exact integer micros (the verified decimal
+    cast), so every projection is an exact BIGINT sum (order-free,
+    no float accumulation) and the output is one double division.
+    Shape: pure array expressions (transform/aggregate in codegen)
+    crossed with an 8-row literal dimension relation — per-row work
+    is dims x k multiply-adds, zero exchanges, embeddings never
+    shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))"
+            " * 1000000 AS BIGINT))"
+        ).alias("m"),
+    )
+    projs = [
+        F.expr(
+            f"aggregate(zip_with(m, sequence(0L, cast(size(m) - 1 AS BIGINT)),"
+            f" (x, i) -> CASE WHEN"
+            f" ((((i * 64 + {j} + 1) * (i * 64 + {j} + 1)) % 2147483647L)"
+            f" * (i * 64 + {j} + 1) % 2147483647L)"
+            f" * 2654435761L % 2147483647L DIV 1024 % 2 = 0"
+            f" THEN x ELSE -x END),"
+            f" 0L, (acc, v) -> acc + v)"
+        ).alias(f"p{j}")
+        for j in range(8)
+    ]
+    wide = e.select("vec_id", *projs)
+    arr = F.array(*[F.col(f"p{j}") for j in range(8)])
+    return wide.select(
+        "vec_id", F.posexplode(arr).alias("j", "s")
+    ).select(
+        "vec_id",
+        F.col("j").cast("bigint").alias("j"),
+        (F.col("s").cast("double") / F.lit(1000000.0)).alias("proj"),
+    )
+
+
+@register(
+    "ext_chi_residuals",
+    """WITH o AS (
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+         FROM documents GROUP BY 1, 2
+       ), r AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rn FROM o GROUP BY 1),
+       c AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS cn FROM o GROUP BY 1),
+       t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+       cells AS (
+         SELECT r.lang, c.source, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+                r.rn, c.cn, t.n
+         FROM r CROSS JOIN c CROSS JOIN t
+         LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+       )
+       SELECT lang, source, obs,
+              CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+              (CAST(obs AS DOUBLE)
+               - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt(CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                AS std_residual,
+              abs((CAST(obs AS DOUBLE)
+                   - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt(CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))) > 2.0
+                AS notable
+       FROM cells""",
+)
+def q_ext_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized Pearson residuals per contingency cell — the
+    drill-down that follows ext_chi_square/ext_cramers_v: the omnibus
+    test says the (lang, source) table is non-uniform, the residuals
+    say WHICH cells drive it ((obs - exp)/sqrt(exp), |r| > 2 flagged
+    notable). Missing cells enter with obs = 0 (the marginal
+    cross-join + left-join grid, as in ext_cramers_v, so
+    over-represented AND absent combinations both surface). One
+    fact-scale aggregation to cells; marginals and residuals on the
+    tiny grid. Expected counts and residuals are single double
+    expressions over exact integer marginals (rn*cn stays in BIGINT
+    — well under 2^63 here and DECIMAL(38,0)-ready at lake scale);
+    identical IEEE both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("obs")
+    ).cache()  # marginals + grid share it
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    t = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(t))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+            "rn",
+            "cn",
+            "n",
+        )
+    )
+    exp = (F.col("rn") * F.col("cn")).cast("double") / F.col("n").cast("double")
+    resid = (F.col("obs").cast("double") - exp) / F.sqrt(exp)
+    return cells.select(
+        "lang",
+        "source",
+        "obs",
+        exp.alias("expected"),
+        resid.alias("std_residual"),
+        (F.abs(resid) > 2.0).alias("notable"),
+    )

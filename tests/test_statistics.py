@@ -1404,3 +1404,124 @@ class TestBatch10Semantics:
                 assert r["is_anomaly"] == (abs(n - med) > 3 * max(mad, 1))
                 n_checked += 1
         assert n_checked == len(rows)
+
+
+class TestBatch11Semantics:
+    """Semantic self-checks for batch 11 (grid DBSCAN, seasonal
+    decomposition, JL projection, chi residuals)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_dbscan_grid_partition_and_components(self, spark, sf_dir):
+        import duckdb
+
+        rows = self._run(spark, sf_dir, "ext_dbscan_grid").collect()
+        total = sum(r["n_points"] for r in rows)
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert total == n  # every point labeled exactly once
+        clusters = [r for r in rows if r["cluster_id"] != -1]
+        assert clusters, "no dense clusters found"
+        # brute-force the components on the cell graph
+        pts = duckdb.sql(
+            f"""SELECT CAST(floor(CAST(embedding[1] AS DOUBLE)*10) AS BIGINT),
+                       CAST(floor(CAST(embedding[2] AS DOUBLE)*10) AS BIGINT)
+                FROM '{sf_dir}/embeddings.parquet'"""
+        ).fetchall()
+        import collections
+
+        cnt = collections.Counter(pts)
+        dense = {c for c, k in cnt.items() if k >= 5}
+        # union-find over 8-neighborhood
+        parent = {c: c for c in dense}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for cx, cy in dense:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cx + dx, cy + dy)
+                    if nb in dense:
+                        ra, rb = find((cx, cy)), find(nb)
+                        if ra != rb:
+                            parent[ra] = rb
+        comps = collections.defaultdict(lambda: [0, 0])
+        for c in dense:
+            root = find(c)
+            comps[root][0] += 1
+            comps[root][1] += cnt[c]
+        expect = sorted((v[0], v[1]) for v in comps.values())
+        got = sorted((r["n_cells"], r["n_points"]) for r in clusters)
+        assert got == expect
+        noise = [r for r in rows if r["cluster_id"] == -1]
+        exp_noise = sum(k for c, k in cnt.items() if c not in dense)
+        if exp_noise:
+            assert noise[0]["n_points"] == exp_noise
+
+    def test_seasonal_decompose_identity(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_seasonal_decompose").collect()
+        assert rows
+        for r in rows:
+            # additive identity holds exactly (same doubles both terms)
+            assert abs(
+                r["n_events"] - r["trend"] - r["seasonal"] - r["residual"]
+            ) < 1e-9
+        # trend is a 7-day average: between min and max of the series
+        import collections
+
+        byt = collections.defaultdict(list)
+        for r in rows:
+            byt[r["event_type"]].append(r)
+        for t, rs in byt.items():
+            ns = [r["n_events"] for r in rs]
+            assert all(min(ns) - 30 <= r["trend"] <= max(ns) + 30 for r in rs)
+
+    def test_jl_projection_preserves_dot_products_roughly(self, spark, sf_dir):
+        import collections
+
+        rows = self._run(spark, sf_dir, "ext_jl_projection").collect()
+        byv = collections.defaultdict(dict)
+        for r in rows:
+            byv[r["vec_id"]][r["j"]] = r["proj"]
+        assert all(len(v) == 8 for v in byv.values())
+        # norms concentrate: E[||proj||^2] = k * ||x||^2 — check the
+        # RATIO distribution is centered near k (=8) within loose bounds
+        import duckdb
+
+        norms = dict(
+            duckdb.sql(
+                f"""SELECT vec_id, list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+                    FROM '{sf_dir}/embeddings.parquet' GROUP BY 1, 2"""
+            ).fetchall()
+        )
+        ratios = []
+        for v, ps in byv.items():
+            pn = sum(x * x for x in ps.values())
+            if norms[v] > 1e-9:
+                ratios.append(pn / norms[v])
+        mean_ratio = sum(ratios) / len(ratios)
+        assert 4.0 < mean_ratio < 12.0  # k=8, loose JL concentration
+
+    def test_chi_residuals_consistency(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_chi_residuals").collect()
+        assert rows
+        # expected counts sum to N per row-marginal; residual sign
+        # matches obs vs expected
+        tot_obs = sum(r["obs"] for r in rows)
+        tot_exp = sum(r["expected"] for r in rows)
+        assert abs(tot_obs - tot_exp) < 1e-6
+        for r in rows:
+            assert r["notable"] == (abs(r["std_residual"]) > 2.0)
+            if r["obs"] > r["expected"]:
+                assert r["std_residual"] > 0
+            elif r["obs"] < r["expected"]:
+                assert r["std_residual"] < 0

@@ -165,6 +165,11 @@ AUDIT = {
     "ext_psm_match": "caliper 1-NN matching (edge windows, keyed joins)",
     "ext_uplift_deciles": "uplift by decile (banded ntile, one count agg)",
     "ext_anomaly_band": "median/MAD control band (bounded 7-row frames)",
+    # round 4, batch 11
+    "ext_dbscan_grid": "grid DBSCAN (cell agg + components on cell graph)",
+    "ext_seasonal_decompose": "STL-lite decomposition (7-row frames, weekday join)",
+    "ext_jl_projection": "JL signed projection (array exprs, zero exchanges)",
+    "ext_chi_residuals": "per-cell chi residuals (marginal grid math)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
