@@ -156,6 +156,16 @@ HEADLINE = [
     "ext_srm_check",         # sample-ratio-mismatch guardrail
     "ext_contribution_analysis",  # period-over-period delta decomposition
     "ext_pareto_frontier",   # 2-D skyline via one ordered window
+    # round 4, session 3: rank statistics, causal matching, density
+    # clustering, projections, time-series decomposition
+    "ext_spearman",          # rank rho on contingency cells, marginal windows
+    "ext_kendall_tau",       # tau-b via 2-D prefix sums on the dense grid
+    "ext_assoc_rules",       # basket rules, in-task pairs + TakeOrdered
+    "ext_psm_match",         # caliper 1-NN matching via edge windows
+    "ext_ohlc",              # positional open/close bars, one window node
+    "ext_holt",              # level+trend recurrence, series-sized Python
+    "ext_dbscan_grid",       # grid-density clustering, cell-graph CC
+    "ext_jl_projection",     # signed projection, array exprs in codegen
 ]
 
 

@@ -14524,8 +14524,13 @@ def q_ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     an index Spark doesn't have), points hash once into grid cells,
     cells with >= minPts points are 'dense', 8-adjacent dense cells
     connect, and clusters are CONNECTED COMPONENTS of the dense-cell
-    graph (the operators/clustering.py machinery — same contract as
-    ext_dedup_cluster: cluster_id = min reachable cell key). Points in
+    graph (cluster_id = min reachable cell key — the
+    ext_dedup_cluster contract). The cell graph is bounded by GRID
+    AREA, not row count, so components run as a driver-side
+    union-find over a collect() of the dense cells (bounded-relation
+    exemption; the iterative clustering.py machinery is for
+    data-scale graphs and costs ~10 scheduled rounds here for
+    nothing — measured 8.4 s -> 0.6 s at sf0.01). Points in
     sparse cells report as noise (cluster_id -1) — the standard grid
     approximation of DBSCAN's border rule. Scale shape: the only
     fact-scale operations are the (cx, cy) bucket aggregation and one
@@ -14536,8 +14541,6 @@ def q_ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure CTE on the tiny cell graph. All keys, counts,
     and labels are exact integers; the only float op is the
     grid-bucket floor, identical on identical doubles."""
-    from proto_to_avro_ql_spark.operators.clustering import connected_components
-
     emb = read_table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",
@@ -14555,27 +14558,43 @@ def q_ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # dense filter + point labeling share it
     )
     dense = cells.where(F.col("c") >= 5)
-    a, b = dense.alias("a"), dense.alias("b")
-    edges = a.join(
-        b,
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-        & (F.col("a.key") < F.col("b.key")),
-    ).select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
-    comp = connected_components(edges)
+    # The dense-cell graph is CARDINALITY-BOUNDED by the grid area
+    # (embedding range / cell size squared — independent of row count),
+    # so its components are a driver-side union-find over a collect()
+    # of at most a few hundred (cx, cy, key) triples — the same
+    # bounded-relation exemption as the bloom build. The fact-scale
+    # work (bucket agg + label join) stays distributed; the iterative
+    # CC machinery (operators/clustering.py) is the right tool only
+    # when the GRAPH itself is data-scale (ext_dedup_cluster).
+    dcells = [(r["cx"], r["cy"], r["key"]) for r in dense.collect()]
+    keys = {(cx, cy): k for cx, cy, k in dcells}
+    parent = {k: k for _, _, k in dcells}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for cx, cy, k in dcells:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = keys.get((cx + dx, cy + dy))
+                if nb is not None and nb != k:
+                    ra, rb = _find(k), _find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    labels = [(k, _find(k)) for _, _, k in dcells]
+    comp = spark.createDataFrame(labels, "dense_key long, comp_id long")
     labeled = (
         pts.join(
-            dense.select("cx", "cy", F.col("key").alias("dense_key")),
+            F.broadcast(
+                dense.select("cx", "cy", F.col("key").alias("dense_key"))
+            ),
             ["cx", "cy"],
             "left",
         )
-        .join(
-            comp.select(
-                F.col("id").alias("dense_key"), F.col("cluster_id").alias("comp_id")
-            ),
-            "dense_key",
-            "left",
-        )
+        .join(F.broadcast(comp), "dense_key", "left")
         .select(
             F.when(F.col("dense_key").isNull(), F.lit(-1))
             .otherwise(F.coalesce(F.col("comp_id"), F.col("dense_key")))
