@@ -166,6 +166,9 @@ HEADLINE = [
     "ext_holt",              # level+trend recurrence, series-sized Python
     "ext_dbscan_grid",       # grid-density clustering, cell-graph CC
     "ext_jl_projection",     # signed projection, array exprs in codegen
+    "ext_isotonic",          # PAV calibration via bucket minimax
+    "ext_shapley_attribution",  # game-theoretic channel credit
+    "ext_pca_power",         # exact covariance + power iteration
 ]
 
 

@@ -14841,3 +14841,328 @@ def q_ext_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid.alias("std_residual"),
         (F.abs(resid) > 2.0).alias("notable"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 12 — isotonic calibration, Shapley attribution, PCA
+# ===========================================================================
+
+
+@register(
+    "ext_isotonic",
+    """WITH s AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 2500
+                  AS b,
+                CAST(user_id % 2 AS BIGINT) AS label
+         FROM events WHERE value IS NOT NULL
+       ), buckets AS (
+         SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(label) AS BIGINT) AS pos
+         FROM s GROUP BY 1
+       ), cums AS (
+         SELECT b, n, pos,
+                SUM(n) OVER (ORDER BY b) AS cn,
+                SUM(pos) OVER (ORDER BY b) AS cp
+         FROM buckets
+       ), pairs AS (
+         SELECT j.b AS j, k.b AS k,
+                CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                  / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+         FROM cums j JOIN cums k ON j.b <= k.b
+       ), m AS (
+         SELECT j, k,
+                MIN(a) OVER (PARTITION BY j ORDER BY k DESC) AS mjk
+         FROM pairs
+       ), fit AS (
+         SELECT k AS b, MAX(mjk) AS rate_iso FROM m GROUP BY k
+       )
+       SELECT buckets.b AS bucket, buckets.n, buckets.pos,
+              CAST(buckets.pos AS DOUBLE) / CAST(buckets.n AS DOUBLE)
+                AS rate_raw,
+              fit.rate_iso
+       FROM buckets JOIN fit ON fit.b = buckets.b""",
+)
+def q_ext_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the score->positive-rate curve —
+    the monotone regression that turns ext_calibration's reliability
+    diagram into a usable calibrator (scores only mean 'higher = more
+    likely' after AUC; isotonic makes the probability estimate honor
+    that monotonicity). Instead of the sequential pool-adjacent-
+    violators loop, this computes the CLOSED-FORM minimax solution
+    fitted[i] = max_{j<=i} min_{k>=i} avg(pos[j..k]) on the BUCKET
+    relation: prefix sums give every interval average exactly, a
+    per-j descending running-min window gives the inner min, and a
+    per-bucket max gives the outer max — O(B^2) pairs where B is the
+    BUCKET count (a few dozen), not the row count; the fact-scale
+    work is one bucket aggregation. Interval averages are single
+    double divisions of exact integer prefix sums, so every min/max
+    comparison resolves identically on both engines. The pytest runs
+    the classic sequential PAV and asserts equality."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        F.expr(
+            "CAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            " DIV 2500 AS BIGINT)"
+        ).alias("b"),
+        (F.col("user_id") % 2).cast("bigint").alias("label"),
+    )
+    buckets = s.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    ).cache()  # cums + final join share it
+    wb = Window.orderBy("b")
+    cums = buckets.select(
+        "b",
+        "n",
+        "pos",
+        F.sum("n").over(wb).alias("cn"),
+        F.sum("pos").over(wb).alias("cp"),
+    )
+    j, k = cums.alias("j"), cums.alias("k")
+    pairs = j.join(k, F.col("j.b") <= F.col("k.b")).select(
+        F.col("j.b").alias("j"),
+        F.col("k.b").alias("k"),
+        (
+            (F.col("k.cp") - (F.col("j.cp") - F.col("j.pos"))).cast("double")
+            / (F.col("k.cn") - (F.col("j.cn") - F.col("j.n"))).cast("double")
+        ).alias("a"),
+    )
+    wm = Window.partitionBy("j").orderBy(F.desc("k"))
+    m = pairs.select("j", "k", F.min("a").over(wm).alias("mjk"))
+    fit = m.groupBy("k").agg(F.max("mjk").alias("rate_iso"))
+    return buckets.join(fit, buckets["b"] == fit["k"]).select(
+        F.col("b").alias("bucket"),
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias("rate_raw"),
+        "rate_iso",
+    )
+
+
+@register(
+    "ext_shapley_attribution",
+    """WITH ub AS (
+         SELECT user_id,
+                CAST(SUM(DISTINCT CASE event_type
+                       WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                       WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                       ELSE 0 END) AS BIGINT) AS bm,
+                CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS conv
+         FROM events GROUP BY 1
+       ), obs AS (
+         SELECT bm, CAST(COUNT(*) AS BIGINT) AS users,
+                CAST(SUM(conv) AS BIGINT) AS convs
+         FROM ub GROUP BY 1
+       ), sets AS (
+         SELECT g.s AS bm, COALESCE(obs.users, 0) AS users,
+                CASE WHEN COALESCE(obs.users, 0) = 0 THEN 0
+                     ELSE COALESCE(obs.convs, 0) * 1000000
+                          // COALESCE(obs.users, 1) END AS v_m
+         FROM (SELECT unnest(generate_series(0, 15)) AS s) g
+         LEFT JOIN obs ON obs.bm = g.s
+       ), ch AS (
+         SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                               ('error', CAST(2 AS BIGINT)),
+                               ('signup', CAST(4 AS BIGINT)),
+                               ('view', CAST(8 AS BIGINT))) c(channel, bit)
+       ), contrib AS (
+         SELECT ch.channel,
+                CASE bit_count(s.bm) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                     WHEN 2 THEN 2 ELSE 6 END
+                  * (si.v_m - s.v_m) AS term
+         FROM ch JOIN sets s ON (s.bm & ch.bit) = 0
+         JOIN sets si ON si.bm = (s.bm | ch.bit)
+       )
+       SELECT channel,
+              CAST(SUM(term) AS DOUBLE) / 24000000.0 AS shapley
+       FROM contrib GROUP BY 1""",
+)
+def q_ext_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Shapley-value channel attribution — the
+    game-theoretic alternative to ext_attribution's positional rules:
+    each channel's credit is its average marginal contribution to the
+    conversion rate over every coalition of the other channels,
+    phi_i = sum_S |S|!(3-|S|)!/4! * (v(S u i) - v(S)) with
+    v(S) = conversion rate of users whose touched-channel set equals
+    S (0 for unobserved sets, documented). With 4 channels the
+    coalition lattice is 16 sets — the fact-scale work is ONE
+    per-user bitmap aggregation (distinct-type bits + converted
+    flag) and one 16-row set aggregation; the Shapley sum runs on a
+    4 x 8 literal join. Exactness: coalition values are TRUNCATED
+    integer micros (conv*1e6 DIV users — identical truncation both
+    engines), factorial weights are scaled by 4! to stay integral,
+    and the final credit is one double division. Popcount comes from
+    the native bit_count on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    ub = ev.groupBy("user_id").agg(
+        F.sum_distinct(bit).cast("bigint").alias("bm"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    obs = ub.groupBy("bm").agg(
+        F.count(F.lit(1)).alias("users"), F.sum("conv").alias("convs")
+    )
+    grid = spark.range(16).select(F.col("id").alias("bm"))
+    sets = (
+        grid.join(F.broadcast(obs), "bm", "left")
+        .select(
+            "bm",
+            F.coalesce(F.col("users"), F.lit(0)).alias("users"),
+            F.when(F.coalesce(F.col("users"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("COALESCE(convs, 0) * 1000000 DIV COALESCE(users, 1)")
+            )
+            .cast("bigint")
+            .alias("v_m"),
+        )
+        .cache()  # joined twice (S and S|bit)
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit long",
+    )
+    s, si = sets.alias("s"), sets.alias("si")
+    w = (
+        F.when(F.bit_count(F.col("s.bm")) == 0, 6)
+        .when(F.bit_count(F.col("s.bm")) == 1, 2)
+        .when(F.bit_count(F.col("s.bm")) == 2, 2)
+        .otherwise(6)
+    )
+    contrib = (
+        F.broadcast(ch)
+        .join(s, F.col("s.bm").bitwiseAND(F.col("bit")) == 0)
+        .join(si, F.col("si.bm") == F.col("s.bm").bitwiseOR(F.col("bit")))
+        .select(
+            "channel",
+            (w * (F.col("si.v_m") - F.col("s.v_m"))).cast("bigint").alias("term"),
+        )
+    )
+    return contrib.groupBy("channel").agg(
+        (F.sum("term").cast("double") / F.lit(24000000.0)).alias("shapley")
+    )
+
+
+_PCA_ITER_SQL = """, w{t} AS MATERIALIZED (
+         SELECT c.i, CAST(SUM(c.nij * v.vm) AS HUGEINT) AS w
+         FROM cov c JOIN v{p} v ON v.i = c.j
+         GROUP BY c.i
+       ), v{t} AS MATERIALIZED (
+         SELECT w.i,
+                CAST(w.w * 1000000 // mx.mx AS HUGEINT) AS vm
+         FROM w{t} w CROSS JOIN
+              (SELECT MAX(ABS(w)) AS mx FROM w{t}) mx
+       )"""
+
+
+@register(
+    "ext_pca_power",
+    """WITH e AS (
+         SELECT list_transform(embedding[1:16],
+                  x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))
+                            * 1000000 AS BIGINT)) AS m
+         FROM embeddings
+       ), idx AS (SELECT unnest(generate_series(1, 16)) AS i),
+       t AS MATERIALIZED (
+         SELECT a.i, b.i AS j,
+                CAST(e.m[a.i] AS HUGEINT) AS mi,
+                CAST(e.m[b.i] AS HUGEINT) AS mj
+         FROM e CROSS JOIN idx a CROSS JOIN idx b
+       ), moments AS MATERIALIZED (
+         SELECT i, j, SUM(mi * mj) AS sxy, SUM(mi) AS sxi, SUM(mj) AS sxj,
+                CAST(COUNT(*) AS HUGEINT) AS n
+         FROM t GROUP BY 1, 2
+       ), cov AS MATERIALIZED (
+         SELECT i, j, n * sxy - sxi * sxj AS nij FROM moments
+       ), v0 AS (
+         SELECT i, CAST(1000000 AS HUGEINT) AS vm FROM idx
+       )"""
+    + _PCA_ITER_SQL.format(t=1, p=0)
+    + _PCA_ITER_SQL.format(t=2, p=1)
+    + _PCA_ITER_SQL.format(t=3, p=2)
+    + """
+       SELECT CAST(i AS BIGINT) AS dim,
+              CAST(vm AS DOUBLE) / 1000000.0 AS loading
+       FROM v3""",
+)
+def q_ext_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud (first 16 dims)
+    by POWER ITERATION on an exactly-computed covariance matrix — the
+    drift/structure probe behind ext_embed_drift and the coarse
+    quantizer seeding in ext_sim_search_ivf. Two phases, both exact:
+    (1) distributed second moments — each row expands to its 16x16
+    micros outer product in-task (one narrow double explode, O(n d^2)
+    multiply-adds, ONE aggregation; no row self-join), giving
+    N_ij = n*Sxy - Sx*Sy, an integer proportional to the covariance
+    (power iteration is scale-invariant, so no division ever
+    happens); (2) three unrolled mat-vec steps on the 256-entry
+    matrix, renormalizing to integer micros via truncating division
+    by max|w| each step (identical truncation both engines; all
+    intermediates bounded inside DECIMAL(38,0)/HUGEINT). The oracle
+    unrolls the same three steps as MATERIALIZED CTEs (DuckDB would
+    otherwise inline the recursion exponentially). The pytest checks
+    the Rayleigh quotient of the returned direction against numpy's
+    max eigenvalue (the synthetic cloud is near-isotropic, so the
+    captured-variance ratio — not the direction — is the meaningful
+    convergence metric after 3 iterations).
+    At lake scale phase 1 is the only data-scale stage and is one
+    scan + one shuffle of 256 integer cells."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.expr(
+            "transform(slice(embedding, 1, 16),"
+            " x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))"
+            " * 1000000 AS BIGINT))"
+        ).alias("m")
+    )
+    t = (
+        e.select("m", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"))
+        .select("m", "i", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"))
+        .select(
+            "i",
+            "j",
+            F.element_at("m", F.col("i")).alias("mi"),
+            F.element_at("m", F.col("j")).alias("mj"),
+        )
+    )
+    D = "decimal(38,0)"
+    moments = t.groupBy("i", "j").agg(
+        F.sum(F.col("mi").cast(D) * F.col("mj").cast(D)).alias("sxy"),
+        F.sum(F.col("mi").cast(D)).alias("sxi"),
+        F.sum(F.col("mj").cast(D)).alias("sxj"),
+        F.count(F.lit(1)).cast(D).alias("n"),
+    )
+    cov = moments.select(
+        "i",
+        "j",
+        (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj")).alias("nij"),
+    ).cache()  # reused by all three iterations
+    v = spark.range(1, 17).select(
+        F.col("id").cast("int").alias("i"), F.lit(1000000).cast(D).alias("vm")
+    )
+    for _ in range(3):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "vm")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("nij") * F.col("vm")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.expr("CAST(w * 1000000 DIV mx AS DECIMAL(38,0))").alias("vm"),
+        )
+    return v.select(
+        F.col("i").cast("bigint").alias("dim"),
+        (F.col("vm").cast("double") / F.lit(1000000.0)).alias("loading"),
+    )

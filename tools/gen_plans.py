@@ -170,6 +170,10 @@ AUDIT = {
     "ext_seasonal_decompose": "STL-lite decomposition (7-row frames, weekday join)",
     "ext_jl_projection": "JL signed projection (array exprs, zero exchanges)",
     "ext_chi_residuals": "per-cell chi residuals (marginal grid math)",
+    # round 4, batch 12
+    "ext_isotonic": "isotonic PAV via closed-form minimax on buckets",
+    "ext_shapley_attribution": "Shapley credit over the 16-set lattice",
+    "ext_pca_power": "integer covariance + 3 mat-vec power steps",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
