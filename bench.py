@@ -169,6 +169,9 @@ HEADLINE = [
     "ext_isotonic",          # PAV calibration via bucket minimax
     "ext_shapley_attribution",  # game-theoretic channel credit
     "ext_pca_power",         # exact covariance + power iteration
+    "ext_best_split",        # Gini threshold search on prefix sums
+    "ext_permutation_test",  # randomization inference, one pass
+    "ext_raking",            # IPF post-stratification weights
 ]
 
 

@@ -15166,3 +15166,373 @@ def q_ext_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("bigint").alias("dim"),
         (F.col("vm").cast("double") / F.lit(1000000.0)).alias("loading"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 13 — split search, randomization inference, raking
+# ===========================================================================
+
+
+@register(
+    "ext_best_split",
+    """WITH s AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 2500
+                  AS b,
+                CAST(user_id % 2 AS BIGINT) AS label
+         FROM events WHERE value IS NOT NULL
+       ), buckets AS (
+         SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(label) AS BIGINT) AS pos
+         FROM s GROUP BY 1
+       ), cums AS (
+         SELECT b, SUM(n) OVER (ORDER BY b) AS n_l,
+                SUM(pos) OVER (ORDER BY b) AS pos_l,
+                SUM(n) OVER () AS n_tot, SUM(pos) OVER () AS pos_tot
+         FROM buckets
+       ), cand AS (
+         SELECT b AS split, CAST(n_l AS HUGEINT) AS n_l,
+                CAST(pos_l AS HUGEINT) AS pos_l,
+                CAST(n_tot - n_l AS HUGEINT) AS n_r,
+                CAST(pos_tot - pos_l AS HUGEINT) AS pos_r
+         FROM cums WHERE n_l < n_tot
+       ), scored AS (
+         SELECT split, CAST(n_l AS BIGINT) AS n_l,
+                CAST(pos_l AS BIGINT) AS pos_l,
+                CAST(n_r AS BIGINT) AS n_r, CAST(pos_r AS BIGINT) AS pos_r,
+                CAST(2000000 * pos_l * (n_l - pos_l) // n_l
+                     + 2000000 * pos_r * (n_r - pos_r) // n_r AS BIGINT)
+                  AS imp_micros
+         FROM cand
+       )
+       SELECT split, n_l, pos_l, n_r, pos_r,
+              CAST(imp_micros AS DOUBLE) / 1000000.0 AS impurity,
+              CAST(row_number() OVER (ORDER BY imp_micros, split) AS BIGINT)
+                = 1 AS is_best
+       FROM scored""",
+)
+def q_ext_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-threshold search for a decision split (the inner loop of
+    every tree learner, and the 'which cutoff segments my users'
+    analytics question): for every candidate threshold over the score
+    buckets, the weighted Gini impurity of the two sides,
+    sum_side n_s * gini_s = 2*pos_s*neg_s/n_s, minimized with a
+    deterministic tie-break toward the lowest threshold. The scan is
+    PREFIX SUMS over the bucket relation (one fact-scale bucket
+    aggregation, then B-row windows — never a per-threshold pass over
+    the data, which is the naive O(B*n)). Impurity is exact TRUNCATED
+    MICROS (2e6*pos*neg DIV n per side, HUGEINT/DECIMAL(38,0)
+    products), so the argmin and the is_best flag resolve identically
+    on both engines; the reported impurity is one double division.
+    The pytest brute-forces every split from raw rows."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        F.expr(
+            "CAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            " DIV 2500 AS BIGINT)"
+        ).alias("b"),
+        (F.col("user_id") % 2).cast("bigint").alias("label"),
+    )
+    buckets = s.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    wb = Window.orderBy("b")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cums = buckets.select(
+        "b",
+        F.sum("n").over(wb).alias("n_l"),
+        F.sum("pos").over(wb).alias("pos_l"),
+        F.sum("n").over(wall).alias("n_tot"),
+        F.sum("pos").over(wall).alias("pos_tot"),
+    )
+    D = "decimal(38,0)"
+    cand = cums.where(F.col("n_l") < F.col("n_tot")).select(
+        F.col("b").alias("split"),
+        F.col("n_l").cast(D).alias("n_l"),
+        F.col("pos_l").cast(D).alias("pos_l"),
+        (F.col("n_tot") - F.col("n_l")).cast(D).alias("n_r"),
+        (F.col("pos_tot") - F.col("pos_l")).cast(D).alias("pos_r"),
+    )
+    scored = cand.select(
+        "split",
+        F.col("n_l").cast("bigint").alias("n_l"),
+        F.col("pos_l").cast("bigint").alias("pos_l"),
+        F.col("n_r").cast("bigint").alias("n_r"),
+        F.col("pos_r").cast("bigint").alias("pos_r"),
+        F.expr(
+            "CAST(CAST(2000000 AS DECIMAL(38,0)) * pos_l * (n_l - pos_l)"
+            " DIV n_l"
+            " + CAST(2000000 AS DECIMAL(38,0)) * pos_r * (n_r - pos_r)"
+            " DIV n_r AS BIGINT)"
+        ).alias("imp_micros"),
+    )
+    wr = Window.orderBy("imp_micros", "split")
+    return scored.select(
+        "split",
+        "n_l",
+        "pos_l",
+        "n_r",
+        "pos_r",
+        (F.col("imp_micros").cast("double") / F.lit(1000000.0)).alias("impurity"),
+        (F.row_number().over(wr) == 1).alias("is_best"),
+    )
+
+
+@register(
+    "ext_permutation_test",
+    """WITH s AS (
+         SELECT user_id,
+                CAST(user_id % 2 AS BIGINT) AS treated,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE value IS NOT NULL
+       ), obs AS (
+         SELECT CAST(SUM(CASE WHEN treated = 1 THEN cents END) AS HUGEINT)
+                  AS s_t,
+                CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS n_t,
+                CAST(SUM(CASE WHEN treated = 0 THEN cents END) AS HUGEINT)
+                  AS s_c,
+                CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS n_c
+         FROM s
+       ), reps AS (
+         SELECT r.r, s.cents,
+                ((((s.user_id % 2147483647) * 128 + r.r + 1)
+                   * ((s.user_id % 2147483647) * 128 + r.r + 1) % 2147483647)
+                  * ((s.user_id % 2147483647) * 128 + r.r + 1) % 2147483647)
+                  * 2654435761 % 2147483647 // 1024 % 2 AS flip
+         FROM s CROSS JOIN
+              (SELECT unnest(generate_series(0, 99)) AS r) r
+       ), rstat AS (
+         SELECT r,
+                CAST(SUM(CASE WHEN flip = 1 THEN cents END) AS HUGEINT) AS s_t,
+                CAST(SUM(CASE WHEN flip = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS n_t,
+                CAST(SUM(CASE WHEN flip = 0 THEN cents END) AS HUGEINT) AS s_c,
+                CAST(SUM(CASE WHEN flip = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS n_c
+         FROM reps GROUP BY r
+         HAVING SUM(CASE WHEN flip = 1 THEN 1 ELSE 0 END) > 0
+            AND SUM(CASE WHEN flip = 0 THEN 1 ELSE 0 END) > 0
+       ), cmp AS (
+         SELECT COUNT(*) AS n_perm,
+                SUM(CASE WHEN
+                      ABS(CAST(r.s_t AS DOUBLE) / CAST(r.n_t AS DOUBLE)
+                          - CAST(r.s_c AS DOUBLE) / CAST(r.n_c AS DOUBLE))
+                      >= ABS(CAST(o.s_t AS DOUBLE) / CAST(o.n_t AS DOUBLE)
+                             - CAST(o.s_c AS DOUBLE) / CAST(o.n_c AS DOUBLE))
+                    THEN 1 ELSE 0 END) AS n_exceed
+         FROM rstat r CROSS JOIN obs o
+       )
+       SELECT CAST(cmp.n_perm AS BIGINT) AS n_perm,
+              CAST(cmp.n_exceed AS BIGINT) AS n_exceed,
+              CAST(cmp.n_exceed + 1 AS DOUBLE)
+                / CAST(cmp.n_perm + 1 AS DOUBLE) AS p_value,
+              CAST(o.s_t AS DOUBLE) / CAST(o.n_t AS DOUBLE)
+                - CAST(o.s_c AS DOUBLE) / CAST(o.n_c AS DOUBLE) AS obs_diff
+       FROM cmp CROSS JOIN obs o""",
+)
+def q_ext_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the treated-vs-control
+    mean difference — the assumption-free significance check beside
+    ext_ab_test's parametric t and ext_bootstrap_ci's resampled CI:
+    under the null, treatment labels are exchangeable, so the
+    observed mean difference is compared against 100 REASSIGNED
+    replicates (Bernoulli relabeling by a deterministic per-(user,
+    replicate) integer mix — the ext_jl_projection cube kernel, no
+    RNG, reproducible on any engine). Like ext_bootstrap_ci, all 100
+    replicates materialize in ONE narrow 100x explode and ONE hash
+    aggregation (no per-replicate shuffle); sums are exact integer
+    cents in HUGEINT/DECIMAL(38,0), each mean is a single double
+    division, and p = (1 + #{|diff_r| >= |obs|})/(1 + R). Empty-arm
+    replicates are excluded on both sides (cannot happen beyond toy
+    scales)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        "user_id",
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        (F.col("value").cast("decimal(38,2)") * 100).cast("bigint").alias("cents"),
+    )
+    D = "decimal(38,0)"
+
+    def arm_sums(df, flag_col):
+        return df.agg(
+            F.sum(F.when(F.col(flag_col) == 1, F.col("cents")))
+            .cast(D)
+            .alias("s_t"),
+            F.sum(F.when(F.col(flag_col) == 1, 1).otherwise(0))
+            .cast(D)
+            .alias("n_t"),
+            F.sum(F.when(F.col(flag_col) == 0, F.col("cents")))
+            .cast(D)
+            .alias("s_c"),
+            F.sum(F.when(F.col(flag_col) == 0, 1).otherwise(0))
+            .cast(D)
+            .alias("n_c"),
+        )
+
+    obs = arm_sums(s, "treated")
+    reps = s.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("r"),
+        F.col("user_id").alias("uid"),
+    ).select(
+        "r",
+        "cents",
+        F.expr(
+            "((((uid % 2147483647) * 128 + r + 1)"
+            " * ((uid % 2147483647) * 128 + r + 1) % 2147483647)"
+            " * ((uid % 2147483647) * 128 + r + 1) % 2147483647)"
+            " * 2654435761L % 2147483647 DIV 1024 % 2"
+        ).alias("flip"),
+    )
+    rstat = (
+        reps.groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("flip") == 1, F.col("cents")))
+            .cast(D)
+            .alias("s_t"),
+            F.sum(F.when(F.col("flip") == 1, 1).otherwise(0))
+            .cast(D)
+            .alias("n_t"),
+            F.sum(F.when(F.col("flip") == 0, F.col("cents")))
+            .cast(D)
+            .alias("s_c"),
+            F.sum(F.when(F.col("flip") == 0, 1).otherwise(0))
+            .cast(D)
+            .alias("n_c"),
+        )
+        .where((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    )
+    mean_diff = lambda p: (  # noqa: E731
+        F.col(f"{p}s_t").cast("double") / F.col(f"{p}n_t").cast("double")
+        - F.col(f"{p}s_c").cast("double") / F.col(f"{p}n_c").cast("double")
+    )
+    o = obs.select(
+        F.col("s_t").alias("o_s_t"),
+        F.col("n_t").alias("o_n_t"),
+        F.col("s_c").alias("o_s_c"),
+        F.col("n_c").alias("o_n_c"),
+    )
+    cmp = (
+        rstat.crossJoin(F.broadcast(o))
+        .agg(
+            F.count(F.lit(1)).alias("n_perm"),
+            F.sum(
+                F.when(
+                    F.abs(mean_diff("")) >= F.abs(mean_diff("o_")), 1
+                ).otherwise(0)
+            ).alias("n_exceed"),
+        )
+    )
+    return cmp.crossJoin(F.broadcast(o)).select(
+        F.col("n_perm").cast("bigint").alias("n_perm"),
+        F.col("n_exceed").cast("bigint").alias("n_exceed"),
+        (
+            (F.col("n_exceed") + 1).cast("double")
+            / (F.col("n_perm") + 1).cast("double")
+        ).alias("p_value"),
+        mean_diff("o_").alias("obs_diff"),
+    )
+
+
+_RAKE_STEP_SQL = """, rw{t} AS MATERIALIZED (
+         SELECT c.lang, c.source, c.n, c.tgt_lang, c.tgt_source,
+                CAST(c.w * m.tgt // m.cur AS HUGEINT) AS w
+         FROM w{p} c JOIN (
+           SELECT {dim}, MAX(tgt_{dim}) AS tgt,
+                  CAST(SUM(n * w) AS HUGEINT) AS cur
+           FROM w{p} GROUP BY 1
+         ) m ON m.{dim} = c.{dim}
+       )"""
+
+
+@register(
+    "ext_raking",
+    """WITH cells0 AS (
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2
+       ), tot AS (
+         SELECT CAST(SUM(n) AS HUGEINT) AS n_tot,
+                CAST(COUNT(DISTINCT lang) AS HUGEINT) AS n_l,
+                CAST(COUNT(DISTINCT source) AS HUGEINT) AS n_s
+         FROM cells0
+       ), w0 AS MATERIALIZED (
+         SELECT c.lang, c.source, CAST(c.n AS HUGEINT) AS n,
+                CAST(1000000 AS HUGEINT) AS w,
+                CAST(t.n_tot * 1000000 // t.n_l AS HUGEINT) AS tgt_lang,
+                CAST(t.n_tot * 1000000 // t.n_s AS HUGEINT) AS tgt_source
+         FROM cells0 c CROSS JOIN tot t
+       )"""
+    + _RAKE_STEP_SQL.format(t="1", p="0", dim="lang").replace("rw1", "w1")
+    + _RAKE_STEP_SQL.format(t="2", p="1", dim="source").replace("rw2", "w2")
+    + _RAKE_STEP_SQL.format(t="3", p="2", dim="lang").replace("rw3", "w3")
+    + _RAKE_STEP_SQL.format(t="4", p="3", dim="source").replace("rw4", "w4")
+    + """
+       SELECT lang, source, CAST(n AS BIGINT) AS n,
+              CAST(w AS DOUBLE) / 1000000.0 AS weight
+       FROM w4""",
+)
+def q_ext_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking (iterative proportional fitting) of survey-style
+    post-stratification weights: reweight the (lang, source) cells so
+    BOTH marginals match target distributions (uniform here — 'as if
+    we had sampled languages and sources evenly'), by alternately
+    scaling rows then columns to their targets, two full rounds. This
+    is the standard correction when a corpus over-represents some
+    sources — the weighting sibling of ext_stratified_sample (which
+    fixes the mix by sampling) and ext_temperature_mix (which fixes
+    it by exponent). The fit runs entirely on the CELL relation
+    (one fact-scale aggregation; |langs| x |sources| rows after), and
+    every scaling step is exact: weights in integer micros, scale
+    factor applied as w * target DIV current (HUGEINT/DECIMAL(38,0)
+    products, identical truncation) — the oracle unrolls the same
+    four steps as MATERIALIZED CTEs. Convergence to the margins is
+    asserted in pytest within the truncation tolerance."""
+    docs = read_table(spark, sf_dir, "documents")
+    cells0 = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    D = "decimal(38,0)"
+    tot = cells0.agg(
+        F.sum("n").cast(D).alias("n_tot"),
+        F.count_distinct("lang").cast(D).alias("n_l"),
+        F.count_distinct("source").cast(D).alias("n_s"),
+    )
+    w = (
+        cells0.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast(D).alias("n"),
+            F.lit(1000000).cast(D).alias("w"),
+            F.expr(
+                "CAST(n_tot * 1000000 DIV n_l AS DECIMAL(38,0))"
+            ).alias("tgt_lang"),
+            F.expr(
+                "CAST(n_tot * 1000000 DIV n_s AS DECIMAL(38,0))"
+            ).alias("tgt_source"),
+        )
+        .cache()  # four scaling steps re-derive from it
+    )
+    for dim in ("lang", "source", "lang", "source"):
+        m = w.groupBy(dim).agg(
+            F.max(f"tgt_{dim}").alias("tgt"),
+            F.sum(F.col("n") * F.col("w")).alias("cur"),
+        )
+        w = (
+            w.join(F.broadcast(m), dim)
+            .select(
+                "lang",
+                "source",
+                "n",
+                F.expr("CAST(w * tgt DIV cur AS DECIMAL(38,0))").alias("w"),
+                "tgt_lang",
+                "tgt_source",
+            )
+        )
+    return w.select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("w").cast("double") / F.lit(1000000.0)).alias("weight"),
+    )

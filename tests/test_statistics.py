@@ -1637,3 +1637,79 @@ class TestBatch12Semantics:
         # direction vs the max eigenvalue (measured ~0.92 here)
         ray = float(v @ C @ v) / float(v @ v)
         assert ray > 0.85 * vals[-1], (ray, vals[-1])
+
+
+class TestBatch13Semantics:
+    """Semantic self-checks for batch 13 (split search, randomization
+    inference, raking)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_best_split_brute_force(self, spark, sf_dir):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"""SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+                         // 2500,
+                       CAST(user_id % 2 AS BIGINT)
+                FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+        ).fetchall()
+        import collections
+
+        agg = collections.defaultdict(lambda: [0, 0])
+        for b, lb in raw:
+            agg[b][0] += 1
+            agg[b][1] += lb
+        bs = sorted(agg)
+        rows = {r["split"]: r for r in self._run(spark, sf_dir, "ext_best_split").collect()}
+        best, best_imp = None, None
+        for t in bs[:-1]:
+            n_l = sum(agg[b][0] for b in bs if b <= t)
+            p_l = sum(agg[b][1] for b in bs if b <= t)
+            n_r = sum(agg[b][0] for b in bs if b > t)
+            p_r = sum(agg[b][1] for b in bs if b > t)
+            imp = (2_000_000 * p_l * (n_l - p_l)) // n_l + (
+                2_000_000 * p_r * (n_r - p_r)
+            ) // n_r
+            r = rows[t]
+            assert (r["n_l"], r["pos_l"], r["n_r"], r["pos_r"]) == (
+                n_l, p_l, n_r, p_r,
+            )
+            assert abs(r["impurity"] - imp / 1e6) < 1e-9
+            if best_imp is None or (imp, t) < (best_imp, best):
+                best, best_imp = t, imp
+        assert [t for t, r in rows.items() if r["is_best"]] == [best]
+
+    def test_permutation_test_sanity(self, spark, sf_dir):
+        r = self._run(spark, sf_dir, "ext_permutation_test").collect()[0]
+        assert r["n_perm"] == 100
+        assert 0 <= r["n_exceed"] <= 100
+        assert 0.0 < r["p_value"] <= 1.0
+        # user parity vs value is synthetic-independent: the observed
+        # diff should NOT be extreme among the replicates
+        assert r["p_value"] > 0.01
+
+    def test_raking_hits_both_margins(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_raking").collect()
+        assert rows
+        import collections
+
+        n_tot = sum(r["n"] for r in rows)
+        langs = collections.defaultdict(float)
+        sources = collections.defaultdict(float)
+        for r in rows:
+            langs[r["lang"]] += r["n"] * r["weight"]
+            sources[r["source"]] += r["n"] * r["weight"]
+        # after the final source step, source margins are exact (up to
+        # micros truncation); lang margins are within a few % (IPF
+        # converges geometrically)
+        tgt_s = n_tot / len(sources)
+        for v in sources.values():
+            assert abs(v - tgt_s) / tgt_s < 1e-3
+        tgt_l = n_tot / len(langs)
+        for v in langs.values():
+            assert abs(v - tgt_l) / tgt_l < 0.10
+        assert all(r["weight"] > 0 for r in rows)

@@ -174,6 +174,10 @@ AUDIT = {
     "ext_isotonic": "isotonic PAV via closed-form minimax on buckets",
     "ext_shapley_attribution": "Shapley credit over the 16-set lattice",
     "ext_pca_power": "integer covariance + 3 mat-vec power steps",
+    # round 4, batch 13
+    "ext_best_split": "Gini split search via prefix sums on buckets",
+    "ext_permutation_test": "100-replicate randomization test, one explode+agg",
+    "ext_raking": "IPF raking, four cell-relation scaling steps",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
