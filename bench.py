@@ -172,6 +172,9 @@ HEADLINE = [
     "ext_best_split",        # Gini threshold search on prefix sums
     "ext_permutation_test",  # randomization inference, one pass
     "ext_raking",            # IPF post-stratification weights
+    "ext_knn_classify",      # kNN vote eval on brute-force top-k
+    "ext_cluster_quality",   # exact-integer cluster scatter metrics
+    "ext_coec_bias",         # position-debiased engagement
 ]
 
 

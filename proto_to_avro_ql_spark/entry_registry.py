@@ -15536,3 +15536,287 @@ def q_ext_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("w").cast("double") / F.lit(1000000.0)).alias("weight"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 14 — kNN eval, cluster quality, position-bias COEC
+# ===========================================================================
+
+
+@register(
+    "ext_knn_classify",
+    """WITH q AS (
+         SELECT vec_id AS query_id, embedding AS qvec, label AS true_label
+         FROM embeddings WHERE vec_id < 20
+       ), scored AS (
+         SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+                e.label AS n_label,
+                ROUND(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])), 6)
+                  AS cos_sim
+         FROM q CROSS JOIN embeddings e
+         WHERE q.query_id <> e.vec_id
+       ), top AS (
+         SELECT query_id, true_label, n_label,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                  AS rnk
+         FROM scored
+       ), votes AS (
+         SELECT query_id, true_label, n_label,
+                CAST(COUNT(*) AS BIGINT) AS n_votes
+         FROM top WHERE rnk <= 5 GROUP BY 1, 2, 3
+       ), pred AS (
+         SELECT query_id, true_label, n_label AS pred_label, n_votes,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, n_label) AS vr
+         FROM votes
+       )
+       SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+              CAST(pred_label AS BIGINT) AS pred_label, n_votes,
+              pred_label = true_label AS correct
+       FROM pred WHERE vr = 1""",
+)
+def q_ext_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification (k=5) of the first 20
+    embedding rows against the labeled corpus — the eval loop that
+    turns ext_sim_search's neighbor lists into a quality number for
+    the embedding space ('do nearby vectors share labels?'). Reuses
+    the broadcast brute-force top-k (queries broadcast, corpus never
+    shuffles, rounded-cosine + id tie-break for determinism), then
+    votes resolve by (count DESC, label ASC) — fully deterministic.
+    At scale the top-k stage swaps for the LSH/IVF variants with the
+    same vote layer. Counts and labels are exact integers."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    top = SS.brute_force_topk(emb, query_ids=list(range(20)), k=5)
+    lbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    tl = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        top.join(lbl, "neighbor_id")
+        .join(F.broadcast(tl), "query_id")
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("n_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("n_label").cast("bigint").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "ext_cluster_quality",
+    """WITH pts AS (
+         SELECT vec_id, CAST(label AS BIGINT) AS label,
+                list_transform(embedding,
+                  x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))
+                            * 1000000 AS BIGINT)) AS m
+         FROM embeddings
+       ), ex AS (
+         SELECT vec_id, label, i.i, pts.m[i.i] AS m
+         FROM pts CROSS JOIN
+              (SELECT unnest(generate_series(1, 64)) AS i) i
+       ), cent AS (
+         SELECT label, i, CAST(SUM(m) // COUNT(*) AS BIGINT) AS c
+         FROM ex GROUP BY 1, 2
+       ), d2 AS (
+         SELECT ex.vec_id, ex.label,
+                CAST(SUM(CAST((ex.m - cent.c) AS HUGEINT)
+                         * CAST((ex.m - cent.c) AS HUGEINT)) AS HUGEINT)
+                  AS dist2
+         FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+         GROUP BY 1, 2
+       ), wc AS (
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+                CAST(SUM(dist2) // COUNT(*) AS HUGEINT) AS mean_d2
+         FROM d2 GROUP BY 1
+       ), inter AS (
+         SELECT a.label,
+                MIN(CAST((SELECT SUM(CAST(aa.c - bb.c AS HUGEINT)
+                                     * CAST(aa.c - bb.c AS HUGEINT))
+                          FROM cent aa JOIN cent bb
+                            ON aa.i = bb.i AND aa.label = a.label
+                           AND bb.label = b.label) AS HUGEINT)) AS min_inter
+         FROM (SELECT DISTINCT label FROM cent) a
+         JOIN (SELECT DISTINCT label FROM cent) b ON a.label <> b.label
+         GROUP BY 1
+       )
+       SELECT wc.label, wc.n_points,
+              CAST(wc.mean_d2 AS DOUBLE) / 1e12 AS within_msd,
+              CAST(inter.min_inter AS DOUBLE) / 1e12 AS min_inter_d2,
+              CAST(wc.mean_d2 AS DOUBLE) / CAST(inter.min_inter AS DOUBLE)
+                AS scatter_ratio
+       FROM wc JOIN inter ON inter.label = wc.label""",
+)
+def q_ext_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality metrics for the labeled embedding partition — a
+    Davies-Bouldin-style diagnostic with SQUARED distances so every
+    number is exact: per cluster, the mean squared distance of members
+    to their centroid (cohesion), the squared distance to the nearest
+    other centroid (separation), and their ratio (lower = better
+    separated; the eval layer for ext_kmeans / ext_dbscan_grid /
+    ext_semdedup). Mean ABSOLUTE distances would need
+    sqrt-then-average — an order-dependent float sum — so the metric
+    is defined on squared distances where sums of integer micros
+    products stay exact (centroids are truncated-DIV micros means;
+    deviations and their squares are HUGEINT/DECIMAL(38,0)). Shape:
+    one narrow 64x explode, a (label, dim) centroid aggregation, one
+    keyed join back for deviations, and a labels^2 x 64 centroid-pair
+    relation — the fact never self-joins."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))"
+            " * 1000000 AS BIGINT))"
+        ).alias("m"),
+    )
+    ex = pts.select(
+        "vec_id",
+        "label",
+        F.posexplode("m").alias("i0", "m_i"),
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), F.col("m_i").alias("m"))
+    D = "decimal(38,0)"
+    cent = ex.groupBy("label", "i").agg(
+        F.expr("CAST(SUM(m) DIV COUNT(*) AS BIGINT)").alias("c")
+    ).cache()  # deviations + the centroid-pair relation share it
+    d2 = (
+        ex.join(cent, ["label", "i"])
+        .select(
+            "vec_id",
+            "label",
+            ((F.col("m") - F.col("c")).cast(D) * (F.col("m") - F.col("c")).cast(D))
+            .alias("sq"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").alias("dist2"))
+    )
+    wc = d2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr("CAST(SUM(dist2) DIV COUNT(*) AS DECIMAL(38,0))").alias("mean_d2"),
+    )
+    ca = cent.select(F.col("label").alias("la"), "i", F.col("c").alias("c_a"))
+    cb = cent.select(F.col("label").alias("lb"), "i", F.col("c").alias("c_b"))
+    inter = (
+        ca.join(cb, "i")
+        .where(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            ((F.col("c_a") - F.col("c_b")).cast(D)
+             * (F.col("c_a") - F.col("c_b")).cast(D)).alias("sq"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sum("sq").alias("pair_d2"))
+        .groupBy("la")
+        .agg(F.min("pair_d2").alias("min_inter"))
+        .select(F.col("la").alias("label"), "min_inter")
+    )
+    return wc.join(inter, "label").select(
+        "label",
+        "n_points",
+        (F.col("mean_d2").cast("double") / F.lit(1e12)).alias("within_msd"),
+        (F.col("min_inter").cast("double") / F.lit(1e12)).alias("min_inter_d2"),
+        (F.col("mean_d2").cast("double") / F.col("min_inter").cast("double"))
+        .alias("scatter_ratio"),
+    )
+
+
+@register(
+    "ext_coec_bias",
+    """WITH pos AS (
+         SELECT event_id, ts, user_id, event_type,
+                LEAST(CAST(row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS BIGINT), 50) AS p
+         FROM events
+       ), ctr AS (
+         SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS clicks_p
+         FROM pos GROUP BY 1
+       ), e AS (
+         SELECT p, clicks_p * 1000000 // n_p AS e_micros FROM ctr
+       ), daily AS (
+         SELECT strftime(date_trunc('day', pos.ts), '%Y-%m-%d') AS day,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(CASE WHEN pos.event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS clicks,
+                CAST(SUM(e.e_micros) AS BIGINT) AS expected_micros
+         FROM pos JOIN e ON e.p = pos.p
+         GROUP BY 1
+       )
+       SELECT day, n_events, clicks, expected_micros,
+              CAST(clicks * 1000000 AS DOUBLE)
+                / CAST(expected_micros AS DOUBLE) AS coec
+       FROM daily""",
+)
+def q_ext_coec_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COEC (clicks over expected clicks) per day — the position-bias
+    correction from search/ads ranking: raw daily CTR confounds
+    'users clicked more' with 'clickier positions got more traffic',
+    so each event's expected click probability is its POSITION's
+    global CTR (position = rank of the event within its user's
+    stream, capped at 50), and COEC = observed clicks / sum of
+    positional expectations. COEC > 1 means genuinely above-baseline
+    engagement for that day's position mix. Exactness: positional
+    CTRs are TRUNCATED MICROS (clicks_p*1e6 DIV n_p — exact
+    integers), so the daily expectation is an exact integer SUM (no
+    float accumulation across rows), and COEC is one double
+    division. Shape: one user-keyed window for positions, a
+    broadcast join of the <=50-row CTR table, one day aggregation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.least(F.row_number().over(wu).cast("bigint"), F.lit(50)).alias("p"),
+    ).cache()  # CTR table + daily aggregation share it
+    click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ctr = pos.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_p"), F.sum(click).alias("clicks_p")
+    )
+    e = ctr.select("p", F.expr("clicks_p * 1000000 DIV n_p").alias("e_micros"))
+    daily = (
+        pos.join(F.broadcast(e), "p")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(click).alias("clicks"),
+            F.sum("e_micros").cast("bigint").alias("expected_micros"),
+        )
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        "clicks",
+        "expected_micros",
+        (
+            (F.col("clicks") * 1000000).cast("double")
+            / F.col("expected_micros").cast("double")
+        ).alias("coec"),
+    )

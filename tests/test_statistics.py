@@ -1713,3 +1713,99 @@ class TestBatch13Semantics:
         for v in langs.values():
             assert abs(v - tgt_l) / tgt_l < 0.10
         assert all(r["weight"] > 0 for r in rows)
+
+
+class TestBatch14Semantics:
+    """Semantic self-checks for batch 14 (kNN eval, cluster quality,
+    COEC position-bias)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_knn_classify_contract(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_knn_classify").collect()
+        assert len(rows) == 20  # one prediction per query
+        for r in rows:
+            assert 1 <= r["n_votes"] <= 5
+            assert r["correct"] == (r["pred_label"] == r["true_label"])
+        # the synthetic labels are INDEPENDENT of embedding geometry
+        # (1-NN label agreement ~= chance), so accuracy says nothing —
+        # instead brute-force the exact same pipeline (rounded cosine,
+        # id tie-break, (votes DESC, label ASC) vote) and demand
+        # identical predictions
+        import duckdb
+        import numpy as np
+
+        raw = duckdb.sql(
+            f"SELECT vec_id, label, embedding"
+            f" FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        ids = np.array([r[0] for r in raw])
+        y = {r[0]: r[1] for r in raw}
+        X = np.array([r[2] for r in raw], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        got = {r["query_id"]: r for r in rows}
+        for qi, qid in enumerate(ids[:20]):
+            sims = np.round(Xn[qi] @ Xn.T, 6)
+            cand = [
+                (-sims[k], ids[k]) for k in range(len(ids)) if ids[k] != qid
+            ]
+            cand.sort()
+            top5 = [c[1] for c in cand[:5]]
+            import collections
+
+            votes = collections.Counter(y[n] for n in top5)
+            pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            assert got[qid]["pred_label"] == pred, (qid, pred, got[qid])
+
+    def test_cluster_quality_brute_force(self, spark, sf_dir):
+        import numpy as np
+        import duckdb
+        from decimal import Decimal
+
+        rows = {
+            r["label"]: r
+            for r in self._run(spark, sf_dir, "ext_cluster_quality").collect()
+        }
+        raw = duckdb.sql(
+            f"SELECT label, embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+        import collections
+
+        byl = collections.defaultdict(list)
+        for lb, e in raw:
+            m = [int((Decimal(str(float(x))).quantize(Decimal("0.000001")))
+                     * 1_000_000) for x in e]
+            byl[lb].append(m)
+        cents = {}
+        for lb, ms in byl.items():
+            n = len(ms)
+            cents[lb] = [sum(col) // n if sum(col) >= 0
+                         else -((-sum(col)) // n)
+                         for col in zip(*ms)]
+        for lb, ms in byl.items():
+            d2s = [
+                sum((a - c) ** 2 for a, c in zip(m, cents[lb])) for m in ms
+            ]
+            mean_d2 = sum(d2s) // len(d2s)
+            assert abs(rows[lb]["within_msd"] - mean_d2 / 1e12) < 1e-6
+            inter = min(
+                sum((a - b) ** 2 for a, b in zip(cents[lb], cents[o]))
+                for o in cents
+                if o != lb
+            )
+            assert abs(rows[lb]["min_inter_d2"] - inter / 1e12) < 1e-6
+            assert rows[lb]["scatter_ratio"] > 0
+
+    def test_coec_daily_average_is_one_ish(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_coec_bias").collect()
+        assert rows
+        # COEC is calibrated: clicks == expected when aggregated over
+        # ALL days (up to per-position micros truncation)
+        tot_clicks = sum(r["clicks"] for r in rows)
+        tot_exp = sum(r["expected_micros"] for r in rows) / 1e6
+        assert abs(tot_clicks - tot_exp) / max(tot_clicks, 1) < 0.01
+        for r in rows:
+            assert 0.0 < r["coec"] < 10.0

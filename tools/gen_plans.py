@@ -178,6 +178,10 @@ AUDIT = {
     "ext_best_split": "Gini split search via prefix sums on buckets",
     "ext_permutation_test": "100-replicate randomization test, one explode+agg",
     "ext_raking": "IPF raking, four cell-relation scaling steps",
+    # round 4, batch 14
+    "ext_knn_classify": "kNN vote eval over broadcast brute-force top-k",
+    "ext_cluster_quality": "squared-distance cohesion/separation, exact micros",
+    "ext_coec_bias": "COEC position-bias correction, broadcast CTR table",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
