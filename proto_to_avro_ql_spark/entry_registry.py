@@ -14250,10 +14250,16 @@ def q_ext_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cents", "okey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the natural spelling — first(... IGNORE NULLS) OVER (CURRENT ROW
+    # .. UNBOUNDED FOLLOWING) — hits Spark's per-row-rescan
+    # UnboundedFollowing frame (quadratic per partition once nulls
+    # must be skipped; measured 3.3 s -> 0.8 s at sf0.1). The reversed
+    # DESC sort turns it into the same streaming O(n) running-last
+    # frame as prev_c.
     wn = (
         Window.partitionBy("band")
-        .orderBy("cents", "okey")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("cents"), F.desc("okey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w = s.select(
         "band",
@@ -14262,7 +14268,7 @@ def q_ext_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "treated",
         F.last(c_cents, ignorenulls=True).over(wp).alias("prev_c"),
-        F.first(c_cents, ignorenulls=True).over(wn).alias("next_c"),
+        F.last(c_cents, ignorenulls=True).over(wn).alias("next_c"),
     )
     t = w.where(F.col("treated") == 1).select(
         "band",
