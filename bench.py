@@ -175,6 +175,9 @@ HEADLINE = [
     "ext_knn_classify",      # kNN vote eval on brute-force top-k
     "ext_cluster_quality",   # exact-integer cluster scatter metrics
     "ext_coec_bias",         # position-debiased engagement
+    "ext_anova",             # k-group F statistic, one scalar agg
+    "ext_mrr_map",           # retrieval MRR/MAP@10 eval
+    "ext_holt_winters",      # level+trend+weekly seasonal online fit
 ]
 
 

@@ -15826,3 +15826,347 @@ def q_ext_coec_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("expected_micros").cast("double")
         ).alias("coec"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 15 — ANOVA, ranking metrics, Holt-Winters
+# ===========================================================================
+
+
+@register(
+    "ext_anova",
+    """WITH s AS (
+         SELECT event_type,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE value IS NOT NULL
+       ), g AS (
+         SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n_g,
+                CAST(SUM(cents) AS HUGEINT) AS s_g,
+                CAST(SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                     AS HUGEINT) AS s2_g
+         FROM s GROUP BY 1
+       ), terms AS (
+         SELECT CAST((s2_g * n_g - s_g * s_g) * 1000000 // n_g AS HUGEINT)
+                  AS ssw_t,
+                CAST(s_g * s_g * 1000000 // n_g AS HUGEINT) AS sb_t,
+                n_g, s_g
+         FROM g
+       ), tot AS (
+         SELECT CAST(SUM(ssw_t) AS HUGEINT) AS ssw_m,
+                CAST(SUM(sb_t)
+                     - SUM(s_g) * SUM(s_g) * 1000000 // SUM(n_g) AS HUGEINT)
+                  AS ssb_m,
+                CAST(SUM(n_g) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS k
+         FROM terms
+       )
+       SELECT k, n,
+              CAST(ssb_m AS DOUBLE) / 1000000.0 AS ssb,
+              CAST(ssw_m AS DOUBLE) / 1000000.0 AS ssw,
+              (CAST(ssb_m AS DOUBLE) * CAST(n - k AS DOUBLE))
+                / (CAST(ssw_m AS DOUBLE) * CAST(k - 1 AS DOUBLE)) AS f_stat
+       FROM tot""",
+)
+def q_ext_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types (does mean order
+    value differ by type?) — the k-group generalization of
+    ext_ab_test's two-arm Welch t. Between/within sums of squares come
+    from the standard moment identities (SSW = sum_g S2_g - S_g^2/n_g,
+    SSB = sum_g S_g^2/n_g - S^2/n), with every per-group term folded
+    to TRUNCATED INTEGER MICROS before the cross-group sum — summing
+    k per-group DOUBLES would be the order-dependent float
+    accumulation the r01 failures taught us to avoid, while truncated
+    micros sum exactly (bias <= k ulps, identical both engines). One
+    conditional aggregation over the fact (scalar shuffle), then all
+    arithmetic on the k-row relation; F is one double expression.
+    (The p-value needs an F CDF neither engine ships; the exact F and
+    the df pair are what a monitoring rule thresholds anyway.)"""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    D = "decimal(38,0)"
+    s = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(38,2)") * 100).cast("bigint").alias("cents"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(D).alias("n_g"),
+        F.sum("cents").cast(D).alias("s_g"),
+        F.sum(F.col("cents").cast(D) * F.col("cents").cast(D)).alias("s2_g"),
+    )
+    terms = g.select(
+        F.expr(
+            "CAST((s2_g * n_g - s_g * s_g) * 1000000 DIV n_g"
+            " AS DECIMAL(38,0))"
+        ).alias("ssw_t"),
+        F.expr("CAST(s_g * s_g * 1000000 DIV n_g AS DECIMAL(38,0))").alias(
+            "sb_t"
+        ),
+        "n_g",
+        "s_g",
+    )
+    tot = terms.agg(
+        F.sum("ssw_t").alias("ssw_m"),
+        F.expr(
+            "CAST(SUM(sb_t) - SUM(s_g) * SUM(s_g) * 1000000 DIV SUM(n_g)"
+            " AS DECIMAL(38,0))"
+        ).alias("ssb_m"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return tot.select(
+        "k",
+        "n",
+        (F.col("ssb_m").cast("double") / F.lit(1000000.0)).alias("ssb"),
+        (F.col("ssw_m").cast("double") / F.lit(1000000.0)).alias("ssw"),
+        (
+            (F.col("ssb_m").cast("double") * (F.col("n") - F.col("k")).cast("double"))
+            / (F.col("ssw_m").cast("double") * (F.col("k") - 1).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "ext_mrr_map",
+    """WITH q AS (
+         SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+         FROM embeddings WHERE vec_id < 20
+       ), scored AS (
+         SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+                CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+                ROUND(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])), 6)
+                  AS cos_sim
+         FROM q CROSS JOIN embeddings e
+         WHERE q.query_id <> e.vec_id
+       ), top AS (
+         SELECT query_id, rel,
+                CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id)
+                     AS BIGINT) AS rnk
+         FROM scored QUALIFY rnk <= 10
+       ), pr AS (
+         SELECT query_id, rnk, rel,
+                SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS rel_cum
+         FROM top
+       ), perq AS (
+         SELECT query_id,
+                CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+                CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0)
+                     AS BIGINT) AS first_rel_rank,
+                CAST(SUM(CASE WHEN rel = 1
+                              THEN rel_cum * 1000000 // rnk ELSE 0 END)
+                     AS BIGINT) AS ap_num_micros
+         FROM pr GROUP BY 1
+       )
+       SELECT query_id, n_rel_top10, first_rel_rank,
+              CASE WHEN first_rel_rank = 0 THEN 0.0
+                   ELSE CAST(1000000 // first_rel_rank AS DOUBLE) / 1000000.0
+              END AS rr,
+              CASE WHEN n_rel_top10 = 0 THEN 0.0
+                   ELSE CAST(ap_num_micros // n_rel_top10 AS DOUBLE)
+                        / 1000000.0
+              END AS ap10
+       FROM perq""",
+)
+def q_ext_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@10 per query over the embedding corpus (relevant =
+    same label) — completing the retrieval-eval suite beside ext_ndcg
+    (graded gains), ext_auc (ranking), and ext_ann_recall (index
+    fidelity): reciprocal rank scores the FIRST hit, average precision
+    integrates precision at every hit. Rankings reuse the broadcast
+    brute-force cosine top-k (rounded similarity + id tie-break).
+    Both metrics fold to integers per query: rr = 1e6 DIV first_rank,
+    ap = (sum over hits of cum_rel*1e6 DIV rank) DIV n_rel — truncated
+    micros, bit-identical on both engines, emitted per query so no
+    cross-query float mean exists in the oracled surface (the
+    dashboard mean is the caller's one-liner)."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    top = SS.brute_force_topk(emb, query_ids=list(range(20)), k=10)
+    lbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    ql = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    t = (
+        top.join(lbl, "neighbor_id")
+        .join(F.broadcast(ql), "query_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rnk"),
+            F.when(F.col("n_label") == F.col("qlabel"), 1).otherwise(0).alias(
+                "rel"
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("rnk")
+    pr = t.select(
+        "query_id", "rnk", "rel", F.sum("rel").over(wq).alias("rel_cum")
+    )
+    perq = pr.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel_top10"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("rel_cum * 1000000 DIV rnk"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ap_num_micros"),
+    )
+    return perq.select(
+        "query_id",
+        "n_rel_top10",
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr("CAST(1000000 DIV first_rel_rank AS DOUBLE)") / 1000000.0
+        )
+        .alias("rr"),
+        F.when(F.col("n_rel_top10") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr("CAST(ap_num_micros DIV n_rel_top10 AS DOUBLE)") / 1000000.0
+        )
+        .alias("ap10"),
+    )
+
+
+@register(
+    "ext_holt_winters",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), span AS (
+         SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+       ), grid AS (
+         SELECT g.event_type, g.d,
+                CAST(date_diff('day', s.d0, g.d) AS BIGINT) AS idx,
+                COALESCE(dl.n, 0) * 1000000 AS v,
+                COALESCE(dl.n, 0) AS n
+         FROM (SELECT s.event_type, s.d0,
+                      unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d
+               FROM span s) g
+         JOIN span s ON s.event_type = g.event_type
+         LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = g.d
+       ), seed AS (
+         SELECT event_type,
+                CAST(SUM(v) // 7 AS BIGINT) AS a7,
+                list(v ORDER BY idx) AS v7
+         FROM grid WHERE idx < 7 GROUP BY 1
+       ), rec AS (
+         WITH RECURSIVE r(event_type, idx, l, b, s_t, s7) AS (
+           SELECT event_type, CAST(6 AS BIGINT), a7, CAST(0 AS BIGINT),
+                  CAST(0 AS BIGINT),
+                  list_transform(v7, x -> CAST(x - a7 AS BIGINT))
+           FROM seed
+           UNION ALL
+           SELECT g.event_type, g.idx,
+                  (g.v - r.s7[1] + r.l + r.b) // 2,
+                  (((g.v - r.s7[1] + r.l + r.b) // 2) - r.l + r.b) // 2,
+                  (g.v - ((g.v - r.s7[1] + r.l + r.b) // 2) + r.s7[1]) // 2,
+                  r.s7[2:7]
+                    || [(g.v - ((g.v - r.s7[1] + r.l + r.b) // 2) + r.s7[1])
+                        // 2]
+           FROM r JOIN grid g ON g.event_type = r.event_type
+                             AND g.idx = r.idx + 1
+         ) SELECT event_type, idx, l, b, s_t FROM r WHERE idx >= 7
+       )
+       SELECT grid.event_type, strftime(grid.d, '%Y-%m-%d') AS day,
+              grid.n AS n_events,
+              CAST(rec.l AS DOUBLE) / 1000000.0 AS level,
+              CAST(rec.b AS DOUBLE) / 1000000.0 AS trend,
+              CAST(rec.s_t AS DOUBLE) / 1000000.0 AS seasonal
+       FROM rec JOIN grid ON grid.event_type = rec.event_type
+                         AND grid.idx = rec.idx""",
+)
+def q_ext_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing (level + trend + weekly
+    seasonal, alpha = beta = gamma = 1/2, period 7) of the daily
+    event-count series per type — the production forecaster one step
+    up from ext_holt (which trends but cannot carry a weekday
+    pattern; ext_seasonal_decompose fits the same components
+    RETROSPECTIVELY, this one runs ONLINE). Seed: level = mean of the
+    first week, trend = 0, seasonals = first-week deviations; then
+    l_t = (y_t - s_{t-7} + l_{t-1} + b_{t-1})/2, b_t the trend
+    update, s_t = (y_t - l_t + s_{t-7})/2. The state (l, b, and a
+    7-slot seasonal ring) evolves in INTEGER MICROS with truncating
+    halving — Python uses sign-branched truncating div, DuckDB's
+    bigint // truncates identically (probed) — so every emitted value
+    is bit-identical; the oracle is a WITH RECURSIVE whose rows CARRY
+    THE SEASONAL RING AS A LIST (rotate + append each step). Spark
+    runs the recurrence per series via applyInPandas AFTER the
+    fact-scale daily aggregation (series-sized Python, same seam as
+    ext_holt). Emitted from day 8 on (the seed week has no
+    forecastable state)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n")).cache()
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        "d0",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d"),
+    )
+    gg = (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.datediff(F.to_date("d"), F.to_date("d0")).cast("bigint").alias("idx"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+
+        def tdiv(a: int, b: int) -> int:
+            return -((-a) // b) if a < 0 else a // b
+
+        out = []
+        if len(pdf) >= 8:
+            v = [int(n) * 1_000_000 for n in pdf["n_events"]]
+            a7 = tdiv(sum(v[:7]), 7)
+            l, b = a7, 0
+            s = [x - a7 for x in v[:7]]  # ring: s[0] == s_{t-7}
+            for t in range(7, len(v)):
+                s_lag = s[0]
+                l_new = tdiv(v[t] - s_lag + l + b, 2)
+                b = tdiv(l_new - l + b, 2)
+                s_new = tdiv(v[t] - l_new + s_lag, 2)
+                l = l_new
+                s = s[1:] + [s_new]
+                out.append(
+                    (
+                        pdf["event_type"][t],
+                        pdf["day"][t],
+                        int(pdf["n_events"][t]),
+                        l / 1e6,
+                        b / 1e6,
+                        s_new / 1e6,
+                    )
+                )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "n_events", "level", "trend", "seasonal",
+            ],
+        )
+
+    return gg.groupBy("event_type").applyInPandas(
+        hw,
+        schema="event_type string, day string, n_events long,"
+        " level double, trend double, seasonal double",
+    )

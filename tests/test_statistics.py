@@ -1809,3 +1809,120 @@ class TestBatch14Semantics:
         assert abs(tot_clicks - tot_exp) / max(tot_clicks, 1) < 0.01
         for r in rows:
             assert 0.0 < r["coec"] < 10.0
+
+
+class TestBatch15Semantics:
+    """Semantic self-checks for batch 15 (ANOVA, MRR/MAP,
+    Holt-Winters)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_anova_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        raw = duckdb.sql(
+            f"""SELECT event_type,
+                       CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+                FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+        ).fetchall()
+        byg = collections.defaultdict(list)
+        for t, c in raw:
+            byg[t].append(c)
+        r = self._run(spark, sf_dir, "ext_anova").collect()[0]
+        assert r["k"] == len(byg)
+        assert r["n"] == sum(len(v) for v in byg.values())
+        # float reference (micros truncation makes ours differ by
+        # <= k micros — compare loosely)
+        gm = sum(sum(v) for v in byg.values()) / r["n"]
+        ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in byg.values())
+        ssw = sum(
+            sum((x - sum(v) / len(v)) ** 2 for x in v) for v in byg.values()
+        )
+        assert abs(r["ssb"] - ssb) / max(ssb, 1) < 1e-6
+        assert abs(r["ssw"] - ssw) / max(ssw, 1) < 1e-6
+        f = (ssb / (r["k"] - 1)) / (ssw / (r["n"] - r["k"]))
+        assert abs(r["f_stat"] - f) / max(f, 1e-9) < 1e-4
+        assert r["f_stat"] >= 0
+
+    def test_mrr_map_brute_force(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        rows = {
+            r["query_id"]: r
+            for r in self._run(spark, sf_dir, "ext_mrr_map").collect()
+        }
+        assert len(rows) == 20
+        raw = duckdb.sql(
+            f"SELECT vec_id, label, embedding"
+            f" FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        ids = [r[0] for r in raw]
+        y = {r[0]: r[1] for r in raw}
+        X = np.array([r[2] for r in raw], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        for qi in range(20):
+            qid = ids[qi]
+            sims = np.round(Xn[qi] @ Xn.T, 6)
+            cand = sorted(
+                ((-sims[k], ids[k]) for k in range(len(ids)) if ids[k] != qid)
+            )
+            top10 = [c[1] for c in cand[:10]]
+            rel = [1 if y[n] == y[qid] else 0 for n in top10]
+            first = next((i + 1 for i, v in enumerate(rel) if v), 0)
+            r = rows[qid]
+            assert r["first_rel_rank"] == first
+            assert r["n_rel_top10"] == sum(rel)
+            if first:
+                assert abs(r["rr"] - (1_000_000 // first) / 1e6) < 1e-12
+            cum = 0
+            ap_num = 0
+            for i, v in enumerate(rel):
+                cum += v
+                if v:
+                    ap_num += cum * 1_000_000 // (i + 1)
+            if sum(rel):
+                assert abs(r["ap10"] - (ap_num // sum(rel)) / 1e6) < 1e-12
+
+    def test_holt_winters_recurrence_and_seed(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir, "ext_holt_winters").collect()
+        assert rows
+        import collections
+        import duckdb
+
+        daily = duckdb.sql(
+            f"""SELECT event_type, strftime(date_trunc('day', ts),
+                       '%Y-%m-%d'), COUNT(*)
+                FROM '{sf_dir}/events.parquet'
+                GROUP BY 1, date_trunc('day', ts) ORDER BY 1, 2"""
+        ).fetchall()
+        byt = collections.defaultdict(list)
+        for t, d, n in daily:
+            byt[t].append((d, n))
+        got = {(r["event_type"], r["day"]): r for r in rows}
+
+        def tdiv(a, b):
+            return -((-a) // b) if a < 0 else a // b
+
+        for t, series in byt.items():
+            v = [n * 1_000_000 for _, n in series]
+            if len(v) < 8:
+                continue
+            a7 = tdiv(sum(v[:7]), 7)
+            l, b = a7, 0
+            s = [x - a7 for x in v[:7]]
+            for i in range(7, len(v)):
+                s_lag = s[0]
+                l_new = tdiv(v[i] - s_lag + l + b, 2)
+                b = tdiv(l_new - l + b, 2)
+                s_new = tdiv(v[i] - l_new + s_lag, 2)
+                l = l_new
+                s = s[1:] + [s_new]
+                r = got[(t, series[i][0])]
+                assert r["level"] == l / 1e6
+                assert r["trend"] == b / 1e6
+                assert r["seasonal"] == s_new / 1e6

@@ -182,6 +182,10 @@ AUDIT = {
     "ext_knn_classify": "kNN vote eval over broadcast brute-force top-k",
     "ext_cluster_quality": "squared-distance cohesion/separation, exact micros",
     "ext_coec_bias": "COEC position-bias correction, broadcast CTR table",
+    # round 4, batch 15
+    "ext_anova": "one-way F from truncated-micros group moments",
+    "ext_mrr_map": "MRR/MAP@10 per query, integer-micros fold",
+    "ext_holt_winters": "triple smoothing, seasonal ring in series Python",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")

@@ -99,6 +99,21 @@ SWEEP = [
     "join_theta",
     "ext_scd2_build",
     "src_binary_files",
+    # round 4, session 3
+    "ext_spearman",
+    "ext_kendall_tau",
+    "ext_assoc_rules",
+    "ext_psm_match",
+    "ext_holt",
+    "ext_dbscan_grid",
+    "ext_jl_projection",
+    "ext_isotonic",
+    "ext_pca_power",
+    "ext_permutation_test",
+    "ext_coec_bias",
+    "ext_cluster_quality",
+    "ext_anova",
+    "ext_holt_winters",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
