@@ -178,6 +178,9 @@ HEADLINE = [
     "ext_anova",             # k-group F statistic, one scalar agg
     "ext_mrr_map",           # retrieval MRR/MAP@10 eval
     "ext_holt_winters",      # level+trend+weekly seasonal online fit
+    "ext_effect_size",       # standardized effect magnitude report
+    "ext_markov_absorption", # expected steps-to-conversion chain solve
+    "ext_dtw",               # alignment-tolerant series distance
 ]
 
 

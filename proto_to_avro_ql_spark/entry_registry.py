@@ -16170,3 +16170,292 @@ def q_ext_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, day string, n_events long,"
         " level double, trend double, seasonal double",
     )
+
+
+# ===========================================================================
+# Round 4, batch 16 — effect sizes, absorbing chains, DTW
+# ===========================================================================
+
+
+@register(
+    "ext_effect_size",
+    """WITH s AS (
+         SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE value IS NOT NULL
+       ), m AS (
+         SELECT event_type,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS n_t,
+                CAST(SUM(CASE WHEN arm = 1 THEN cents END) AS HUGEINT) AS s_t,
+                CAST(SUM(CASE WHEN arm = 1
+                         THEN CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)
+                         END) AS HUGEINT) AS q_t,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS n_c,
+                CAST(SUM(CASE WHEN arm = 0 THEN cents END) AS HUGEINT) AS s_c,
+                CAST(SUM(CASE WHEN arm = 0
+                         THEN CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)
+                         END) AS HUGEINT) AS q_c
+         FROM s GROUP BY 1
+       )
+       SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+              CAST(n_c AS BIGINT) AS n_c,
+              (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+               - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                / sqrt(((CAST(q_t AS DOUBLE)
+                         - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                           / CAST(n_t AS DOUBLE))
+                        + (CAST(q_c AS DOUBLE)
+                           - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                             / CAST(n_c AS DOUBLE)))
+                       / CAST(n_t + n_c - 2 AS DOUBLE)) AS cohens_d,
+              ((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                / sqrt(((CAST(q_t AS DOUBLE)
+                         - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                           / CAST(n_t AS DOUBLE))
+                        + (CAST(q_c AS DOUBLE)
+                           - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                             / CAST(n_c AS DOUBLE)))
+                       / CAST(n_t + n_c - 2 AS DOUBLE)))
+                * (1.0 - 3.0 / (4.0 * CAST(n_t + n_c AS DOUBLE) - 9.0))
+                AS hedges_g
+       FROM m""",
+)
+def q_ext_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes (Cohen's d, Hedges' g) per event type
+    for the user-parity A/B split — the magnitude report that belongs
+    NEXT TO ext_ab_test's significance verdict (a tiny p-value on a
+    trivial effect is the classic big-data trap; d says whether the
+    difference MATTERS). Pooled-variance d from the standard moment
+    identities; g applies the small-sample bias correction
+    1 - 3/(4N - 9). ONE conditional aggregation over the fact (six
+    exact HUGEINT/DECIMAL moments per type); every reported number is
+    a single composite double expression over those exact integers —
+    bit-identical cross-engine, no float accumulation."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    D = "decimal(38,0)"
+    s = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        (F.col("value").cast("decimal(38,2)") * 100).cast("bigint").alias("cents"),
+    )
+    cd = F.col("cents").cast(D)
+    m = s.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast(D).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents"))).cast(D).alias("s_t"),
+        F.sum(F.when(F.col("arm") == 1, cd * cd)).alias("q_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast(D).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents"))).cast(D).alias("s_c"),
+        F.sum(F.when(F.col("arm") == 0, cd * cd)).alias("q_c"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_diff = dbl("s_t") / dbl("n_t") - dbl("s_c") / dbl("n_c")
+    pooled = F.sqrt(
+        (
+            (dbl("q_t") - dbl("s_t") * dbl("s_t") / dbl("n_t"))
+            + (dbl("q_c") - dbl("s_c") * dbl("s_c") / dbl("n_c"))
+        )
+        / (F.col("n_t") + F.col("n_c") - 2).cast("double")
+    )
+    d = mean_diff / pooled
+    g = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (F.col("n_t") + F.col("n_c")).cast("double") - 9.0)
+    )
+    return m.select(
+        "event_type",
+        F.col("n_t").cast("bigint").alias("n_t"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+        d.alias("cohens_d"),
+        g.alias("hedges_g"),
+    )
+
+
+_ABSORB_STEP_SQL = """, t{t} AS MATERIALIZED (
+         SELECT p.src AS state,
+                1000000 + COALESCE(CAST(SUM(p.pm * tp.steps) AS BIGINT), 0)
+                  // 1000000 AS steps
+         FROM p LEFT JOIN t{p} tp ON tp.state = p.dst
+         GROUP BY p.src
+       )"""
+
+
+@register(
+    "ext_markov_absorption",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events
+       ), c AS (
+         SELECT prev_type AS src, event_type AS dst,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM seq WHERE prev_type IS NOT NULL AND prev_type <> 'purchase'
+         GROUP BY 1, 2
+       ), r AS (
+         SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1
+       ), p AS MATERIALIZED (
+         SELECT c.src, c.dst, c.n * 1000000 // r.tot AS pm, r.tot
+         FROM c JOIN r ON r.src = c.src
+       ), t0 AS (
+         SELECT DISTINCT src AS state, CAST(0 AS BIGINT) AS steps FROM p
+       )"""
+    + "".join(
+        _ABSORB_STEP_SQL.format(t=k, p=k - 1) for k in range(1, 7)
+    )
+    + """
+       SELECT p0.src AS state, CAST(MAX(p0.tot) AS BIGINT) AS n_out,
+              CAST(COALESCE(MAX(CASE WHEN p0.dst = 'purchase'
+                                     THEN p0.pm END), 0) AS DOUBLE)
+                / 1000000.0 AS p_absorb_step,
+              CAST(MAX(t6.steps) AS DOUBLE) / 1000000.0 AS exp_steps_6
+       FROM p p0 JOIN t6 ON t6.state = p0.src
+       GROUP BY p0.src""",
+)
+def q_ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain analysis of the event-type Markov process:
+    treating 'purchase' as the absorbing state, the expected number
+    of steps to conversion from each other state — the quantitative
+    layer on top of ext_markov_transitions' raw matrix and
+    ext_event_paths' observed trails ('how far is a viewer from
+    buying?'). The fundamental-matrix solve t = 1 + P_transient t is
+    run as SIX unrolled fixed-point iterations in INTEGER MICROS
+    (1e6 + sum(p_ij * t_j) DIV 1e6 — the ext_pagerank kernel shape; a
+    geometrically-converging lower bound, documented as such), on the
+    |states|^2 transition relation. Fact-scale work: one user-keyed
+    lag window + one pair count. The one-step absorption probability
+    rides along exactly (c DIV row-total micros). MATERIALIZED
+    iteration CTEs keep DuckDB from inlining the recursion
+    exponentially."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wu).alias("prev_type")
+    )
+    c = (
+        seq.where(
+            F.col("prev_type").isNotNull() & (F.col("prev_type") != "purchase")
+        )
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(r, "src")
+        .select("src", "dst", F.expr("n * 1000000 DIV tot").alias("pm"), "tot")
+        .cache()  # six iterations + the final report share it
+    )
+    t = p.select(F.col("src").alias("state")).distinct().withColumn(
+        "steps", F.lit(0).cast("bigint")
+    )
+    for _ in range(6):
+        t = (
+            p.join(
+                t.select(F.col("state").alias("dst"), "steps"), "dst", "left"
+            )
+            .groupBy("src")
+            .agg(
+                F.expr(
+                    "CAST(1000000 + COALESCE(CAST(SUM(pm * steps) AS BIGINT),"
+                    " 0) DIV 1000000 AS BIGINT)"
+                ).alias("steps")
+            )
+            .select(F.col("src").alias("state"), "steps")
+        )
+    out = (
+        p.join(t.select(F.col("state").alias("src"), "steps"), "src")
+        .groupBy("src")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_out"),
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("dst") == "purchase", F.col("pm"))),
+                    F.lit(0),
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("p_absorb_step"),
+            (F.max("steps").cast("double") / F.lit(1000000.0)).alias(
+                "exp_steps_6"
+            ),
+        )
+    )
+    return out.select(
+        F.col("src").alias("state"), "n_out", "p_absorb_step", "exp_steps_6"
+    )
+
+
+@register("ext_dtw")  # rows-only: an O(nm) DP is not ANSI-SQL-expressible;
+# correctness is pinned by the brute-force pytest (identical integer DP).
+def q_ext_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of event
+    types' daily count series — the alignment-tolerant similarity that
+    ext_corr_matrix (which compares days STRICTLY pointwise) cannot
+    express: two series with the same shape shifted by a day are
+    'far' in correlation but near in DTW. Classic O(n*m) DP with
+    integer |a-b| costs — genuinely sequential, so it runs where the
+    repo puts irreducible per-series logic: ONE fact-scale daily
+    aggregation, series packed to arrays (sort_array of (idx, n)
+    structs — collect_list alone has no order contract), the 10-row
+    pair relation built by a self-join, and the DP in an Arrow-batched
+    mapInPandas over PAIR-SIZED data (series length, not event
+    count). All costs are exact BIGINTs. No DuckDB oracle — a DP
+    recurrence over a 2-D table is not expressible in ANSI SQL
+    without quadratic recursive machinery; the pytest runs the
+    identical integer DP in plain Python instead."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    packed = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("d"), F.col("n")))
+                ),
+                lambda s: s["n"],
+            ).alias("series")
+        )
+    )
+    a = packed.select(
+        F.col("event_type").alias("type_a"), F.col("series").alias("sa")
+    )
+    b = packed.select(
+        F.col("event_type").alias("type_b"), F.col("series").alias("sb")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+
+    def dtw_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                sa, sb = list(row["sa"]), list(row["sb"])
+                n, m = len(sa), len(sb)
+                INF = float("inf")
+                prev = [INF] * (m + 1)
+                prev[0] = 0
+                for i in range(1, n + 1):
+                    cur = [INF] * (m + 1)
+                    for j in range(1, m + 1):
+                        c = abs(int(sa[i - 1]) - int(sb[j - 1]))
+                        cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+                    prev = cur
+                out.append(
+                    (row["type_a"], row["type_b"], n, m, int(prev[m]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["type_a", "type_b", "len_a", "len_b", "dtw_cost"],
+            )
+
+    return pairs.mapInPandas(
+        dtw_batches,
+        schema="type_a string, type_b string, len_a long, len_b long,"
+        " dtw_cost long",
+    )

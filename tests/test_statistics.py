@@ -1926,3 +1926,123 @@ class TestBatch15Semantics:
                 assert r["level"] == l / 1e6
                 assert r["trend"] == b / 1e6
                 assert r["seasonal"] == s_new / 1e6
+
+
+class TestBatch16Semantics:
+    """Semantic self-checks for batch 16 (effect size, absorbing
+    chains, DTW)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_effect_size_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+        import statistics as st
+
+        raw = duckdb.sql(
+            f"""SELECT event_type, user_id % 2,
+                       CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+                FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+        ).fetchall()
+        byg = collections.defaultdict(lambda: ([], []))
+        for t, a, c in raw:
+            byg[t][int(a)].append(c)
+        got = {
+            r["event_type"]: r
+            for r in self._run(spark, sf_dir, "ext_effect_size").collect()
+        }
+        for t, (ctrl, treat) in byg.items():
+            nt, nc = len(treat), len(ctrl)
+            mt, mc = st.mean(treat), st.mean(ctrl)
+            ssq = sum((x - mt) ** 2 for x in treat) + sum(
+                (x - mc) ** 2 for x in ctrl
+            )
+            sp = (ssq / (nt + nc - 2)) ** 0.5
+            d = (mt - mc) / sp
+            g = d * (1 - 3 / (4 * (nt + nc) - 9))
+            r = got[t]
+            assert (r["n_t"], r["n_c"]) == (nt, nc)
+            assert abs(r["cohens_d"] - d) < 1e-9
+            assert abs(r["hedges_g"] - g) < 1e-9
+            # synthetic parity split: no genuine effect, but small
+            # per-type samples at sf0.001 leave sampling noise — only
+            # rule out a LARGE standardized effect
+            assert abs(r["cohens_d"]) < 1.0
+
+    def test_markov_absorption_fixed_point(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        rows = {
+            r["state"]: r
+            for r in self._run(spark, sf_dir, "ext_markov_absorption").collect()
+        }
+        assert rows and "purchase" not in rows
+        trans = duckdb.sql(
+            f"""WITH seq AS (
+                  SELECT event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS p
+                  FROM '{sf_dir}/events.parquet')
+                SELECT p, event_type, COUNT(*) FROM seq
+                WHERE p IS NOT NULL AND p <> 'purchase' GROUP BY 1, 2"""
+        ).fetchall()
+        c = collections.defaultdict(dict)
+        for src, dst, n in trans:
+            c[src][dst] = n
+        pm = {
+            s: {d: n * 1_000_000 // sum(ds.values()) for d, n in ds.items()}
+            for s, ds in ((s, c[s]) for s in c)
+        }
+        t = {s: 0 for s in pm}
+        for _ in range(6):
+            t = {
+                s: 1_000_000
+                + sum(p * t.get(d, 0) for d, p in pm[s].items()) // 1_000_000
+                for s in pm
+            }
+        for s in pm:
+            assert rows[s]["exp_steps_6"] == t[s] / 1e6
+            assert rows[s]["p_absorb_step"] == pm[s].get("purchase", 0) / 1e6
+            # expected steps lower-bounds at 1 and grows with iterations
+            assert rows[s]["exp_steps_6"] >= 1.0
+
+    def test_dtw_brute_force_and_axioms(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        rows = self._run(spark, sf_dir, "ext_dtw").collect()
+        assert len(rows) == 10  # C(5,2) type pairs
+        daily = duckdb.sql(
+            f"""SELECT event_type, date_trunc('day', ts) AS d, COUNT(*)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).fetchall()
+        byt = collections.defaultdict(list)
+        for t, d, n in daily:
+            byt[t].append(n)
+
+        def dtw(sa, sb):
+            INF = float("inf")
+            prev = [INF] * (len(sb) + 1)
+            prev[0] = 0
+            for i in range(1, len(sa) + 1):
+                cur = [INF] * (len(sb) + 1)
+                for j in range(1, len(sb) + 1):
+                    c = abs(sa[i - 1] - sb[j - 1])
+                    cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+                prev = cur
+            return prev[-1]
+
+        for r in rows:
+            ref = dtw(byt[r["type_a"]], byt[r["type_b"]])
+            assert r["dtw_cost"] == ref, (r, ref)
+            # DTW lower-bounds at |sum difference|... no — but it is
+            # bounded above by the pointwise L1 distance (same lengths)
+            l1 = sum(
+                abs(a - b)
+                for a, b in zip(byt[r["type_a"]], byt[r["type_b"]])
+            )
+            assert r["dtw_cost"] <= l1

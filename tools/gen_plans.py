@@ -186,6 +186,10 @@ AUDIT = {
     "ext_anova": "one-way F from truncated-micros group moments",
     "ext_mrr_map": "MRR/MAP@10 per query, integer-micros fold",
     "ext_holt_winters": "triple smoothing, seasonal ring in series Python",
+    # round 4, batch 16
+    "ext_effect_size": "Cohen d / Hedges g from one conditional agg",
+    "ext_markov_absorption": "absorbing-chain steps, 6 micros iterations",
+    "ext_dtw": "pairwise DTW, series-sized mapInPandas",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
