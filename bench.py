@@ -181,6 +181,8 @@ HEADLINE = [
     "ext_effect_size",       # standardized effect magnitude report
     "ext_markov_absorption", # expected steps-to-conversion chain solve
     "ext_dtw",               # alignment-tolerant series distance
+    "ext_lorenz_deciles",    # revenue-concentration curve
+    "ext_tree_depth2",       # per-level histogram tree search
 ]
 
 

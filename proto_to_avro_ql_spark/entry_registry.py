@@ -16459,3 +16459,273 @@ def q_ext_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="type_a string, type_b string, len_a long, len_b long,"
         " dtw_cost long",
     )
+
+
+# ===========================================================================
+# Round 4, batch 17 — revenue concentration, depth-2 split search
+# ===========================================================================
+
+
+@register(
+    "ext_lorenz_deciles",
+    """WITH u AS (
+         SELECT user_id,
+                CAST(SUM(CAST(value AS DECIMAL(38,2)) * 100) AS BIGINT)
+                  AS cents
+         FROM events WHERE value IS NOT NULL GROUP BY 1
+       ), r AS (
+         SELECT cents,
+                CAST(ntile(10) OVER (ORDER BY cents DESC, user_id)
+                     AS BIGINT) AS decile
+         FROM u
+       ), d AS (
+         SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM r GROUP BY 1
+       ), c AS (
+         SELECT decile, n_users, revenue_cents,
+                SUM(revenue_cents) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(revenue_cents) OVER () AS tot
+         FROM d
+       )
+       SELECT decile, n_users, revenue_cents,
+              CAST(revenue_cents AS DOUBLE) / CAST(tot AS DOUBLE) AS rev_share,
+              CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+       FROM c""",
+)
+def q_ext_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz) deciles: rank users by lifetime
+    value, cut into revenue deciles, and report each decile's share
+    and the cumulative curve — the '20% of users drive 80% of
+    revenue' panel that ext_gini summarizes into one number (this is
+    the curve the coefficient integrates). Per-user revenue is an
+    exact decimal-accumulated cents sum; the global decile cut uses
+    banded_global_rank + ntile_from_rank (exact NTILE with no
+    single-partition window — the same seam as ext_lift_table /
+    ext_uplift_deciles); shares are single double divisions of exact
+    integer sums over the 10-row relation."""
+    from pyspark.sql import Window
+    from proto_to_avro_ql_spark.operators.layout import (
+        banded_global_rank,
+        ntile_from_rank,
+    )
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    s = u.select((-F.col("cents")).alias("vc"), "user_id", "cents")
+    ranked = banded_global_rank(
+        s, F.expr("vc DIV 100000"), [F.col("vc"), F.col("user_id")], rank_name="_r"
+    )
+    total = u.count()
+    r = ranked.select(
+        "cents", (ntile_from_rank(F.col("_r"), F.lit(total), 10) + 1).alias("decile")
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "decile",
+        "n_users",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w_cum).alias("cum"),
+        F.sum("revenue_cents").over(w_all).alias("tot"),
+    )
+    return c.select(
+        "decile",
+        "n_users",
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / F.col("tot").cast("double"))
+        .alias("rev_share"),
+        (F.col("cum").cast("double") / F.col("tot").cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
+@register(
+    "ext_tree_depth2",
+    """WITH s AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 2500
+                  AS vb,
+                CAST(date_part('hour', ts) AS BIGINT) AS hb,
+                CAST(user_id % 2 AS BIGINT) AS label
+         FROM events WHERE value IS NOT NULL
+       ), rb AS (
+         SELECT vb, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(label) AS BIGINT) AS pos
+         FROM s GROUP BY 1
+       ), rc AS (
+         SELECT vb, SUM(n) OVER (ORDER BY vb) AS n_l,
+                SUM(pos) OVER (ORDER BY vb) AS pos_l,
+                SUM(n) OVER () AS n_t, SUM(pos) OVER () AS pos_t
+         FROM rb
+       ), rsc AS (
+         SELECT vb AS split,
+                CAST(CAST(2000000 AS HUGEINT) * pos_l * (n_l - pos_l)
+                       // n_l
+                     + CAST(2000000 AS HUGEINT) * (pos_t - pos_l)
+                       * ((n_t - n_l) - (pos_t - pos_l)) // (n_t - n_l)
+                     AS BIGINT) AS imp
+         FROM rc WHERE n_l < n_t
+       ), root AS (
+         SELECT split FROM rsc ORDER BY imp, split LIMIT 1
+       ), sides AS (
+         SELECT CASE WHEN s.vb <= root.split THEN 'left' ELSE 'right' END
+                  AS node,
+                s.hb, s.label
+         FROM s CROSS JOIN root
+       ), hb AS (
+         SELECT node, hb, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(label) AS BIGINT) AS pos
+         FROM sides GROUP BY 1, 2
+       ), hc AS (
+         SELECT node, hb,
+                SUM(n) OVER (PARTITION BY node ORDER BY hb) AS n_l,
+                SUM(pos) OVER (PARTITION BY node ORDER BY hb) AS pos_l,
+                SUM(n) OVER (PARTITION BY node) AS n_t,
+                SUM(pos) OVER (PARTITION BY node) AS pos_t
+         FROM hb
+       ), hsc AS (
+         SELECT node, hb AS split, n_t, pos_t,
+                CAST(CAST(2000000 AS HUGEINT) * pos_l * (n_l - pos_l)
+                       // n_l
+                     + CAST(2000000 AS HUGEINT) * (pos_t - pos_l)
+                       * ((n_t - n_l) - (pos_t - pos_l)) // (n_t - n_l)
+                     AS BIGINT) AS imp
+         FROM hc WHERE n_l < n_t
+       ), best AS (
+         SELECT node, split, n_t, pos_t, imp,
+                row_number() OVER (PARTITION BY node ORDER BY imp, split)
+                  AS rk
+         FROM hsc
+       )
+       SELECT 'root' AS node, 'value_bucket' AS feature,
+              root.split AS threshold,
+              CAST(rc2.n_t AS BIGINT) AS n, CAST(rc2.pos_t AS BIGINT) AS pos,
+              CAST(rsc.imp AS DOUBLE) / 1000000.0 AS impurity
+       FROM root JOIN rsc ON rsc.split = root.split
+       CROSS JOIN (SELECT MAX(n_t) AS n_t, MAX(pos_t) AS pos_t FROM rc) rc2
+       UNION ALL
+       SELECT node, 'hour' AS feature, split AS threshold,
+              CAST(n_t AS BIGINT) AS n, CAST(pos_t AS BIGINT) AS pos,
+              CAST(imp AS DOUBLE) / 1000000.0 AS impurity
+       FROM best WHERE rk = 1""",
+)
+def q_ext_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 decision-stump search — one level beyond
+    ext_best_split: the root picks the best value-bucket threshold
+    (Gini, truncated-micros kernel), each child then picks its own
+    best HOUR-of-day threshold within its subset. This is the
+    recursive-partitioning pattern every distributed tree learner
+    uses: per level, ONE pass builds (node, feature-bucket)
+    histograms, prefix sums score every candidate, and the argmin per
+    node is a window rank — the fact is scanned once per LEVEL, never
+    per candidate. The root threshold reaches the second level as a
+    broadcast 1-row relation (no driver round-trip in the plan
+    semantics; the oracle mirrors with a scalar CTE). All impurities
+    are exact truncated micros with (imp, split) tie-breaks, so the
+    chosen tree is identical on both engines."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        F.expr(
+            "CAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            " DIV 2500 AS BIGINT)"
+        ).alias("vb"),
+        F.hour("ts").cast("bigint").alias("hb"),
+        (F.col("user_id") % 2).cast("bigint").alias("label"),
+    ).cache()  # root histogram + side assignment share it
+
+    H = "decimal(38,0)"
+
+    def imp_expr():
+        return F.expr(
+            "CAST(CAST(2000000 AS DECIMAL(38,0)) * pos_l * (n_l - pos_l)"
+            " DIV n_l"
+            " + CAST(2000000 AS DECIMAL(38,0)) * (pos_t - pos_l)"
+            " * ((n_t - n_l) - (pos_t - pos_l)) DIV (n_t - n_l)"
+            " AS BIGINT)"
+        )
+
+    rb = s.groupBy("vb").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    wv = Window.orderBy("vb")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rc = rb.select(
+        "vb",
+        F.sum("n").over(wv).cast(H).alias("n_l"),
+        F.sum("pos").over(wv).cast(H).alias("pos_l"),
+        F.sum("n").over(wall).cast(H).alias("n_t"),
+        F.sum("pos").over(wall).cast(H).alias("pos_t"),
+    )
+    rsc = rc.where(F.col("n_l") < F.col("n_t")).select(
+        F.col("vb").alias("split"), "n_t", "pos_t", imp_expr().alias("imp")
+    )
+    wr = Window.orderBy("imp", "split")
+    root = rsc.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") == 1)
+    root_row = root.select(
+        F.col("split").alias("r_split"),
+        F.col("n_t").cast("bigint").alias("r_n"),
+        F.col("pos_t").cast("bigint").alias("r_pos"),
+        (F.col("imp").cast("double") / F.lit(1000000.0)).alias("r_imp"),
+    )
+    sides = s.crossJoin(F.broadcast(root_row.select("r_split"))).select(
+        F.when(F.col("vb") <= F.col("r_split"), F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("node"),
+        "hb",
+        "label",
+    )
+    hb = sides.groupBy("node", "hb").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    wh = Window.partitionBy("node").orderBy("hb")
+    wn = Window.partitionBy("node")
+    hc = hb.select(
+        "node",
+        "hb",
+        F.sum("n").over(wh).cast(H).alias("n_l"),
+        F.sum("pos").over(wh).cast(H).alias("pos_l"),
+        F.sum("n").over(wn).cast(H).alias("n_t"),
+        F.sum("pos").over(wn).cast(H).alias("pos_t"),
+    )
+    hsc = hc.where(F.col("n_l") < F.col("n_t")).select(
+        "node",
+        F.col("hb").alias("split"),
+        "n_t",
+        "pos_t",
+        imp_expr().alias("imp"),
+    )
+    wb = Window.partitionBy("node").orderBy("imp", "split")
+    best = hsc.withColumn("rk", F.row_number().over(wb)).where(F.col("rk") == 1)
+    out_root = root_row.select(
+        F.lit("root").alias("node"),
+        F.lit("value_bucket").alias("feature"),
+        F.col("r_split").alias("threshold"),
+        F.col("r_n").alias("n"),
+        F.col("r_pos").alias("pos"),
+        F.col("r_imp").alias("impurity"),
+    )
+    out_children = best.select(
+        "node",
+        F.lit("hour").alias("feature"),
+        F.col("split").alias("threshold"),
+        F.col("n_t").cast("bigint").alias("n"),
+        F.col("pos_t").cast("bigint").alias("pos"),
+        (F.col("imp").cast("double") / F.lit(1000000.0)).alias("impurity"),
+    )
+    return out_root.unionByName(out_children)

@@ -2046,3 +2046,77 @@ class TestBatch16Semantics:
                 for a, b in zip(byt[r["type_a"]], byt[r["type_b"]])
             )
             assert r["dtw_cost"] <= l1
+
+
+class TestBatch17Semantics:
+    """Semantic self-checks for batch 17 (Lorenz deciles, depth-2
+    tree)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_lorenz_deciles_curve(self, spark, sf_dir):
+        rows = sorted(
+            self._run(spark, sf_dir, "ext_lorenz_deciles").collect(),
+            key=lambda r: r["decile"],
+        )
+        assert len(rows) == 10
+        # shares sum to 1, cumulative is monotone, deciles ordered by
+        # revenue desc => shares non-increasing
+        assert abs(sum(r["rev_share"] for r in rows) - 1.0) < 1e-9
+        assert abs(rows[-1]["cum_share"] - 1.0) < 1e-9
+        for a, b in zip(rows, rows[1:]):
+            assert b["cum_share"] >= a["cum_share"] - 1e-12
+            assert b["rev_share"] <= a["rev_share"] + 1e-9
+        # concentration: top decile holds more than 10%
+        assert rows[0]["rev_share"] > 0.10
+        sizes = sorted(r["n_users"] for r in rows)
+        assert sizes[-1] - sizes[0] <= 1  # NTILE-equal cuts
+
+    def test_tree_depth2_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        raw = duckdb.sql(
+            f"""SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+                         // 2500,
+                       CAST(date_part('hour', ts) AS BIGINT),
+                       CAST(user_id % 2 AS BIGINT)
+                FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+        ).fetchall()
+
+        def best_split(pairs):
+            agg = collections.defaultdict(lambda: [0, 0])
+            for b, lb in pairs:
+                agg[b][0] += 1
+                agg[b][1] += lb
+            bs = sorted(agg)
+            best = None
+            for t in bs[:-1]:
+                n_l = sum(agg[b][0] for b in bs if b <= t)
+                p_l = sum(agg[b][1] for b in bs if b <= t)
+                n_r = sum(agg[b][0] for b in bs if b > t)
+                p_r = sum(agg[b][1] for b in bs if b > t)
+                imp = (2_000_000 * p_l * (n_l - p_l)) // n_l + (
+                    2_000_000 * p_r * (n_r - p_r)
+                ) // n_r
+                if best is None or (imp, t) < best[:2]:
+                    best = (imp, t, n_l + n_r, p_l + p_r)
+            return best
+
+        rows = {r["node"]: r for r in self._run(spark, sf_dir, "ext_tree_depth2").collect()}
+        imp0, t0, n0, p0 = best_split([(vb, lb) for vb, hb, lb in raw])
+        assert rows["root"]["threshold"] == t0
+        assert rows["root"]["n"] == n0 and rows["root"]["pos"] == p0
+        assert abs(rows["root"]["impurity"] - imp0 / 1e6) < 1e-9
+        left = [(hb, lb) for vb, hb, lb in raw if vb <= t0]
+        right = [(hb, lb) for vb, hb, lb in raw if vb > t0]
+        for node, sub in (("left", left), ("right", right)):
+            imp, t, n, p = best_split(sub)
+            r = rows[node]
+            assert r["threshold"] == t and r["n"] == n and r["pos"] == p
+            assert abs(r["impurity"] - imp / 1e6) < 1e-9
+        # children partition the root
+        assert rows["left"]["n"] + rows["right"]["n"] == rows["root"]["n"]

@@ -190,6 +190,9 @@ AUDIT = {
     "ext_effect_size": "Cohen d / Hedges g from one conditional agg",
     "ext_markov_absorption": "absorbing-chain steps, 6 micros iterations",
     "ext_dtw": "pairwise DTW, series-sized mapInPandas",
+    # round 4, batch 17
+    "ext_lorenz_deciles": "revenue Lorenz curve via banded ntile",
+    "ext_tree_depth2": "two-level split search, one pass per level",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
