@@ -183,6 +183,8 @@ HEADLINE = [
     "ext_dtw",               # alignment-tolerant series distance
     "ext_lorenz_deciles",    # revenue-concentration curve
     "ext_tree_depth2",       # per-level histogram tree search
+    "ext_sequence_match",    # behavioral regex over event trails
+    "ext_price_index",       # matched-basket price indices
 ]
 
 

@@ -16729,3 +16729,216 @@ def q_ext_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("imp").cast("double") / F.lit(1000000.0)).alias("impurity"),
     )
     return out_root.unionByName(out_children)
+
+
+# ===========================================================================
+# Round 4, batch 18 — sequence patterns, price indices
+# ===========================================================================
+
+
+@register(
+    "ext_sequence_match",
+    """WITH seq AS (
+         SELECT user_id,
+                string_agg(CASE event_type
+                             WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                             WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                             ELSE 'v' END, ''
+                           ORDER BY ts, event_id) AS trail
+         FROM events GROUP BY 1
+       ), flags AS (
+         SELECT CASE WHEN regexp_matches(trail, 'v.*p') THEN 1 ELSE 0 END
+                  AS m_vp,
+                CASE WHEN regexp_matches(trail, 's.*v.*p') THEN 1 ELSE 0 END
+                  AS m_svp,
+                CASE WHEN regexp_matches(trail, 'e.*p') THEN 1 ELSE 0 END
+                  AS m_ep,
+                CASE WHEN regexp_matches(trail, 'p.*p') THEN 1 ELSE 0 END
+                  AS m_pp
+         FROM seq
+       ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM flags)
+       SELECT p.pattern, t.n_users, p.n_matched,
+              CAST(p.n_matched AS DOUBLE) / CAST(t.n_users AS DOUBLE)
+                AS share
+       FROM (
+         SELECT 'view_then_purchase' AS pattern,
+                CAST(SUM(m_vp) AS BIGINT) AS n_matched FROM flags
+         UNION ALL
+         SELECT 'signup_view_purchase', CAST(SUM(m_svp) AS BIGINT) FROM flags
+         UNION ALL
+         SELECT 'error_then_purchase', CAST(SUM(m_ep) AS BIGINT) FROM flags
+         UNION ALL
+         SELECT 'repeat_purchase', CAST(SUM(m_pp) AS BIGINT) FROM flags
+       ) p CROSS JOIN tot t""",
+)
+def q_ext_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the ClickHouse
+    sequenceMatch shape): each user's stream collapses to an ordered
+    one-char-per-event trail, and behavioral patterns become plain
+    REGEXES over that trail — 'viewed then later purchased',
+    'signup -> view -> purchase', 'error before a purchase', 'repeat
+    buyer'. This is the declarative alternative to ext_funnel's
+    step-count kernel: arbitrary gap/order patterns with no
+    per-pattern join. The trail is built with ONE user-keyed
+    aggregation (sort_array of (ts, id, char) structs then a concat —
+    collect_list alone has no order contract; trail length = the
+    user's event count, bounded); the four regex probes are pure
+    column expressions over the user relation. Counts are exact
+    integers; shares one double division."""
+    ev = read_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("v")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch"))
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("trail")
+    )
+    flags = seq.select(
+        F.col("trail").rlike("v.*p").cast("int").alias("m_vp"),
+        F.col("trail").rlike("s.*v.*p").cast("int").alias("m_svp"),
+        F.col("trail").rlike("e.*p").cast("int").alias("m_ep"),
+        F.col("trail").rlike("p.*p").cast("int").alias("m_pp"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("m_vp").alias("view_then_purchase"),
+        F.sum("m_svp").alias("signup_view_purchase"),
+        F.sum("m_ep").alias("error_then_purchase"),
+        F.sum("m_pp").alias("repeat_purchase"),
+    )
+    pats = [
+        "view_then_purchase",
+        "signup_view_purchase",
+        "error_then_purchase",
+        "repeat_purchase",
+    ]
+    rows = [
+        flags.select(
+            F.lit(p).alias("pattern"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col(p).cast("bigint").alias("n_matched"),
+            (F.col(p).cast("double") / F.col("n_users").cast("double")).alias(
+                "share"
+            ),
+        )
+        for p in pats
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "ext_price_index",
+    """WITH pm AS (
+         SELECT l_partkey AS pk,
+                strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * 100)
+                     AS BIGINT) AS ext_cents,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS BIGINT) AS qty
+         FROM lineitem GROUP BY 1, 2
+       ), priced AS (
+         SELECT pk, mon, qty,
+                ext_cents * 1000000 // qty AS p_micros
+         FROM pm WHERE qty > 0
+       ), base AS (
+         SELECT pk, qty AS q0, p_micros AS p0
+         FROM priced WHERE mon = (SELECT MIN(mon) FROM priced)
+       ), joined AS (
+         SELECT pr.mon,
+                CAST(pr.p_micros AS HUGEINT) AS pt,
+                CAST(b.p0 AS HUGEINT) AS p0,
+                CAST(b.q0 AS HUGEINT) AS q0,
+                CAST(pr.qty AS HUGEINT) AS qt
+         FROM priced pr JOIN base b ON b.pk = pr.pk
+       ), agg AS (
+         SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                CAST(SUM(pt * q0) AS HUGEINT) AS l_num,
+                CAST(SUM(p0 * q0) AS HUGEINT) AS l_den,
+                CAST(SUM(pt * qt) AS HUGEINT) AS p_num,
+                CAST(SUM(p0 * qt) AS HUGEINT) AS p_den
+         FROM joined GROUP BY 1
+       )
+       SELECT mon, n_parts,
+              CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE) AS laspeyres,
+              CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS paasche,
+              sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                   * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+                AS fisher
+       FROM agg""",
+)
+def q_ext_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices per ship month
+    against the first month as base — the canonical composite-price
+    tracking calculation (inflation panels, vendor price monitoring),
+    and a shape none of the other entries cover: a BASE-PERIOD join
+    where every period's basket is compared against frozen base
+    prices and quantities. Unit prices are TRUNCATED MICROS from
+    exact cents/quantity sums per (part, month); all four index sums
+    are exact HUGEINT/DECIMAL(38,0) products over the part-month
+    relation (parts absent from the base month drop out — the
+    matched-basket convention); Laspeyres (base-weighted), Paasche
+    (current-weighted), and Fisher (their geometric mean) are single
+    double expressions. Shape: one fact-scale (part, month)
+    aggregation, a part-keyed join against the base relation, one
+    month aggregation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias(
+            "mon"
+        ),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("ext_cents"),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    priced = pm.where(F.col("qty") > 0).select(
+        "pk", "mon", "qty", F.expr("ext_cents * 1000000 DIV qty").alias("p_micros")
+    ).cache()  # base extraction + the monthly join share it
+    base_mon = priced.agg(F.min("mon").alias("m0"))
+    base = (
+        priced.crossJoin(F.broadcast(base_mon))
+        .where(F.col("mon") == F.col("m0"))
+        .select("pk", F.col("qty").alias("q0"), F.col("p_micros").alias("p0"))
+    )
+    D = "decimal(38,0)"
+    joined = priced.join(base, "pk").select(
+        "mon",
+        F.col("p_micros").cast(D).alias("pt"),
+        F.col("p0").cast(D).alias("p0"),
+        F.col("q0").cast(D).alias("q0"),
+        F.col("qty").cast(D).alias("qt"),
+    )
+    agg = joined.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("pt") * F.col("q0")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+        F.sum(F.col("pt") * F.col("qt")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("qt")).alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        "mon",
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )

@@ -2120,3 +2120,66 @@ class TestBatch17Semantics:
             assert abs(r["impurity"] - imp / 1e6) < 1e-9
         # children partition the root
         assert rows["left"]["n"] + rows["right"]["n"] == rows["root"]["n"]
+
+
+class TestBatch18Semantics:
+    """Semantic self-checks for batch 18 (sequence patterns, price
+    indices)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_sequence_match_brute_force(self, spark, sf_dir):
+        import duckdb
+        import re
+        import collections
+
+        raw = duckdb.sql(
+            f"""SELECT user_id, event_type FROM '{sf_dir}/events.parquet'
+                ORDER BY user_id, ts, event_id"""
+        ).fetchall()
+        trails = collections.defaultdict(str)
+        ch = {"click": "c", "error": "e", "purchase": "p", "signup": "s",
+              "view": "v"}
+        for u, t in raw:
+            trails[u] += ch[t]
+        pats = {
+            "view_then_purchase": r"v.*p",
+            "signup_view_purchase": r"s.*v.*p",
+            "error_then_purchase": r"e.*p",
+            "repeat_purchase": r"p.*p",
+        }
+        got = {
+            r["pattern"]: r
+            for r in self._run(spark, sf_dir, "ext_sequence_match").collect()
+        }
+        for name, pat in pats.items():
+            n = sum(1 for t in trails.values() if re.search(pat, t))
+            r = got[name]
+            assert r["n_matched"] == n, (name, n, r)
+            assert r["n_users"] == len(trails)
+        # containment: the 3-step funnel is a subset of the 2-step one
+        assert (
+            got["signup_view_purchase"]["n_matched"]
+            <= got["view_then_purchase"]["n_matched"]
+        )
+
+    def test_price_index_identities(self, spark, sf_dir):
+        rows = sorted(
+            self._run(spark, sf_dir, "ext_price_index").collect(),
+            key=lambda r: r["mon"],
+        )
+        assert rows
+        base = rows[0]
+        # base month indexes to exactly 1.0 on all three formulas
+        assert base["laspeyres"] == 1.0
+        assert base["paasche"] == 1.0
+        assert abs(base["fisher"] - 1.0) < 1e-12
+        for r in rows:
+            # Fisher is the geometric mean => always between L and P
+            lo, hi = sorted((r["laspeyres"], r["paasche"]))
+            assert lo - 1e-12 <= r["fisher"] <= hi + 1e-12
+            assert r["n_parts"] > 0
+            assert 0.1 < r["laspeyres"] < 10.0

@@ -193,6 +193,9 @@ AUDIT = {
     # round 4, batch 17
     "ext_lorenz_deciles": "revenue Lorenz curve via banded ntile",
     "ext_tree_depth2": "two-level split search, one pass per level",
+    # round 4, batch 18
+    "ext_sequence_match": "regex over per-user event trails",
+    "ext_price_index": "Laspeyres/Paasche vs frozen base basket",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
