@@ -185,6 +185,9 @@ HEADLINE = [
     "ext_tree_depth2",       # per-level histogram tree search
     "ext_sequence_match",    # behavioral regex over event trails
     "ext_price_index",       # matched-basket price indices
+    "ext_growth_accounting", # new/retained/resurrected/churned flows
+    "ext_rdd",               # regression-discontinuity local fit
+    "ext_capture_recapture", # population coverage estimation
 ]
 
 

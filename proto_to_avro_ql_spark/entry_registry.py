@@ -16942,3 +16942,287 @@ def q_ext_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         paas.alias("paasche"),
         F.sqrt(lasp * paas).alias("fisher"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 19 — growth accounting, RDD, capture-recapture
+# ===========================================================================
+
+
+@register(
+    "ext_growth_accounting",
+    """WITH ud AS (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+       ), fd AS (
+         SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY 1
+       ), today AS (
+         SELECT ud.user_id, ud.d, fd.d0,
+                CASE WHEN y.user_id IS NULL THEN 0 ELSE 1 END
+                  AS active_prev
+         FROM ud JOIN fd ON fd.user_id = ud.user_id
+         LEFT JOIN ud y ON y.user_id = ud.user_id
+                       AND y.d = ud.d - INTERVAL 1 DAY
+       ), churn AS (
+         SELECT y.d + INTERVAL 1 DAY AS d,
+                CAST(COUNT(*) AS BIGINT) AS churned
+         FROM ud y LEFT JOIN ud t ON t.user_id = y.user_id
+                                 AND t.d = y.d + INTERVAL 1 DAY
+         WHERE t.user_id IS NULL
+         GROUP BY 1
+       ), daily AS (
+         SELECT d, CAST(COUNT(*) AS BIGINT) AS dau,
+                CAST(SUM(CASE WHEN d0 = d THEN 1 ELSE 0 END) AS BIGINT)
+                  AS new_users,
+                CAST(SUM(CASE WHEN active_prev = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS retained,
+                CAST(SUM(CASE WHEN active_prev = 0 AND d0 < d
+                              THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+         FROM today GROUP BY 1
+       )
+       SELECT strftime(daily.d, '%Y-%m-%d') AS day, dau, new_users,
+              retained, resurrected,
+              CAST(COALESCE(churn.churned, 0) AS BIGINT) AS churned
+       FROM daily LEFT JOIN churn ON churn.d = daily.d
+       WHERE daily.d > (SELECT MIN(d) FROM ud)""",
+)
+def q_ext_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU growth accounting — the product-analytics decomposition
+    that explains WHY the active-user count moved: every day's actives
+    split into new (first day ever), retained (also active
+    yesterday), and resurrected (active before, not yesterday), with
+    yesterday's losses as churned; the identity
+    dau_t = retained + new + resurrected and
+    dau_t = dau_{t-1} - churned + new + resurrected is asserted in
+    pytest. Kernel: the distinct (user, day) relation (one fact-scale
+    dedup), a per-user first-day aggregate, and two user+day-keyed
+    SELF JOINS against the day-shifted relation (active yesterday /
+    gone today) — all keyed shuffles that scale; no windows over
+    unbounded user histories. The seed day is excluded (everyone
+    would read 'new'). All outputs exact integers."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct().cache()  # first-day agg + two shifted self-joins share it
+    fd = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    y = ud.select(
+        "user_id", (F.col("d") + F.expr("interval 1 day")).alias("d")
+    ).withColumn("was_active", F.lit(1))
+    today = (
+        ud.join(fd, "user_id")
+        .join(y, ["user_id", "d"], "left")
+        .select(
+            "d",
+            "d0",
+            F.coalesce(F.col("was_active"), F.lit(0)).alias("active_prev"),
+        )
+    )
+    t_next = ud.select(
+        "user_id", (F.col("d") - F.expr("interval 1 day")).alias("d")
+    ).withColumn("active_next", F.lit(1))
+    churn = (
+        ud.join(t_next, ["user_id", "d"], "left")
+        .where(F.col("active_next").isNull())
+        .groupBy((F.col("d") + F.expr("interval 1 day")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    daily = today.groupBy("d").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.when(F.col("d0") == F.col("d"), 1).otherwise(0)).alias(
+            "new_users"
+        ),
+        F.sum(F.when(F.col("active_prev") == 1, 1).otherwise(0)).alias(
+            "retained"
+        ),
+        F.sum(
+            F.when(
+                (F.col("active_prev") == 0) & (F.col("d0") < F.col("d")), 1
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    d_min = ud.agg(F.min("d").alias("dmin"))
+    return (
+        daily.join(churn, "d", "left")
+        .crossJoin(F.broadcast(d_min))
+        .where(F.col("d") > F.col("dmin"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias(
+                "churned"
+            ),
+        )
+    )
+
+
+@register(
+    "ext_rdd",
+    """WITH s AS (
+         SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) - 25000
+                  AS x,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         FROM events
+         WHERE value IS NOT NULL
+           AND ABS(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+                   - 25000) <= 10000
+       ), m AS (
+         SELECT CASE WHEN x < 0 THEN 'below' ELSE 'above' END AS side,
+                CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS sx,
+                CAST(SUM(y) AS HUGEINT) AS sy,
+                CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+                  AS sxx,
+                CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+                  AS sxy
+         FROM s GROUP BY 1
+       ), fit AS (
+         SELECT side, CAST(n AS BIGINT) AS n,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                (CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+         FROM m
+       )
+       SELECT a.n AS n_above, b.n AS n_below,
+              a.slope AS slope_above, b.slope AS slope_below,
+              a.intercept AS intercept_above, b.intercept AS intercept_below,
+              a.intercept - b.intercept AS rd_effect
+       FROM (SELECT * FROM fit WHERE side = 'above') a
+       CROSS JOIN (SELECT * FROM fit WHERE side = 'below') b""",
+)
+def q_ext_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at a value cutoff
+    ($250, bandwidth $100): fit a local linear regression of the
+    conversion outcome on the centered running variable SEPARATELY on
+    each side, and read the treatment effect as the jump between the
+    two intercepts AT the cutoff — the standard design when a
+    threshold rule (discount kicks in above $250) assigns treatment
+    and arms cannot be randomized; completes the causal family
+    (ext_diff_in_diff parallel trends, ext_psm_match matching,
+    ext_stratified_ate weighting, ext_cuped variance reduction). The
+    closed-form normal equations run over SIX exact HUGEINT moments
+    per side from ONE conditional aggregation (x is exact centered
+    cents, y a 0/1 flag); slope, intercept, and the effect are single
+    double expressions over those integers — bit-identical on both
+    engines, bandwidth filter pushed to the scan."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    D = "decimal(38,0)"
+    s = ev.select(
+        ((F.col("value").cast("decimal(38,2)") * 100).cast("bigint") - 25000)
+        .alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).where(F.abs(F.col("x")) <= 10000)
+    xd = F.col("x").cast(D)
+    yd = F.col("y").cast(D)
+    m = s.groupBy(
+        F.when(F.col("x") < 0, "below").otherwise("above").alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("x").cast(D).alias("sx"),
+        F.sum("y").cast(D).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    fit = m.select(
+        "side",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+    a = fit.where(F.col("side") == "above").select(
+        F.col("n").alias("n_above"),
+        F.col("slope").alias("slope_above"),
+        F.col("intercept").alias("intercept_above"),
+    )
+    b = fit.where(F.col("side") == "below").select(
+        F.col("n").alias("n_below"),
+        F.col("slope").alias("slope_below"),
+        F.col("intercept").alias("intercept_below"),
+    )
+    return a.crossJoin(b).select(
+        "n_above",
+        "n_below",
+        "slope_above",
+        "slope_below",
+        "intercept_above",
+        "intercept_below",
+        (F.col("intercept_above") - F.col("intercept_below")).alias(
+            "rd_effect"
+        ),
+    )
+
+
+@register(
+    "ext_capture_recapture",
+    """WITH halves AS (
+         SELECT user_id,
+                MAX(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+                  AS in_first,
+                MAX(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)
+                  AS in_second
+         FROM events GROUP BY 1
+       ), c AS (
+         SELECT CAST(SUM(in_first) AS BIGINT) AS n1,
+                CAST(SUM(in_second) AS BIGINT) AS n2,
+                CAST(SUM(in_first * in_second) AS BIGINT) AS m,
+                CAST(COUNT(*) AS BIGINT) AS observed
+         FROM halves
+       )
+       SELECT n1, n2, m, observed,
+              CAST((n1 + 1) AS DOUBLE) * CAST((n2 + 1) AS DOUBLE)
+                / CAST((m + 1) AS DOUBLE) - 1.0 AS chapman_estimate,
+              CAST(observed AS DOUBLE)
+                / (CAST((n1 + 1) AS DOUBLE) * CAST((n2 + 1) AS DOUBLE)
+                   / CAST((m + 1) AS DOUBLE) - 1.0) AS coverage
+       FROM c""",
+)
+def q_ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Chapman's
+    bias-corrected Lincoln-Petersen): treat the first and second half
+    of the month as two independent 'captures' of the user
+    population; the overlap rate between them estimates how many
+    users exist that we NEVER saw — N-hat = (n1+1)(n2+1)/(m+1) - 1 —
+    and observed/N-hat is the coverage of the event log (the same
+    estimator ecology uses for animal counts and crawl-completeness
+    audits use for the web). ONE per-user aggregation folds each user
+    to two presence bits; the estimator is a single double expression
+    over four exact integers. The pytest cross-checks against a
+    direct set computation and the n1*n2/N independence identity."""
+    ev = read_table(spark, sf_dir, "events")
+    halves = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+        ).alias("in_first"),
+        F.max(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)).alias(
+            "in_second"
+        ),
+    )
+    c = halves.agg(
+        F.sum("in_first").cast("bigint").alias("n1"),
+        F.sum("in_second").cast("bigint").alias("n2"),
+        F.sum(F.col("in_first") * F.col("in_second"))
+        .cast("bigint")
+        .alias("m"),
+        F.count(F.lit(1)).alias("observed"),
+    )
+    nhat = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1).cast(
+        "double"
+    ) / (F.col("m") + 1).cast("double") - 1.0
+    return c.select(
+        "n1",
+        "n2",
+        "m",
+        "observed",
+        nhat.alias("chapman_estimate"),
+        (F.col("observed").cast("double") / nhat).alias("coverage"),
+    )

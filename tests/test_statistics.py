@@ -2183,3 +2183,108 @@ class TestBatch18Semantics:
             assert lo - 1e-12 <= r["fisher"] <= hi + 1e-12
             assert r["n_parts"] > 0
             assert 0.1 < r["laspeyres"] < 10.0
+
+
+class TestBatch19Semantics:
+    """Semantic self-checks for batch 19 (growth accounting, RDD,
+    capture-recapture)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_growth_accounting_identities(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        rows = sorted(
+            self._run(spark, sf_dir, "ext_growth_accounting").collect(),
+            key=lambda r: r["day"],
+        )
+        assert rows
+        # per-day composition identity
+        for r in rows:
+            assert r["dau"] == r["new_users"] + r["retained"] + r["resurrected"]
+        # flow identity vs the raw (user, day) sets
+        raw = duckdb.sql(
+            f"""SELECT DISTINCT user_id,
+                       strftime(date_trunc('day', ts), '%Y-%m-%d')
+                FROM '{sf_dir}/events.parquet'"""
+        ).fetchall()
+        byday = collections.defaultdict(set)
+        for u, d in raw:
+            byday[d].add(u)
+        days = sorted(byday)
+        got = {r["day"]: r for r in rows}
+        first_seen = {}
+        for d in days:
+            for u in byday[d]:
+                first_seen.setdefault(u, d)
+        for prev, cur in zip(days, days[1:]):
+            r = got[cur]
+            assert r["dau"] == len(byday[cur])
+            assert r["retained"] == len(byday[cur] & byday[prev])
+            assert r["churned"] == len(byday[prev] - byday[cur])
+            assert r["new_users"] == sum(
+                1 for u in byday[cur] if first_seen[u] == cur
+            )
+            # dau_t = dau_{t-1} - churned + new + resurrected
+            assert r["dau"] == len(byday[prev]) - r["churned"] + r[
+                "new_users"
+            ] + r["resurrected"]
+
+    def test_rdd_brute_force(self, spark, sf_dir):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"""SELECT CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+                         - 25000,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+        ).fetchall()
+        pts = [(x, y) for x, y in raw if abs(x) <= 10000]
+        r = self._run(spark, sf_dir, "ext_rdd").collect()[0]
+
+        def fit(side):
+            n = len(side)
+            sx = sum(x for x, _ in side)
+            sy = sum(y for _, y in side)
+            sxx = sum(x * x for x, _ in side)
+            sxy = sum(x * y for x, y in side)
+            b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            a = (sy - b * sx) / n
+            return n, b, a
+
+        nb, bb, ab_ = fit([p for p in pts if p[0] < 0])
+        na, ba, aa = fit([p for p in pts if p[0] >= 0])
+        assert (r["n_below"], r["n_above"]) == (nb, na)
+        assert abs(r["slope_below"] - bb) < 1e-12
+        assert abs(r["slope_above"] - ba) < 1e-12
+        assert abs(r["rd_effect"] - (aa - ab_)) < 1e-12
+        # parity labels are value-independent: no genuine discontinuity
+        assert abs(r["rd_effect"]) < 0.5
+
+    def test_capture_recapture_brute_force(self, spark, sf_dir):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"""SELECT user_id,
+                       MAX(CASE WHEN date_part('day', ts) <= 15
+                           THEN 1 ELSE 0 END),
+                       MAX(CASE WHEN date_part('day', ts) > 15
+                           THEN 1 ELSE 0 END)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+        n1 = sum(a for _, a, b in raw)
+        n2 = sum(b for _, a, b in raw)
+        m = sum(a * b for _, a, b in raw)
+        r = self._run(spark, sf_dir, "ext_capture_recapture").collect()[0]
+        assert (r["n1"], r["n2"], r["m"], r["observed"]) == (
+            n1, n2, m, len(raw),
+        )
+        nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+        assert abs(r["chapman_estimate"] - nhat) < 1e-9
+        # estimate at least covers the observed population
+        assert r["chapman_estimate"] >= r["observed"] - 1
+        assert 0.0 < r["coverage"] <= 1.01

@@ -196,6 +196,10 @@ AUDIT = {
     # round 4, batch 18
     "ext_sequence_match": "regex over per-user event trails",
     "ext_price_index": "Laspeyres/Paasche vs frozen base basket",
+    # round 4, batch 19
+    "ext_growth_accounting": "DAU flows via day-shifted self-joins",
+    "ext_rdd": "local-linear discontinuity, six moments per side",
+    "ext_capture_recapture": "Chapman estimate, one per-user agg",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
