@@ -188,6 +188,9 @@ HEADLINE = [
     "ext_growth_accounting", # new/retained/resurrected/churned flows
     "ext_rdd",               # regression-discontinuity local fit
     "ext_capture_recapture", # population coverage estimation
+    "ext_cohort_ltv",        # cohort lifetime-value curves
+    "ext_scenario_grid",     # one-scan sensitivity grid
+    "ext_audience_overlap",  # behavior-pair audience Jaccard
 ]
 
 

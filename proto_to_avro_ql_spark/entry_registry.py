@@ -17226,3 +17226,253 @@ def q_ext_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         nhat.alias("chapman_estimate"),
         (F.col("observed").cast("double") / nhat).alias("coverage"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 20 — cohort LTV, scenario grids, audience overlap
+# ===========================================================================
+
+
+@register(
+    "ext_cohort_ltv",
+    """WITH ue AS (
+         SELECT user_id, date_trunc('day', ts) AS d,
+                CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,2)) * 100), 0)
+                     AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2
+       ), fd AS (
+         SELECT user_id, MIN(d) AS cohort FROM ue GROUP BY 1
+       ), cs AS (
+         SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM fd GROUP BY 1
+       ), ca AS (
+         SELECT fd.cohort,
+                CAST(date_diff('day', fd.cohort, ue.d) AS BIGINT) AS age,
+                CAST(SUM(ue.cents) AS BIGINT) AS rev_cents
+         FROM ue JOIN fd ON fd.user_id = ue.user_id
+         GROUP BY 1, 2
+       ), cum AS (
+         SELECT cohort, age, rev_cents,
+                CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age)
+                     AS BIGINT) AS cum_rev_cents
+         FROM ca
+       )
+       SELECT strftime(cum.cohort, '%Y-%m-%d') AS cohort, cum.age,
+              cs.n_users, cum.rev_cents, cum.cum_rev_cents,
+              CAST(cum.cum_rev_cents AS DOUBLE)
+                / (100.0 * CAST(cs.n_users AS DOUBLE)) AS ltv_per_user
+       FROM cum JOIN cs ON cs.cohort = cum.cohort""",
+)
+def q_ext_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by their FIRST
+    active day, revenue accumulated by cohort AGE — the panel that
+    answers 'how much is a day-N user worth by day N+k' and the
+    revenue sibling of ext_retention's activity matrix (and the input
+    a payback-period rule thresholds). Kernel: one fact-scale
+    (user, day) revenue aggregation (decimal-exact cents), a per-user
+    first-day aggregate, a user-keyed join to tag cohorts, one
+    (cohort, age) aggregation, then a running sum over the
+    cohort-age relation (bounded: days^2/2 rows). LTV per user is a
+    single double division of exact integers; the pytest asserts
+    cumulative monotonicity and that each cohort's final cum equals
+    its users' total revenue."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    ue = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(38,2)") * 100), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("cents")
+    ).cache()  # first-day agg + cohort join share it
+    fd = ue.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    cs = fd.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    ca = (
+        ue.join(fd, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.to_date("d"), F.to_date("cohort"))
+            .cast("bigint")
+            .alias("age"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age")
+    cum = ca.select(
+        "cohort",
+        "age",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).cast("bigint").alias("cum_rev_cents"),
+    )
+    return cum.join(cs, "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "age",
+        "n_users",
+        "rev_cents",
+        "cum_rev_cents",
+        (
+            F.col("cum_rev_cents").cast("double")
+            / (F.lit(100.0) * F.col("n_users").cast("double"))
+        ).alias("ltv_per_user"),
+    )
+
+
+@register(
+    "ext_scenario_grid",
+    """WITH g AS (
+         SELECT d.md, t.mt
+         FROM (VALUES (90), (100), (110)) d(md)
+         CROSS JOIN (VALUES (90), (100), (110)) t(mt)
+       ), s AS (
+         SELECT CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                  AS ext_cents,
+                CAST(CAST(l_discount AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                  AS d6,
+                CAST(CAST(l_tax AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS t6
+         FROM lineitem
+       ), rev AS (
+         SELECT g.md, g.mt,
+                CAST(SUM(CAST(s.ext_cents AS HUGEINT)
+                         * (1000000 - s.d6 * g.md // 100)
+                         * (1000000 + s.t6 * g.mt // 100)) AS HUGEINT)
+                  AS rev_p12
+         FROM s CROSS JOIN g GROUP BY 1, 2
+       )
+       SELECT md, mt,
+              CAST(rev_p12 AS DOUBLE) / 1e14 AS revenue
+       FROM rev""",
+)
+def q_ext_scenario_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if scenario grid: net revenue
+    sum(extendedprice * (1 - discount) * (1 + tax)) under a 3x3 grid
+    of discount/tax multipliers (90/100/110%) — the sensitivity
+    ('tornado') analysis every pricing review runs. The point of the
+    shape: ALL NINE scenarios come out of ONE scan — the scenario
+    relation cross-joins in as a broadcast 9-row literal BEFORE the
+    aggregation, so the fact is read once and each row contributes
+    nine narrow products (contrast nine separate queries = nine
+    scans). Exactness: price cents, discount/tax micros (verified
+    decimal casts of the raw doubles), multiplier scaling via
+    truncating DIV, the whole product accumulated in
+    HUGEINT/DECIMAL(38,0) cents-times-micros-squared units (1e14 per
+    dollar) and divided once to dollars at the end (the unit
+    bookkeeping is pinned against an independent plain-double
+    reference in pytest)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_extendedprice").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("ext_cents"),
+        (F.col("l_discount").cast("decimal(38,6)") * 1000000)
+        .cast("bigint")
+        .alias("d6"),
+        (F.col("l_tax").cast("decimal(38,6)") * 1000000)
+        .cast("bigint")
+        .alias("t6"),
+    )
+    g = spark.createDataFrame(
+        [(md, mt) for md in (90, 100, 110) for mt in (90, 100, 110)],
+        "md int, mt int",
+    )
+    rev = (
+        s.crossJoin(F.broadcast(g))
+        .groupBy("md", "mt")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(ext_cents AS DECIMAL(38,0))"
+                    " * (1000000 - d6 * md DIV 100)"
+                    " * (1000000 + t6 * mt DIV 100)"
+                )
+            ).alias("rev_p12")
+        )
+    )
+    return rev.select(
+        "md", "mt", (F.col("rev_p12").cast("double") / F.lit(1e14)).alias("revenue")
+    )
+
+
+@register(
+    "ext_audience_overlap",
+    """WITH ub AS (
+         SELECT user_id,
+                CAST(SUM(DISTINCT CASE event_type
+                       WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                       WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                       ELSE 16 END) AS BIGINT) AS bm
+         FROM events GROUP BY 1
+       ), sets AS (
+         SELECT bm, CAST(COUNT(*) AS BIGINT) AS cnt FROM ub GROUP BY 1
+       ), ch AS (
+         SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                               ('error', CAST(2 AS BIGINT)),
+                               ('purchase', CAST(4 AS BIGINT)),
+                               ('signup', CAST(8 AS BIGINT)),
+                               ('view', CAST(16 AS BIGINT)))
+                c(name, bit)
+       ), pairs AS (
+         SELECT a.name AS type_a, b.name AS type_b, a.bit AS ba, b.bit AS bb
+         FROM ch a JOIN ch b ON a.name < b.name
+       )
+       SELECT p.type_a, p.type_b,
+              CAST(SUM(CASE WHEN (s.bm & p.ba) > 0 THEN s.cnt ELSE 0 END)
+                   AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN (s.bm & p.bb) > 0 THEN s.cnt ELSE 0 END)
+                   AS BIGINT) AS n_b,
+              CAST(SUM(CASE WHEN (s.bm & p.ba) > 0 AND (s.bm & p.bb) > 0
+                            THEN s.cnt ELSE 0 END) AS BIGINT) AS n_both,
+              CAST(SUM(CASE WHEN (s.bm & p.ba) > 0 AND (s.bm & p.bb) > 0
+                            THEN s.cnt ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CASE WHEN (s.bm & p.ba) > 0 OR (s.bm & p.bb) > 0
+                               THEN s.cnt ELSE 0 END) AS DOUBLE) AS jaccard
+       FROM pairs p CROSS JOIN sets s
+       GROUP BY 1, 2""",
+)
+def q_ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    many users do both, and the Jaccard of their audiences — the
+    segmentation dual of ext_copurchase (items bought together →
+    behaviors exhibited together). The trick: ONE per-user
+    distinct-type bitmap aggregation folds the whole problem to a
+    <= 32-row (bitmap, count) relation; all 10 pairwise
+    intersections/unions are then bitmask sums over that tiny
+    relation crossed with a literal pair table — the fact is never
+    self-joined and never rescanned per pair (contrast the naive
+    10 x (audience JOIN audience)). Exact integer counts; Jaccard is
+    one double division."""
+    ev = read_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    ub = ev.groupBy("user_id").agg(
+        F.sum_distinct(bit).cast("bigint").alias("bm")
+    )
+    sets = ub.groupBy("bm").agg(F.count(F.lit(1)).alias("cnt"))
+    names = [("click", 1), ("error", 2), ("purchase", 4), ("signup", 8), ("view", 16)]
+    ch = spark.createDataFrame(names, "name string, bit long")
+    a = ch.select(F.col("name").alias("type_a"), F.col("bit").alias("ba"))
+    b = ch.select(F.col("name").alias("type_b"), F.col("bit").alias("bb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    in_a = F.col("bm").bitwiseAND(F.col("ba")) > 0
+    in_b = F.col("bm").bitwiseAND(F.col("bb")) > 0
+    both = in_a & in_b
+    either = in_a | in_b
+    j = F.broadcast(pairs).crossJoin(sets)
+    out = j.groupBy("type_a", "type_b").agg(
+        F.sum(F.when(in_a, F.col("cnt")).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(in_b, F.col("cnt")).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(both, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        (
+            F.sum(F.when(both, F.col("cnt")).otherwise(0)).cast("double")
+            / F.sum(F.when(either, F.col("cnt")).otherwise(0)).cast("double")
+        ).alias("jaccard"),
+    )
+    return out

@@ -2288,3 +2288,78 @@ class TestBatch19Semantics:
         # estimate at least covers the observed population
         assert r["chapman_estimate"] >= r["observed"] - 1
         assert 0.0 < r["coverage"] <= 1.01
+
+
+class TestBatch20Semantics:
+    """Semantic self-checks for batch 20 (cohort LTV, scenario grid,
+    audience overlap)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_cohort_ltv_monotone_and_totals(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        rows = self._run(spark, sf_dir, "ext_cohort_ltv").collect()
+        assert rows
+        byc = collections.defaultdict(list)
+        for r in rows:
+            byc[r["cohort"]].append(r)
+        total_rev = duckdb.sql(
+            f"""SELECT CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,2)) * 100),
+                       0) AS BIGINT)
+                FROM '{sf_dir}/events.parquet'"""
+        ).fetchone()[0]
+        grand = 0
+        for c, rs in byc.items():
+            rs.sort(key=lambda r: r["age"])
+            assert rs[0]["age"] == 0  # cohort day itself is age 0
+            for a, b in zip(rs, rs[1:]):
+                assert b["cum_rev_cents"] >= a["cum_rev_cents"]
+                assert b["ltv_per_user"] >= a["ltv_per_user"] - 1e-12
+            assert rs[-1]["cum_rev_cents"] == sum(r["rev_cents"] for r in rs)
+            grand += rs[-1]["cum_rev_cents"]
+        assert grand == total_rev  # cohorts partition all revenue
+
+    def test_scenario_grid_ordering(self, spark, sf_dir):
+        rows = {
+            (r["md"], r["mt"]): r["revenue"]
+            for r in self._run(spark, sf_dir, "ext_scenario_grid").collect()
+        }
+        assert len(rows) == 9
+        # more discount => less revenue; more tax => more gross
+        for mt in (90, 100, 110):
+            assert rows[(90, mt)] > rows[(100, mt)] > rows[(110, mt)]
+        for md in (90, 100, 110):
+            assert rows[(md, 110)] > rows[(md, 100)] > rows[(md, 90)]
+        # baseline scenario ~= the classic revenue aggregate
+        import duckdb
+
+        ref = duckdb.sql(
+            f"""SELECT SUM(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax))
+                FROM '{sf_dir}/lineitem.parquet'"""
+        ).fetchone()[0]
+        assert abs(rows[(100, 100)] - ref) / ref < 1e-6
+
+    def test_audience_overlap_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        raw = duckdb.sql(
+            f"SELECT DISTINCT user_id, event_type"
+            f" FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+        aud = collections.defaultdict(set)
+        for u, t in raw:
+            aud[t].add(u)
+        rows = self._run(spark, sf_dir, "ext_audience_overlap").collect()
+        assert len(rows) == 10
+        for r in rows:
+            A, B = aud[r["type_a"]], aud[r["type_b"]]
+            assert r["n_a"] == len(A) and r["n_b"] == len(B)
+            assert r["n_both"] == len(A & B)
+            assert abs(r["jaccard"] - len(A & B) / len(A | B)) < 1e-12

@@ -200,6 +200,10 @@ AUDIT = {
     "ext_growth_accounting": "DAU flows via day-shifted self-joins",
     "ext_rdd": "local-linear discontinuity, six moments per side",
     "ext_capture_recapture": "Chapman estimate, one per-user agg",
+    # round 4, batch 20
+    "ext_cohort_ltv": "cohort LTV curves, cohort-age running sums",
+    "ext_scenario_grid": "9 what-if scenarios from ONE scan",
+    "ext_audience_overlap": "pairwise audience Jaccard via bitmaps",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
