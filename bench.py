@@ -191,6 +191,9 @@ HEADLINE = [
     "ext_cohort_ltv",        # cohort lifetime-value curves
     "ext_scenario_grid",     # one-scan sensitivity grid
     "ext_audience_overlap",  # behavior-pair audience Jaccard
+    "ext_abc_analysis",      # revenue ABC classification
+    "ext_peak_detection",    # series local-maxima report
+    "ext_elasticity",        # cross-sectional price elasticity
 ]
 
 

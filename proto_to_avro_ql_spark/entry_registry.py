@@ -17476,3 +17476,253 @@ def q_ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard"),
     )
     return out
+
+
+# ===========================================================================
+# Round 4, batch 21 — ABC classes, peak detection, elasticity
+# ===========================================================================
+
+
+@register(
+    "ext_abc_analysis",
+    """WITH pr AS (
+         SELECT l_partkey AS pk,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * 100)
+                     AS BIGINT) AS cents
+         FROM lineitem GROUP BY 1
+       ), r AS (
+         SELECT pk, cents,
+                SUM(cents) OVER (ORDER BY cents DESC, pk) - cents
+                  AS cum_before,
+                SUM(cents) OVER () AS tot
+         FROM pr
+       ), cls AS (
+         SELECT CASE WHEN cum_before * 100 < tot * 80 THEN 'A'
+                     WHEN cum_before * 100 < tot * 95 THEN 'B'
+                     ELSE 'C' END AS abc_class,
+                cents, tot
+         FROM r
+       )
+       SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+              CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+              CAST(SUM(cents) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+                AS rev_share
+       FROM cls GROUP BY 1""",
+)
+def q_ext_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: rank parts by revenue, class A =
+    the parts that make up the first 80% of cumulative revenue, B the
+    next 15%, C the tail — the merchandising/working-capital
+    segmentation that ext_lorenz_deciles generalizes as a curve (the
+    classes are where a planner draws lines ON that curve). Class
+    boundaries are decided by EXACT integer cross-multiplication
+    (cum_before*100 < tot*80 — no float share ever compared), and the
+    global revenue ranking uses banded_global_rank's prefix machinery
+    rather than a single-partition window, so the cut scales. One
+    fact-scale part aggregation; the ranking runs on the part
+    relation."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    # banded global PREFIX SUM (the banded_global_rank recipe with SUM
+    # instead of row_number): per-band running sums are partitioned
+    # windows; the only global window runs over the bounded band
+    # relation. A plain Window.orderBy running sum here would be a
+    # single-partition pass over the whole part relation.
+    stamped = pr.withColumn("_band", F.expr("(-cents) DIV 100000"))
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(F.desc("cents"), F.asc("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = stamped.withColumn(
+        "_lcum", F.sum("cents").over(w_in) - F.col("cents")
+    )
+    counts = stamped.groupBy("_band").agg(F.sum("cents").alias("_bsum"))
+    w_pre = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_band",
+        (F.sum("_bsum").over(w_pre) - F.col("_bsum")).alias("_boff"),
+        F.sum("_bsum").over(wall).alias("tot"),
+    )
+    r = local.join(offsets, "_band").select(
+        "cents",
+        (F.col("_boff") + F.col("_lcum")).alias("cum_before"),
+        "tot",
+    )
+    cls = r.select(
+        F.when(F.col("cum_before") * 100 < F.col("tot") * 80, "A")
+        .when(F.col("cum_before") * 100 < F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "tot",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        (F.sum("cents").cast("double") / F.max("tot").cast("double")).alias(
+            "rev_share"
+        ),
+    )
+
+
+@register(
+    "ext_peak_detection",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), w AS (
+         SELECT event_type, d, n,
+                lag(n, 1) OVER win AS p1, lag(n, 2) OVER win AS p2,
+                lead(n, 1) OVER win AS f1, lead(n, 2) OVER win AS f2
+         FROM daily
+         WINDOW win AS (PARTITION BY event_type ORDER BY d)
+       )
+       SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+              CAST(GREATEST(p1, p2, f1, f2) AS BIGINT) AS neighbor_max,
+              n - GREATEST(p1, p2, f1, f2) AS prominence
+       FROM w
+       WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+         AND f1 IS NOT NULL AND f2 IS NOT NULL
+         AND n > GREATEST(p1, p2, f1, f2)""",
+)
+def q_ext_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the daily count series per type: a day
+    is a peak when it strictly exceeds BOTH its two predecessors and
+    two successors, reported with its prominence over the highest
+    neighbor — the spike-finding complement of ext_anomaly_band
+    (which flags deviation from trailing history; this finds the
+    local-shape maxima a release or incident review scrolls to).
+    Pure lag/lead comparisons over bounded +/-2 frames (one series
+    exchange), exact integers only, edge days excluded so every
+    emitted peak has a full neighborhood."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("event_type").orderBy("d")
+    w = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n", 1).over(win).alias("p1"),
+        F.lag("n", 2).over(win).alias("p2"),
+        F.lead("n", 1).over(win).alias("f1"),
+        F.lead("n", 2).over(win).alias("f2"),
+    )
+    nb = F.greatest("p1", "p2", "f1", "f2")
+    return (
+        w.where(
+            F.col("p1").isNotNull()
+            & F.col("p2").isNotNull()
+            & F.col("f1").isNotNull()
+            & F.col("f2").isNotNull()
+            & (F.col("n") > nb)
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            nb.cast("bigint").alias("neighbor_max"),
+            (F.col("n") - nb).alias("prominence"),
+        )
+    )
+
+
+@register(
+    "ext_elasticity",
+    """WITH pm AS (
+         SELECT l_partkey AS pk,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * 100)
+                     AS BIGINT) AS ext_cents,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS BIGINT) AS qty
+         FROM lineitem GROUP BY 1
+       ), xy AS (
+         SELECT CAST(CAST(ROUND(ln(CAST(ext_cents * 1000000 // qty
+                                        AS DOUBLE) / 1000000.0), 6)
+                          AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS xm,
+                CAST(CAST(ROUND(ln(CAST(qty AS DOUBLE)), 6)
+                          AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS ym
+         FROM pm WHERE qty > 0
+       ), s AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(CAST(xm AS HUGEINT)) AS sx,
+                SUM(CAST(ym AS HUGEINT)) AS sy,
+                SUM(CAST(xm AS HUGEINT) * CAST(ym AS HUGEINT)) AS sxy,
+                SUM(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS sxx,
+                SUM(CAST(ym AS HUGEINT) * CAST(ym AS HUGEINT)) AS syy
+         FROM xy
+       )
+       SELECT n AS n_parts,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS elasticity,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+       FROM s""",
+)
+def q_ext_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional price elasticity of demand: log-log OLS of
+    part-level quantity on unit price across the catalog — the
+    econometric panel beside ext_trend_ols (time trend) and
+    ext_price_index (price levels): the slope reads directly as
+    'percent demand change per percent price change'. Unit prices are
+    truncated micros (exact), and the ln values go through the
+    ROUNDED-LN pattern proven by ext_zipf_fit (round(ln(x), 6) then
+    decimal micros): DuckDB's and the JVM's ln differ by 1 ulp on some
+    inputs, rounding to 6 dp absorbs it, and all five regression
+    moments then accumulate in exact HUGEINT/DECIMAL(38,0). One
+    fact-scale part aggregation; regression on the part relation;
+    slope and r2 are single double expressions."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("ext_cents"),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    D = "decimal(38,0)"
+    xy = pm.where(F.col("qty") > 0).select(
+        F.expr(
+            "CAST(CAST(ROUND(ln(CAST(ext_cents * 1000000 DIV qty"
+            " AS DOUBLE) / 1000000.0), 6) AS DECIMAL(38,6))"
+            " * 1000000 AS BIGINT)"
+        ).alias("xm"),
+        F.expr(
+            "CAST(CAST(ROUND(ln(CAST(qty AS DOUBLE)), 6) AS DECIMAL(38,6))"
+            " * 1000000 AS BIGINT)"
+        ).alias("ym"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xm").cast(D)).alias("sx"),
+        F.sum(F.col("ym").cast(D)).alias("sy"),
+        F.sum(F.col("xm").cast(D) * F.col("ym").cast(D)).alias("sxy"),
+        F.sum(F.col("xm").cast(D) * F.col("xm").cast(D)).alias("sxx"),
+        F.sum(F.col("ym").cast(D) * F.col("ym").cast(D)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_parts"),
+        (num / d1).alias("elasticity"),
+        (num * num / (d1 * d2)).alias("r2"),
+    )

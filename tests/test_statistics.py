@@ -2363,3 +2363,79 @@ class TestBatch20Semantics:
             assert r["n_a"] == len(A) and r["n_b"] == len(B)
             assert r["n_both"] == len(A & B)
             assert abs(r["jaccard"] - len(A & B) / len(A | B)) < 1e-12
+
+
+class TestBatch21Semantics:
+    """Semantic self-checks for batch 21 (ABC classes, peaks,
+    elasticity)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_abc_brute_force(self, spark, sf_dir):
+        import duckdb
+
+        pr = duckdb.sql(
+            f"""SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)) * 100)
+                            AS BIGINT)
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"""
+        ).fetchall()
+        pr.sort(key=lambda r: (-r[1], r[0]))
+        tot = sum(c for _, c in pr)
+        import collections
+
+        ref = collections.defaultdict(lambda: [0, 0])
+        cum = 0
+        for _, c in pr:
+            cls = "A" if cum * 100 < tot * 80 else (
+                "B" if cum * 100 < tot * 95 else "C"
+            )
+            ref[cls][0] += 1
+            ref[cls][1] += c
+            cum += c
+        got = {r["abc_class"]: r for r in self._run(spark, sf_dir, "ext_abc_analysis").collect()}
+        for cls, (n, cents) in ref.items():
+            assert got[cls]["n_parts"] == n
+            assert got[cls]["revenue_cents"] == cents
+        assert set(got) == set(ref)
+        # A captures at least 80% of revenue
+        assert got["A"]["rev_share"] >= 0.80
+
+    def test_peak_detection_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        daily = duckdb.sql(
+            f"""SELECT event_type, strftime(date_trunc('day', ts),
+                       '%Y-%m-%d'), COUNT(*)
+                FROM '{sf_dir}/events.parquet'
+                GROUP BY 1, date_trunc('day', ts) ORDER BY 1, 2"""
+        ).fetchall()
+        byt = collections.defaultdict(list)
+        for t, d, n in daily:
+            byt[t].append((d, n))
+        expect = set()
+        for t, series in byt.items():
+            for i in range(2, len(series) - 2):
+                nb = max(
+                    series[i - 1][1], series[i - 2][1],
+                    series[i + 1][1], series[i + 2][1],
+                )
+                if series[i][1] > nb:
+                    expect.add((t, series[i][0]))
+        got = {
+            (r["event_type"], r["day"])
+            for r in self._run(spark, sf_dir, "ext_peak_detection").collect()
+        }
+        assert got == expect
+
+    def test_elasticity_plausible(self, spark, sf_dir):
+        r = self._run(spark, sf_dir, "ext_elasticity").collect()[0]
+        assert r["n_parts"] > 0
+        assert 0.0 <= r["r2"] <= 1.0
+        # TPC-H quantities are independent of price => elasticity near
+        # zero, never strongly positive or negative
+        assert abs(r["elasticity"]) < 1.0

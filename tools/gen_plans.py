@@ -204,6 +204,10 @@ AUDIT = {
     "ext_cohort_ltv": "cohort LTV curves, cohort-age running sums",
     "ext_scenario_grid": "9 what-if scenarios from ONE scan",
     "ext_audience_overlap": "pairwise audience Jaccard via bitmaps",
+    # round 4, batch 21
+    "ext_abc_analysis": "ABC classes via banded global prefix sums",
+    "ext_peak_detection": "local maxima, bounded lag/lead frames",
+    "ext_elasticity": "log-log demand OLS, rounded-ln micros",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
