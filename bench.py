@@ -194,6 +194,8 @@ HEADLINE = [
     "ext_abc_analysis",      # revenue ABC classification
     "ext_peak_detection",    # series local-maxima report
     "ext_elasticity",        # cross-sectional price elasticity
+    "ext_factorial_effects", # 2x2 experiment interaction analysis
+    "ext_novelty_curve",     # batch-over-batch shingle novelty
 ]
 
 

@@ -17726,3 +17726,185 @@ def q_ext_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / d1).alias("elasticity"),
         (num * num / (d1 * d2)).alias("r2"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 22 — factorial designs, corpus novelty
+# ===========================================================================
+
+
+@register(
+    "ext_factorial_effects",
+    """WITH s AS (
+         SELECT CAST(user_id % 2 AS BIGINT) AS fa,
+                CAST((user_id // 2) % 2 AS BIGINT) AS fb,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE value IS NOT NULL
+       ), cells AS (
+         SELECT fa, fb, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS sc
+         FROM s GROUP BY 1, 2
+       ), wide AS (
+         SELECT CAST(SUM(n) AS BIGINT) AS n,
+                MAX(CASE WHEN fa = 0 AND fb = 0 THEN
+                    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END) AS m00,
+                MAX(CASE WHEN fa = 0 AND fb = 1 THEN
+                    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END) AS m01,
+                MAX(CASE WHEN fa = 1 AND fb = 0 THEN
+                    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END) AS m10,
+                MAX(CASE WHEN fa = 1 AND fb = 1 THEN
+                    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) END) AS m11
+         FROM cells
+       )
+       SELECT n, m00, m01, m10, m11,
+              (m11 + m10) / 2.0 - (m01 + m00) / 2.0 AS effect_a,
+              (m11 + m01) / 2.0 - (m10 + m00) / 2.0 AS effect_b,
+              (m11 - m10 - m01 + m00) / 2.0 AS interaction
+       FROM wide""",
+)
+def q_ext_factorial_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 factorial experiment analysis: two synthetic treatment
+    factors (user-id bits), cell means, and the three contrasts —
+    main effect of A, main effect of B, and the A x B INTERACTION —
+    the design every platform running overlapping experiments needs
+    (ext_ab_test reads one arm pair; factorial analysis detects when
+    two features interfere). One conditional aggregation folds the
+    fact to four exact (count, cents-sum) cells; every mean is a
+    single double division and the contrasts are fixed linear
+    combinations (identical expression order both engines). The
+    pytest cross-checks all three contrasts against raw-row means and
+    the interaction's sign identity."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        (F.col("user_id") % 2).cast("bigint").alias("fa"),
+        F.expr("CAST((user_id DIV 2) % 2 AS BIGINT)").alias("fb"),
+        (F.col("value").cast("decimal(38,2)") * 100).cast("bigint").alias("cents"),
+    )
+    cells = s.groupBy("fa", "fb").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").cast("bigint").alias("sc")
+    )
+    mean_of = lambda a, b: F.max(  # noqa: E731
+        F.when(
+            (F.col("fa") == a) & (F.col("fb") == b),
+            F.col("sc").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    wide = cells.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        mean_of(0, 0).alias("m00"),
+        mean_of(0, 1).alias("m01"),
+        mean_of(1, 0).alias("m10"),
+        mean_of(1, 1).alias("m11"),
+    )
+    return wide.select(
+        "n",
+        "m00",
+        "m01",
+        "m10",
+        "m11",
+        ((F.col("m11") + F.col("m10")) / 2.0 - (F.col("m01") + F.col("m00")) / 2.0)
+        .alias("effect_a"),
+        ((F.col("m11") + F.col("m01")) / 2.0 - (F.col("m10") + F.col("m00")) / 2.0)
+        .alias("effect_b"),
+        ((F.col("m11") - F.col("m10") - F.col("m01") + F.col("m00")) / 2.0)
+        .alias("interaction"),
+    )
+
+
+@register(
+    "ext_novelty_curve",
+    r"""WITH toks AS (
+         SELECT doc_id // 100 AS batch, doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                 'g')), ' ') AS ws
+         FROM documents
+       ), sh AS (
+         SELECT batch,
+                CAST(('0x' || substr(md5(concat_ws(' ',
+                       ws[i.i], ws[i.i+1], ws[i.i+2], ws[i.i+3], ws[i.i+4])),
+                     1, 8)) AS BIGINT) AS h
+         FROM toks CROSS JOIN LATERAL (
+           SELECT unnest(generate_series(1, len(ws) - 4)) AS i
+         ) i
+         WHERE len(ws) >= 5
+       ), firsts AS (
+         SELECT h, MIN(batch) AS b0 FROM sh GROUP BY 1
+       ), per_batch AS (
+         SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+         FROM sh GROUP BY 1
+       ), novel AS (
+         SELECT b0 AS batch, CAST(COUNT(*) AS BIGINT) AS n_new
+         FROM firsts GROUP BY 1
+       )
+       SELECT p.batch, p.n_shingles, p.n_distinct,
+              CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+              CAST(COALESCE(n.n_new, 0) AS DOUBLE)
+                / CAST(p.n_distinct AS DOUBLE) AS novelty_rate
+       FROM per_batch p LEFT JOIN novel n ON n.batch = p.batch""",
+)
+def q_ext_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: treating doc-id blocks as ingestion
+    batches, the fraction of each batch's distinct 5-gram shingles
+    NEVER SEEN in any earlier batch — the freshness signal a
+    continual-pretraining pipeline watches (a collapsing novelty rate
+    means the crawl is re-fetching what you already have; pairs with
+    ext_dedup_lsh_incremental's admission dedup and ext_contamination's
+    eval overlap). Kernel: one shingle explode (the dedup-family
+    n-gram machinery, engine-portable md5-prefix hashes), a
+    first-occurrence MIN(batch) per shingle hash — which computes the
+    ENTIRE cumulative-distinct curve in one aggregation instead of a
+    quadratic batch x history rescan — and two small joins on the
+    batch relation. Counts exact; novelty rate one double division."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("doc_id DIV 100").alias("batch"),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("ws"),
+    ).where(F.size("ws") >= 5)
+    sh = toks.select(
+        "batch",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - 4)).alias("i"),
+        "ws",
+    ).select(
+        "batch",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("ws", F.col("i")),
+                        F.element_at("ws", F.col("i") + 1),
+                        F.element_at("ws", F.col("i") + 2),
+                        F.element_at("ws", F.col("i") + 3),
+                        F.element_at("ws", F.col("i") + 4),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).cache()  # firsts + per-batch counts share it
+    firsts = sh.groupBy("h").agg(F.min("batch").alias("b0"))
+    per_batch = sh.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_distinct("h").alias("n_distinct"),
+    )
+    novel = firsts.groupBy(F.col("b0").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return per_batch.join(novel, "batch", "left").select(
+        "batch",
+        "n_shingles",
+        "n_distinct",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        (
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
+            / F.col("n_distinct").cast("double")
+        ).alias("novelty_rate"),
+    )

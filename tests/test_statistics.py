@@ -2439,3 +2439,67 @@ class TestBatch21Semantics:
         # TPC-H quantities are independent of price => elasticity near
         # zero, never strongly positive or negative
         assert abs(r["elasticity"]) < 1.0
+
+
+class TestBatch22Semantics:
+    """Semantic self-checks for batch 22 (factorial effects, novelty
+    curve)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_factorial_effects_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        raw = duckdb.sql(
+            f"""SELECT user_id % 2, (user_id // 2) % 2,
+                       CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+                FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+        ).fetchall()
+        cells = collections.defaultdict(list)
+        for a, b, c in raw:
+            cells[(int(a), int(b))].append(c)
+        m = {k: sum(v) / len(v) for k, v in cells.items()}
+        r = self._run(spark, sf_dir, "ext_factorial_effects").collect()[0]
+        assert r["n"] == len(raw)
+        for (a, b), mean in m.items():
+            assert abs(r[f"m{a}{b}"] - mean) < 1e-9
+        ea = (m[(1, 1)] + m[(1, 0)]) / 2 - (m[(0, 1)] + m[(0, 0)]) / 2
+        eb = (m[(1, 1)] + m[(0, 1)]) / 2 - (m[(1, 0)] + m[(0, 0)]) / 2
+        ix = (m[(1, 1)] - m[(1, 0)] - m[(0, 1)] + m[(0, 0)]) / 2
+        assert abs(r["effect_a"] - ea) < 1e-9
+        assert abs(r["effect_b"] - eb) < 1e-9
+        assert abs(r["interaction"] - ix) < 1e-9
+
+    def test_novelty_curve_invariants(self, spark, sf_dir):
+        rows = sorted(
+            self._run(spark, sf_dir, "ext_novelty_curve").collect(),
+            key=lambda r: r["batch"],
+        )
+        assert rows
+        # batch 0 is all-new by definition
+        assert rows[0]["n_new"] == rows[0]["n_distinct"]
+        assert abs(rows[0]["novelty_rate"] - 1.0) < 1e-12
+        for r in rows:
+            assert 0 <= r["n_new"] <= r["n_distinct"] <= r["n_shingles"]
+            assert 0.0 <= r["novelty_rate"] <= 1.0
+        # total new across batches = global distinct shingles
+        import duckdb
+
+        tot_distinct = duckdb.sql(
+            rf"""WITH toks AS (
+                  SELECT string_split(trim(regexp_replace(lower(text),
+                         '\s+', ' ', 'g')), ' ') AS ws
+                  FROM '{sf_dir}/documents.parquet')
+                SELECT COUNT(DISTINCT concat_ws(' ', ws[i.i], ws[i.i+1],
+                       ws[i.i+2], ws[i.i+3], ws[i.i+4]))
+                FROM toks CROSS JOIN LATERAL (
+                  SELECT unnest(generate_series(1, len(ws) - 4)) AS i) i
+                WHERE len(ws) >= 5"""
+        ).fetchone()[0]
+        # md5-prefix collisions can only SHRINK the hash-distinct count
+        assert sum(r["n_new"] for r in rows) <= tot_distinct
+        assert sum(r["n_new"] for r in rows) >= tot_distinct * 0.99

@@ -208,6 +208,9 @@ AUDIT = {
     "ext_abc_analysis": "ABC classes via banded global prefix sums",
     "ext_peak_detection": "local maxima, bounded lag/lead frames",
     "ext_elasticity": "log-log demand OLS, rounded-ln micros",
+    # round 4, batch 22
+    "ext_factorial_effects": "2x2 contrasts from one conditional agg",
+    "ext_novelty_curve": "first-occurrence novelty, one shingle pass",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
