@@ -196,6 +196,8 @@ HEADLINE = [
     "ext_elasticity",        # cross-sectional price elasticity
     "ext_factorial_effects", # 2x2 experiment interaction analysis
     "ext_novelty_curve",     # batch-over-batch shingle novelty
+    "ext_fleiss_kappa",      # multi-rater chance-corrected agreement
+    "ext_seasonal_mk",       # seasonality-robust trend test
 ]
 
 

@@ -17908,3 +17908,236 @@ def q_ext_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_distinct").cast("double")
         ).alias("novelty_rate"),
     )
+
+
+# ===========================================================================
+# Round 4, batch 23 — multi-rater agreement, seasonal trend test
+# ===========================================================================
+
+
+@register(
+    "ext_fleiss_kappa",
+    """WITH ranked AS (
+         SELECT date_trunc('day', ts) AS d, event_type,
+                row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                   ORDER BY ts, event_id) AS rn
+         FROM events
+       ), sample AS (
+         SELECT d, event_type FROM ranked WHERE rn <= 20
+       ), items AS (
+         SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM sample GROUP BY 1
+         HAVING COUNT(*) = 20
+       ), cells AS (
+         SELECT s.d, s.event_type, CAST(COUNT(*) AS BIGINT) AS n_ic
+         FROM sample s JOIN items i ON i.d = s.d
+         GROUP BY 1, 2
+       ), peri AS (
+         SELECT d, CAST(SUM(n_ic * n_ic) - 20 AS BIGINT) AS agree_num
+         FROM cells GROUP BY 1
+       ), cat AS (
+         SELECT event_type, CAST(SUM(n_ic) AS BIGINT) AS tc FROM cells
+         GROUP BY 1
+       ), tot AS (
+         SELECT CAST((SELECT COUNT(*) FROM items) AS BIGINT) AS n_items,
+                CAST((SELECT SUM(agree_num) FROM peri) AS BIGINT) AS sum_agree,
+                CAST((SELECT SUM(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT))
+                      FROM cat) AS BIGINT) AS sum_tc2
+       )
+       SELECT n_items,
+              CAST(sum_agree AS DOUBLE)
+                / (CAST(n_items AS DOUBLE) * 380.0) AS p_bar,
+              CAST(sum_tc2 AS DOUBLE)
+                / (CAST(n_items AS DOUBLE) * 20.0
+                   * CAST(n_items AS DOUBLE) * 20.0) AS p_e,
+              (CAST(sum_agree AS DOUBLE)
+                 / (CAST(n_items AS DOUBLE) * 380.0)
+               - CAST(sum_tc2 AS DOUBLE)
+                 / (CAST(n_items AS DOUBLE) * 20.0
+                    * CAST(n_items AS DOUBLE) * 20.0))
+                / (1.0 - CAST(sum_tc2 AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * 20.0
+                      * CAST(n_items AS DOUBLE) * 20.0)) AS fleiss_kappa
+       FROM tot""",
+)
+def q_ext_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED panel
+    of n=20 'raters' per item (items = days, raters = the day's first
+    20 events by timestamp, categories = event types): the n-rater
+    generalization of ext_cohens_kappa, the standard quality metric
+    for crowdsourced labeling panels (here reading as 'how
+    concentrated is each day's early event mix vs the global mix').
+    The deterministic 20-event cut keeps Fleiss' equal-raters
+    requirement; per-item agreement P_i folds to the exact integer
+    sum(n_ic^2) - n, chance agreement to sum_c(total_c^2), and kappa
+    is one composite double expression over three exact integers
+    (380 = n(n-1)). One window for the cut, two small aggregations."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    wd = Window.partitionBy(F.date_trunc("day", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    sample = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        "event_type",
+        F.row_number().over(wd).alias("rn"),
+    ).where(F.col("rn") <= 20)
+    items = sample.groupBy("d").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") == 20
+    )
+    cells = (
+        sample.join(items.select("d"), "d")
+        .groupBy("d", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_ic"))
+        .cache()  # per-item agreement + category totals share it
+    )
+    peri = cells.groupBy("d").agg(
+        (F.sum(F.col("n_ic") * F.col("n_ic")) - 20).alias("agree_num")
+    )
+    cat = cells.groupBy("event_type").agg(F.sum("n_ic").alias("tc"))
+    D = "decimal(38,0)"
+    tot = (
+        items.agg(F.count(F.lit(1)).alias("n_items"))
+        .crossJoin(F.broadcast(peri.agg(F.sum("agree_num").alias("sum_agree"))))
+        .crossJoin(
+            F.broadcast(
+                cat.agg(
+                    F.sum(F.col("tc").cast(D) * F.col("tc").cast(D))
+                    .cast("bigint")
+                    .alias("sum_tc2")
+                )
+            )
+        )
+    )
+    ni = F.col("n_items").cast("double")
+    p_bar = F.col("sum_agree").cast("double") / (ni * F.lit(380.0))
+    p_e = F.col("sum_tc2").cast("double") / (ni * F.lit(20.0) * ni * F.lit(20.0))
+    return tot.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1.0) - p_e)).alias("fleiss_kappa"),
+    )
+
+
+@register(
+    "ext_seasonal_mk",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(date_part('dow', date_trunc('day', ts)) AS BIGINT) AS wd,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), pairs AS (
+         SELECT a.event_type, a.wd,
+                CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END
+                  AS sgn
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.wd = b.wd AND a.d < b.d
+       ), s_w AS (
+         SELECT event_type, wd, CAST(SUM(sgn) AS BIGINT) AS s
+         FROM pairs GROUP BY 1, 2
+       ), nn AS (
+         SELECT event_type, wd, CAST(SUM(t) AS BIGINT) AS n_w,
+                CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+         FROM (
+           SELECT event_type, wd, n, CAST(COUNT(*) AS BIGINT) AS t
+           FROM daily GROUP BY 1, 2, 3
+         ) GROUP BY 1, 2
+       ), strata AS (
+         SELECT s_w.event_type, s_w.s,
+                nn.n_w * (nn.n_w - 1) * (2 * nn.n_w + 5) - nn.tie18
+                  AS var18
+         FROM s_w JOIN nn ON nn.event_type = s_w.event_type
+                         AND nn.wd = s_w.wd
+       ), comb AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_strata,
+                CAST(SUM(s) AS BIGINT) AS s_total,
+                CAST(SUM(var18) AS BIGINT) AS var18_total
+         FROM strata GROUP BY 1
+       )
+       SELECT event_type, n_strata, s_total,
+              CAST(var18_total AS DOUBLE) / 18.0 AS var_s,
+              CASE
+                WHEN s_total > 0 THEN CAST(s_total - 1 AS DOUBLE)
+                  / sqrt(CAST(var18_total AS DOUBLE) / 18.0)
+                WHEN s_total < 0 THEN CAST(s_total + 1 AS DOUBLE)
+                  / sqrt(CAST(var18_total AS DOUBLE) / 18.0)
+                ELSE 0.0
+              END AS z
+       FROM comb""",
+)
+def q_ext_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack) trend test: the MK pair
+    statistic computed WITHIN each weekday stratum and summed — so a
+    strong weekly cycle (which inflates plain ext_mann_kendall with
+    cross-weekday comparisons that are seasonality, not trend) cannot
+    masquerade as drift; only Monday-vs-Monday style pairs count.
+    S_total = sum of per-stratum S, Var = sum of per-stratum
+    tie-corrected variances, continuity-corrected z — all exact
+    integers until the final double expressions. The pair join is
+    quadratic in DAYS-PER-STRATUM (a seventh of the series each), on
+    the series-sized relation; fact-scale work is one (type, day)
+    count. Weekday numbering never crosses engines (strata only
+    group, the label itself is not emitted)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "wd", F.dayofweek("d").cast("bigint")
+    ).cache()  # pair join + tie marginals share it
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.wd") == F.col("b.wd"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.wd").alias("wd"),
+        F.when(F.col("b.n") > F.col("a.n"), 1)
+        .when(F.col("b.n") < F.col("a.n"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s_w = pairs.groupBy("event_type", "wd").agg(
+        F.sum("sgn").cast("bigint").alias("s")
+    )
+    nn = (
+        daily.groupBy("event_type", "wd", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type", "wd")
+        .agg(
+            F.sum("t").alias("n_w"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie18"),
+        )
+    )
+    strata = s_w.join(nn, ["event_type", "wd"]).select(
+        "event_type",
+        "s",
+        (
+            F.col("n_w") * (F.col("n_w") - 1) * (2 * F.col("n_w") + 5)
+            - F.col("tie18")
+        ).alias("var18"),
+    )
+    comb = strata.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("s").cast("bigint").alias("s_total"),
+        F.sum("var18").cast("bigint").alias("var18_total"),
+    )
+    var_s = F.col("var18_total").cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_total") > 0,
+            (F.col("s_total") - 1).cast("double") / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_total") < 0,
+            (F.col("s_total") + 1).cast("double") / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return comb.select(
+        "event_type", "n_strata", "s_total", var_s.alias("var_s"), z.alias("z")
+    )

@@ -2503,3 +2503,90 @@ class TestBatch22Semantics:
         # md5-prefix collisions can only SHRINK the hash-distinct count
         assert sum(r["n_new"] for r in rows) <= tot_distinct
         assert sum(r["n_new"] for r in rows) >= tot_distinct * 0.99
+
+
+class TestBatch23Semantics:
+    """Semantic self-checks for batch 23 (Fleiss kappa, seasonal MK)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_fleiss_kappa_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        raw = duckdb.sql(
+            f"""WITH r AS (
+                  SELECT date_trunc('day', ts) AS d, event_type,
+                         row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                            ORDER BY ts, event_id) AS rn
+                  FROM '{sf_dir}/events.parquet')
+                SELECT d, event_type FROM r WHERE rn <= 20"""
+        ).fetchall()
+        byd = collections.defaultdict(list)
+        for d, t in raw:
+            byd[d].append(t)
+        items = {d: v for d, v in byd.items() if len(v) == 20}
+        n = 20
+        N = len(items)
+        p_i_num = 0
+        cat = collections.Counter()
+        for d, v in items.items():
+            c = collections.Counter(v)
+            p_i_num += sum(k * k for k in c.values()) - n
+            cat.update(c)
+        p_bar = p_i_num / (N * n * (n - 1))
+        p_e = sum(t * t for t in cat.values()) / (N * n) ** 2
+        kappa = (p_bar - p_e) / (1 - p_e)
+        r = self._run(spark, sf_dir, "ext_fleiss_kappa").collect()[0]
+        assert r["n_items"] == N
+        assert abs(r["p_bar"] - p_bar) < 1e-9
+        assert abs(r["p_e"] - p_e) < 1e-9
+        assert abs(r["fleiss_kappa"] - kappa) < 1e-9
+        # event types are ~uniform and independent of day: agreement
+        # near chance, kappa near 0
+        assert abs(r["fleiss_kappa"]) < 0.2
+
+    def test_seasonal_mk_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        daily = duckdb.sql(
+            f"""SELECT event_type, date_trunc('day', ts) AS d, COUNT(*)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).fetchall()
+        byts = collections.defaultdict(list)
+        for t, d, n in daily:
+            byts[(t, d.weekday())].append(n)
+        S = collections.defaultdict(int)
+        V18 = collections.defaultdict(int)
+        strata = collections.defaultdict(int)
+        for (t, wd), ns in byts.items():
+            s = sum(
+                (ns[j] > ns[i]) - (ns[j] < ns[i])
+                for i in range(len(ns))
+                for j in range(i + 1, len(ns))
+            )
+            S[t] += s
+            nw = len(ns)
+            ties = collections.Counter(ns)
+            V18[t] += nw * (nw - 1) * (2 * nw + 5) - sum(
+                c * (c - 1) * (2 * c + 5) for c in ties.values()
+            )
+            strata[t] += 1
+        got = {
+            r["event_type"]: r
+            for r in self._run(spark, sf_dir, "ext_seasonal_mk").collect()
+        }
+        for t in S:
+            r = got[t]
+            assert r["s_total"] == S[t]
+            assert r["n_strata"] == strata[t]
+            assert abs(r["var_s"] - V18[t] / 18.0) < 1e-9
+            var = V18[t] / 18.0
+            if S[t] > 0:
+                assert abs(r["z"] - (S[t] - 1) / var**0.5) < 1e-9
+            elif S[t] < 0:
+                assert abs(r["z"] - (S[t] + 1) / var**0.5) < 1e-9

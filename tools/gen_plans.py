@@ -211,6 +211,9 @@ AUDIT = {
     # round 4, batch 22
     "ext_factorial_effects": "2x2 contrasts from one conditional agg",
     "ext_novelty_curve": "first-occurrence novelty, one shingle pass",
+    # round 4, batch 23
+    "ext_fleiss_kappa": "n-rater agreement, two integer aggregates",
+    "ext_seasonal_mk": "Hirsch-Slack MK, within-stratum pairs only",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
