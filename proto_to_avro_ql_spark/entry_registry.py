@@ -17455,15 +17455,19 @@ def q_ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets = ub.groupBy("bm").agg(F.count(F.lit(1)).alias("cnt"))
     names = [("click", 1), ("error", 2), ("purchase", 4), ("signup", 8), ("view", 16)]
-    ch = spark.createDataFrame(names, "name string, bit long")
-    a = ch.select(F.col("name").alias("type_a"), F.col("bit").alias("ba"))
-    b = ch.select(F.col("name").alias("type_b"), F.col("bit").alias("bb"))
-    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    pairs = spark.createDataFrame(
+        [
+            (na, nb, ba, bb)
+            for i, (na, ba) in enumerate(names)
+            for nb, bb in names[i + 1 :]
+        ],
+        "type_a string, type_b string, ba long, bb long",
+    )
     in_a = F.col("bm").bitwiseAND(F.col("ba")) > 0
     in_b = F.col("bm").bitwiseAND(F.col("bb")) > 0
     both = in_a & in_b
     either = in_a | in_b
-    j = F.broadcast(pairs).crossJoin(sets)
+    j = sets.crossJoin(F.broadcast(pairs))
     out = j.groupBy("type_a", "type_b").agg(
         F.sum(F.when(in_a, F.col("cnt")).otherwise(0)).cast("bigint").alias("n_a"),
         F.sum(F.when(in_b, F.col("cnt")).otherwise(0)).cast("bigint").alias("n_b"),
