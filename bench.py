@@ -198,6 +198,7 @@ HEADLINE = [
     "ext_novelty_curve",     # batch-over-batch shingle novelty
     "ext_fleiss_kappa",      # multi-rater chance-corrected agreement
     "ext_seasonal_mk",       # seasonality-robust trend test
+    "ext_streaks",           # gaps-and-islands engagement streaks
 ]
 
 

@@ -18145,3 +18145,56 @@ def q_ext_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comb.select(
         "event_type", "n_strata", "s_total", var_s.alias("var_s"), z.alias("z")
     )
+
+
+@register(
+    "ext_streaks",
+    """WITH ud AS (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+       ), isl AS (
+         SELECT user_id, d,
+                d - INTERVAL (row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY d)) DAY AS grp
+         FROM ud
+       ), streaks AS (
+         SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+         FROM isl GROUP BY 1, 2
+       ), longest AS (
+         SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+         FROM streaks GROUP BY 1
+       )
+       SELECT longest_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM longest GROUP BY 1""",
+)
+def q_ext_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    distribution (streak length -> user count) — the engagement-streak
+    metric behind habit features and retention-mechanic dashboards,
+    and the canonical GAPS-AND-ISLANDS pattern the rest of the suite
+    lacked: consecutive days collapse to one island because
+    day - row_number(day) is CONSTANT within a run, so streaks fall
+    out of two keyed aggregations after ONE user-partitioned window
+    (no self-join on day+1, no iteration — contrast
+    ext_growth_accounting's day-shifted joins which answer a
+    different, flow-shaped question). Date arithmetic stays in whole
+    days on both engines; every output is an exact integer count."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.select(
+        "user_id",
+        (F.col("d") - F.make_interval(days=F.row_number().over(wu))).alias(
+            "grp"
+        ),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak")
+    )
+    return longest.groupBy("longest_streak").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -2590,3 +2590,34 @@ class TestBatch23Semantics:
                 assert abs(r["z"] - (S[t] - 1) / var**0.5) < 1e-9
             elif S[t] < 0:
                 assert abs(r["z"] - (S[t] + 1) / var**0.5) < 1e-9
+
+
+class TestBatch24Semantics:
+    """Semantic self-check for batch 24 (activity streaks)."""
+
+    def test_streaks_brute_force(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import duckdb
+        import collections
+        from datetime import timedelta
+
+        raw = duckdb.sql(
+            f"""SELECT DISTINCT user_id, date_trunc('day', ts)
+                FROM '{sf_dir}/events.parquet' ORDER BY 1, 2"""
+        ).fetchall()
+        byu = collections.defaultdict(list)
+        for u, d in raw:
+            byu[u].append(d)
+        hist = collections.Counter()
+        for u, days in byu.items():
+            longest = cur = 1
+            for a, b in zip(days, days[1:]):
+                cur = cur + 1 if b - a == timedelta(days=1) else 1
+                longest = max(longest, cur)
+            hist[longest] += 1
+        got = {
+            r["longest_streak"]: r["n_users"]
+            for r in QUERIES["ext_streaks"](spark, sf_dir).collect()
+        }
+        assert got == dict(hist)
+        assert sum(got.values()) == len(byu)

@@ -214,6 +214,7 @@ AUDIT = {
     # round 4, batch 23
     "ext_fleiss_kappa": "n-rater agreement, two integer aggregates",
     "ext_seasonal_mk": "Hirsch-Slack MK, within-stratum pairs only",
+    "ext_streaks": "gaps-and-islands streaks, one window + two aggs",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
