@@ -199,6 +199,7 @@ HEADLINE = [
     "ext_fleiss_kappa",      # multi-rater chance-corrected agreement
     "ext_seasonal_mk",       # seasonality-robust trend test
     "ext_streaks",           # gaps-and-islands engagement streaks
+    "ext_stickiness",        # exact trailing DAU/WAU/MAU panel
 ]
 
 

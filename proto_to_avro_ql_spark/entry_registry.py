@@ -18198,3 +18198,91 @@ def q_ext_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest.groupBy("longest_streak").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "ext_stickiness",
+    """WITH ud AS (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+       ), span AS (
+         SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud
+       ), days AS (
+         SELECT unnest(generate_series((SELECT d0 FROM span),
+                                       (SELECT d1 FROM span),
+                                       INTERVAL 1 DAY)) AS d
+       ), dau AS (
+         SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+       ), wau AS (
+         SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+         FROM days JOIN ud ON ud.d <= days.d
+                          AND ud.d > days.d - INTERVAL 7 DAY
+         GROUP BY 1
+       ), mau AS (
+         SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau
+         FROM days JOIN ud ON ud.d <= days.d
+                          AND ud.d > days.d - INTERVAL 28 DAY
+         GROUP BY 1
+       )
+       SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
+              CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+                AS stickiness,
+              CAST(wau.wau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS wau_mau
+       FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d""",
+)
+def q_ext_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU stickiness panel: trailing 7- and 28-day distinct
+    active users per day, with DAU/MAU (the classic habit ratio) and
+    WAU/MAU — the engagement header metric next to
+    ext_growth_accounting's flow decomposition. A SLIDING DISTINCT
+    cannot come out of a window frame (COUNT(DISTINCT) OVER a RANGE
+    is unsupported and sketch-merge is approximate); the exact
+    formulation is a BOUNDED FAN-OUT: each (user, day) activity row
+    joins to at most 28 trailing calendar days (range join on the
+    day grid), then one distinct-count per day. That is a 28x row
+    multiplication of the already-deduplicated activity relation —
+    linear in data with a fixed constant, the honest exact cost; the
+    documented approximate swap at lake scale is per-day HLL sketches
+    union-merged over the window (ext_approx_distinct /
+    ext_minhash_merge machinery). Ratios are single double divisions
+    of exact counts."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct().cache()  # dau + the two trailing-window joins share it
+    span = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("gd")
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n: int, name: str):
+        return (
+            days.join(
+                ud,
+                (F.col("d") <= F.col("gd"))
+                & (F.col("d") > F.col("gd") - F.expr(f"interval {n} days")),
+            )
+            .groupBy("gd")
+            .agg(F.count_distinct("user_id").alias(name))
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(28, "mau")
+    return (
+        dau.join(wau, dau["d"] == wau["gd"])
+        .drop("gd")
+        .join(mau, dau["d"] == mau["gd"])
+        .drop("gd")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+            (F.col("wau").cast("double") / F.col("mau").cast("double")).alias(
+                "wau_mau"
+            ),
+        )
+    )

@@ -2621,3 +2621,39 @@ class TestBatch24Semantics:
         }
         assert got == dict(hist)
         assert sum(got.values()) == len(byu)
+
+
+class TestBatch25Semantics:
+    """Semantic self-check for batch 25 (stickiness panel)."""
+
+    def test_stickiness_brute_force(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import duckdb
+        import collections
+        from datetime import timedelta
+
+        raw = duckdb.sql(
+            f"""SELECT DISTINCT user_id, date_trunc('day', ts)
+                FROM '{sf_dir}/events.parquet'"""
+        ).fetchall()
+        byd = collections.defaultdict(set)
+        for u, d in raw:
+            byd[d.date() if hasattr(d, "date") else d].add(u)
+        days = sorted(byd)
+        got = {r["day"]: r for r in QUERIES["ext_stickiness"](spark, sf_dir).collect()}
+        for d in days:
+            wau = set()
+            mau = set()
+            for k in range(28):
+                dd = d - timedelta(days=k)
+                if dd in byd:
+                    mau |= byd[dd]
+                    if k < 7:
+                        wau |= byd[dd]
+            r = got[d.strftime("%Y-%m-%d")]
+            assert r["dau"] == len(byd[d])
+            assert r["wau"] == len(wau)
+            assert r["mau"] == len(mau)
+            # ordering invariants
+            assert r["dau"] <= r["wau"] <= r["mau"]
+            assert 0.0 < r["stickiness"] <= 1.0

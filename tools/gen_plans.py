@@ -215,6 +215,7 @@ AUDIT = {
     "ext_fleiss_kappa": "n-rater agreement, two integer aggregates",
     "ext_seasonal_mk": "Hirsch-Slack MK, within-stratum pairs only",
     "ext_streaks": "gaps-and-islands streaks, one window + two aggs",
+    "ext_stickiness": "DAU/WAU/MAU via bounded 28x fan-out",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
