@@ -200,6 +200,8 @@ HEADLINE = [
     "ext_seasonal_mk",       # seasonality-robust trend test
     "ext_streaks",           # gaps-and-islands engagement streaks
     "ext_stickiness",        # exact trailing DAU/WAU/MAU panel
+    "ext_xyz_analysis",      # demand-variability classification
+    "ext_burn_rate",         # SRE multi-window budget burn
 ]
 
 

@@ -18286,3 +18286,161 @@ def q_ext_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ext_xyz_analysis",
+    """WITH pm AS (
+         SELECT l_partkey AS pk,
+                strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS BIGINT) AS qty
+         FROM lineitem GROUP BY 1, 2
+       ), m AS (
+         SELECT pk, CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(qty) AS HUGEINT) AS s,
+                CAST(SUM(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT))
+                     AS HUGEINT) AS s2
+         FROM pm GROUP BY 1 HAVING COUNT(*) >= 3
+       ), cv AS (
+         SELECT pk,
+                CAST(n * s2 - s * s AS DOUBLE) AS var_num,
+                CAST(s AS DOUBLE) AS s_d, CAST(n AS DOUBLE) AS n_d
+         FROM m
+       ), cls AS (
+         SELECT CASE
+                  WHEN sqrt(var_num / (n_d * n_d)) * n_d / s_d < 0.5
+                    THEN 'X'
+                  WHEN sqrt(var_num / (n_d * n_d)) * n_d / s_d < 1.0
+                    THEN 'Y'
+                  ELSE 'Z'
+                END AS xyz_class
+         FROM cv
+       )
+       SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts
+       FROM cls GROUP BY 1""",
+)
+def q_ext_xyz_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — ext_abc_analysis's
+    companion axis: parts classed by the coefficient of variation of
+    their MONTHLY demand (X = steady, CV < 0.5; Y = fluctuating,
+    CV < 1; Z = erratic) — together the ABC-XYZ matrix drives
+    stocking policy (forecast AND automate X-A items, buffer Z
+    items). CV = sigma/mean comes from three exact HUGEINT moments
+    per part over the (part, month) relation; the classification
+    threshold compares a composite double expression built from
+    IDENTICAL exact integers on both engines (population sigma;
+    parts with < 3 observed months excluded — CV is meaningless on a
+    couple of points). Shape: one fact-scale (part, month)
+    aggregation, then the part relation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias(
+            "mon"
+        ),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+        .cast("bigint")
+        .alias("qty")
+    )
+    D = "decimal(38,0)"
+    m = (
+        pm.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast(D).alias("n"),
+            F.sum("qty").cast(D).alias("s"),
+            F.sum(F.col("qty").cast(D) * F.col("qty").cast(D)).alias("s2"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    cv = F.sqrt(var_num / (n_d * n_d)) * n_d / s_d
+    cls = m.select(
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        )
+    )
+    return cls.groupBy("xyz_class").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@register(
+    "ext_burn_rate",
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS h,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS errs
+         FROM events GROUP BY 1
+       ), w AS (
+         SELECT h, n, errs,
+                SUM(n) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                             AND CURRENT ROW) AS n6,
+                SUM(errs) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                                AND CURRENT ROW) AS e6,
+                COUNT(*) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                               AND CURRENT ROW) AS w6
+         FROM hourly
+       )
+       SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n, errs,
+              CAST(errs * 1000000 // n AS BIGINT) AS rate1_ppm,
+              CAST(e6 * 1000000 // n6 AS BIGINT) AS rate6_ppm,
+              CAST(errs * 1000000 // n AS DOUBLE) / (0.25 * 1000000.0)
+                AS burn_1h,
+              CAST(e6 * 1000000 // n6 AS DOUBLE) / (0.25 * 1000000.0)
+                AS burn_6h,
+              (errs * 4 * 1000000 > n * 1000000 * 2)
+                AND (e6 * 4 * 1000000 > n6 * 1000000 * 1) AS page_alert
+       FROM w WHERE w6 = 6""",
+)
+def q_ext_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-rate panel (the Google SRE multi-window
+    multi-burn alert): hourly error rate against a 25% error-rate SLO
+    budget, with the 1-hour and trailing 6-hour burn rates and the
+    standard two-window page condition (short window burning > 2x AND
+    long window > 1x — fast detection without flapping on a single
+    noisy hour). Completes the ops-monitoring family
+    (ext_anomaly_band flags count anomalies, ext_cusum drift, this
+    one burns budgets). Rates are exact TRUNCATED PPM (errs*1e6 DIV
+    n); the trailing window is a bounded 6-row frame on the hourly
+    relation; the alert predicate is pure integer
+    cross-multiplication (no float threshold compare). Partial
+    leading windows are excluded."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "errs"
+        ),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    w = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("e6"),
+        F.count(F.lit(1)).over(w6).alias("w6"),
+    ).where(F.col("w6") == 6)
+    return w.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        "errs",
+        F.expr("CAST(errs * 1000000 DIV n AS BIGINT)").alias("rate1_ppm"),
+        F.expr("CAST(e6 * 1000000 DIV n6 AS BIGINT)").alias("rate6_ppm"),
+        (
+            F.expr("CAST(errs * 1000000 DIV n AS DOUBLE)")
+            / F.lit(0.25 * 1000000.0)
+        ).alias("burn_1h"),
+        (
+            F.expr("CAST(e6 * 1000000 DIV n6 AS DOUBLE)")
+            / F.lit(0.25 * 1000000.0)
+        ).alias("burn_6h"),
+        (
+            (F.col("errs") * 4 * 1000000 > F.col("n") * 1000000 * 2)
+            & (F.col("e6") * 4 * 1000000 > F.col("n6") * 1000000 * 1)
+        ).alias("page_alert"),
+    )

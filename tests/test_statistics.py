@@ -2657,3 +2657,67 @@ class TestBatch25Semantics:
             # ordering invariants
             assert r["dau"] <= r["wau"] <= r["mau"]
             assert 0.0 < r["stickiness"] <= 1.0
+
+
+class TestBatch26Semantics:
+    """Semantic self-checks for batch 26 (XYZ classes, burn rate)."""
+
+    def _run(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    def test_xyz_brute_force(self, spark, sf_dir):
+        import duckdb
+        import collections
+
+        pm = duckdb.sql(
+            f"""SELECT l_partkey, strftime(date_trunc('month', l_shipdate),
+                       '%Y-%m'),
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS BIGINT)
+                FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2"""
+        ).fetchall()
+        byp = collections.defaultdict(list)
+        for pk, mon, q in pm:
+            byp[pk].append(q)
+        ref = collections.Counter()
+        for pk, qs in byp.items():
+            if len(qs) < 3:
+                continue
+            n = len(qs)
+            mean = sum(qs) / n
+            var = sum((q - mean) ** 2 for q in qs) / n
+            cv = var**0.5 / mean
+            ref["X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")] += 1
+        got = {
+            r["xyz_class"]: r["n_parts"]
+            for r in self._run(spark, sf_dir, "ext_xyz_analysis").collect()
+        }
+        assert got == dict(ref)
+
+    def test_burn_rate_brute_force(self, spark, sf_dir):
+        import duckdb
+
+        hourly = duckdb.sql(
+            f"""SELECT date_trunc('hour', ts), COUNT(*),
+                       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+        rows = {
+            r["hour"]: r
+            for r in self._run(spark, sf_dir, "ext_burn_rate").collect()
+        }
+        assert len(rows) == len(hourly) - 5
+        for i in range(5, len(hourly)):
+            h, n, errs = hourly[i]
+            n6 = sum(x[1] for x in hourly[i - 5 : i + 1])
+            e6 = sum(x[2] for x in hourly[i - 5 : i + 1])
+            r = rows[h.strftime("%Y-%m-%d %H:00")]
+            assert r["rate1_ppm"] == errs * 1_000_000 // n
+            assert r["rate6_ppm"] == e6 * 1_000_000 // n6
+            assert r["page_alert"] == (
+                errs * 4 > n * 2 and e6 * 4 > n6 * 1
+            )
+            # burn is bounded by all-errors / 25% budget = 4x (tiny
+            # sf0.001 hours can hit it)
+            assert 0.0 <= r["burn_1h"] <= 4.0

@@ -216,6 +216,8 @@ AUDIT = {
     "ext_seasonal_mk": "Hirsch-Slack MK, within-stratum pairs only",
     "ext_streaks": "gaps-and-islands streaks, one window + two aggs",
     "ext_stickiness": "DAU/WAU/MAU via bounded 28x fan-out",
+    "ext_xyz_analysis": "demand-CV classes from three moments",
+    "ext_burn_rate": "multi-window SLO burn, integer alert predicate",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
