@@ -202,6 +202,7 @@ HEADLINE = [
     "ext_stickiness",        # exact trailing DAU/WAU/MAU panel
     "ext_xyz_analysis",      # demand-variability classification
     "ext_burn_rate",         # SRE multi-window budget burn
+    "ext_bitmap_index",      # block-bitmap conjunctive counting
 ]
 
 

@@ -18444,3 +18444,100 @@ def q_ext_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("e6") * 4 * 1000000 > F.col("n6") * 1000000 * 1)
         ).alias("page_alert"),
     )
+
+
+@register(
+    "ext_bitmap_index",
+    """WITH lb AS (
+         SELECT lang, doc_id // 63 AS blk,
+                CAST(bit_or(1::BIGINT << CAST(doc_id % 63 AS INT))
+                     AS BIGINT) AS mask
+         FROM documents GROUP BY 1, 2
+       ), sb AS (
+         SELECT source, doc_id // 63 AS blk,
+                CAST(bit_or(1::BIGINT << CAST(doc_id % 63 AS INT))
+                     AS BIGINT) AS mask
+         FROM documents GROUP BY 1, 2
+       ), langs AS (
+         SELECT lang FROM (
+           SELECT lang, row_number() OVER (ORDER BY COUNT(*) DESC, lang)
+                    AS r
+           FROM documents GROUP BY lang
+         ) t WHERE r <= 2
+       ), sources AS (
+         SELECT source FROM (
+           SELECT source, row_number() OVER (ORDER BY COUNT(*) DESC, source)
+                    AS r
+           FROM documents GROUP BY source
+         ) t WHERE r <= 3
+       )
+       SELECT lb.lang, sb.source,
+              CAST(SUM(bit_count(lb.mask & sb.mask)) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_blocks_touched
+       FROM lb JOIN sb ON sb.blk = lb.blk
+       JOIN langs ON langs.lang = lb.lang
+       JOIN sources ON sources.source = sb.source
+       GROUP BY 1, 2""",
+)
+def q_ext_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index acceleration structure: per-category bitmaps over
+    63-row blocks (one BIGINT mask per (category, block) — bit i set
+    iff doc block*63+i has that category; 63-bit blocks sidestep the
+    signed-shift overflow both engines raise at bit 63), and
+    conjunctive counts answered by BITWISE AND + POPCOUNT on the
+    index, never rescanning the fact — the evaluation shape behind
+    every OLAP bitmap/roaring index (and the reason low-cardinality
+    predicates are cheap in warehouses). Demonstrated as
+    count(lang = L AND source = S) for the top-2 langs x top-3
+    sources: the block-keyed join touches only blocks where BOTH
+    bitmaps exist, n_blocks_touched reports the pruning. Index build
+    is one fact-scale aggregation per dimension (bit_or in the hash
+    agg); the query runs entirely on the index relations. Exact
+    integers throughout; the pytest cross-checks every count against
+    a direct filter."""
+    docs = read_table(spark, sf_dir, "documents")
+    mask = F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 63 AS INT)))")
+    lb = docs.groupBy("lang", F.expr("doc_id DIV 63").alias("blk")).agg(
+        mask.alias("mask")
+    )
+    sb = docs.groupBy("source", F.expr("doc_id DIV 63").alias("blk")).agg(
+        mask.alias("mask")
+    )
+    from pyspark.sql import Window
+
+    langs = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("lang"))),
+        )
+        .where(F.col("r") <= 2)
+        .select("lang")
+    )
+    sources = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("source"))),
+        )
+        .where(F.col("r") <= 3)
+        .select("source")
+    )
+    la = lb.join(F.broadcast(langs), "lang").select(
+        "lang", "blk", F.col("mask").alias("lmask")
+    )
+    sa = sb.join(F.broadcast(sources), "source").select(
+        "source", "blk", F.col("mask").alias("smask")
+    )
+    return (
+        la.join(sa, "blk")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(F.expr("bit_count(lmask & smask)"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.count(F.lit(1)).alias("n_blocks_touched"),
+        )
+    )

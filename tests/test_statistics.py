@@ -2721,3 +2721,24 @@ class TestBatch26Semantics:
             # burn is bounded by all-errors / 25% budget = 4x (tiny
             # sf0.001 hours can hit it)
             assert 0.0 <= r["burn_1h"] <= 4.0
+
+
+class TestBatch27Semantics:
+    """Semantic self-check for batch 27 (bitmap index)."""
+
+    def test_bitmap_counts_match_direct_filters(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import duckdb
+
+        rows = QUERIES["ext_bitmap_index"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            direct = duckdb.sql(
+                f"""SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'
+                    WHERE lang = '{r["lang"]}'
+                      AND source = '{r["source"]}'"""
+            ).fetchone()[0]
+            assert r["n_docs"] == direct, (r, direct)
+            assert r["n_blocks_touched"] >= 1
+        # top-2 langs x top-3 sources = 6 conjunctions
+        assert len(rows) == 6

@@ -218,6 +218,7 @@ AUDIT = {
     "ext_stickiness": "DAU/WAU/MAU via bounded 28x fan-out",
     "ext_xyz_analysis": "demand-CV classes from three moments",
     "ext_burn_rate": "multi-window SLO burn, integer alert predicate",
+    "ext_bitmap_index": "bitmap build + AND/popcount conjunctive counts",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
