@@ -203,6 +203,7 @@ HEADLINE = [
     "ext_xyz_analysis",      # demand-variability classification
     "ext_burn_rate",         # SRE multi-window budget burn
     "ext_bitmap_index",      # block-bitmap conjunctive counting
+    "ext_paired_ttest",      # within-subject pre/post inference
 ]
 
 

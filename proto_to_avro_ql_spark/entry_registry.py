@@ -18541,3 +18541,83 @@ def q_ext_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_blocks_touched"),
         )
     )
+
+
+@register(
+    "ext_paired_ttest",
+    """WITH ph AS (
+         SELECT user_id,
+                CAST(COALESCE(SUM(CASE WHEN date_part('day', ts) <= 15
+                       THEN CAST(value AS DECIMAL(38,2)) * 100 END), 0)
+                     AS BIGINT) AS x,
+                CAST(COALESCE(SUM(CASE WHEN date_part('day', ts) > 15
+                       THEN CAST(value AS DECIMAL(38,2)) * 100 END), 0)
+                     AS BIGINT) AS y,
+                MAX(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+                  AS in1,
+                MAX(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)
+                  AS in2
+         FROM events WHERE value IS NOT NULL GROUP BY 1
+       ), d AS (
+         SELECT CAST(y - x AS HUGEINT) AS d
+         FROM ph WHERE in1 = 1 AND in2 = 1
+       ), m AS (
+         SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(d) AS HUGEINT) AS s,
+                CAST(SUM(d * d) AS HUGEINT) AS s2
+         FROM d
+       )
+       SELECT CAST(n AS BIGINT) AS n_pairs,
+              CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_diff,
+              (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt((CAST(s2 AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)
+                       / CAST(n AS DOUBLE)) AS t_stat
+       FROM m""",
+)
+def q_ext_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired (within-subject) t-test: each user's second-half-of-month
+    spend against their own first half — the design that removes
+    between-user variance entirely (ext_ab_test's independent-arms
+    Welch t cannot; ext_cuped only shrinks it), the right test for
+    pre/post feature launches. Only users active in BOTH halves pair;
+    per-user period totals are exact decimal cents sums, so the
+    differences are exact integers and the three moments accumulate
+    in HUGEINT/DECIMAL(38,0) — t = mean_d / sqrt(var_d/(n-1)/n)... /n
+    folded, one composite double expression over exact integers. One
+    conditional per-user aggregation, one scalar aggregation; the
+    pytest cross-checks against statistics.stdev on raw diffs."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.col("value").cast("decimal(38,2)") * 100
+    first = F.dayofmonth("ts") <= 15
+    ph = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(first, cents)), F.lit(0))
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~first, cents)), F.lit(0))
+        .cast("bigint")
+        .alias("y"),
+        F.max(F.when(first, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(~first, 1).otherwise(0)).alias("in2"),
+    )
+    D = "decimal(38,0)"
+    d = ph.where((F.col("in1") == 1) & (F.col("in2") == 1)).select(
+        (F.col("y") - F.col("x")).cast(D).alias("d")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean_d = sd / nd
+    t = mean_d / F.sqrt((s2d - sd * sd / nd) / (nd - 1.0) / nd)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (mean_d / F.lit(100.0)).alias("mean_diff"),
+        t.alias("t_stat"),
+    )

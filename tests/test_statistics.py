@@ -2742,3 +2742,37 @@ class TestBatch27Semantics:
             assert r["n_blocks_touched"] >= 1
         # top-2 langs x top-3 sources = 6 conjunctions
         assert len(rows) == 6
+
+
+class TestBatch28Semantics:
+    """Semantic self-check for batch 28 (paired t-test)."""
+
+    def test_paired_ttest_brute_force(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import duckdb
+        import statistics as st
+
+        raw = duckdb.sql(
+            f"""SELECT user_id,
+                       CAST(COALESCE(SUM(CASE WHEN date_part('day', ts) <= 15
+                         THEN CAST(value AS DECIMAL(38,2)) * 100 END), 0)
+                         AS BIGINT),
+                       CAST(COALESCE(SUM(CASE WHEN date_part('day', ts) > 15
+                         THEN CAST(value AS DECIMAL(38,2)) * 100 END), 0)
+                         AS BIGINT),
+                       MAX(CASE WHEN date_part('day', ts) <= 15
+                           THEN 1 ELSE 0 END),
+                       MAX(CASE WHEN date_part('day', ts) > 15
+                           THEN 1 ELSE 0 END)
+                FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL
+                GROUP BY 1"""
+        ).fetchall()
+        diffs = [y - x for _, x, y, a, b in raw if a and b]
+        r = QUERIES["ext_paired_ttest"](spark, sf_dir).collect()[0]
+        assert r["n_pairs"] == len(diffs)
+        mean_d = st.mean(diffs)
+        assert abs(r["mean_diff"] - mean_d / 100) < 1e-9
+        t = mean_d / (st.stdev(diffs) / len(diffs) ** 0.5)
+        assert abs(r["t_stat"] - t) < 1e-9
+        # no genuine pre/post shift in synthetic data
+        assert abs(r["t_stat"]) < 5.0

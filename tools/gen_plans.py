@@ -219,6 +219,7 @@ AUDIT = {
     "ext_xyz_analysis": "demand-CV classes from three moments",
     "ext_burn_rate": "multi-window SLO burn, integer alert predicate",
     "ext_bitmap_index": "bitmap build + AND/popcount conjunctive counts",
+    "ext_paired_ttest": "within-user pre/post t, exact diff moments",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
