@@ -204,6 +204,7 @@ HEADLINE = [
     "ext_burn_rate",         # SRE multi-window budget burn
     "ext_bitmap_index",      # block-bitmap conjunctive counting
     "ext_paired_ttest",      # within-subject pre/post inference
+    "ext_eb_shrinkage",      # empirical-Bayes rate smoothing
 ]
 
 

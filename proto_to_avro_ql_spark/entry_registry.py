@@ -18621,3 +18621,103 @@ def q_ext_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_d / F.lit(100.0)).alias("mean_diff"),
         t.alias("t_stat"),
     )
+
+
+@register(
+    "ext_eb_shrinkage",
+    """WITH daily AS (
+         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS x
+         FROM events GROUP BY 1
+       ), p AS (
+         SELECT day, n, x, x * 1000000 // n AS p6 FROM daily
+       ), g AS (
+         SELECT CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sn,
+                CAST(COUNT(*) AS BIGINT) AS d,
+                CAST(SUM(x) * 1000000 // SUM(n) AS BIGINT) AS pbar6
+         FROM p
+       ), v AS (
+         SELECT g.*,
+                CAST((SELECT SUM((p.p6 - g.pbar6) * (p.p6 - g.pbar6))
+                      FROM p) AS BIGINT) AS ss
+         FROM g
+       )
+       SELECT p.day, p.n, p.x,
+              CAST(p.p6 AS DOUBLE) / 1000000.0 AS raw_rate,
+              (CAST(v.ss AS DOUBLE) / CAST(v.d AS DOUBLE) / 1e12
+                 * (CAST(p.p6 AS DOUBLE) / 1000000.0)
+               + (CAST(v.pbar6 AS DOUBLE) / 1000000.0
+                  * (1.0 - CAST(v.pbar6 AS DOUBLE) / 1000000.0)
+                  / CAST(p.n AS DOUBLE))
+                 * (CAST(v.pbar6 AS DOUBLE) / 1000000.0))
+                / (CAST(v.ss AS DOUBLE) / CAST(v.d AS DOUBLE) / 1e12
+                   + CAST(v.pbar6 AS DOUBLE) / 1000000.0
+                     * (1.0 - CAST(v.pbar6 AS DOUBLE) / 1000000.0)
+                     / CAST(p.n AS DOUBLE)) AS shrunk_rate,
+              (CAST(v.ss AS DOUBLE) / CAST(v.d AS DOUBLE) / 1e12)
+                / (CAST(v.ss AS DOUBLE) / CAST(v.d AS DOUBLE) / 1e12
+                   + CAST(v.pbar6 AS DOUBLE) / 1000000.0
+                     * (1.0 - CAST(v.pbar6 AS DOUBLE) / 1000000.0)
+                     / CAST(p.n AS DOUBLE)) AS weight
+       FROM p CROSS JOIN v""",
+)
+def q_ext_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of daily conversion rates toward the
+    global rate — the league-table correction: a day with few events
+    and a fluky 40% rate gets pulled hard toward the prior, a
+    high-volume day barely moves (weight = tau^2/(tau^2 +
+    p(1-p)/n_d), the normal-approximation posterior mean). The
+    sibling of ext_target_encode (per-row feature smoothing) at the
+    REPORTING grain, and what dashboards should plot instead of raw
+    small-n rates. Exactness discipline: per-day rates and the prior
+    mean are TRUNCATED MICROS; the between-day variance numerator is
+    an exact integer sum of squared micros deviations (summing
+    per-day DOUBLES across days would be order-dependent); every
+    emitted value is then a per-row composite double expression over
+    exact integers. Two aggregations over the fact, then the day
+    relation."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "x"
+        ),
+    )
+    p = daily.select(
+        "day", "n", "x", F.expr("x * 1000000 DIV n").alias("p6")
+    ).cache()  # global moments + the per-day report share it
+    g = p.agg(
+        F.sum("x").alias("sx"),
+        F.sum("n").alias("sn"),
+        F.count(F.lit(1)).alias("d"),
+        F.expr("CAST(SUM(x) * 1000000 DIV SUM(n) AS BIGINT)").alias("pbar6"),
+    )
+    v = (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            ((F.col("p6") - F.col("pbar6")) * (F.col("p6") - F.col("pbar6")))
+            .alias("sq"),
+            "d",
+            "pbar6",
+        )
+        .groupBy("d", "pbar6")
+        .agg(F.sum("sq").cast("bigint").alias("ss"))
+    )
+    tau2 = F.col("ss").cast("double") / F.col("d").cast("double") / F.lit(1e12)
+    pbar = F.col("pbar6").cast("double") / F.lit(1000000.0)
+    within = pbar * (F.lit(1.0) - pbar) / F.col("n").cast("double")
+    praw = F.col("p6").cast("double") / F.lit(1000000.0)
+    return p.crossJoin(F.broadcast(v)).select(
+        "day",
+        "n",
+        "x",
+        praw.alias("raw_rate"),
+        ((tau2 * praw + within * pbar) / (tau2 + within)).alias("shrunk_rate"),
+        (tau2 / (tau2 + within)).alias("weight"),
+    )

@@ -2776,3 +2776,28 @@ class TestBatch28Semantics:
         assert abs(r["t_stat"] - t) < 1e-9
         # no genuine pre/post shift in synthetic data
         assert abs(r["t_stat"]) < 5.0
+
+
+class TestBatch29Semantics:
+    """Semantic self-check for batch 29 (EB shrinkage)."""
+
+    def test_eb_shrinkage_pulls_toward_prior(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        rows = QUERIES["ext_eb_shrinkage"](spark, sf_dir).collect()
+        assert rows
+        sx = sum(r["x"] for r in rows)
+        sn = sum(r["n"] for r in rows)
+        pbar = (sx * 1_000_000 // sn) / 1e6
+        for r in rows:
+            assert 0.0 <= r["weight"] <= 1.0
+            # shrunk rate lies BETWEEN the raw rate and the prior
+            lo, hi = sorted((r["raw_rate"], pbar))
+            assert lo - 1e-9 <= r["shrunk_rate"] <= hi + 1e-9
+            # the posterior-mean identity
+            expect = r["weight"] * r["raw_rate"] + (1 - r["weight"]) * pbar
+            assert abs(r["shrunk_rate"] - expect) < 1e-9
+        # bigger n => bigger weight (monotone in n)
+        by_n = sorted(rows, key=lambda r: r["n"])
+        for a, b in zip(by_n, by_n[1:]):
+            assert b["weight"] >= a["weight"] - 1e-12

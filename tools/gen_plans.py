@@ -220,6 +220,7 @@ AUDIT = {
     "ext_burn_rate": "multi-window SLO burn, integer alert predicate",
     "ext_bitmap_index": "bitmap build + AND/popcount conjunctive counts",
     "ext_paired_ttest": "within-user pre/post t, exact diff moments",
+    "ext_eb_shrinkage": "posterior-mean rate smoothing, integer SS",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
