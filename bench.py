@@ -205,6 +205,7 @@ HEADLINE = [
     "ext_bitmap_index",      # block-bitmap conjunctive counting
     "ext_paired_ttest",      # within-subject pre/post inference
     "ext_eb_shrinkage",      # empirical-Bayes rate smoothing
+    "ext_cross_correlation", # lead-lag CCF panel
 ]
 
 

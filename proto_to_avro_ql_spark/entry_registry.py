@@ -18721,3 +18721,85 @@ def q_ext_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((tau2 * praw + within * pbar) / (tau2 + within)).alias("shrunk_rate"),
         (tau2 / (tau2 + within)).alias("weight"),
     )
+
+
+@register(
+    "ext_cross_correlation",
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS d,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS x,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS y
+         FROM events GROUP BY 1
+       ), lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+       pairs AS (
+         SELECT l.lag,
+                CAST(a.x AS HUGEINT) AS x, CAST(b.y AS HUGEINT) AS y
+         FROM lags l
+         JOIN daily a ON TRUE
+         JOIN daily b ON b.d = a.d + to_days(CAST(l.lag AS INT))
+       ), m AS (
+         SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+                SUM(x) AS sx, SUM(y) AS sy,
+                SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         FROM pairs GROUP BY 1
+       )
+       SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)) AS ccf
+       FROM m""",
+)
+def q_ext_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily click and purchase
+    series at lags -3..+3 — the lead-lag detector ext_corr_matrix
+    (lag 0 only) and ext_autocorr (self only) cannot express: a peak
+    at lag +1 reads 'clicks today correlate with purchases TOMORROW',
+    the causal-ordering hint every funnel model starts from. Each lag
+    aligns the series by a DATE-SHIFTED join on the series-sized
+    daily relation (7 lags x days rows — no window, no fact rescan;
+    the fact is aggregated once into both series in a single
+    conditional pass), and each lag's Pearson r comes from five exact
+    HUGEINT/DECIMAL(38,0) moments with one double expression. The
+    pytest brute-forces every lag from raw daily counts."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    ).cache()  # both sides of every lag join share it
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("bd"), "y")
+    D = "decimal(38,0)"
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("bd")
+            == F.expr("d + make_interval(0, 0, 0, lag, 0, 0, 0)"),
+        )
+        .select(
+            "lag", F.col("x").cast(D).alias("x"), F.col("y").cast(D).alias("y")
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        (num / F.sqrt(d1 * d2)).alias("ccf"),
+    )

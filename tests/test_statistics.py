@@ -2801,3 +2801,47 @@ class TestBatch29Semantics:
         by_n = sorted(rows, key=lambda r: r["n"])
         for a, b in zip(by_n, by_n[1:]):
             assert b["weight"] >= a["weight"] - 1e-12
+
+
+class TestBatch30Semantics:
+    """Semantic self-check for batch 30 (cross-correlation)."""
+
+    def test_ccf_brute_force(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import duckdb
+
+        daily = duckdb.sql(
+            f"""SELECT date_trunc('day', ts),
+                       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                       SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+        xs = {d: x for d, x, y in daily}
+        ys = {d: y for d, x, y in daily}
+        from datetime import timedelta
+
+        rows = {
+            r["lag"]: r
+            for r in QUERIES["ext_cross_correlation"](spark, sf_dir).collect()
+        }
+        assert set(rows) == set(range(-3, 4))
+        for lag in range(-3, 4):
+            pts = [
+                (xs[d], ys[d + timedelta(days=lag)])
+                for d in xs
+                if d + timedelta(days=lag) in ys
+            ]
+            n = len(pts)
+            sx = sum(p[0] for p in pts)
+            sy = sum(p[1] for p in pts)
+            sxx = sum(p[0] ** 2 for p in pts)
+            syy = sum(p[1] ** 2 for p in pts)
+            sxy = sum(p[0] * p[1] for p in pts)
+            ref = (n * sxy - sx * sy) / (
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            ) ** 0.5
+            r = rows[lag]
+            assert r["n_days"] == n
+            assert abs(r["ccf"] - ref) < 1e-9
+            assert -1.0 <= r["ccf"] <= 1.0

@@ -221,6 +221,7 @@ AUDIT = {
     "ext_bitmap_index": "bitmap build + AND/popcount conjunctive counts",
     "ext_paired_ttest": "within-user pre/post t, exact diff moments",
     "ext_eb_shrinkage": "posterior-mean rate smoothing, integer SS",
+    "ext_cross_correlation": "CCF at 7 lags, date-shifted series joins",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
