@@ -91,7 +91,11 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 PRIORITY_EXT_IDS: list[str] = [
     # round 4 (out: src_proto_decode, ext_dedup_ngram_jaccard,
     # ext_dedup_minhash, ext_dedup_simhash, ext_corpus_pipeline — all
-    # driver-green in r03; they remain locally gated by oracle_check):
+    # driver-green in r03; they remain locally gated by oracle_check).
+    # r05 rotation suggestion (never-driver-verified, highest value
+    # first): ext_kendall_tau, ext_psm_match, ext_holt_winters,
+    # ext_dbscan_grid, ext_shapley_attribution — swap these five in
+    # once CORRECTNESS_r04 confirms the current slots green.
     "ext_cc_starcontraction",     # this round's window+observe rewrite
     "ext_asof_join",              # headline custom operator, never driver-run
     "ext_attribution",            # integer-ledger multi-touch attribution
