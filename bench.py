@@ -206,6 +206,7 @@ HEADLINE = [
     "ext_paired_ttest",      # within-subject pre/post inference
     "ext_eb_shrinkage",      # empirical-Bayes rate smoothing
     "ext_cross_correlation", # lead-lag CCF panel
+    "ext_hurst",             # rescaled-range long-memory diagnostic
 ]
 
 

@@ -18803,3 +18803,176 @@ def q_ext_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         (num / F.sqrt(d1 * d2)).alias("ccf"),
     )
+
+
+@register(
+    "ext_hurst",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2
+       ), idxd AS (
+         SELECT event_type, y,
+                row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+                  AS idx
+         FROM daily
+       ), ws AS (SELECT unnest([5, 10, 15]) AS w),
+       winrows AS (
+         SELECT i.event_type, ws.w, i.idx // ws.w AS wk,
+                i.idx % ws.w AS pos, CAST(i.y AS HUGEINT) AS y
+         FROM idxd i CROSS JOIN ws
+       ), sized AS (
+         SELECT w.event_type, w.w, w.wk, w.pos, w.y,
+                SUM(w.y) OVER (PARTITION BY w.event_type, w.w, w.wk
+                               ORDER BY w.pos) AS run,
+                SUM(w.y) OVER (PARTITION BY w.event_type, w.w, w.wk)
+                  AS sum_y,
+                SUM(w.y * w.y) OVER (PARTITION BY w.event_type, w.w, w.wk)
+                  AS sum_y2,
+                COUNT(*) OVER (PARTITION BY w.event_type, w.w, w.wk) AS cnt
+         FROM winrows w
+       ), devs AS (
+         SELECT event_type, w, wk,
+                MAX(w * run - (pos + 1) * sum_y)
+                  - MIN(w * run - (pos + 1) * sum_y) AS r_scaled,
+                MAX(w * sum_y2 - sum_y * sum_y) AS var_scaled
+         FROM sized WHERE cnt = w
+         GROUP BY 1, 2, 3
+       ), rs AS (
+         SELECT event_type, w,
+                CAST(CAST(ROUND(CAST(r_scaled AS DOUBLE)
+                                / sqrt(CAST(var_scaled AS DOUBLE)), 6)
+                          AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS rs6
+         FROM devs WHERE var_scaled > 0
+       ), scale_mean AS (
+         SELECT event_type, w,
+                CAST(SUM(rs6) // COUNT(*) AS BIGINT) AS mean_rs6
+         FROM rs GROUP BY 1, 2
+       ), xy AS (
+         SELECT event_type,
+                CAST(CAST(ROUND(ln(CAST(w AS DOUBLE)), 6) AS DECIMAL(38,6))
+                     * 1000000 AS BIGINT) AS xm,
+                CAST(CAST(ROUND(ln(CAST(mean_rs6 AS DOUBLE) / 1000000.0), 6)
+                          AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS ym
+         FROM scale_mean WHERE mean_rs6 > 0
+       ), fit AS (
+         SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                SUM(CAST(xm AS HUGEINT)) AS sx,
+                SUM(CAST(ym AS HUGEINT)) AS sy,
+                SUM(CAST(xm AS HUGEINT) * CAST(ym AS HUGEINT)) AS sxy,
+                SUM(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS sxx
+         FROM xy GROUP BY 1
+       )
+       SELECT event_type, CAST(n AS BIGINT) AS n_scales,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS hurst
+       FROM fit WHERE n >= 2""",
+)
+def q_ext_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    count series per type — the long-memory diagnostic (H ~ 0.5
+    memoryless, H > 0.5 trending/persistent, H < 0.5 mean-reverting)
+    that tells a forecaster whether ext_holt-style smoothing or
+    mean-reversion assumptions fit the process. Pipeline of exact
+    kernels: non-overlapping windows at scales {5,10,15} days; within
+    each window the cumulative deviation series is kept SCALED BY w
+    (w*running - (pos+1)*sum — exact integers, no rational means), so
+    the range R and the variance both stay integral and the w's
+    cancel in R/S = R_scaled/sqrt(w*sum_y2 - sum_y^2); each window's
+    R/S is rounded to 6dp and decimal-folded to micros (deterministic
+    — its inputs are exact), per-scale means are integer DIVs, and
+    the final log-log slope uses the ext_zipf_fit rounded-ln OLS
+    kernel. Everything after the one fact-scale daily aggregation
+    runs on series-sized relations."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("d")
+    idxd = daily.select(
+        "event_type", "y", (F.row_number().over(wo) - 1).alias("idx")
+    )
+    ws = spark.createDataFrame([(5,), (10,), (15,)], "w int")
+    D = "decimal(38,0)"
+    winrows = idxd.crossJoin(F.broadcast(ws)).select(
+        "event_type",
+        "w",
+        F.expr("idx DIV w").alias("wk"),
+        (F.col("idx") % F.col("w")).alias("pos"),
+        F.col("y").cast(D).alias("y"),
+    )
+    wrun = Window.partitionBy("event_type", "w", "wk").orderBy("pos")
+    wall = Window.partitionBy("event_type", "w", "wk")
+    sized = winrows.select(
+        "event_type",
+        "w",
+        "wk",
+        "pos",
+        F.sum("y").over(wrun).alias("run"),
+        F.sum("y").over(wall).alias("sum_y"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("sum_y2"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    dev = F.col("w").cast(D) * F.col("run") - (F.col("pos") + 1).cast(D) * F.col(
+        "sum_y"
+    )
+    devs = (
+        sized.where(F.col("cnt") == F.col("w"))
+        .select(
+            "event_type",
+            "w",
+            "wk",
+            dev.alias("dev"),
+            (
+                F.col("w").cast(D) * F.col("sum_y2")
+                - F.col("sum_y") * F.col("sum_y")
+            ).alias("var_scaled"),
+        )
+        .groupBy("event_type", "w", "wk")
+        .agg(
+            (F.max("dev") - F.min("dev")).alias("r_scaled"),
+            F.max("var_scaled").alias("var_scaled"),
+        )
+    )
+    rs = devs.where(F.col("var_scaled") > 0).select(
+        "event_type",
+        "w",
+        F.expr(
+            "CAST(CAST(ROUND(CAST(r_scaled AS DOUBLE)"
+            " / sqrt(CAST(var_scaled AS DOUBLE)), 6) AS DECIMAL(38,6))"
+            " * 1000000 AS BIGINT)"
+        ).alias("rs6"),
+    )
+    scale_mean = rs.groupBy("event_type", "w").agg(
+        F.expr("CAST(SUM(rs6) DIV COUNT(*) AS BIGINT)").alias("mean_rs6")
+    )
+    xy = scale_mean.where(F.col("mean_rs6") > 0).select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(ROUND(ln(CAST(w AS DOUBLE)), 6) AS DECIMAL(38,6))"
+            " * 1000000 AS BIGINT)"
+        ).alias("xm"),
+        F.expr(
+            "CAST(CAST(ROUND(ln(CAST(mean_rs6 AS DOUBLE) / 1000000.0), 6)"
+            " AS DECIMAL(38,6)) * 1000000 AS BIGINT)"
+        ).alias("ym"),
+    )
+    fit = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum(F.col("xm").cast(D)).alias("sx"),
+        F.sum(F.col("ym").cast(D)).alias("sy"),
+        F.sum(F.col("xm").cast(D) * F.col("ym").cast(D)).alias("sxy"),
+        F.sum(F.col("xm").cast(D) * F.col("xm").cast(D)).alias("sxx"),
+    )
+    return fit.where(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_scales"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("hurst"),
+    )

@@ -2845,3 +2845,64 @@ class TestBatch30Semantics:
             assert r["n_days"] == n
             assert abs(r["ccf"] - ref) < 1e-9
             assert -1.0 <= r["ccf"] <= 1.0
+
+
+class TestBatch31Semantics:
+    """Semantic self-check for batch 31 (Hurst exponent)."""
+
+    def test_hurst_brute_force(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import duckdb
+        import collections
+        import math
+
+        daily = duckdb.sql(
+            f"""SELECT event_type, date_trunc('day', ts), COUNT(*)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).fetchall()
+        byt = collections.defaultdict(list)
+        for t, d, n in daily:
+            byt[t].append(n)
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["ext_hurst"](spark, sf_dir).collect()
+        }
+        for t, ys in byt.items():
+            pts = []
+            for w in (5, 10, 15):
+                rss = []
+                for k in range(len(ys) // w):
+                    win = ys[k * w : (k + 1) * w]
+                    s = sum(win)
+                    s2 = sum(v * v for v in win)
+                    run = 0
+                    devs = []
+                    for j, v in enumerate(win):
+                        run += v
+                        devs.append(w * run - (j + 1) * s)
+                    r_scaled = max(devs) - min(devs)
+                    var_scaled = w * s2 - s * s
+                    if var_scaled > 0:
+                        rs = round(r_scaled / var_scaled**0.5, 6)
+                        rss.append(int(rs * 10**6 + 0.5) if rs >= 0 else 0)
+                if rss:
+                    mean6 = sum(rss) // len(rss)
+                    if mean6 > 0:
+                        pts.append(
+                            (round(math.log(w), 6), round(math.log(mean6 / 1e6), 6))
+                        )
+            if len(pts) < 2:
+                assert t not in got
+                continue
+            n = len(pts)
+            sx = sum(p[0] for p in pts)
+            sy = sum(p[1] for p in pts)
+            sxy = sum(p[0] * p[1] for p in pts)
+            sxx = sum(p[0] ** 2 for p in pts)
+            ref = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            r = got[t]
+            assert r["n_scales"] == n
+            # rounding at the micros/ln steps: compare to 1e-4
+            assert abs(r["hurst"] - ref) < 1e-3, (t, r["hurst"], ref)
+            # Hurst lives in (0, 1) for a counting series
+            assert 0.0 < r["hurst"] < 1.2

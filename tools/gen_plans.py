@@ -222,6 +222,7 @@ AUDIT = {
     "ext_paired_ttest": "within-user pre/post t, exact diff moments",
     "ext_eb_shrinkage": "posterior-mean rate smoothing, integer SS",
     "ext_cross_correlation": "CCF at 7 lags, date-shifted series joins",
+    "ext_hurst": "R/S long-memory slope, scaled-integer windows",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
