@@ -18976,3 +18976,60 @@ def q_ext_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hurst"),
     )
+
+
+@register(
+    "ext_sql_identifier",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def q_ext_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 4 SQL surface, completing the
+    parameterized-SQL family beside ext_sql_params): the GROUP-BY
+    column and the counted column arrive as STRING PARAMETERS yet
+    bind as identifiers — the safe form of dynamic SQL (templating
+    names by string concat is the injection/typo path; IDENTIFIER
+    validates the name against the catalog at analysis time). The
+    oracle is simply the resolved query — the point under test is
+    that parameter-bound identifiers produce the identical plan and
+    results as literal ones."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_ident")
+    return spark.sql(
+        """SELECT IDENTIFIER(:grp) AS event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(DISTINCT IDENTIFIER(:cnt)) AS BIGINT) AS n_users
+           FROM ev_ident GROUP BY IDENTIFIER(:grp)""",
+        args={"grp": "event_type", "cnt": "user_id"},
+    )
+
+
+@register(
+    "ext_sql_groupby_all",
+    """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+                AS sum_value
+       FROM events GROUP BY ALL""",
+)
+def q_ext_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL sugar, supported by both
+    engines): every non-aggregate select item becomes a grouping key
+    — the analyst-ergonomics surface that kills the
+    'forgot-to-update-the-GROUP-BY' bug class. Verified to produce
+    the identical result set as the explicit grouping (the oracle
+    ALSO uses GROUP BY ALL on DuckDB — cross-engine agreement on the
+    sugar's semantics, including that the computed `day` projection
+    groups correctly). Sum uses the standard decimal-accumulate
+    pattern."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_gball")
+    return spark.sql(
+        """SELECT event_type,
+                  date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+                    AS sum_value
+           FROM ev_gball GROUP BY ALL"""
+    )

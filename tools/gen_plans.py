@@ -223,6 +223,8 @@ AUDIT = {
     "ext_eb_shrinkage": "posterior-mean rate smoothing, integer SS",
     "ext_cross_correlation": "CCF at 7 lags, date-shifted series joins",
     "ext_hurst": "R/S long-memory slope, scaled-integer windows",
+    "ext_sql_identifier": "IDENTIFIER()-bound dynamic names",
+    "ext_sql_groupby_all": "GROUP BY ALL sugar parity",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
