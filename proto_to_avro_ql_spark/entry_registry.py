@@ -19033,3 +19033,45 @@ def q_ext_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS sum_value
            FROM ev_gball GROUP BY ALL"""
     )
+
+
+@register(
+    "gaql_parameters",
+    f"""WITH f AS ({ADS_FLAT_SQL})
+    SELECT campaign_id, metrics_clicks FROM f
+    WHERE metrics_clicks > 0
+    ORDER BY metrics_clicks DESC, campaign_id ASC LIMIT 25""",
+)
+def q_gaql_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAQL trailing PARAMETERS clause (`PARAMETERS include_drafts =
+    true, omit_unselected_resource_names = true`) — the last piece of
+    the reference's query-language grammar: the clause parses, rides
+    the canonical query text (cache keys include it), and its two
+    defined settings are documented no-ops on this engine's corpora
+    (no draft entities exist; resource names only appear when
+    selected), so the oracle is the SAME report without the clause —
+    which is exactly the asserted contract. Before this, a
+    PARAMETERS-bearing query failed to parse at all; grammar
+    completeness is what a user migrating saved queries hits first."""
+    from proto_to_avro_ql_spark.plans.gaql import parse_gaql, run_gaql
+
+    query = (
+        "SELECT campaign.id, metrics.clicks FROM ads_row"
+        " WHERE metrics.clicks > 0"
+        " ORDER BY metrics.clicks DESC, campaign.id ASC LIMIT 25"
+        " PARAMETERS include_drafts = true,"
+        " omit_unselected_resource_names = true"
+    )
+    parsed = parse_gaql(query)
+    assert parsed.parameters == (
+        ("include_drafts", "true"),
+        ("omit_unselected_resource_names", "true"),
+    )
+    assert "PARAMETERS include_drafts = true" in parsed.text
+    out = run_gaql(
+        spark, query, resolve_table=lambda name: ads_row(spark, sf_dir)
+    )
+    return out.select(
+        F.col("campaign.id").alias("campaign_id"),
+        F.col("metrics.clicks").alias("metrics_clicks"),
+    )

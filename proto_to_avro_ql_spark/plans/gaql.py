@@ -24,9 +24,31 @@ _GAQL_RE = re.compile(
     r"^\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<resource>\S+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+PARAMETERS\s+(?P<params>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_params(params: str | None) -> tuple[tuple[str, str], ...]:
+    """GAQL trailing PARAMETERS clause (`PARAMETERS include_drafts =
+    true, omit_unselected_resource_names = true`): comma-separated
+    name = value settings. Parsed and carried so PARAMETERS queries
+    round-trip instead of failing to parse; the two defined settings
+    are no-ops on this engine's corpora (no draft entities; resource
+    names are only emitted when selected anyway) — which is exactly
+    the assertable contract."""
+    if not params:
+        return ()
+    out = []
+    for item in params.split(","):
+        if not item.strip():
+            continue
+        m = re.match(r"^\s*(\w+)\s*=\s*(\S+)\s*$", item)
+        if not m:
+            raise ValueError(f"Bad PARAMETERS item {item!r}")
+        out.append((m.group(1).lower(), m.group(2).lower()))
+    return tuple(out)
 
 
 @dataclass(frozen=True)
@@ -36,6 +58,7 @@ class GaqlQuery:
     where: str | None
     order_by: tuple[tuple[str, str], ...] = ()  # (path, 'ASC'|'DESC')
     limit: int | None = None
+    parameters: tuple[tuple[str, str], ...] = ()  # (name, value), lowered
 
     @property
     def text(self) -> str:
@@ -48,6 +71,10 @@ class GaqlQuery:
             q += " ORDER BY " + ", ".join(f"{p} {d}" for p, d in self.order_by)
         if self.limit is not None:
             q += f" LIMIT {self.limit}"
+        if self.parameters:
+            q += " PARAMETERS " + ", ".join(
+                f"{k} = {v}" for k, v in self.parameters
+            )
         return q
 
 
@@ -80,6 +107,7 @@ def parse_gaql(query: str) -> GaqlQuery:
         m.group("where"),
         _parse_order(m.group("order")),
         int(limit) if limit is not None else None,
+        _parse_params(m.group("params")),
     )
 
 

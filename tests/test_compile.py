@@ -340,3 +340,32 @@ class TestGaqlDuring:
 
         w = "segments.date BETWEEN '1995-01-01' AND '1995-06-30'"
         assert expand_during(w, None) == w
+
+
+class TestGaqlParameters:
+    """PARAMETERS clause grammar (round-4 session-3 addition)."""
+
+    def test_parse_and_roundtrip(self):
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        q = parse_gaql(
+            "SELECT a.b FROM r WHERE a.b > 1 LIMIT 3"
+            " PARAMETERS include_drafts = TRUE"
+        )
+        assert q.parameters == (("include_drafts", "true"),)
+        assert q.limit == 3
+        # canonical text reproduces the clause, and reparses to itself
+        q2 = parse_gaql(q.text)
+        assert q2 == q
+
+    def test_no_parameters_is_empty(self):
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        assert parse_gaql("SELECT a.b FROM r").parameters == ()
+
+    def test_bad_parameters_rejected(self):
+        import pytest as _pytest
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        with _pytest.raises(ValueError):
+            parse_gaql("SELECT a.b FROM r PARAMETERS nonsense without equals")
