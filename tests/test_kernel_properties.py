@@ -1,0 +1,250 @@
+"""Property-based tests (hypothesis) for the MATHEMATICAL IDENTITIES
+the session-3 integer kernels rely on.
+
+The DuckDB oracles prove Spark and DuckDB agree; the brute-force
+semantic tests prove both match a direct computation ON THE FIXED
+CORPUS. These properties prove the underlying formula equivalences on
+ARBITRARY inputs — the corner cases (all-ties, single bucket, empty
+coalitions, constant windows) a fixed corpus never exercises. Pure
+Python: no Spark session, hundreds of examples in seconds.
+"""
+
+from __future__ import annotations
+
+import collections
+
+from hypothesis import given, settings, strategies as st
+
+
+# --- ext_isotonic: closed-form minimax == sequential PAV -------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 20), st.integers(0, 20)), min_size=1,
+        max_size=12,
+    )
+)
+def test_minimax_equals_sequential_pav(buckets):
+    # buckets: (n, pos_raw) -> clamp pos <= n
+    bs = [(n, min(p, n)) for n, p in buckets]
+    # sequential pool-adjacent-violators
+    stack = []
+    for n, p in bs:
+        stack.append([p, n, 1])
+        while (
+            len(stack) > 1
+            and stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            p2, n2, w2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+            stack[-1][2] += w2
+    pav = []
+    for p, n, w in stack:
+        pav.extend([p / n] * w)
+    # closed-form: fitted[i] = max_{j<=i} min_{k>=i} avg(pos[j..k])
+    cp = [0]
+    cn = [0]
+    for n, p in bs:
+        cp.append(cp[-1] + p)
+        cn.append(cn[-1] + n)
+    m = len(bs)
+    mm = []
+    for i in range(m):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, m):
+                a = (cp[k + 1] - cp[j]) / (cn[k + 1] - cn[j])
+                worst = a if worst is None else min(worst, a)
+            best = worst if best is None else max(best, worst)
+        mm.append(best)
+    for a, b in zip(pav, mm):
+        assert abs(a - b) < 1e-12
+
+
+# --- ext_kendall_tau: 2-D prefix C/D == brute-force pair counts ------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)), min_size=2,
+        max_size=40,
+    )
+)
+def test_prefix_concordance_equals_pairwise(points):
+    C = D = 0
+    for i in range(len(points)):
+        for j in range(i + 1, len(points)):
+            dx = points[i][0] - points[j][0]
+            dy = points[i][1] - points[j][1]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    # prefix-sum formulation on the dense contingency grid
+    cnt = collections.Counter(points)
+    xs = sorted({x for x, _ in points})
+    ys = sorted({y for _, y in points})
+    totx = {x: sum(cnt[(x, y)] for y in ys) for x in xs}
+    P = {}
+    Cp = Dp = 0
+    for xi, x in enumerate(xs):
+        t_lt = sum(totx[xs[k]] for k in range(xi))
+        rx = 0
+        for yi, y in enumerate(ys):
+            n = cnt.get((x, y), 0)
+            rx += n
+            cy = sum(cnt.get((xs[k], y), 0) for k in range(xi + 1))
+            p = sum(
+                cnt.get((xs[k], ys[l]), 0)
+                for k in range(xi + 1)
+                for l in range(yi + 1)
+            )
+            n_ltlt = p - rx - cy + n
+            n_ltgt = t_lt - (p - rx)
+            Cp += n * n_ltlt
+            Dp += n * n_ltgt
+    assert (Cp, Dp) == (C, D)
+
+
+# --- ext_growth_accounting: the two flow identities ------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 9),
+        st.sets(st.integers(0, 6), min_size=0, max_size=7),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_growth_accounting_identities(user_days):
+    byday = collections.defaultdict(set)
+    for u, days in user_days.items():
+        for d in days:
+            byday[d].add(u)
+    if len(byday) < 2:
+        return
+    first_seen = {}
+    for d in sorted(byday):
+        for u in byday[d]:
+            first_seen.setdefault(u, d)
+    days = sorted(byday)
+    for prev, cur in zip(days, days[1:]):
+        # gap days break "yesterday" adjacency exactly as in the entry
+        adjacent = cur == prev + 1
+        prev_set = byday[prev] if adjacent else byday.get(cur - 1, set())
+        new = sum(1 for u in byday[cur] if first_seen[u] == cur)
+        retained = len(byday[cur] & prev_set)
+        resurrected = sum(
+            1
+            for u in byday[cur]
+            if u not in prev_set and first_seen[u] < cur
+        )
+        churned = len(prev_set - byday[cur]) if True else 0
+        assert len(byday[cur]) == new + retained + resurrected
+        assert len(byday[cur]) == len(prev_set) - churned + new + resurrected
+
+
+# --- ext_fleiss_kappa: integer fold == textbook formula --------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3), min_size=5, max_size=5),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_fleiss_integer_fold(panels):
+    n = 5
+    N = len(panels)
+    # textbook
+    p_is = []
+    cat = collections.Counter()
+    for item in panels:
+        c = collections.Counter(item)
+        cat.update(c)
+        p_is.append(
+            sum(k * (k - 1) for k in c.values()) / (n * (n - 1))
+        )
+    p_bar = sum(p_is) / N
+    p_e = sum((t / (N * n)) ** 2 for t in cat.values())
+    # integer fold (the entry's kernel)
+    agree = sum(
+        sum(k * k for k in collections.Counter(item).values()) - n
+        for item in panels
+    )
+    p_bar2 = agree / (N * n * (n - 1))
+    p_e2 = sum(t * t for t in cat.values()) / (N * n) ** 2
+    assert abs(p_bar - p_bar2) < 1e-12
+    assert abs(p_e - p_e2) < 1e-12
+    if p_e < 1 - 1e-12:
+        k1 = (p_bar - p_e) / (1 - p_e)
+        k2 = (p_bar2 - p_e2) / (1 - p_e2)
+        assert abs(k1 - k2) < 1e-9
+
+
+# --- ext_hurst: the w-cancellation identity --------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=2, max_size=12))
+def test_rescaled_range_w_cancellation(win):
+    w = len(win)
+    s = sum(win)
+    mean = s / w
+    # classic R/S with float means
+    run = 0.0
+    devs = []
+    for v in win:
+        run += v - mean
+        devs.append(run)
+    R = max(devs) - min(devs)
+    var = sum((v - mean) ** 2 for v in win) / w
+    # integer-scaled form used by the entry
+    runi = 0
+    devsi = []
+    for j, v in enumerate(win):
+        runi += v
+        devsi.append(w * runi - (j + 1) * s)
+    r_scaled = max(devsi) - min(devsi)
+    var_scaled = w * sum(v * v for v in win) - s * s
+    if var_scaled > 0:
+        assert abs(R / var**0.5 - r_scaled / var_scaled**0.5) < 1e-9
+    else:
+        assert R == 0 and r_scaled == 0
+
+
+# --- ext_shapley_attribution: efficiency under truncated micros ------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 15), st.tuples(st.integers(1, 50), st.integers(0, 50)),
+        min_size=1, max_size=16,
+    )
+)
+def test_shapley_efficiency_with_truncation(obs):
+    # obs: bitmap -> (users, convs_raw); clamp convs <= users
+    obs = {bm: (u, min(c, u)) for bm, (u, c) in obs.items()}
+
+    def v(bm):
+        if bm not in obs:
+            return 0
+        u, c = obs[bm]
+        return (c * 1_000_000) // u
+
+    w = {0: 6, 1: 2, 2: 2, 3: 6}  # |S|!(3-|S|)! for 4 players
+    total = 0
+    for bit in (1, 2, 4, 8):
+        phi = 0
+        for S in range(16):
+            if S & bit:
+                continue
+            phi += w[bin(S).count("1")] * (v(S | bit) - v(S))
+        total += phi
+    # efficiency: credits sum to 4! * (v(full) - v(empty)) EXACTLY
+    # (the weights telescope identically even under truncation)
+    assert total == 24 * (v(15) - v(0))
