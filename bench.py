@@ -207,6 +207,7 @@ HEADLINE = [
     "ext_eb_shrinkage",      # empirical-Bayes rate smoothing
     "ext_cross_correlation", # lead-lag CCF panel
     "ext_hurst",             # rescaled-range long-memory diagnostic
+    "ext_match_pattern",     # MATCH_RECOGNIZE-style V episodes
 ]
 
 

@@ -19075,3 +19075,146 @@ def q_gaql_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("campaign.id").alias("campaign_id"),
         F.col("metrics.clicks").alias("metrics_clicks"),
     )
+
+
+@register(
+    "ext_match_pattern",
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), dirs AS (
+         SELECT event_type, d, n,
+                CASE WHEN n > lag(n) OVER w THEN 1
+                     WHEN n < lag(n) OVER w THEN -1
+                     ELSE 0 END AS dir,
+                lag(n) OVER w AS prev_n
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY d)
+       ), moves AS (
+         SELECT event_type, d, n, prev_n, dir,
+                row_number() OVER (PARTITION BY event_type ORDER BY d)
+                  - row_number() OVER (PARTITION BY event_type, dir
+                                       ORDER BY d) AS grp
+         FROM dirs WHERE dir <> 0
+       ), runs AS (
+         SELECT event_type, dir, grp,
+                MIN(d) AS start_d, MAX(d) AS end_d,
+                CAST(MAX(CASE WHEN d = sd THEN prev_n END) AS BIGINT)
+                  AS n_before,
+                CAST(MAX(CASE WHEN d = ed THEN n END) AS BIGINT) AS n_after,
+                CAST(COUNT(*) AS BIGINT) AS len
+         FROM (SELECT m.*, MIN(d) OVER (PARTITION BY event_type, dir, grp)
+                             AS sd,
+                      MAX(d) OVER (PARTITION BY event_type, dir, grp) AS ed
+               FROM moves m) t
+         GROUP BY 1, 2, 3
+       ), seq AS (
+         SELECT event_type, dir, start_d, end_d, n_before, n_after, len,
+                lead(dir) OVER w AS next_dir,
+                lead(end_d) OVER w AS next_end,
+                lead(n_after) OVER w AS next_n_after,
+                lead(start_d) OVER w AS next_start
+         FROM runs
+         WINDOW w AS (PARTITION BY event_type ORDER BY start_d)
+       )
+       SELECT event_type,
+              strftime(start_d, '%Y-%m-%d') AS decline_start,
+              strftime(end_d, '%Y-%m-%d') AS trough,
+              strftime(next_end, '%Y-%m-%d') AS recovery_end,
+              n_before AS peak_n, n_after AS trough_n,
+              next_n_after AS recovered_n,
+              n_before - n_after AS depth,
+              next_n_after - n_after AS recovery
+       FROM seq
+       WHERE dir = -1 AND next_dir = 1
+         AND next_start = end_d + INTERVAL 1 DAY""",
+)
+def q_ext_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition (the MATCH_RECOGNIZE shape, composed
+    from relational pieces): find every V-shaped episode in the daily
+    count series — a strictly-declining run immediately followed by a
+    strictly-rising run — and report its measures (decline start,
+    trough, recovery end, depth, recovery). The pattern engine is
+    GAPS-AND-ISLANDS over movement directions (the ext_streaks trick:
+    row_number difference collapses each maximal UP/DOWN run to one
+    group) plus ONE lead() over the run relation to pair adjacent
+    runs; flat days break runs (strictness), and the adjacency
+    predicate (next run starts the day after this one ends) keeps
+    episodes contiguous. Everything after the fact-scale daily
+    aggregation runs on series-sized relations; all measures exact
+    integers. The pytest re-finds every V with a direct scan."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    dirs = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.when(F.col("n") > F.lag("n").over(w), 1)
+        .when(F.col("n") < F.lag("n").over(w), -1)
+        .otherwise(0)
+        .alias("dir"),
+        F.lag("n").over(w).alias("prev_n"),
+    )
+    wd = Window.partitionBy("event_type", "dir").orderBy("d")
+    moves = dirs.where(F.col("dir") != 0).select(
+        "event_type",
+        "d",
+        "n",
+        "prev_n",
+        "dir",
+        (F.row_number().over(w) - F.row_number().over(wd)).alias("grp"),
+    )
+    wg = Window.partitionBy("event_type", "dir", "grp")
+    runs = (
+        moves.select(
+            "*",
+            F.min("d").over(wg).alias("sd"),
+            F.max("d").over(wg).alias("ed"),
+        )
+        .groupBy("event_type", "dir", "grp")
+        .agg(
+            F.min("d").alias("start_d"),
+            F.max("d").alias("end_d"),
+            F.max(F.when(F.col("d") == F.col("sd"), F.col("prev_n")))
+            .cast("bigint")
+            .alias("n_before"),
+            F.max(F.when(F.col("d") == F.col("ed"), F.col("n")))
+            .cast("bigint")
+            .alias("n_after"),
+            F.count(F.lit(1)).alias("len"),
+        )
+    )
+    ws = Window.partitionBy("event_type").orderBy("start_d")
+    seq = runs.select(
+        "event_type",
+        "dir",
+        "start_d",
+        "end_d",
+        "n_before",
+        "n_after",
+        F.lead("dir").over(ws).alias("next_dir"),
+        F.lead("end_d").over(ws).alias("next_end"),
+        F.lead("n_after").over(ws).alias("next_n_after"),
+        F.lead("start_d").over(ws).alias("next_start"),
+    )
+    return seq.where(
+        (F.col("dir") == -1)
+        & (F.col("next_dir") == 1)
+        & (F.col("next_start") == F.col("end_d") + F.expr("interval 1 day"))
+    ).select(
+        "event_type",
+        F.date_format("start_d", "yyyy-MM-dd").alias("decline_start"),
+        F.date_format("end_d", "yyyy-MM-dd").alias("trough"),
+        F.date_format("next_end", "yyyy-MM-dd").alias("recovery_end"),
+        F.col("n_before").alias("peak_n"),
+        F.col("n_after").alias("trough_n"),
+        F.col("next_n_after").alias("recovered_n"),
+        (F.col("n_before") - F.col("n_after")).alias("depth"),
+        (F.col("next_n_after") - F.col("n_after")).alias("recovery"),
+    )

@@ -2906,3 +2906,55 @@ class TestBatch31Semantics:
             assert abs(r["hurst"] - ref) < 1e-3, (t, r["hurst"], ref)
             # Hurst lives in (0, 1) for a counting series
             assert 0.0 < r["hurst"] < 1.2
+
+
+class TestBatch33Semantics:
+    """Semantic self-check for batch 33 (V-pattern recognition)."""
+
+    def test_vshape_brute_force(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        import duckdb
+        import collections
+
+        daily = duckdb.sql(
+            f"""SELECT event_type, strftime(date_trunc('day', ts),
+                       '%Y-%m-%d'), COUNT(*)
+                FROM '{sf_dir}/events.parquet'
+                GROUP BY 1, date_trunc('day', ts) ORDER BY 1, 2"""
+        ).fetchall()
+        byt = collections.defaultdict(list)
+        for t, d, n in daily:
+            byt[t].append((d, n))
+        expect = set()
+        for t, series in byt.items():
+            dirs = []
+            for (d0, a), (d1, b) in zip(series, series[1:]):
+                dirs.append((d1, 1 if b > a else (-1 if b < a else 0)))
+            # maximal runs of same nonzero dir over CONSECUTIVE move
+            # days (the dense daily grid makes moves contiguous unless
+            # a flat day intervenes)
+            runs = []
+            for d, s in dirs:
+                if s == 0:
+                    runs.append(None)
+                elif runs and runs[-1] and runs[-1][0] == s:
+                    runs[-1][2] = d
+                else:
+                    runs.append([s, d, d])
+            runs = [r for r in runs if r]
+            for r1, r2 in zip(runs, runs[1:]):
+                if r1[0] == -1 and r2[0] == 1:
+                    # adjacency: r2's first move day follows r1's last
+                    days = [d for d, _ in series]
+                    i1 = days.index(r1[2])
+                    if days.index(r2[1]) == i1 + 1:
+                        expect.add((t, r1[2]))  # trough day
+        got = {
+            (r["event_type"], r["trough"])
+            for r in QUERIES["ext_match_pattern"](spark, sf_dir).collect()
+        }
+        assert got == expect
+        rows = QUERIES["ext_match_pattern"](spark, sf_dir).collect()
+        for r in rows:
+            assert r["depth"] > 0 and r["recovery"] > 0
+            assert r["decline_start"] <= r["trough"] < r["recovery_end"]

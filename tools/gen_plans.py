@@ -225,6 +225,7 @@ AUDIT = {
     "ext_hurst": "R/S long-memory slope, scaled-integer windows",
     "ext_sql_identifier": "IDENTIFIER()-bound dynamic names",
     "ext_sql_groupby_all": "GROUP BY ALL sugar parity",
+    "ext_match_pattern": "V-shape row patterns via direction islands",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
