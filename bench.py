@@ -208,6 +208,7 @@ HEADLINE = [
     "ext_cross_correlation", # lead-lag CCF panel
     "ext_hurst",             # rescaled-range long-memory diagnostic
     "ext_match_pattern",     # MATCH_RECOGNIZE-style V episodes
+    "ext_feature_importance", # one-pass Gini feature screen
 ]
 
 

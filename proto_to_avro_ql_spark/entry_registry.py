@@ -19218,3 +19218,130 @@ def q_ext_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_before") - F.col("n_after")).alias("depth"),
         (F.col("next_n_after") - F.col("n_after")).alias("recovery"),
     )
+
+
+@register(
+    "ext_feature_importance",
+    """WITH s AS (
+         SELECT CAST(user_id % 2 AS BIGINT) AS label,
+                CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) // 2500
+                  AS f_value,
+                CAST(date_part('hour', ts) AS BIGINT) AS f_hour,
+                CAST(date_part('dow', date_trunc('day', ts)) + 1 AS BIGINT)
+                  AS f_dow,
+                CAST(event_id % 16 AS BIGINT) AS f_idhash
+         FROM events WHERE value IS NOT NULL
+       ), melted AS (
+         SELECT 'value_bucket' AS feature, f_value AS b, label FROM s
+         UNION ALL SELECT 'hour', f_hour, label FROM s
+         UNION ALL SELECT 'dow', f_dow, label FROM s
+         UNION ALL SELECT 'id_hash', f_idhash, label FROM s
+       ), hist AS (
+         SELECT feature, b, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(label) AS BIGINT) AS pos
+         FROM melted GROUP BY 1, 2
+       ), cums AS (
+         SELECT feature, b,
+                SUM(n) OVER (PARTITION BY feature ORDER BY b) AS n_l,
+                SUM(pos) OVER (PARTITION BY feature ORDER BY b) AS pos_l,
+                SUM(n) OVER (PARTITION BY feature) AS n_t,
+                SUM(pos) OVER (PARTITION BY feature) AS pos_t
+         FROM hist
+       ), scored AS (
+         SELECT feature, b AS split, n_t, pos_t,
+                CAST(CAST(2000000 AS HUGEINT) * pos_l * (n_l - pos_l) // n_l
+                     + CAST(2000000 AS HUGEINT) * (pos_t - pos_l)
+                       * ((n_t - n_l) - (pos_t - pos_l)) // (n_t - n_l)
+                     AS BIGINT) AS imp
+         FROM cums WHERE n_l < n_t
+       ), best AS (
+         SELECT feature, split, imp, n_t, pos_t,
+                row_number() OVER (PARTITION BY feature ORDER BY imp, split)
+                  AS rk
+         FROM scored
+       )
+       SELECT feature, split AS best_split,
+              CAST(CAST(2000000 AS HUGEINT) * pos_t * (n_t - pos_t) // n_t
+                   - imp AS BIGINT) AS gain_micros,
+              CAST(imp AS DOUBLE) / 1000000.0 AS impurity
+       FROM best WHERE rk = 1""",
+)
+def q_ext_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split feature-importance screen: for each candidate
+    feature (value bucket, hour, weekday, an id-hash control), the
+    best Gini threshold and its IMPURITY GAIN over the unsplit parent
+    — the one-pass ranking a tree learner (or a feature-store triage)
+    runs before spending effort on a feature; the hash control column
+    calibrates the noise floor (a real feature must beat it). The
+    kernel is ext_best_split's prefix-sum scoring, fanned across
+    features by a narrow 4x UNION (one fact scan feeding one melted
+    histogram aggregation — never one pass per feature); all gains
+    are exact truncated micros (HUGEINT/DECIMAL(38,0)), tie-broken
+    deterministically. Weekday numbering is pinned cross-engine
+    (dow + 1 = Spark dayofweek)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s = ev.select(
+        (F.col("user_id") % 2).cast("bigint").alias("label"),
+        F.expr(
+            "CAST(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)"
+            " DIV 2500 AS BIGINT)"
+        ).alias("f_value"),
+        F.hour("ts").cast("bigint").alias("f_hour"),
+        F.dayofweek(F.date_trunc("day", F.col("ts"))).cast("bigint").alias(
+            "f_dow"
+        ),
+        (F.col("event_id") % 16).cast("bigint").alias("f_idhash"),
+    )
+    melted = None
+    for name, col in (
+        ("value_bucket", "f_value"),
+        ("hour", "f_hour"),
+        ("dow", "f_dow"),
+        ("id_hash", "f_idhash"),
+    ):
+        part = s.select(
+            F.lit(name).alias("feature"), F.col(col).alias("b"), "label"
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    hist = melted.groupBy("feature", "b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    wf = Window.partitionBy("feature").orderBy("b")
+    wt = Window.partitionBy("feature")
+    H = "decimal(38,0)"
+    cums = hist.select(
+        "feature",
+        "b",
+        F.sum("n").over(wf).cast(H).alias("n_l"),
+        F.sum("pos").over(wf).cast(H).alias("pos_l"),
+        F.sum("n").over(wt).cast(H).alias("n_t"),
+        F.sum("pos").over(wt).cast(H).alias("pos_t"),
+    )
+    scored = cums.where(F.col("n_l") < F.col("n_t")).select(
+        "feature",
+        F.col("b").alias("split"),
+        "n_t",
+        "pos_t",
+        F.expr(
+            "CAST(CAST(2000000 AS DECIMAL(38,0)) * pos_l * (n_l - pos_l)"
+            " DIV n_l"
+            " + CAST(2000000 AS DECIMAL(38,0)) * (pos_t - pos_l)"
+            " * ((n_t - n_l) - (pos_t - pos_l)) DIV (n_t - n_l)"
+            " AS BIGINT)"
+        ).alias("imp"),
+    )
+    wr = Window.partitionBy("feature").orderBy("imp", "split")
+    best = scored.withColumn("rk", F.row_number().over(wr)).where(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "feature",
+        F.col("split").alias("best_split"),
+        F.expr(
+            "CAST(CAST(2000000 AS DECIMAL(38,0)) * pos_t * (n_t - pos_t)"
+            " DIV n_t - imp AS BIGINT)"
+        ).alias("gain_micros"),
+        (F.col("imp").cast("double") / F.lit(1000000.0)).alias("impurity"),
+    )

@@ -2958,3 +2958,25 @@ class TestBatch33Semantics:
         for r in rows:
             assert r["depth"] > 0 and r["recovery"] > 0
             assert r["decline_start"] <= r["trough"] < r["recovery_end"]
+
+
+class TestBatch34Semantics:
+    """Semantic self-check for batch 34 (feature-importance screen)."""
+
+    def test_feature_importance_vs_best_split(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        rows = {
+            r["feature"]: r
+            for r in QUERIES["ext_feature_importance"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {"value_bucket", "hour", "dow", "id_hash"}
+        # the value_bucket row must agree with ext_best_split's winner
+        bs = QUERIES["ext_best_split"](spark, sf_dir).collect()
+        winner = next(r for r in bs if r["is_best"])
+        assert rows["value_bucket"]["best_split"] == winner["split"]
+        assert (
+            abs(rows["value_bucket"]["impurity"] - winner["impurity"]) < 1e-9
+        )
+        for r in rows.values():
+            assert r["gain_micros"] >= 0  # a split never increases Gini

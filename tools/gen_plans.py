@@ -226,6 +226,7 @@ AUDIT = {
     "ext_sql_identifier": "IDENTIFIER()-bound dynamic names",
     "ext_sql_groupby_all": "GROUP BY ALL sugar parity",
     "ext_match_pattern": "V-shape row patterns via direction islands",
+    "ext_feature_importance": "4-feature Gini screen via one melted pass",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
