@@ -290,18 +290,48 @@ def main() -> None:
     headline13 = round(
         sum(timings.get(q, 0.0) for q in HEADLINE[:HEADLINE13_N]), 3
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Round-4 verdict #4: the single ~5 KB JSON line (158 queries) got
+    # truncated by the driver's tail capture, losing the parsed
+    # payload. Emit the FULL per-query map first (and persist it to
+    # BENCH_DETAIL.json next to this script), then a SHORT final
+    # contract line — headline13 queries only — that survives any
+    # tail-window capture intact.
+    detail = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs_per_query": N_RUNS,
+        "stat": "median",
+        "headline13": headline13,
+        "notes": {k: v for k, v in NOTES.items() if k in timings},
+    }
+    print(json.dumps(detail))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:  # read-only checkout: the stdout line stands
+        print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {
+                    q: timings[q] for q in HEADLINE[:HEADLINE13_N] if q in timings
+                },
+                "sf": sf_val,
                 "runs_per_query": N_RUNS,
                 "stat": "median",
                 "headline13": headline13,
-                "notes": {k: v for k, v in NOTES.items() if k in timings},
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

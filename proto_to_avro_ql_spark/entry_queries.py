@@ -89,18 +89,20 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 4 (out: src_proto_decode, ext_dedup_ngram_jaccard,
-    # ext_dedup_minhash, ext_dedup_simhash, ext_corpus_pipeline — all
-    # driver-green in r03; they remain locally gated by oracle_check).
-    # r05 rotation suggestion (never-driver-verified, highest value
-    # first): ext_kendall_tau, ext_psm_match, ext_holt_winters,
-    # ext_dbscan_grid, ext_shapley_attribution — swap these five in
-    # once CORRECTNESS_r04 confirms the current slots green.
-    "ext_cc_starcontraction",     # this round's window+observe rewrite
-    "ext_asof_join",              # headline custom operator, never driver-run
-    "ext_attribution",            # integer-ledger multi-touch attribution
-    "ext_bootstrap_ci",           # decimal/order-statistic CI kernel
-    "ext_dedup_lsh_incremental",  # the production ingest dedup shape
+    # round 5 (out: ext_cc_starcontraction, ext_asof_join,
+    # ext_attribution, ext_bootstrap_ci, ext_dedup_lsh_incremental —
+    # all driver-green in CORRECTNESS_r04; they remain locally gated
+    # by oracle_check). In: the staged r05 candidates from
+    # ROADMAP.md "Driver-window rotation", never driver-verified.
+    # r06 rotation suggestion (next in value order, never
+    # driver-verified): ext_kendall_tau, ext_psm_match,
+    # ext_holt_winters, ext_dbscan_grid, ext_shapley_attribution —
+    # swap in once CORRECTNESS_r05 confirms the current slots green.
+    "src_state_reader",           # streaming-state surface (new r04)
+    "ext_semdedup",               # semantic cell-partitioned dedup
+    "ext_dedup_containment",      # asymmetric n-gram containment
+    "ext_sim_search_lsh",         # hyperplane-bucketed ANN
+    "ext_bm25_search",            # lexical ranked retrieval
 ]
 
 

@@ -11300,11 +11300,20 @@ def q_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-date anchor, frequency an exact count, monetary integer cents
     (decimal-accumulated) — everything through the ntile and the final
     rollup is integer. Scale shape: one per-user aggregate (map-side
-    combinable), a 1-row anchor broadcast, then ntile over the USER
-    relation — at 100 TB the global-sort window would be swapped for
-    approx-percentile cutoff joins (the documented ext_quantile_bins
-    trade); the per-cell rollup is 125 rows max."""
-    from pyspark.sql import Window
+    combinable), a 1-row anchor broadcast, then THREE exact global
+    ntiles over the USER relation computed via banded_global_rank +
+    ntile_from_rank (per-band partitioned row_number + a prefix sum
+    over the bounded band relation — bit-identical to the oracle's
+    `NTILE(5) OVER (ORDER BY ...)` with NO unpartitioned window over
+    a data-scale relation; same seam as ext_lorenz_deciles /
+    ext_zorder_manifest). Bands are value-range divisions (negated
+    recency day, n_events DIV 16, cents DIV 100000) so band counts
+    track the metric RANGE, not the user count; the per-cell rollup
+    is 125 rows max."""
+    from proto_to_avro_ql_spark.operators.layout import (
+        banded_global_rank,
+        ntile_from_rank,
+    )
 
     ev = read_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("anchor_day"))
@@ -11319,15 +11328,46 @@ def q_ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("anchor_day"), F.col("last_day")).alias("recency_days"),
         F.col("n_events"),
     )
-    r_w = Window.orderBy(F.col("recency_days").desc(), "user_id")
-    f_w = Window.orderBy(F.col("n_events").asc(), "user_id")
-    m_w = Window.orderBy(F.col("cents").asc(), "user_id")
+    # ORDER BY recency DESC == ORDER BY -recency ASC; each band is a
+    # coarse monotone prefix of its metric's total order (trunc DIV is
+    # monotone non-decreasing for a positive divisor), so the banded
+    # rank reproduces the global order exactly. counts_from=scored on
+    # the later calls keeps the counts branch off the prior windows'
+    # subtrees (scored itself is one cheap map-side-combinable agg).
+    r1 = banded_global_rank(
+        scored,
+        (-F.col("recency_days")).cast("bigint"),
+        [F.col("recency_days").desc(), F.col("user_id")],
+        "_rr",
+    )
+    r2 = banded_global_rank(
+        r1,
+        F.expr("n_events DIV 16"),
+        [F.col("n_events").asc(), F.col("user_id")],
+        "_rf",
+        counts_from=scored,
+    )
+    r3 = banded_global_rank(
+        r2,
+        F.expr("cents DIV 100000"),
+        [F.col("cents").asc(), F.col("user_id")],
+        "_rm",
+        counts_from=scored,
+    )
+    n_total = scored.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     return (
-        scored.select(
+        r3.crossJoin(F.broadcast(n_total))
+        .select(
             "cents",
-            F.ntile(5).over(r_w).cast("long").alias("r_score"),
-            F.ntile(5).over(f_w).cast("long").alias("f_score"),
-            F.ntile(5).over(m_w).cast("long").alias("m_score"),
+            (ntile_from_rank(F.col("_rr"), F.col("_n"), 5) + 1)
+            .cast("long")
+            .alias("r_score"),
+            (ntile_from_rank(F.col("_rf"), F.col("_n"), 5) + 1)
+            .cast("long")
+            .alias("f_score"),
+            (ntile_from_rank(F.col("_rm"), F.col("_n"), 5) + 1)
+            .cast("long")
+            .alias("m_score"),
         )
         .groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -13308,25 +13348,53 @@ def q_ext_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog curation, offer pruning, and hyperparameter selection
     ('show only options where nothing is both cheaper AND bigger').
     The naive formulation is a quadratic NOT EXISTS self-join; for
-    two criteria it collapses to ONE ordered window: sort by price,
-    keep a row iff its size beats the running max among strictly
-    cheaper rows (ties broken by part key so the frontier is
-    deterministic). Exactness: integer sizes, raw price doubles only
-    ORDERED on, never accumulated. Shape: one global sort-window —
-    at lake scale the banded-rank recipe (layout.banded_global_rank)
-    splits it, the same seam as the other order-statistic entries."""
+    two criteria it collapses to a running max along the price order,
+    computed here with the BANDED prefix-max recipe (the
+    banded_global_rank decomposition applied to MAX instead of
+    COUNT): band = floor(price/100) is a monotone prefix of the
+    (price, partkey) total order, so the global running max is the
+    per-band PARTITIONED running max combined with the prefix max of
+    all strictly-earlier bands — the latter a window over the band
+    relation only, whose cardinality tracks the PRICE RANGE (fixed by
+    the catalog's price book), not the part count. No
+    single-partition WindowExec over a data-scale relation anywhere
+    in the plan. Exactness: integer sizes, raw price doubles only
+    ORDERED/grouped on, never accumulated."""
     from pyspark.sql import Window
 
     part = read_table(spark, sf_dir, "part")
-    w = (
-        Window.orderBy("p_retailprice", "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = part.select(
+    banded = part.select(
         "p_partkey",
         "p_retailprice",
         "p_size",
-        F.max("p_size").over(w).alias("best_size_cheaper"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("_band"),
+    )
+    # per-band running max over the frame (UNBOUNDED PRECEDING, -1):
+    # partitioned window, parallel across price bands.
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = banded.withColumn("_local_best", F.max("p_size").over(w_in))
+    # best size among all STRICTLY earlier bands — every row there
+    # precedes every row here in the total order (band is monotone in
+    # price; equal prices share a band), so prefix-max + local running
+    # max == the global running max. #bands rows only.
+    band_max = banded.groupBy("_band").agg(F.max("p_size").alias("_bmax"))
+    w_pre = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = band_max.select(
+        "_band", F.max("_bmax").over(w_pre).alias("_prefix_best")
+    )
+    ranked = (
+        local.join(prefix, "_band")
+        .withColumn(
+            # greatest() skips nulls (null only when BOTH are null —
+            # exactly the oracle's empty-frame NULL).
+            "best_size_cheaper",
+            F.greatest("_local_best", "_prefix_best"),
+        )
+        .drop("_band", "_local_best", "_prefix_best")
     )
     return ranked.where(
         F.col("best_size_cheaper").isNull()

@@ -77,8 +77,12 @@ def connected_components(
             # truncate lineage: each round stacks joins on the previous
             # labels; past a few rounds the growing plan costs more to
             # analyze/schedule than the data costs to copy. Reads the
-            # just-populated cache.
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # just-populated cache, which is then dropped — the
+            # checkpoint replaces it (leaked otherwise: bench runs each
+            # query 3×, and orphaned caches accumulate across passes).
+            cp = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = cp
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
@@ -149,6 +153,12 @@ def star_contraction_components(
         return int(row["n"]), int(row["s"])
 
     prev = _checksum(edges)
+    # raw has now been read once (the checksum materialized the oriented
+    # edge cache through it); pin the node universe — |V| longs — and
+    # release raw so the input pairs' cache doesn't outlive the call
+    # (it has no owner after return; bench's 3 passes would stack it).
+    nodes = nodes.localCheckpoint(eager=True)
+    raw.unpersist()
     for rnd in range(max_rounds):
         # large-star: center every node u over its FULL neighborhood;
         # hook each larger neighbor v > u onto m = min(N(u) ∪ {u}).
@@ -196,8 +206,11 @@ def star_contraction_components(
         got = obs.get
         cur = (int(got["n"]), int(got["s"]))
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
-            # lineage truncation reads the just-populated cache
-            small = small.localCheckpoint(eager=True)
+            # lineage truncation reads the just-populated cache, then
+            # drops it — the checkpoint replaces it (no orphaned cache)
+            cp = small.localCheckpoint(eager=True)
+            small.unpersist()
+            small = cp
         edges.unpersist()
         edges = small
         if cur == prev:
@@ -243,6 +256,7 @@ def kcore_nodes(
     k: int = 3,
     max_rounds: int = 16,
     checkpoint_every: int = 3,
+    local_cutoff: int = 200_000,
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, core_degree): the k-core — the maximal
     subgraph in which every node keeps degree ≥ k — by iterative
@@ -251,12 +265,28 @@ def kcore_nodes(
     community seeding: a node's raw degree is gameable, its coreness
     is not (it needs k neighbors who THEMSELVES survive).
 
-    Each round is one degree aggregation + one semi-join on the edge
-    relation — edges only in the shuffle. Peeling rounds are bounded
-    by the peeling depth of the graph (typically ≪ diameter; the
-    driver-side fixpoint check stops early). ``max_rounds`` caps
-    pathological chains the same way connected_components caps
-    label-propagation rounds."""
+    Each distributed round is one degree aggregation + two semi-joins
+    on the edge relation — edges only in the shuffle; ``max_rounds``
+    caps pathological chains the same way connected_components caps
+    label-propagation rounds.
+
+    Peeling's cost profile is front-loaded: early rounds drop most of
+    the graph, late rounds remove a trickle of edges from an
+    already-tiny relation, so their cost is pure job-scheduling, not
+    data (the r04 sweep inversion: sf0.01 peels 11 rounds and took 3×
+    sf0.1's 3 rounds — every round past the first was over <3k
+    edges). So the loop runs distributed rounds only WHILE the
+    relation exceeds ``local_cutoff`` edges, then collects the
+    bounded tail (≤ local_cutoff rows of two longs — a few MB by
+    construction, the same capped-collect contract as the bloom build
+    and the DBSCAN cell graph) and finishes the peel in numpy: the
+    whole remaining fixpoint iteration is a handful of milliseconds
+    instead of one scheduled multi-stage job per round. Fact-scale
+    work stays distributed at any input size; the cutoff bounds
+    driver memory independent of scale."""
+    import numpy as np
+    import pandas as pd
+
     edges = (
         pairs.select(
             F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
@@ -265,8 +295,11 @@ def kcore_nodes(
         .distinct()
         .persist()
     )
+    spark = pairs.sparkSession
     n_prev = edges.count()
     for rnd in range(max_rounds):
+        if n_prev <= local_cutoff:
+            break
         sym = edges.unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -283,14 +316,42 @@ def kcore_nodes(
             .persist()
         )
         if checkpoint_every and (rnd + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            cp = nxt.localCheckpoint(eager=True)
+            nxt.unpersist()
+            nxt = cp
         n_cur = nxt.count()
         edges.unpersist()
         edges = nxt
         if n_cur == n_prev:
             break
         n_prev = n_cur
-    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    return sym.groupBy(F.col("u").alias("id")).agg(
-        F.count(F.lit(1)).alias("core_degree")
-    )
+
+    if n_prev > local_cutoff:
+        # max_rounds exhausted while still large: stay distributed
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        return sym.groupBy(F.col("u").alias("id")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+
+    pdf = edges.toPandas()  # ≤ local_cutoff rows — bounded by contract
+    edges.unpersist()
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    while len(u):
+        ids, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+        alive = ids[counts >= k]
+        mask = np.isin(u, alive) & np.isin(v, alive)
+        if mask.all():
+            break
+        u, v = u[mask], v[mask]
+    if len(u):
+        ids, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+        out = pd.DataFrame(
+            {"id": ids.astype(np.int64), "core_degree": counts.astype(np.int64)}
+        )
+    else:
+        out = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                            "core_degree": pd.Series(dtype="int64")})
+    return spark.createDataFrame(out, schema="id bigint, core_degree bigint")

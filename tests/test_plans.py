@@ -408,6 +408,42 @@ class TestNoGlobalWindows:
                 # every per-row ranking window is partitioned by _band
                 assert "_band" in line.split("windowspecdefinition")[1][:80]
 
+    def test_rfm_ntile_windows_are_banded(self, spark, sf_dir):
+        """Round-5 fix (r04 verdict #2): the three RFM quintile ranks
+        must be per-band partitioned row_numbers, never a global
+        NTILE sort over the user relation. The only unpartitioned
+        windows left are the band-relation prefix sums (sum(_bn))."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_rfm"](spark, sf_dir))
+        saw_rank = 0
+        for line in plan.splitlines():
+            if "Window [row_number()" in line:
+                saw_rank += 1
+                assert "_band" in line.split("windowspecdefinition")[1][:80]
+            elif "Window [" in line:
+                # any other window must be the bounded prefix sum
+                assert "sum(_bn" in line
+            assert "ntile" not in line
+        assert saw_rank == 3
+
+    def test_pareto_running_max_is_banded(self, spark, sf_dir):
+        """Round-5 fix (r04 verdict #3): the skyline running max over
+        the part relation is per-band partitioned; the only
+        unpartitioned window is the prefix max over the band
+        relation (max(_bmax))."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        plan = physical_plan(QUERIES["ext_pareto_frontier"](spark, sf_dir))
+        saw_local = 0
+        for line in plan.splitlines():
+            if "Window [max(p_size" in line:
+                saw_local += 1
+                assert "_band" in line.split("windowspecdefinition")[1][:80]
+            elif "Window [" in line:
+                assert "max(_bmax" in line
+        assert saw_local == 1
+
     def test_banded_rank_matches_global_window(self, spark, sf_dir):
         """banded_global_rank == Window.orderBy row_number on a real table."""
         from pyspark.sql import Window
