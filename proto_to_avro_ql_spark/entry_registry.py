@@ -19160,11 +19160,13 @@ def q_gaql_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM daily
          WINDOW w AS (PARTITION BY event_type ORDER BY d)
        ), moves AS (
-         SELECT event_type, d, n, prev_n, dir,
-                row_number() OVER (PARTITION BY event_type ORDER BY d)
-                  - row_number() OVER (PARTITION BY event_type, dir
-                                       ORDER BY d) AS grp
-         FROM dirs WHERE dir <> 0
+         SELECT * FROM (
+           SELECT event_type, d, n, prev_n, dir,
+                  row_number() OVER (PARTITION BY event_type ORDER BY d)
+                    - row_number() OVER (PARTITION BY event_type, dir
+                                         ORDER BY d) AS grp
+           FROM dirs
+         ) g WHERE dir <> 0
        ), runs AS (
          SELECT event_type, dir, grp,
                 MIN(d) AS start_d, MAX(d) AS end_d,
@@ -19230,14 +19232,19 @@ def q_ext_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("n").over(w).alias("prev_n"),
     )
     wd = Window.partitionBy("event_type", "dir").orderBy("d")
-    moves = dirs.where(F.col("dir") != 0).select(
+    # grp is computed over ALL days (flat included) and the dir<>0
+    # filter applied AFTER: a flat day advances the global row_number
+    # but not the per-dir one, so two same-direction runs separated
+    # only by a flat day land in DIFFERENT groups — the strictness the
+    # docstring promises (filtering first silently merged them).
+    moves = dirs.select(
         "event_type",
         "d",
         "n",
         "prev_n",
         "dir",
         (F.row_number().over(w) - F.row_number().over(wd)).alias("grp"),
-    )
+    ).where(F.col("dir") != 0)
     wg = Window.partitionBy("event_type", "dir", "grp")
     runs = (
         moves.select(

@@ -73,6 +73,18 @@ class TestSanctionedPatternsPass:
             " * CAST(rn AS DECIMAL(38,0)) FROM t"
         )
 
+    def test_unbalanced_guard_terminates(self):
+        """An unbalanced LN( (e.g. inside a quoted fragment) must not
+        hang the guard-stripping loop — it used to spin forever when
+        the reconstructed 'LN(inner)' never matched for str.replace."""
+        from tools.lint_oracles import _outside_guards
+
+        assert _outside_guards("A / LN(B + (C") == "A / LN⟨⟩"
+        assert (
+            _outside_guards("LN(X) + SQRT(Y) / LN(unclosed")
+            == "LN⟨⟩ + SQRT⟨⟩ / LN⟨⟩"
+        )
+
     def test_rounded_ln_into_decimal_clean(self):
         # the sanctioned transcendental kernel: round first, then cast
         assert not find_violations(

@@ -2942,21 +2942,45 @@ class TestBatch33Semantics:
                 else:
                     runs.append([s, d, d])
             runs = [r for r in runs if r]
+            by_day = dict(series)
             for r1, r2 in zip(runs, runs[1:]):
                 if r1[0] == -1 and r2[0] == 1:
                     # adjacency: r2's first move day follows r1's last
                     days = [d for d, _ in series]
                     i1 = days.index(r1[2])
                     if days.index(r2[1]) == i1 + 1:
-                        expect.add((t, r1[2]))  # trough day
+                        # full measures, not just the trough: peak_n is
+                        # the value the day BEFORE the decline's first
+                        # move day (the run's prev_n anchor) — this is
+                        # exactly what flat-day merging corrupted
+                        expect.add(
+                            (
+                                t,
+                                r1[1],           # decline_start
+                                r1[2],           # trough
+                                r2[2],           # recovery_end
+                                by_day[days[days.index(r1[1]) - 1]],
+                                by_day[r1[2]],   # trough_n
+                                by_day[r2[2]],   # recovered_n
+                            )
+                        )
+        rows = QUERIES["ext_match_pattern"](spark, sf_dir).collect()
         got = {
-            (r["event_type"], r["trough"])
-            for r in QUERIES["ext_match_pattern"](spark, sf_dir).collect()
+            (
+                r["event_type"],
+                r["decline_start"],
+                r["trough"],
+                r["recovery_end"],
+                r["peak_n"],
+                r["trough_n"],
+                r["recovered_n"],
+            )
+            for r in rows
         }
         assert got == expect
-        rows = QUERIES["ext_match_pattern"](spark, sf_dir).collect()
         for r in rows:
-            assert r["depth"] > 0 and r["recovery"] > 0
+            assert r["depth"] == r["peak_n"] - r["trough_n"] > 0
+            assert r["recovery"] == r["recovered_n"] - r["trough_n"] > 0
             assert r["decline_start"] <= r["trough"] < r["recovery_end"]
 
 

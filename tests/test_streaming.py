@@ -280,9 +280,15 @@ class TestStateReader:
 
         import pyspark.sql.functions as F
 
-        first = sorted(
-            map(tuple, QUERIES["src_state_reader"](spark, sf_dir).collect())
-        )
+        df = QUERIES["src_state_reader"](spark, sf_dir)
+        # pin the state-read schema (r04 verdict #8): the statestore
+        # format's key/value layout must keep surfacing exactly these
+        # typed columns or downstream consumers silently break
+        assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+            ("event_type", "string"),
+            ("n_events", "bigint"),
+        ], df.schema.simpleString()
+        first = sorted(map(tuple, df.collect()))
         batch = sorted(
             map(
                 tuple,

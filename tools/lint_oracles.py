@@ -118,9 +118,14 @@ def _outside_guards(expr: str) -> str:
             if idx < 0:
                 break
             inner = _balanced(up, idx + len(guard) - 1)
-            # replacement must not re-contain the "NAME(" needle or
-            # this loops forever
-            up = up.replace(guard + inner + ")", guard[:-1] + "⟨⟩", 1)
+            # splice by INDEX, not str.replace: on an unbalanced guard
+            # (no closing paren) _balanced returns the rest-of-text
+            # fallback, "guard+inner+)" matches nothing, and a replace
+            # no-op would spin this loop forever on the same idx
+            end = idx + len(guard) + len(inner)
+            if end < len(up) and up[end] == ")":
+                end += 1  # the balanced close, consumed with the args
+            up = up[:idx] + guard[:-1] + "⟨⟩" + up[end:]
     return up
 
 
