@@ -125,7 +125,7 @@ HEADLINE = [
     # BFS distances, and two new source formats
     "ext_prop_ztest",        # two-proportion z, one conditional agg pass
     "ext_cohens_kappa",      # 2x2 agreement kernel, decimal marginal products
-    "ext_rfm",               # RFM quintile grid (global ntile at bench SF)
+    "ext_rfm",               # RFM quintile grid (banded ranks, r5 rewrite)
     "ext_group_split",       # leakage-safe source-hash split report
     "join_theta",            # pure inequality join, BroadcastNestedLoopJoin
     "ext_shortest_path",     # 3-round multi-source BFS over shared edges
@@ -155,7 +155,7 @@ HEADLINE = [
     "ext_mde_sizing",        # samples-per-arm from observed moments
     "ext_srm_check",         # sample-ratio-mismatch guardrail
     "ext_contribution_analysis",  # period-over-period delta decomposition
-    "ext_pareto_frontier",   # 2-D skyline via one ordered window
+    "ext_pareto_frontier",   # 2-D skyline, banded prefix-max (r5 rewrite)
     # round 4, session 3: rank statistics, causal matching, density
     # clustering, projections, time-series decomposition
     "ext_spearman",          # rank rho on contingency cells, marginal windows
@@ -209,6 +209,8 @@ HEADLINE = [
     "ext_hurst",             # rescaled-range long-memory diagnostic
     "ext_match_pattern",     # MATCH_RECOGNIZE-style V episodes
     "ext_feature_importance", # one-pass Gini feature screen
+    # round 5: scale-hygiene rewrites re-timed this round
+    "ext_kcore",             # distributed peel + bounded local tail
 ]
 
 

@@ -9480,11 +9480,14 @@ def q_ext_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the support>=2 co-purchase graph by iterative peeling
     (operators/clustering.kcore_nodes) — the graph-curation primitive
     for spam/bot suppression: raw degree is gameable, staying in the
-    core (k neighbors who themselves survive peeling) is not. Spark
-    peels to the true fixpoint with a driver-side count check per
-    round; each round is one degree aggregate + two semi-joins, edges
-    only in the shuffle. The oracle unrolls 16 peel rounds as chained
-    CTEs (idempotent past the fixpoint)."""
+    core (k neighbors who themselves survive peeling) is not.
+    Distributed rounds (degree aggregate + two semi-joins, edges only
+    in the shuffle) run while the relation is large; the ≤200k-edge
+    tail finishes as an exact numpy fixpoint on the driver — late
+    rounds remove a trickle of edges and their distributed cost is
+    pure job scheduling (the r04 sweep inversion: 11 tiny rounds at
+    sf0.01 cost 3× sf0.1's 3). The oracle unrolls 16 peel rounds as
+    chained CTEs (idempotent past the fixpoint)."""
     from proto_to_avro_ql_spark.operators.clustering import kcore_nodes
     from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
 

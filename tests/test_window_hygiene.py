@@ -1,0 +1,103 @@
+"""Window-hygiene ratchet (round 5).
+
+tools/audit_windows.py sweeps ALL 361 entries per round (too slow for
+the suite: iterative entries execute their fixpoint loops at plan
+time). This suite pins the two pieces the sweep depends on so the
+ratchet can't rot between sweeps:
+
+1. the plan-text parser itself (pure function, exact fixtures), and
+2. a representative entry set — the banded order-statistic family
+   (whose unpartitioned windows must stay confined to the bounded
+   band relation) plus fact-scale entries that must have ZERO
+   unpartitioned windows at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.audit_windows import ALLOWED, unpartitioned_windows
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestParser:
+    def test_partitioned_window_not_flagged(self):
+        plan = (
+            "+- Window [row_number() windowspecdefinition(_band#1L, "
+            "c#2L ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+            "unboundedpreceding$(), currentrow$())) AS _we0#3], "
+            "[_band#1L], [c#2L ASC NULLS FIRST]"
+        )
+        assert unpartitioned_windows(plan) == []
+
+    def test_order_only_window_flagged(self):
+        plan = (
+            "+- Window [sum(_bn#42L) windowspecdefinition(_band#41L "
+            "ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+            "unboundedpreceding$(), currentrow$())) AS _we0#47L], "
+            "[_band#41L ASC NULLS FIRST]"
+        )
+        assert unpartitioned_windows(plan) == ["sum(_bn"]
+
+    def test_global_frame_window_flagged(self):
+        plan = (
+            "+- Window [sum(delta#1L) windowspecdefinition("
+            "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+            "unboundedfollowing$())) AS total#2L]"
+        )
+        assert unpartitioned_windows(plan) == ["sum(delta"]
+
+    def test_cast_commas_do_not_split_partition_args(self):
+        # a partition column wrapped in cast(... as decimal(38,0))
+        # contains commas inside parens; the flattener must not let
+        # them masquerade as extra ordering args
+        plan = (
+            "+- Window [sum(x#1) windowspecdefinition(cast(k#2 as "
+            "decimal(38,0)), ts#3 ASC NULLS FIRST, "
+            "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+            "currentrow$())) AS s#4]"
+        )
+        assert unpartitioned_windows(plan) == []
+
+
+# the banded order-statistic family: unpartitioned windows allowed
+# ONLY over the bounded band/bucket relation (signatures pinned in
+# tools/audit_windows.ALLOWED); plus this round's two rewrites.
+BANDED = [
+    "ext_rfm",
+    "ext_pareto_frontier",
+    "ext_lorenz_deciles",
+    "ext_zorder_manifest",
+    "ext_auc",
+    "ext_lift_table",
+]
+
+# fact-scale entries where ANY unpartitioned window is a regression
+CLEAN = [
+    "flagship_report",
+    "ext_dedup_exact",
+    "agg_groupby_multi",
+    "ext_window_agg",
+    "ext_sessionize",
+    "ext_corpus_pipeline",
+]
+
+
+class TestRepresentativeEntries:
+    @pytest.mark.parametrize("name", BANDED)
+    def test_banded_entry_windows_stay_allowlisted(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        sigs = set(unpartitioned_windows(physical_plan(QUERIES[name](spark, sf_dir))))
+        assert sigs, f"{name} lost its band prefix window — plan changed?"
+        assert sigs <= ALLOWED[name], (name, sigs - ALLOWED[name])
+
+    @pytest.mark.parametrize("name", CLEAN)
+    def test_fact_scale_entry_has_no_global_window(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        sigs = unpartitioned_windows(physical_plan(QUERIES[name](spark, sf_dir)))
+        assert sigs == [], (name, sigs)
