@@ -36,6 +36,26 @@ NOTES = {
         "single-partition global ntile window — slower at local sf0.1, "
         "removes a one-task global sort that kills the plan at scale"
     ),
+    "ext_cc_starcontraction": (
+        "slower vs r04 by design: the iterative CC ops leaked their "
+        "scratch caches (r04 ADVICE), so passes 2-3 of the median were "
+        "reusing pass 1's cached co-purchase edge build via CacheManager "
+        "plan matching; leak-free runs now pay their own graph build "
+        "each pass, plus one bounded node-universe pin job"
+    ),
+    "ext_label_propagation": (
+        "slower vs r04 for the same reason as ext_cc_starcontraction: "
+        "r04 medians were warm on leaked caches; runs are now leak-free"
+    ),
+    "ext_pareto_frontier": (
+        "+~80% vs r04 by design: banded prefix-max replaced the global "
+        "running-max window (the ext_zorder_manifest trade) — slightly "
+        "slower at local sf0.1, removes the one-task sort at scale"
+    ),
+    "ext_rfm": (
+        "r05 rewrite: three banded ranks replaced three global NTILE "
+        "sorts — same local cost, no single-partition window at scale"
+    ),
 }
 
 HEADLINE = [

@@ -894,12 +894,27 @@ class TestSession7Plans:
         assert "CartesianProduct" not in plan, plan
 
     def test_kcore_semi_joins_keyed(self, spark, sf_dir):
-        """Peeling rounds are degree aggregates + LeftSemi equi joins —
-        never cartesian, never single-partition."""
-        plan = self._plan(spark, sf_dir, "ext_kcore")
+        """Distributed peeling rounds are degree aggregates + LeftSemi
+        equi joins — never cartesian, never single-partition. At test
+        SF the default local_cutoff routes the whole graph through the
+        bounded numpy tail (the r05 fix for scheduling-bound late
+        rounds), so the distributed shape is asserted by forcing
+        cutoff=0, and the two paths must agree row-for-row."""
+        from proto_to_avro_ql_spark.operators.clustering import kcore_nodes
+        from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
+        e0 = copurchase_edges(spark, sf_dir, min_support=2).select(
+            F.col("u").alias("id_a"), F.col("v").alias("id_b")
+        )
+        dist = kcore_nodes(e0, k=3, local_cutoff=0)
+        plan = physical_plan(dist)
         assert "LeftSemi" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+        local = kcore_nodes(e0, k=3)  # default cutoff: numpy tail
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, local.collect())
+        )
 
     def test_freq_triples_candidates_from_pairs(self, spark, sf_dir):
         """Candidate triples come from the CACHED frequent-pair

@@ -107,7 +107,7 @@ AUDIT = {
     "ext_event_paths": "journey paths (ordering inside the agg, TakeOrdered)",
     "ext_rolling_median": "rolling exact median (one keyed window)",
     "ext_mann_whitney": "U test (banded midrank prefix sums, cached cents)",
-    "ext_kcore": "k-core peeling (degree agg + semi-joins per round)",
+    "ext_kcore": "k-core (distributed peel while large; bounded local tail, so the bench-SF plan is the local createDataFrame)",
     "ext_freq_triples": "apriori triples (cached pairs, keyed self-joins)",
     "ext_trend_ols": "OLS trend (one moment aggregate, no window)",
     "ext_time_weighted_avg": "TWA (one keyed window, 128-bit weights)",
@@ -127,7 +127,7 @@ AUDIT = {
     "src_state_reader": "statestore read of a completed stream (vs batch oracle)",
     # round 4, session 2
     "ext_prop_ztest": "two-proportion z (one conditional agg pass, 1-row result)",
-    "ext_rfm": "RFM quintile grid (per-user agg, anchor broadcast, global ntile)",
+    "ext_rfm": "RFM quintile grid (banded ranks — windows partitioned by _band)",
     "join_theta": "pure inequality join (broadcast nested loop, fact unshuffled)",
     "ext_shortest_path": "3-round BFS (cached edges, (id,dist)-only shuffles)",
     "src_binary_files": "binaryFile whole-object scan (JVM-side md5/length)",
@@ -151,7 +151,7 @@ AUDIT = {
     "ext_mde_sizing": "MDE sizing (decimal moment kernel, 5-row output)",
     "ext_srm_check": "SRM guardrail (distinct users + 1-row chi-square)",
     "ext_contribution_analysis": "delta decomposition (one agg + bounded window)",
-    "ext_pareto_frontier": "2-D skyline (one ordered running-max window)",
+    "ext_pareto_frontier": "2-D skyline (banded prefix-max, no global window)",
     # round 4, batch 9
     "ext_spearman": "rank correlation on contingency cells (marginal-sized windows)",
     "ext_t_closeness": "distribution-distance privacy check (cell-relation math)",

@@ -114,6 +114,10 @@ SWEEP = [
     "ext_cluster_quality",
     "ext_anova",
     "ext_holt_winters",
+    # round 5: scale-hygiene rewrites
+    "ext_rfm",
+    "ext_pareto_frontier",
+    "ext_match_pattern",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
