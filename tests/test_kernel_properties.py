@@ -424,3 +424,79 @@ def test_chapman_at_least_observed(marks):
     # exact identity when every unit is caught twice
     if all(a and b for a, b in marks):
         assert abs(nhat - observed) < 1.0 + 1e-9
+
+
+# --- banded order-statistic recipes (round 5) ------------------------------
+# These two identities are what lets the repo replace every global
+# sort-window with per-band partitioned work (operators/layout.py and
+# the ext_pareto_frontier prefix-max): correctness depends only on the
+# band being a MONOTONE PREFIX of the total order, which the fixed
+# corpus exercises at exactly one band granularity — the properties
+# cover arbitrary values, bands, and tie patterns.
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 400), st.integers(1, 12))
+def test_ntile_from_rank_matches_duckdb_ntile(total, k):
+    """The integer formula behind layout.ntile_from_rank reproduces
+    SQL NTILE(k) bit-for-bit on the oracle engine itself."""
+    import duckdb
+
+    small = total // k
+    big_cnt = total % k
+    big_span = big_cnt * (small + 1)
+
+    def formula(rank: int) -> int:
+        if rank < big_span:
+            return rank // (small + 1)
+        return big_cnt + (rank - big_span) // small if small else big_cnt
+
+    got = duckdb.sql(
+        f"SELECT ntile({k}) OVER (ORDER BY r) - 1 FROM range({total}) t(r) ORDER BY r"
+    ).fetchall()
+    assert [g[0] for g in got] == [formula(r) for r in range(total)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 30)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 25),
+)
+def test_banded_prefix_max_equals_global_running_max(rows, band_width):
+    """Per-band running max (frame UNBOUNDED..-1) combined with the
+    strictly-earlier-band prefix max equals the global running max,
+    for ANY monotone band of the leading key — the ext_pareto_frontier
+    decomposition. Ties on the key share a band by construction
+    (band = key // width), which the identity requires."""
+    # total order: (key, seq) with seq as the deterministic tiebreak
+    ordered = sorted((k, i, v) for i, (k, v) in enumerate(rows))
+    # reference: global running max over the strict prefix
+    ref, best = [], None
+    for _, _, v in ordered:
+        ref.append(best)
+        best = v if best is None else max(best, v)
+    # banded: per-band local running max + prefix max of earlier bands
+    band_of = [k // band_width for k, _, _ in ordered]
+    band_max: dict[int, int] = {}
+    for (k, _, v), b in zip(ordered, band_of):
+        band_max[b] = v if b not in band_max else max(band_max[b], v)
+    got = []
+    local_best: dict[int, int] = {}
+    for (k, _, v), b in zip(ordered, band_of):
+        earlier = [band_max[x] for x in band_max if x < b]
+        prefix = max(earlier) if earlier else None
+        lb = local_best.get(b)
+        if prefix is None and lb is None:
+            got.append(None)
+        elif prefix is None:
+            got.append(lb)
+        elif lb is None:
+            got.append(prefix)
+        else:
+            got.append(max(prefix, lb))
+        local_best[b] = v if lb is None else max(lb, v)
+    assert got == ref
