@@ -86,6 +86,42 @@ CLEAN = [
 ]
 
 
+class TestSmellParser:
+    """tools/audit_plans.py's single-partition classifier: the benign
+    global-aggregate funnel (partial rows per task) is skipped, real
+    funnels are reported."""
+
+    def test_partial_agg_funnel_is_benign(self):
+        from tools.audit_plans import _single_partition_funnels
+
+        plan = (
+            "+- HashAggregate(keys=[], functions=[count(1)])\n"
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+            "      +- HashAggregate(keys=[], functions=[partial_count(1)])\n"
+        )
+        assert _single_partition_funnels(plan) == []
+
+    def test_non_partial_child_is_flagged(self):
+        from tools.audit_plans import _single_partition_funnels
+
+        plan = (
+            "+- Window [sum(x#1)]\n"
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]\n"
+            "      +- HashAggregate(keys=[_band#3L], functions=[count(1)])\n"
+        )
+        assert _single_partition_funnels(plan) == ["HashAggregate"]
+
+    def test_sort_funnel_is_flagged(self):
+        from tools.audit_plans import _single_partition_funnels
+
+        plan = (
+            "+- Sort [x#1 ASC NULLS FIRST], true, 0\n"
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]\n"
+            "      +- Project [x#1]\n"
+        )
+        assert _single_partition_funnels(plan) == ["Project"]
+
+
 class TestRepresentativeEntries:
     @pytest.mark.parametrize("name", BANDED)
     def test_banded_entry_windows_stay_allowlisted(self, spark, sf_dir, name):
@@ -101,3 +137,28 @@ class TestRepresentativeEntries:
 
         sigs = unpartitioned_windows(physical_plan(QUERIES[name](spark, sf_dir)))
         assert sigs == [], (name, sigs)
+
+    @pytest.mark.parametrize(
+        "name",
+        ["ext_rfm", "ext_pareto_frontier", "join_theta", "ext_sim_search"],
+    )
+    def test_plan_smells_stay_allowlisted(self, spark, sf_dir, name):
+        """No smell outside the audited set (tools/audit_plans.ALLOWED)
+        may appear — in particular no CartesianProduct anywhere."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from tools.audit_plans import ALLOWED, plan_smells
+
+        smells = plan_smells(physical_plan(QUERIES[name](spark, sf_dir)))
+        assert "cartesian" not in smells, name
+        assert smells <= ALLOWED.get(name, set()), (
+            name,
+            smells - ALLOWED.get(name, set()),
+        )
+
+    @pytest.mark.parametrize("name", CLEAN)
+    def test_fact_scale_entry_has_no_plan_smells(self, spark, sf_dir, name):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from tools.audit_plans import plan_smells
+
+        smells = plan_smells(physical_plan(QUERIES[name](spark, sf_dir)))
+        assert smells == set(), (name, smells)
