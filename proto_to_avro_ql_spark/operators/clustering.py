@@ -88,6 +88,12 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # sym fed only the per-round joins, every one already materialized
+    # through labels' actions; the returned plan reads labels' cache
+    # (recompute after eviction would just re-derive sym uncached), so
+    # holding sym past return is the same loop-scoped leak class the
+    # r04 ADVICE flagged on star contraction's input pairs.
+    sym.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
