@@ -37,11 +37,13 @@ NOTES = {
         "removes a one-task global sort that kills the plan at scale"
     ),
     "ext_cc_starcontraction": (
-        "slower vs r04 by design: the iterative CC ops leaked their "
-        "scratch caches (r04 ADVICE), so passes 2-3 of the median were "
-        "reusing pass 1's cached co-purchase edge build via CacheManager "
-        "plan matching; leak-free runs now pay their own graph build "
-        "each pass, plus one bounded node-universe pin job"
+        "r05: the iterative CC ops are leak-free (r04 ADVICE — their "
+        "r04 medians were warm on leaked caches via CacheManager plan "
+        "matching) and sub-cutoff graphs finish as an exact local "
+        "union-find tail (the ext_kcore pattern; distributed star "
+        "rounds engage past 200k edges and are plan-tested with "
+        "cutoff=0); remaining cost is the per-pass co-purchase edge "
+        "build, paid honestly each run"
     ),
     "ext_label_propagation": (
         "slower vs r04 for the same reason as ext_cc_starcontraction: "

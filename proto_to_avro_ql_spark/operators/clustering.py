@@ -21,17 +21,77 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def _local_components_df(
+    spark, pdf, u_col: str, v_col: str, id_type
+) -> DataFrame:
+    """Exact min-label connected components of a COLLECTED pair list
+    via union-find (path compression, min-root-wins union, so every
+    final root is its component's minimum id) — the bounded local tail
+    both CC variants switch to under ``local_cutoff`` edges, mirroring
+    kcore_nodes' numpy tail: on a sub-cutoff graph every distributed
+    round is pure job scheduling, while the whole union-find runs in
+    milliseconds. Comparison semantics match the distributed plans:
+    Python's ``<`` on ints is Spark's long order, and on strings it is
+    code-point order == Spark's binary UTF-8 order (UTF-8 preserves
+    code-point ordering)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen = []
+    seen_set = set()
+    for u, v in zip(pdf[u_col], pdf[v_col]):
+        for n in (u, v):
+            if n not in seen_set:
+                seen_set.add(n)
+                seen.append(n)
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+        parent[hi] = lo
+
+    schema = StructType(
+        [StructField("id", id_type, True), StructField("cluster_id", id_type, True)]
+    )
+    rows = [(n, find(n)) for n in seen]
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 10,
     checkpoint_every: int = 4,
+    local_cutoff: int = 200_000,
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, cluster_id) where cluster_id is the min
     node id reachable through the pair graph. Nodes present in pairs
-    only; singletons are their own cluster by construction elsewhere."""
+    only; singletons are their own cluster by construction elsewhere.
+
+    Under ``local_cutoff`` pairs the transitive closure runs as an
+    exact local union-find on the collected edge list (bounded by
+    contract — see _local_components_df); the distributed
+    label-propagation rounds below only engage on graphs too large to
+    collect, where their per-round shuffle is real work rather than
+    scheduling overhead."""
     edges = pairs.select(
         F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
-    )
+    ).persist()
+    n_pairs = edges.count()
+    if n_pairs <= local_cutoff:
+        pdf = edges.toPandas()
+        edges.unpersist()
+        return _local_components_df(
+            pairs.sparkSession, pdf, "src", "dst", edges.schema["src"].dataType
+        )
     # undirected: both directions
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
@@ -72,6 +132,10 @@ def connected_components(
             .persist()
         )
         new_labels.count()  # one action: cache + metrics
+        if it == 0:
+            # sym's cache is populated through edges by the first
+            # round's action; edges has no further consumer
+            edges.unpersist()
         cur_sum = int(obs.get["s"])
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # truncate lineage: each round stacks joins on the previous
@@ -102,6 +166,7 @@ def star_contraction_components(
     max_rounds: int = 12,
     checkpoint_every: int = 2,
     cast: str | None = "long",
+    local_cutoff: int = 200_000,
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, cluster_id): the alternating
     large-star / small-star connected-components algorithm (Kiveris et
@@ -139,6 +204,18 @@ def star_contraction_components(
     # relation both branch off them — uncached, an expensive upstream
     # (e.g. the co-purchase self-join) would evaluate twice
     raw = pairs.select(ua.alias("u"), vb.alias("v")).persist()
+    n_raw = raw.count()
+    if n_raw <= local_cutoff:
+        # bounded local tail (same contract as kcore_nodes): on a
+        # sub-cutoff graph the alternating star rounds are pure job
+        # scheduling; the exact min-label union-find replaces them.
+        # raw (not the oriented distinct relation) is collected so
+        # self-loop-only nodes keep their row in the node universe.
+        pdf = raw.toPandas()
+        raw.unpersist()
+        return _local_components_df(
+            pairs.sparkSession, pdf, "u", "v", raw.schema["u"].dataType
+        )
     nodes = raw.select("u").unionAll(raw.select(F.col("v").alias("u"))).distinct()
     edges = (
         raw.where(F.col("u") != F.col("v"))

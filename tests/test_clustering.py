@@ -14,6 +14,13 @@ class TestConnectedComponents:
         )
         out = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        # the distributed label-propagation path (forced past the
+        # local-tail cutoff) must agree exactly
+        dist = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, local_cutoff=0).collect()
+        }
+        assert dist == out
 
     def test_keep_representatives(self, spark):
         docs = spark.createDataFrame(
@@ -48,6 +55,19 @@ class TestStarContraction:
             for r in connected_components(pairs, max_iter=60).collect()
         }
         assert star == lp
+        # all four paths agree: local union-find (defaults above) and
+        # both DISTRIBUTED algorithms forced past the cutoff
+        star_dist = {
+            (r.id, r.cluster_id)
+            for r in star_contraction_components(pairs, local_cutoff=0).collect()
+        }
+        lp_dist = {
+            (r.id, r.cluster_id)
+            for r in connected_components(
+                pairs, max_iter=60, local_cutoff=0
+            ).collect()
+        }
+        assert star_dist == lp_dist == star
 
     def test_long_path_converges_in_log_rounds(self, spark):
         # a 200-edge path needs ~200 label-propagation rounds but must
@@ -59,7 +79,12 @@ class TestStarContraction:
         path = spark.createDataFrame(
             [(i, i + 1) for i in range(200)], "id_a long, id_b long"
         )
-        out = star_contraction_components(path, max_rounds=12).collect()
+        # local_cutoff=0 forces the DISTRIBUTED alternating-star rounds
+        # (the log-round property under test; the default cutoff would
+        # route this sub-cutoff graph through the local union-find)
+        out = star_contraction_components(
+            path, max_rounds=12, local_cutoff=0
+        ).collect()
         assert len(out) == 201
         assert all(r.cluster_id == 0 for r in out)
 
@@ -101,7 +126,9 @@ def test_star_contraction_truncated_run_keeps_one_row_per_id(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    out = star_contraction_components(path, max_rounds=1).collect()
+    # truncation is a DISTRIBUTED-path behavior (the local union-find
+    # always reaches the exact fixpoint): force past the cutoff
+    out = star_contraction_components(path, max_rounds=1, local_cutoff=0).collect()
     ids = [r["id"] for r in out]
     assert len(ids) == len(set(ids)) == n, (len(ids), len(set(ids)))
     # labels may be coarse but must never exceed the node's own id

@@ -866,13 +866,26 @@ class TestSession7Plans:
 
     def test_star_contraction_components_keyed_only(self, spark, sf_dir):
         """Every star round is edge-keyed groupBy + join: no cartesian,
-        no single-partition exchange, adjacency cached between rounds."""
-        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        no single-partition exchange. At test SF the default cutoff
+        routes the whole graph through the bounded local union-find
+        (r05), so the distributed shape is asserted with cutoff=0 and
+        the two paths must agree row-for-row."""
+        from proto_to_avro_ql_spark.operators.clustering import (
+            star_contraction_components,
+        )
+        from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
 
-        df = QUERIES["ext_cc_starcontraction"](spark, sf_dir)
-        plan = physical_plan(df)
+        e0 = copurchase_edges(spark, sf_dir, min_support=2).select(
+            F.col("u").alias("id_a"), F.col("v").alias("id_b")
+        )
+        dist = star_contraction_components(e0, local_cutoff=0)
+        plan = physical_plan(dist)
         assert "CartesianProduct" not in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+        local = star_contraction_components(e0)
+        assert sorted(map(tuple, dist.collect())) == sorted(
+            map(tuple, local.collect())
+        )
 
     def test_mann_whitney_running_sum_banded(self, spark, sf_dir):
         """The midrank cumulative counts run inside band-keyed windows
