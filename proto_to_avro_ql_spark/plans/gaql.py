@@ -93,21 +93,77 @@ def _parse_order(order: str | None) -> tuple[tuple[str, str], ...]:
     return tuple(out)
 
 
+# --- string-literal masking -------------------------------------------------
+# The clause regex and the comma/whitespace splitters must never see
+# the INSIDE of a quoted string: `WHERE name = 'x ORDER BY y'` would
+# otherwise split the literal into a bogus ORDER BY clause, and
+# `IN ('a,b')` would split the field/order lists on the embedded comma.
+# Literals are swapped for \x00<n>\x00 placeholders (no spaces, no
+# commas, no keywords) before any structural parsing and restored in
+# every captured fragment afterwards.
+
+_PLACEHOLDER_RE = re.compile("\x00(\\d+)\x00")
+
+
+def _mask_literals(query: str) -> tuple[str, list[str]]:
+    out: list[str] = []
+    lits: list[str] = []
+    i = 0
+    n = len(query)
+    while i < n:
+        ch = query[i]
+        if ch != "'":
+            out.append(ch)
+            i += 1
+            continue
+        j = i + 1
+        while j < n:
+            if query[j] == "\\":
+                j += 2
+                continue
+            if query[j] == "'":
+                break
+            j += 1
+        if j >= n:
+            raise ValueError(f"Unterminated string literal in query: {query!r}")
+        lits.append(query[i : j + 1])
+        out.append(f"\x00{len(lits) - 1}\x00")
+        i = j + 1
+    return "".join(out), lits
+
+
+def _unmask(text: str | None, lits: list[str]) -> str | None:
+    if text is None or not lits:
+        return text
+    return _PLACEHOLDER_RE.sub(lambda m: lits[int(m.group(1))], text)
+
+
 def parse_gaql(query: str) -> GaqlQuery:
-    m = _GAQL_RE.match(query)
+    masked, lits = _mask_literals(query)
+    m = _GAQL_RE.match(masked)
     if not m:
         raise ValueError(f"Cannot parse report query: {query!r}")
-    fields = tuple(f.strip() for f in m.group("fields").split(",") if f.strip())
+    fields = tuple(
+        _unmask(f.strip(), lits)
+        for f in m.group("fields").split(",")
+        if f.strip()
+    )
     if not fields:
         raise ValueError("Report query selects no fields")
     limit = m.group("limit")
+    order = tuple(
+        (_unmask(p, lits), d) for p, d in _parse_order(m.group("order"))
+    )
+    params = tuple(
+        (k, _unmask(v, lits)) for k, v in _parse_params(m.group("params"))
+    )
     return GaqlQuery(
         fields,
-        m.group("resource"),
-        m.group("where"),
-        _parse_order(m.group("order")),
+        _unmask(m.group("resource"), lits),
+        _unmask(m.group("where"), lits),
+        order,
         int(limit) if limit is not None else None,
-        _parse_params(m.group("params")),
+        params,
     )
 
 
@@ -157,8 +213,10 @@ def expand_during(where: str, anchor_date: str | None) -> str:
     """Rewrite every `<path> DURING <RANGE>` into an ISO-string BETWEEN
     (dates travel as ISO strings per the reference's model, SURVEY
     §1.2, so BETWEEN on strings is correct). Raises if a DURING appears
-    without an anchor."""
-    if not _DURING_RE.search(where):
+    without an anchor. String literals are masked first so the word
+    DURING inside a quoted value is never rewritten."""
+    masked, lits = _mask_literals(where)
+    if not _DURING_RE.search(masked):
         return where
     if anchor_date is None:
         raise ValueError(
@@ -171,7 +229,7 @@ def expand_during(where: str, anchor_date: str | None) -> str:
         lo, hi = _during_bounds(m.group("range"), anchor)
         return f"{m.group('path')} BETWEEN '{lo.isoformat()}' AND '{hi.isoformat()}'"
 
-    return _DURING_RE.sub(repl, where)
+    return _unmask(_DURING_RE.sub(repl, masked), lits)
 
 
 def default_catalog(
@@ -224,6 +282,7 @@ def run_gaql(
             expand_during(q.where, anchor_date),
             q.order_by,
             q.limit,
+            q.parameters,
         )
     if q.where:
         # WHERE may reference non-selected paths (the reference filters

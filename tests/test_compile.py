@@ -369,3 +369,124 @@ class TestGaqlParameters:
 
         with _pytest.raises(ValueError):
             parse_gaql("SELECT a.b FROM r PARAMETERS nonsense without equals")
+
+
+class TestGaqlLiteralMasking:
+    """Round-5 parser hardening: clause splitting must never see the
+    inside of a quoted string (keywords, commas, DURING macros in
+    literals used to shear the WHERE clause apart)."""
+
+    def test_keyword_inside_literal_stays_in_where(self):
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        q = parse_gaql(
+            "SELECT campaign.name FROM ads_row "
+            "WHERE campaign.name = 'x ORDER BY y'"
+        )
+        assert q.where == "campaign.name = 'x ORDER BY y'"
+        assert q.order_by == () and q.limit is None
+
+    def test_comma_inside_literal_does_not_split_lists(self):
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        q = parse_gaql(
+            "SELECT a.b FROM t WHERE a.c IN ('x,y', 'FROM z') "
+            "ORDER BY a.b DESC LIMIT 3"
+        )
+        assert q.where == "a.c IN ('x,y', 'FROM z')"
+        assert q.order_by == (("a.b", "DESC"),) and q.limit == 3
+
+    def test_during_inside_literal_not_rewritten(self):
+        from proto_to_avro_ql_spark.plans.gaql import expand_during
+
+        # no anchor needed: the only DURING is quoted text
+        assert (
+            expand_during("note = 'x DURING TODAY'", None)
+            == "note = 'x DURING TODAY'"
+        )
+
+    def test_unterminated_literal_raises(self):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        with _pytest.raises(ValueError, match="Unterminated"):
+            parse_gaql("SELECT a FROM t WHERE b = 'oops")
+
+    def test_parameters_survive_where_rebuild(self, fixture_df):
+        """run_gaql's DURING rebuild used to drop the PARAMETERS clause
+        from the query object (harmless at runtime, but the canonical
+        cache-key text lost the clause)."""
+        from proto_to_avro_ql_spark.plans.gaql import GaqlQuery, expand_during
+
+        q = GaqlQuery(
+            ("campaign.id",),
+            "t",
+            "segments.date DURING YESTERDAY",
+            (),
+            None,
+            (("include_drafts", "true"),),
+        )
+        rebuilt = GaqlQuery(
+            q.fields,
+            q.resource,
+            expand_during(q.where, "2024-05-02"),
+            q.order_by,
+            q.limit,
+            q.parameters,
+        )
+        assert rebuilt.parameters == q.parameters
+        assert "BETWEEN '2024-05-01' AND '2024-05-01'" in rebuilt.text
+        assert "PARAMETERS include_drafts = true" in rebuilt.text
+
+
+class TestGaqlRoundTripFuzz:
+    """hypothesis: structured queries render (GaqlQuery.text) and parse
+    back to the same structure — fields, resource, where, order, limit,
+    parameters — including literals stuffed with clause keywords."""
+
+    def test_round_trip(self):
+        from hypothesis import given, settings, strategies as st
+
+        from proto_to_avro_ql_spark.plans.gaql import GaqlQuery, parse_gaql
+
+        path = st.from_regex(r"[a-z][a-z_]{0,8}(\.[a-z][a-z_]{0,8}){0,2}", fullmatch=True)
+        nasty = st.sampled_from(
+            ["x", "a,b", "FROM t", "ORDER BY y", "LIMIT 9", "x DURING TODAY", "WHERE 1"]
+        )
+        where = st.one_of(
+            st.none(),
+            st.builds(lambda p, lit: f"{p} = '{lit}'", path, nasty),
+            st.builds(lambda p, n: f"{p} > {n}", path, st.integers(0, 99)),
+            st.builds(
+                lambda p, a, b: f"{p} IN ('{a}', '{b}')", path, nasty, nasty
+            ),
+        )
+        orders = st.lists(
+            st.tuples(path, st.sampled_from(["ASC", "DESC"])), max_size=2
+        ).map(tuple)
+        params = st.lists(
+            st.tuples(
+                st.sampled_from(["include_drafts", "omit_unselected_resource_names"]),
+                st.sampled_from(["true", "false"]),
+            ),
+            max_size=2,
+            unique_by=lambda kv: kv[0],
+        ).map(tuple)
+        queries = st.builds(
+            GaqlQuery,
+            st.lists(path, min_size=1, max_size=4, unique=True).map(tuple),
+            st.from_regex(r"[a-z][a-z_]{0,10}", fullmatch=True),
+            where,
+            orders,
+            st.one_of(st.none(), st.integers(0, 10_000)),
+            params,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(queries)
+        def check(q):
+            back = parse_gaql(q.text)
+            assert back == q, (q.text, back)
+
+        check()
