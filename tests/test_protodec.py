@@ -265,3 +265,63 @@ if _HYP:
             "sub": {"a": sub_a},
         }
         assert decode_message(FULL_SPEC, encode_message(FULL_SPEC, msg)) == msg
+
+
+def test_fuzz_decode_never_hangs_or_crashes_unexpectedly():
+    """hypothesis: decode_message on ARBITRARY bytes either returns a
+    dict or raises ValueError/IndexError (the quarantine-able error
+    classes decode_proto's PERMISSIVE path catches) — never loops
+    forever, never dies on an unexpected exception type. This is the
+    guarantee the 100 TB ingest path leans on: one corrupt payload
+    must cost one null row, not an executor."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from proto_to_avro_ql_spark.entry_registry import EVENT_SPEC
+    from proto_to_avro_ql_spark.sources.protodec import decode_message
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.binary(max_size=64))
+    def check(data):
+        try:
+            out = decode_message(EVENT_SPEC, data)
+        except (ValueError, IndexError):
+            return  # quarantined by decode_proto's PERMISSIVE path
+        assert isinstance(out, dict)
+
+    check()
+
+
+def test_fuzz_mutated_valid_payloads():
+    """Flip/truncate bytes of a VALID encoded message: decode must
+    still terminate with a dict or a quarantine-able error."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from proto_to_avro_ql_spark.entry_registry import EVENT_SPEC
+    from proto_to_avro_ql_spark.sources.protodec import (
+        decode_message,
+        encode_message,
+    )
+
+    base = encode_message(
+        EVENT_SPEC, {"event_id": 71, "user_id": 8, "event_type": "view"}
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.integers(0, max(len(base) - 1, 0)),
+        st.integers(0, 255),
+        st.integers(0, len(base)),
+    )
+    def check(flip_at, flip_to, cut_at):
+        mutated = bytearray(base)
+        mutated[flip_at] = flip_to
+        data = bytes(mutated[:cut_at])
+        try:
+            out = decode_message(EVENT_SPEC, data)
+        except (ValueError, IndexError):
+            return
+        assert isinstance(out, dict)
+
+    check()
