@@ -69,3 +69,37 @@ def test_ordering_is_total_and_complete():
     names = ordered_query_names()
     assert len(names) == len(set(names)) == len(QUERIES)
     assert set(names) == set(QUERIES)
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py skips unknown names silently (QUERIES.get), so a typo
+    would drop a query from timing without failing anything."""
+    import bench
+
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert unknown == [], f"bench.HEADLINE names not registered: {unknown}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate bench names"
+    bad_notes = [n for n in bench.NOTES if n not in QUERIES]
+    assert bad_notes == [], f"bench.NOTES keys not registered: {bad_notes}"
+
+
+def test_bench_headline13_prefix_is_stable():
+    """The headline13 subtotal only stays comparable across rounds if
+    the first 13 HEADLINE names never change."""
+    import bench
+
+    assert bench.HEADLINE[: bench.HEADLINE13_N] == [
+        "flagship_report",
+        "proj_paths",
+        "agg_groupby_multi",
+        "join_equi_inner",
+        "ext_dedup_exact",
+        "ext_dedup_minhash",
+        "ext_sim_search",
+        "ext_text_stats",
+        "ext_window_agg",
+        "ext_window_rank",
+        "ext_asof_join",
+        "ext_sessionize",
+        "ext_corpus_pipeline",
+    ]
