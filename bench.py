@@ -233,6 +233,8 @@ HEADLINE = [
     "ext_feature_importance", # one-pass Gini feature screen
     # round 5: scale-hygiene rewrites re-timed this round
     "ext_kcore",             # distributed peel + bounded local tail
+    "ext_dedup_cluster",     # near-dup pairs -> CC clusters (local tail)
+    "ext_entity_resolution", # vocab fuzzy match + string-keyed CC
 ]
 
 
