@@ -2,8 +2,14 @@
 TimingUtils.scala:15-21: wall-clock wrapper per pass).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) and
-prints ONE JSON line:
+prints TWO JSON lines on stdout (per-query timings on stderr):
+  1. the FULL detail payload — every timed query — also persisted to
+     BENCH_DETAIL.json next to this script;
+  2. a SHORT contract line (headline13 queries + n_queries + totals),
+     last so a log-tail capture always keeps it intact:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Consumers wanting the complete per-query map should read
+BENCH_DETAIL.json (or the first line), never the final line alone.
 """
 
 from __future__ import annotations

@@ -13390,7 +13390,12 @@ def q_ext_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_band", F.max("_bmax").over(w_pre).alias("_prefix_best")
     )
     ranked = (
-        local.join(prefix, "_band")
+        # LEFT join: a NULL p_retailprice yields a NULL band that an
+        # inner join would silently drop, whereas the global-window
+        # formulation this replaces kept the row (with a NULL running
+        # max). Unreachable on the fixed corpus (prices are non-null)
+        # but the rewrite must not narrow row semantics.
+        local.join(prefix, "_band", "left")
         .withColumn(
             # greatest() skips nulls (null only when BOTH are null —
             # exactly the oracle's empty-frame NULL).

@@ -53,11 +53,14 @@ def _single_partition_funnels(plan: str) -> list[str]:
         my_indent = _indent(line)
         child_head = ""
         for nxt in lines[i + 1 :]:
-            if not nxt.strip() or "Exchange SinglePartition" in nxt:
-                break
+            if not nxt.strip():
+                continue  # blank separator lines between plan sections
+            # the first non-blank following line is the exchange's
+            # child iff it prints deeper; same-or-shallower indent
+            # means the exchange is a leaf-side boundary (no child to
+            # classify) — either way the FIRST such line decides.
             if _indent(nxt) > my_indent:
                 child_head = nxt.strip().lstrip(":+- ")
-                break
             break
         if (
             ("HashAggregate" in child_head or "SortAggregate" in child_head)

@@ -22,13 +22,29 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _warn_if_headline_only(q: dict, blob: dict, path: str) -> dict:
+    """bench.py's FINAL stdout line carries only the headline13 subset
+    (the full map lives in BENCH_DETAIL.json); a driver wrapper that
+    captured the short line must not silently shrink the comparison."""
+    n = blob.get("n_queries")
+    if isinstance(n, int) and len(q) < n:
+        print(
+            f"# WARNING: {path} holds the short contract line "
+            f"({len(q)} of {n} queries — headline13 only); non-headline "
+            "moves are invisible. Use that round's BENCH_DETAIL.json "
+            "for full coverage.",
+            file=sys.stderr,
+        )
+    return q
+
+
 def load_queries(path: str) -> dict[str, float]:
     raw = json.load(open(path))
     if "queries" in raw:
-        return raw["queries"]
+        return _warn_if_headline_only(raw["queries"], raw, path)
     parsed = raw.get("parsed")
     if isinstance(parsed, dict) and "queries" in parsed:
-        return parsed["queries"]
+        return _warn_if_headline_only(parsed["queries"], parsed, path)
     # fall back: fish the map out of the captured tail text — a driver
     # capture may have truncated the LINE HEAD (the r04 artifact), so
     # scan "name": float pairs up to the trailing metadata and keep the
@@ -42,7 +58,9 @@ def load_queries(path: str) -> dict[str, float]:
 
         out = {k: float(v) for k, v in pairs if k in QUERIES}
         if out:
-            return out
+            m = re.search(r'"n_queries": (\d+)', tail)
+            blob = {"n_queries": int(m.group(1))} if m else {}
+            return _warn_if_headline_only(out, blob, path)
     raise SystemExit(f"no per-query map found in {path}")
 
 
