@@ -4,7 +4,9 @@ TimingUtils.scala:15-21: wall-clock wrapper per pass).
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) and
 prints TWO JSON lines on stdout (per-query timings on stderr):
   1. the FULL detail payload — every timed query — also persisted to
-     BENCH_DETAIL.json next to this script;
+     BENCH_DETAIL.json next to this script (SF-suffixed filename when
+     run at a non-canonical SF, so ad-hoc runs never clobber the
+     canonical sf0.1 artifact);
   2. a SHORT contract line (headline13 queries + n_queries + totals),
      last so a log-tail capture always keeps it intact:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
@@ -304,6 +306,14 @@ def main() -> None:
             continue
         passes = []
         for _ in range(N_RUNS):
+            # Round-5 verdict #1: 56 intra-query cache()/persist() sites
+            # in single-shot entries are never unpersisted, so without
+            # this, passes 2-3 (and first passes of entries sharing a
+            # cached subtree, via CacheManager plan matching) read warm
+            # caches and the medians lie. Clearing BEFORE each timed
+            # pass makes every pass cold-per-query: each median now
+            # includes the entry's own cache build, honestly.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # materialize the full pipeline
@@ -342,8 +352,15 @@ def main() -> None:
     }
     print(json.dumps(detail))
     try:
+        # Round-5 ADVICE: an ad-hoc run at a non-canonical SF must not
+        # clobber the committed sf0.1 artifact that bench_compare and
+        # the round records consume — non-canonical SFs get an
+        # SF-suffixed filename instead.
+        detail_name = (
+            "BENCH_DETAIL.json" if sf == "0.1" else f"BENCH_DETAIL_sf{sf}.json"
+        )
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            os.path.dirname(os.path.abspath(__file__)), detail_name
         )
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)

@@ -73,19 +73,38 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
+# One connection per sf_dir, reused across entries (round-6 gate-cost
+# trim: reconnect + re-register 10 views per entry cost real wall-clock
+# over a 361-entry sweep). DuckDB views are lazy over the parquet
+# files, so reuse cannot leak state between oracles.
+_CONS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = _CONS.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        _CONS[sf_dir] = con
+    return con
+
+
 def duckdb_run(sf_dir: str, sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    out = con.execute(sql).fetchdf()
-    con.close()
-    return out
+    return duckdb_con(sf_dir).execute(sql).fetchdf()
 
 
 def compare(spark, sf_dir: str, name: str, query_fn, oracle: str | None):
-    sdf = query_fn(spark, sf_dir).toPandas()
+    try:
+        sdf = query_fn(spark, sf_dir).toPandas()
+    finally:
+        # Entries may cache() shared subtrees and return (allowlisted in
+        # tools/audit_caches.py); over a 361-entry sweep in ONE session
+        # those accumulate (round-5 verdict #1). Drop them per entry so
+        # the gate session stays flat and each entry runs cold.
+        spark.catalog.clearCache()
     if oracle is None:
         return {"name": name, "mode": "rows-only", "rows": len(sdf), "ok": True}
     odf = duckdb_run(sf_dir, oracle)

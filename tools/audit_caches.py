@@ -1,0 +1,228 @@
+"""Repo-wide cache-hygiene audit: find every ``.cache()``/``.persist()``
+call site in the package and ratchet against UNACCOUNTED ones.
+
+Why (round-5 verdict, "what's wrong" #1): an intra-query ``.cache()``
+on a shared subtree is the RIGHT plan — the branches reuse one
+materialization — but a cached relation that is never unpersisted
+outlives the query in a long-lived driver session, and (via
+CacheManager plan matching) silently warms later timed runs of any
+query sharing the subtree, turning bench medians into warm-cache lies.
+
+Policy (enforced here, exit-nonzero ratchet like audit_windows):
+every cache/persist site must be either
+
+  PAIRED     — the enclosing function also calls ``.unpersist(...)``
+               (iterative operators that release loop caches, e.g. the
+               clustering family), or
+  ALLOWLISTED— registered in ``ALLOWED`` below: a single-shot registry
+               entry that caches a multi-branch shared subtree and
+               returns the plan.  The cache is populated exactly once,
+               during the caller's one materialization, and is dropped
+               by the session-hygiene sweeps that now bracket every
+               timed/verified run (``bench.py`` clears before each
+               timed pass; ``tests/oracle_check.compare`` clears after
+               each entry).  A leaked cache can therefore no longer
+               warm another measurement or accumulate across a sweep.
+
+A NEW unaccounted site flips the exit code; classify it here only with
+the shared-subtree justification in the entry's docstring (or pair it
+with an unpersist).
+
+Usage: ``python tools/audit_caches.py``  (also run by
+tests/test_window_hygiene.py as a pytest ratchet).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "proto_to_avro_ql_spark")
+
+CACHE_ATTRS = {"cache", "persist"}
+
+
+def sites_in_file(path: str) -> list[tuple[str, int, bool]]:
+    """(enclosing_function, lineno, paired_with_unpersist) per site."""
+    with open(path) as fh:
+        tree = ast.parse(fh.read(), filename=path)
+
+    out: list[tuple[str, int, bool]] = []
+
+    def walk(node: ast.AST, stack: list[ast.AST]) -> None:
+        for child in ast.iter_child_nodes(node):
+            is_fn = isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef))
+            walk(child, stack + [child] if is_fn else stack)
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in CACHE_ATTRS
+        ):
+            fn = stack[-1] if stack else None
+            fn_name = fn.name if fn is not None else "<module>"
+            paired = fn is not None and any(
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr == "unpersist"
+                for n in ast.walk(fn)
+            )
+            out.append((fn_name, node.lineno, paired))
+
+    walk(tree, [])
+    return out
+
+
+def scan() -> dict[str, list[int]]:
+    """{'relpath:function': [linenos]} for every UNPAIRED site."""
+    found: dict[str, list[int]] = {}
+    for dirpath, _dirnames, filenames in os.walk(PKG):
+        for fname in sorted(filenames):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, REPO)
+            for fn_name, lineno, paired in sites_in_file(path):
+                if paired:
+                    continue
+                found.setdefault(f"{rel}:{fn_name}", []).append(lineno)
+    return found
+
+
+# Allowlisted single-shot shared-subtree caches, audited 2026-08-15
+# (round 6).  Key = 'relpath:enclosing_function'; value = what the
+# branches reuse (the inline comment AT the cache site is the
+# authoritative per-site note; generic values defer to it).  All are
+# populated once per materialization and dropped by the bench /
+# oracle_check session-hygiene sweeps (see module docstring).
+_SHARED = "multi-branch shared subtree (see inline comment at site)"
+ALLOWED: dict[str, str] = {
+    # --- operator library ------------------------------------------------
+    "proto_to_avro_ql_spark/operators/dedup.py:ngram_jaccard_pairs":
+        "exploded shingle table (pair join + both set-size branches)",
+    "proto_to_avro_ql_spark/operators/dedup.py:containment_pairs":
+        "exploded shingle table (pair join + set sizes)",
+    "proto_to_avro_ql_spark/operators/dedup.py:minhash_lsh_pairs":
+        "minhash signature table (band buckets + exact-verify branch)",
+    "proto_to_avro_ql_spark/operators/dedup.py:simhash_pairs":
+        "simhash signature table (pigeonhole band branches)",
+    "proto_to_avro_ql_spark/operators/dedup.py:incremental_lsh_admit":
+        "banded corpus signatures (batch-vs-corpus band joins)",
+    "proto_to_avro_ql_spark/operators/lexical.py:bm25_search":
+        "per-doc token aggregate (df join + doc-length stats broadcast)",
+    "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk":
+        "cell-assigned embeddings (centroid stats + probe join)",
+    "proto_to_avro_ql_spark/operators/simsearch.py:pq_adc_topk":
+        "PQ codes (codebook build + ADC scoring branch)",
+    # --- entry_registry single-shot entries ------------------------------
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_assoc_rules":
+        "baskets: N, marginals, in-task pairs share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_assortativity":
+        "co-purchase edge build (degree joins + moment agg)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_chi_residuals":
+        "observed cells: marginals + grid share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_chi_square":
+        "both marginals, the total, and the cell join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_cluster_quality":
+        "deviations + the centroid-pair relation share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_clustering_coeff":
+        "co-purchase edges + orientation (triangle + degree branches)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_coec_bias": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_cohort_ltv": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_cramers_v": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_cross_correlation":
+        "daily series (both sides of every lag join)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_cuped": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_dbscan_grid":
+        "cell counts (dense filter + point labeling)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_eb_shrinkage":
+        "global moments + the per-day report share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_fleiss_kappa": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_freq_triples":
+        "baskets + support-2 pairs (three-way candidate self-join)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_gdpr_cascade":
+        "erasure keyset + impacted orders (impact branches)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_gini": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_graph_jaccard":
+        "oriented edges + endpoint degrees (adjacency intersection)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_growth_accounting":
+        "first-day agg + two shifted self-joins share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_hits": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_holt":
+        "span + grid join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_holt_winters": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_isotonic":
+        "cums + final join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_kendall_tau":
+        "marginals + dense grid branch off it (one fact scan)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_ks_test":
+        "totals, running sums, and band totals share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_label_propagation":
+        "adjacency reused every LPA round",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_mann_kendall":
+        "pairs + marginals share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_mann_whitney":
+        "running-sum + band-total branches share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_markov_absorption":
+        "six iterations + the final report share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_minhash_merge":
+        "signature agg + set sizes + exact intersection share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_modularity":
+        "edges (LPA rounds + degree agg); labels (intra-edge join, u "
+        "AND v sides, + D_c rollup)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_mutual_information": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_negative_sampling":
+        "positive pairs (anti-join + rate calibration)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_novelty_curve":
+        "shingle firsts + per-batch counts share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_pagerank":
+        "out-degree edges reused by all three iterations",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_pca_power":
+        "covariance entries reused by the power-iteration steps",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_price_index":
+        "base extraction + the monthly join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_raking":
+        "observed counts (four IPF scaling steps re-derive from it)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_seasonal_decompose":
+        "seasonal means + the final join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_seasonal_mk": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_shapley_attribution":
+        "coalition relation joined twice (S and S|bit)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_shortest_path":
+        "all three BFS rounds + the seed scan branch off it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_spearman":
+        "marginals + the cell join all branch off it (one fact scan)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_stickiness":
+        "dau + the two trailing-window joins share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_survival_km": _SHARED,
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_t_closeness":
+        "both marginals, the total, and the grid join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_token_overlap_matrix":
+        "type relation (sizes + self-join share it)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_tree_depth2":
+        "root histogram + side assignment share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_triangle_count":
+        "oriented edges (wedge self-join, both sides)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_trimmed_mean": _SHARED,
+}
+
+
+def main() -> int:
+    found = scan()
+    new = {k: v for k, v in found.items() if k not in ALLOWED}
+    stale = sorted(set(ALLOWED) - set(found))
+    for key in sorted(found):
+        flag = "NEW " if key in new else ""
+        print(f"{flag}{key}: lines {found[key]}")
+    if stale:
+        print(f"# stale allowlist keys (site removed — prune them): {stale}")
+    print(
+        f"# {sum(len(v) for v in found.values())} unpaired cache sites in "
+        f"{len(found)} functions; {len(new)} unaccounted; {len(stale)} stale"
+    )
+    return 1 if new or stale else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
