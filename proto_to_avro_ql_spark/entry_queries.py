@@ -89,20 +89,20 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 5 (out: ext_cc_starcontraction, ext_asof_join,
-    # ext_attribution, ext_bootstrap_ci, ext_dedup_lsh_incremental —
-    # all driver-green in CORRECTNESS_r04; they remain locally gated
-    # by oracle_check). In: the staged r05 candidates from
-    # ROADMAP.md "Driver-window rotation", never driver-verified.
-    # r06 rotation suggestion (next in value order, never
-    # driver-verified): ext_kendall_tau, ext_psm_match,
-    # ext_holt_winters, ext_dbscan_grid, ext_shapley_attribution —
-    # swap in once CORRECTNESS_r05 confirms the current slots green.
-    "src_state_reader",           # streaming-state surface (new r04)
-    "ext_semdedup",               # semantic cell-partitioned dedup
-    "ext_dedup_containment",      # asymmetric n-gram containment
-    "ext_sim_search_lsh",         # hyperplane-bucketed ANN
-    "ext_bm25_search",            # lexical ranked retrieval
+    # round 6 (out: src_state_reader, ext_semdedup,
+    # ext_dedup_containment, ext_sim_search_lsh, ext_bm25_search — all
+    # driver-green in CORRECTNESS_r05; they remain locally gated by
+    # oracle_check). In: the staged r06 candidates from ROADMAP.md
+    # "Driver-window rotation", never driver-verified.
+    # r07 rotation suggestion (next in value order, never
+    # driver-verified): ext_entity_resolution, ext_match_pattern,
+    # ext_sessionize, ext_pagerank, ext_scd2_build — swap in once
+    # CORRECTNESS_r06 confirms the current slots green.
+    "ext_kendall_tau",            # tau-b via 2-D prefix sums
+    "ext_psm_match",              # caliper 1-NN propensity matching
+    "ext_holt_winters",           # level+trend+seasonal online fit
+    "ext_dbscan_grid",            # grid-density clustering (cell CC)
+    "ext_shapley_attribution",    # game-theoretic channel credit
 ]
 
 

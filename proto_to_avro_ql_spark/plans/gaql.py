@@ -100,7 +100,11 @@ def _parse_order(order: str | None) -> tuple[tuple[str, str], ...]:
 # `IN ('a,b')` would split the field/order lists on the embedded comma.
 # Literals are swapped for \x00<n>\x00 placeholders (no spaces, no
 # commas, no keywords) before any structural parsing and restored in
-# every captured fragment afterwards.
+# every captured fragment afterwards.  BOTH quote styles are masked:
+# the WHERE clause executes via F.expr (Spark SQL), which accepts
+# double-quoted string literals too — `name = "x ORDER BY y"` would
+# otherwise shear the clause split exactly like the single-quote case
+# (round-5 ADVICE).
 
 _PLACEHOLDER_RE = re.compile("\x00(\\d+)\x00")
 
@@ -112,16 +116,17 @@ def _mask_literals(query: str) -> tuple[str, list[str]]:
     n = len(query)
     while i < n:
         ch = query[i]
-        if ch != "'":
+        if ch not in ("'", '"'):
             out.append(ch)
             i += 1
             continue
+        quote = ch
         j = i + 1
         while j < n:
             if query[j] == "\\":
                 j += 2
                 continue
-            if query[j] == "'":
+            if query[j] == quote:
                 break
             j += 1
         if j >= n:

@@ -396,6 +396,35 @@ class TestGaqlLiteralMasking:
         assert q.where == "a.c IN ('x,y', 'FROM z')"
         assert q.order_by == (("a.b", "DESC"),) and q.limit == 3
 
+    def test_keyword_inside_double_quoted_literal_stays_in_where(self):
+        """Round-5 ADVICE: F.expr (Spark SQL) also accepts double-quoted
+        string literals, so masking must cover both quote styles."""
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        q = parse_gaql(
+            "SELECT campaign.name FROM ads_row "
+            'WHERE campaign.name = "x ORDER BY y"'
+        )
+        assert q.where == 'campaign.name = "x ORDER BY y"'
+        assert q.order_by == () and q.limit is None
+
+    def test_comma_inside_double_quoted_literal_does_not_split(self):
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        q = parse_gaql(
+            'SELECT a.b FROM t WHERE a.c IN ("x,y", \'FROM z\') LIMIT 2'
+        )
+        assert q.where == 'a.c IN ("x,y", \'FROM z\')'
+        assert q.limit == 2
+
+    def test_unterminated_double_quoted_literal_raises(self):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.plans.gaql import parse_gaql
+
+        with _pytest.raises(ValueError, match="Unterminated"):
+            parse_gaql('SELECT a FROM t WHERE b = "oops')
+
     def test_during_inside_literal_not_rewritten(self):
         from proto_to_avro_ql_spark.plans.gaql import expand_during
 
