@@ -20,6 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+# Hard ceiling on the bounded-collect contract shared by the local
+# tails below (collected edge list = two longs per row; 5M rows is a
+# few hundred driver-side MB — far above any sensible cutoff, far
+# below OOM). A caller passing a pathological cutoff gets a loud
+# ValueError instead of a driver OOM mid-collect.
+MAX_LOCAL_CUTOFF = 5_000_000
+
+
+def _check_local_cutoff(local_cutoff: int) -> None:
+    if local_cutoff > MAX_LOCAL_CUTOFF:
+        raise ValueError(
+            f"local_cutoff={local_cutoff} exceeds MAX_LOCAL_CUTOFF="
+            f"{MAX_LOCAL_CUTOFF}: the local tail COLLECTS up to that many "
+            "edge rows to the driver; raise MAX_LOCAL_CUTOFF deliberately "
+            "if you really have the driver memory"
+        )
+
 
 def _local_components_df(
     spark, pdf, u_col: str, v_col: str, id_type
@@ -33,7 +50,18 @@ def _local_components_df(
     milliseconds. Comparison semantics match the distributed plans:
     Python's ``<`` on ints is Spark's long order, and on strings it is
     code-point order == Spark's binary UTF-8 order (UTF-8 preserves
-    code-point ordering)."""
+    code-point ordering).
+
+    TRUNCATION CONTRACT (round-5 ADVICE): the local tail always runs
+    to the EXACT fixpoint — it ignores the caller's
+    ``max_iter``/``max_rounds`` cap, which only bounds the distributed
+    rounds. On a graph whose fixpoint needs more rounds than the cap,
+    sub-cutoff inputs therefore get the exact answer while
+    above-cutoff inputs get the capped (coarser) one — and a
+    fixed-depth unrolled oracle (the DuckDB 16-round CTEs) matches the
+    CAPPED semantics only. Callers needing capped-truncation parity on
+    small graphs must pass ``local_cutoff=0`` to force the distributed
+    path (the adversarial-input tests do exactly this)."""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -81,7 +109,11 @@ def connected_components(
     contract — see _local_components_df); the distributed
     label-propagation rounds below only engage on graphs too large to
     collect, where their per-round shuffle is real work rather than
-    scheduling overhead."""
+    scheduling overhead. NOTE: the local tail runs to the exact
+    fixpoint, ignoring ``max_iter`` (see _local_components_df's
+    truncation contract); ``local_cutoff`` is capped by
+    MAX_LOCAL_CUTOFF (loud error, not a driver OOM)."""
+    _check_local_cutoff(local_cutoff)
     edges = pairs.select(
         F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
     ).persist()
@@ -196,6 +228,7 @@ def star_contraction_components(
     ``connected_components``.
     """
     from pyspark.sql import Window
+    _check_local_cutoff(local_cutoff)
     # any totally ordered key type works (the algorithm only needs
     # min/least comparisons); cast=None keeps e.g. string entity keys
     ua = F.col("id_a").cast(cast) if cast else F.col("id_a")
@@ -366,7 +399,12 @@ def kcore_nodes(
     whole remaining fixpoint iteration is a handful of milliseconds
     instead of one scheduled multi-stage job per round. Fact-scale
     work stays distributed at any input size; the cutoff bounds
-    driver memory independent of scale."""
+    driver memory independent of scale (capped by MAX_LOCAL_CUTOFF —
+    loud error, not a driver OOM). NOTE: the numpy tail peels to the
+    exact fixpoint regardless of how many ``max_rounds`` remain (same
+    truncation contract as _local_components_df — pass
+    ``local_cutoff=0`` for capped-parity semantics)."""
+    _check_local_cutoff(local_cutoff)
     import numpy as np
     import pandas as pd
 

@@ -133,3 +133,55 @@ def test_star_contraction_truncated_run_keeps_one_row_per_id(spark):
     assert len(ids) == len(set(ids)) == n, (len(ids), len(set(ids)))
     # labels may be coarse but must never exceed the node's own id
     assert all(r["cluster_id"] <= r["id"] for r in out)
+
+
+class TestBoundedCollectContract:
+    """Round-6 (r5 verdict #6): the local tails COLLECT up to
+    local_cutoff edge rows — the defaults stay modest and a
+    pathological cutoff fails loudly instead of OOMing the driver."""
+
+    def test_default_cutoffs_stay_bounded(self):
+        import inspect
+
+        from proto_to_avro_ql_spark.operators.clustering import (
+            MAX_LOCAL_CUTOFF,
+            connected_components,
+            kcore_nodes,
+            star_contraction_components,
+        )
+
+        for fn in (connected_components, star_contraction_components, kcore_nodes):
+            default = inspect.signature(fn).parameters["local_cutoff"].default
+            assert default <= 200_000, (fn.__name__, default)
+            assert default <= MAX_LOCAL_CUTOFF
+
+    def test_pathological_cutoff_raises_before_any_work(self, spark):
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.operators.clustering import (
+            MAX_LOCAL_CUTOFF,
+            connected_components,
+            kcore_nodes,
+            star_contraction_components,
+        )
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        for fn in (connected_components, star_contraction_components, kcore_nodes):
+            with _pytest.raises(ValueError, match="MAX_LOCAL_CUTOFF"):
+                fn(pairs, local_cutoff=MAX_LOCAL_CUTOFF + 1)
+
+    def test_local_tail_is_exact_beyond_round_cap(self, spark):
+        """The documented truncation contract (r5 ADVICE): sub-cutoff
+        graphs reach the exact fixpoint even when max_iter/max_rounds
+        would truncate the distributed path. A 6-node path graph needs
+        >1 LPA round; with max_iter=1 the local tail still collapses it
+        to one cluster."""
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.operators.clustering import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+        )
+        out = connected_components(pairs, max_iter=1)  # local tail engages
+        assert out.select(F.countDistinct("cluster_id")).collect()[0][0] == 1
