@@ -127,6 +127,95 @@ def main() -> None:
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    fact.unpersist()
+    dim.unpersist()
+
+    # -- experiment 4: containment hot-shingle, max_df on/off -------------
+    # (round-5 verdict #8: planted-skew case for the r5-verified
+    # containment family). Plant a 32-token boilerplate paragraph into
+    # 60% of documents: its ~30 shingles each hit ~3000 docs, so with
+    # suppression OFF the inverted-index self-join must produce
+    # ~30 × 3000²/2 ≈ 135M candidate rows from the hot blocks alone;
+    # the default max_df=100 suppresses them before the join.
+    # CALIBRATION (measured here): the suppression's own df-count +
+    # anti-join stages cost ~0.5 s of fixed overhead at this corpus
+    # size, and the local[32] join chews ~13M candidate rows/s — so
+    # max_df only pays for itself once hot blocks exceed ~10^7
+    # candidate pairs (10%/25% planted versions of this experiment
+    # were FASTER unsuppressed). At 100 TB every boilerplate shingle
+    # is far past that line; the 60% plant puts the local experiment
+    # on the same side of it.
+    from proto_to_avro_ql_spark.operators.dedup import containment_pairs
+
+    boiler = " ".join(f"boiler{i}" for i in range(32))
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(5)) < 3, F.concat_ws(" ", "text", F.lit(boiler)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def containment(max_df: int):
+        def run():
+            return containment_pairs(docs, max_df=max_df).count()
+        return run
+
+    results = {}
+    for label, max_df in [
+        ("containment_maxdf_100", 100),
+        ("containment_maxdf_off", 1 << 30),
+    ]:
+        fn = containment(max_df)
+        spark.catalog.clearCache()  # containment persists shingles internally
+        fn()  # warm (JIT/codegen) — cleared again so the timed run is cold
+        spark.catalog.clearCache()
+        results[label] = timed(label, fn)
+        print(json.dumps(results[label]))
+    assert (
+        results["containment_maxdf_100"]["wall_s"]
+        < results["containment_maxdf_off"]["wall_s"]
+    ), "max_df suppression should beat the unsuppressed hot-shingle join"
+    spark.catalog.clearCache()
+
+    # -- experiment 5: semdedup hot semantic cell, salt 1 vs 8 ------------
+    # Replicate embeddings ×5 (distinct ids, same vectors) and send 50%
+    # of rows to ONE cell: the hot cell holds ~5k vectors ≈ 12.5M
+    # in-cell pairs. salt=1 computes them in ONE task; salt=8 splits
+    # the probe side across 8 tasks (build side replicated ×8) — the
+    # deterministic spread for hot/low-cardinality cell sets.
+    from proto_to_avro_ql_spark.operators.simsearch import semantic_dedup_cells
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(4))))
+        .select(
+            (F.col("vec_id") * 5 + F.col("_r")).alias("vec_id"),
+            "embedding",
+            F.when(F.pmod(F.col("vec_id") * 5 + F.col("_r"), F.lit(2)) == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("vec_id"), F.lit(50)) + 1)
+            .alias("label"),
+        )
+        .persist()
+    )
+    n_emb = emb.count()
+    print(f"# embeddings: {n_emb} (50% in the hot cell)", file=sys.stderr)
+
+    def semdedup(salt: int):
+        def run():
+            return semantic_dedup_cells(emb, salt=salt).count()
+        return run
+
+    semdedup(8)()  # warm (codegen for the pair predicate)
+    r1 = timed("semdedup_hot_cell_salt1", semdedup(1))
+    r8 = timed("semdedup_hot_cell_salt8", semdedup(8))
+    print(json.dumps(r1))
+    print(json.dumps(r8))
+    assert r1["result"] == r8["result"], "salt must not change survivors"
+    assert r8["wall_s"] < r1["wall_s"], (
+        "salt-replicate should spread the hot cell across tasks"
+    )
+    emb.unpersist()
+
 
 if __name__ == "__main__":
     main()
