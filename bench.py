@@ -45,17 +45,16 @@ NOTES = {
         "removes a one-task global sort that kills the plan at scale"
     ),
     "ext_cc_starcontraction": (
-        "r05: the iterative CC ops are leak-free (r04 ADVICE — their "
-        "r04 medians were warm on leaked caches via CacheManager plan "
-        "matching) and sub-cutoff graphs finish as an exact local "
-        "union-find tail (the ext_kcore pattern; distributed star "
-        "rounds engage past 200k edges and are plan-tested with "
-        "cutoff=0); remaining cost is the per-pass co-purchase edge "
-        "build, paid honestly each run"
+        "r05 fixed this family's own loop-cache leaks; r06's "
+        "cold-per-query medians (see _R6_COLD_NOTE) additionally stop "
+        "sibling entries' cached co-purchase edge builds from warming "
+        "this entry's first pass — the full per-pass edge build is now "
+        "always in the number"
     ),
     "ext_label_propagation": (
-        "slower vs r04 for the same reason as ext_cc_starcontraction: "
-        "r04 medians were warm on leaked caches; runs are now leak-free"
+        "same history as ext_cc_starcontraction: r05 closed the loop "
+        "leaks, r06's cold-per-query policy charges every pass its own "
+        "co-purchase edge build"
     ),
     "ext_pareto_frontier": (
         "+~80% vs r04 by design: banded prefix-max replaced the global "
@@ -67,6 +66,36 @@ NOTES = {
         "sorts — same local cost, no single-partition window at scale"
     ),
 }
+
+# Round-6 honest-median annotation (r5 verdict #1): bench now runs
+# spark.catalog.clearCache() before EVERY timed pass, so entries whose
+# r5 medians were warm — via their own never-unpersisted intra-query
+# cache (passes 2-3 read pass 1's) and/or a sibling entry's cached
+# shared subtree (CacheManager plan matching, e.g. the co-purchase
+# edge build shared across the whole graph family) — moved >30% when
+# first measured cold. The delta is the honest per-pass cost of the
+# entry's own cache build, not a plan regression; the cache itself
+# remains the right plan (audited in tools/audit_caches.py).
+_R6_COLD_NOTE = (
+    "r06: +>30% vs r05 by measurement policy, not plan change — the "
+    "r5 median was warm via leaked intra-query caches / a sibling's "
+    "shared subtree; r06 clears the cache before every timed pass, so "
+    "the median now includes this entry's own cache build each pass "
+    "(see tools/audit_caches.py)"
+)
+for _q in [
+    "ext_assortativity", "ext_bm25_search", "ext_clustering_coeff",
+    "ext_coec_bias", "ext_dedup_cluster", "ext_dedup_containment",
+    "ext_dedup_minhash", "ext_feature_hash", "ext_fleiss_kappa",
+    "ext_freq_triples", "ext_gdpr_cascade", "ext_graph_jaccard",
+    "ext_hits", "ext_hybrid_search", "ext_kcore", "ext_kendall_tau",
+    "ext_mann_whitney", "ext_markov_absorption", "ext_modularity",
+    "ext_ndcg", "ext_negative_sampling", "ext_novelty_curve",
+    "ext_pagerank", "ext_pca_power", "ext_price_index",
+    "ext_shortest_path", "ext_spearman", "ext_tree_depth2",
+    "ext_triangle_count",
+]:
+    NOTES.setdefault(_q, _R6_COLD_NOTE)
 
 HEADLINE = [
     "flagship_report",
