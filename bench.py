@@ -320,10 +320,15 @@ def main() -> None:
     # each pass after the stream was already cached locally), so the
     # measured pass below is the comparable one.
     spark.range(1).count()
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         fn = QUERIES.get(name)
         if fn is not None:
             fn(spark, sf_dir).count()
+        if i % 20 == 19:
+            # the warm-up sweep would otherwise accumulate all ~64
+            # shared-subtree caches at once (timed passes each start
+            # from clearCache anyway — warm-up is for JIT/codegen)
+            spark.catalog.clearCache()
     # the first timed slot otherwise pays the tail of JVM JIT warm-up
     # accumulated across the whole warm-up pass (~0.5s on flagship)
     QUERIES[HEADLINE[0]](spark, sf_dir).count()

@@ -74,7 +74,14 @@ def main() -> None:
         f"\nwindow {len(names)}: {len(names) - len(failed)} passed; "
         f"failed: {failed}; no_oracle in window: {no_oracle}"
     )
-    sys.exit(1 if failed or no_oracle else 0)
+    # no_oracle is only a FAILURE inside the driver's real 50-entry
+    # window (a rows-only entry there wastes a verification slot —
+    # ordering regression in entry_queries.ordered_query_names). On
+    # full-registry runs (n_window > 50) the designed rows-only
+    # entries are expected and flagged informationally above; r5/r6
+    # close notes previously had to interpret around the exit code.
+    no_oracle_in_driver_window = [n for n in no_oracle if names.index(n) < 50]
+    sys.exit(1 if failed or no_oracle_in_driver_window else 0)
 
 
 if __name__ == "__main__":
