@@ -54,16 +54,30 @@ def copurchase_edges(
     structure — the sparse graph the community/component entries use).
     Pass ``baskets`` to reuse an already-cached (ok, pk) relation.
     """
-    li = baskets if baskets is not None else copurchase_baskets(spark, sf_dir)
     # One basket-keyed aggregation, then pairs are generated IN-TASK
     # from each sorted basket array (pair work is quadratic per basket
-    # only; baskets are distinct so the sorted array is strictly
-    # increasing and u < v falls out of the slice). Equivalent to the
+    # only; the per-order part set is strictly increasing after
+    # sort_array, so u < v falls out of the slice). Equivalent to the
     # classic self-join `a JOIN b ON a.ok = b.ok AND a.pk < b.pk` (the
-    # formulation every oracle uses) but with one scan and 3 total
-    # exchanges instead of two scans and 4 — measured 1.6 s -> 1.0 s
-    # on the sf0.1 build.
-    b = li.groupBy("ok").agg(F.sort_array(F.collect_list("pk")).alias("pks"))
+    # formulation every oracle uses) but with one scan and fewer
+    # exchanges (r3: 1.6 s -> 1.0 s on the sf0.1 build vs the
+    # self-join). r6: when building from the raw table, collect_set
+    # dedups IN-AGGREGATE (map-side partials on the ok key) instead of
+    # a separate distinct() — drops one full (ok, pk)-keyed exchange,
+    # the whole-relation shuffle that matters at fact scale (~10%
+    # local too). A caller-supplied `baskets` relation is already
+    # distinct by contract, so collect_list suffices there.
+    if baskets is not None:
+        b = baskets.groupBy("ok").agg(
+            F.sort_array(F.collect_list("pk")).alias("pks")
+        )
+    else:
+        from proto_to_avro_ql_spark.sources.io import read_table
+
+        li = read_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        b = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("pks"))
     if max_basket is not None:
         b = b.where(F.size("pks") <= max_basket)
     pairs = b.select(F.posexplode("pks").alias("i", "u"), "pks").select(
