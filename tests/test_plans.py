@@ -1266,3 +1266,37 @@ class TestRound4Session2LateBatchPlans:
         plan = self._plan(spark, sf_dir, "ext_backtest_naive")
         assert plan.count("FileScan") == 1, plan
         assert plan.count("Window") == 1, plan
+
+
+class TestRound6Plans:
+    """Round-6 plan pins."""
+
+    def test_copurchase_edge_build_two_exchanges_no_distinct(self, spark, sf_dir):
+        """The raw-table edge build dedups in-aggregate (collect_set
+        with map-side partials on the order key): exactly TWO
+        hash-partitioning exchanges — the ok-keyed basket agg and the
+        (u,v)-keyed support agg — with no separate distinct() exchange
+        over the full (ok, pk) relation (r6: one fewer fact-scale
+        shuffle for the whole graph family)."""
+        from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
+        df = copurchase_edges(spark, sf_dir, min_support=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "collect_set" in plan, plan
+
+    def test_copurchase_edges_match_baskets_path(self, spark, sf_dir):
+        """collect_set-on-raw and collect_list-on-distinct-baskets are
+        the same edge set."""
+        from proto_to_avro_ql_spark.operators.graphs import (
+            copurchase_baskets,
+            copurchase_edges,
+        )
+
+        raw = copurchase_edges(spark, sf_dir, min_support=2)
+        via_baskets = copurchase_edges(
+            spark, sf_dir, min_support=2, baskets=copurchase_baskets(spark, sf_dir)
+        )
+        assert sorted(map(tuple, raw.collect())) == sorted(
+            map(tuple, via_baskets.collect())
+        )
