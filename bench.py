@@ -85,7 +85,8 @@ _R6_COLD_NOTE = (
 )
 for _q in [
     "ext_assortativity", "ext_bm25_search", "ext_clustering_coeff",
-    "ext_coec_bias", "ext_dedup_cluster", "ext_dedup_containment",
+    "ext_cluster_quality", "ext_coec_bias", "ext_dedup_cluster",
+    "ext_dedup_containment",
     "ext_dedup_minhash", "ext_feature_hash", "ext_fleiss_kappa",
     "ext_freq_triples", "ext_gdpr_cascade", "ext_graph_jaccard",
     "ext_hits", "ext_hybrid_search", "ext_kcore", "ext_kendall_tau",
