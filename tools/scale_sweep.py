@@ -129,7 +129,11 @@ def main() -> None:
         sf_dir = f"/root/testdata/sf{sf}"
         for name in SWEEP:
             fn = QUERIES[name]
-            fn(spark, sf_dir).count()  # warm (codegen + caches)
+            fn(spark, sf_dir).count()  # warm (JIT + codegen)
+            # r6 honest-median policy (same as bench.py): the warm
+            # pass populated the entry's intra-query caches; clear so
+            # the timed run pays its own cache build, cold-per-query.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             print(
