@@ -185,3 +185,54 @@ class TestBoundedCollectContract:
         )
         out = connected_components(pairs, max_iter=1)  # local tail engages
         assert out.select(F.countDistinct("cluster_id")).collect()[0][0] == 1
+
+
+class TestEdgeBuildProperty:
+    """Round-6: the collect_set-on-raw edge build (one fewer exchange)
+    must equal the distinct-baskets + collect_list build on ANY input,
+    including orders with repeated parts and single-part orders."""
+
+    def test_random_baskets_equivalence(self, spark, tmp_path):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from proto_to_avro_ql_spark.operators.graphs import copurchase_edges
+
+        rng = random.Random(42)
+        rows = []
+        for ok in range(200):
+            n = rng.randint(1, 8)
+            parts = [rng.randint(1, 40) for _ in range(n)]
+            parts += parts[: rng.randint(0, 2)]  # duplicates within order
+            rows += [(ok, pk) for pk in parts]
+        # stage as a parquet 'lineitem' table so both paths read the
+        # same raw relation through read_table
+        sf_dir = str(tmp_path)
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+        for ms in (1, 2, 3):
+            raw = sorted(
+                map(tuple, copurchase_edges(spark, sf_dir, min_support=ms).collect())
+            )
+            via = sorted(
+                map(
+                    tuple,
+                    copurchase_edges(
+                        spark,
+                        sf_dir,
+                        min_support=ms,
+                        baskets=spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                        .select(
+                            F.col("l_orderkey").alias("ok"),
+                            F.col("l_partkey").alias("pk"),
+                        )
+                        .distinct(),
+                    ).collect(),
+                )
+            )
+            assert raw == via, f"min_support={ms}"
+            # u < v invariant holds on every edge
+            assert all(u < v for u, v in raw), f"min_support={ms}"
