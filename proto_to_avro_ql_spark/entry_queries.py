@@ -89,20 +89,22 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 6 (out: src_state_reader, ext_semdedup,
-    # ext_dedup_containment, ext_sim_search_lsh, ext_bm25_search — all
-    # driver-green in CORRECTNESS_r05; they remain locally gated by
-    # oracle_check). In: the staged r06 candidates from ROADMAP.md
-    # "Driver-window rotation", never driver-verified.
-    # r07 rotation suggestion (next in value order, never
-    # driver-verified): ext_entity_resolution, ext_match_pattern,
-    # ext_sessionize, ext_pagerank, ext_scd2_build — swap in once
-    # CORRECTNESS_r06 confirms the current slots green.
-    "ext_kendall_tau",            # tau-b via 2-D prefix sums
-    "ext_psm_match",              # caliper 1-NN propensity matching
-    "ext_holt_winters",           # level+trend+seasonal online fit
-    "ext_dbscan_grid",            # grid-density clustering (cell CC)
-    "ext_shapley_attribution",    # game-theoretic channel credit
+    # round 7 (out: ext_kendall_tau, ext_psm_match, ext_holt_winters,
+    # ext_dbscan_grid, ext_shapley_attribution — all driver-green in
+    # CORRECTNESS_r06; they remain locally gated by oracle_check). In:
+    # the staged r07 candidates from ROADMAP.md "Driver-window
+    # rotation", never driver-verified, pre-certified at r6 close at
+    # sf0.001/0.01/0.1 (commit 1fa51d1).
+    # r08 rotation suggestion (next never-driver-verified oracled
+    # entries, INDEX.md top-to-bottom per the rotation policy):
+    # agg_cube, agg_grouping_sets, agg_percentile, agg_rollup,
+    # agg_stats — swap in once CORRECTNESS_r07 confirms the current
+    # slots green.
+    "ext_entity_resolution",      # blocked fuzzy matching end-to-end
+    "ext_match_pattern",          # MATCH_RECOGNIZE-shaped row patterns
+    "ext_sessionize",             # gap-based sessionization windows
+    "ext_pagerank",               # fixed-iteration PageRank
+    "ext_scd2_build",             # SCD Type-2 dimension build
 ]
 
 
