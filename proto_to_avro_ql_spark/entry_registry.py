@@ -14561,6 +14561,17 @@ def q_ext_anomaly_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded-collect contract for ext_dbscan_grid (the clustering.py
+# MAX_LOCAL_CUTOFF pattern): the driver-side union-find collects dense
+# (cx, cy, key) triples — three longs per row, so 1M is tens of MB,
+# far above the grid-area bound the design assumes (hundreds) and far
+# below driver OOM. Past the ceiling the plan is wrong, not just
+# slow, so raise. The coordinate range is what the
+# (cx+100)*1000+(cy+100) key packing needs for injectivity.
+DBSCAN_MAX_DENSE_CELLS = 1_000_000
+DBSCAN_COORD_RANGE = (-100, 899)
+
+
 @register(
     "ext_dbscan_grid",
     """WITH pts AS (
@@ -14648,6 +14659,41 @@ def q_ext_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work (bucket agg + label join) stays distributed; the iterative
     # CC machinery (operators/clustering.py) is the right tool only
     # when the GRAPH itself is data-scale (ext_dedup_cluster).
+    # ENFORCED, not just documented (round-7 verdict #2, the
+    # MAX_LOCAL_CUTOFF pattern from clustering.py): adversarially wide
+    # embeddings make |dense| ~ n/minPts, and the (cx+100)*1000+(cy+100)
+    # key packing is injective only while cy ∈ [-100, 899] — so before
+    # collecting, one agg over the (already cached) cell relation
+    # checks both the collect bound and the coordinate range the
+    # packing assumes, and raises loudly instead of OOMing or silently
+    # colliding keys. cx shares the same range contract for symmetry
+    # (noise cell_keys pack both coordinates).
+    stats = cells.agg(
+        F.sum((F.col("c") >= 5).cast("bigint")).alias("n_dense"),
+        F.min("cx").alias("min_cx"),
+        F.max("cx").alias("max_cx"),
+        F.min("cy").alias("min_cy"),
+        F.max("cy").alias("max_cy"),
+    ).first()
+    if stats["n_dense"] is not None:
+        if stats["n_dense"] > DBSCAN_MAX_DENSE_CELLS:
+            raise ValueError(
+                f"ext_dbscan_grid: {stats['n_dense']} dense cells exceed "
+                f"DBSCAN_MAX_DENSE_CELLS={DBSCAN_MAX_DENSE_CELLS}; the "
+                "cell graph is no longer grid-area-bounded (adversarially "
+                "wide embedding range?) — shrink the grid (coarser cells) "
+                "or route through operators/clustering.py's distributed CC"
+            )
+        lo, hi = DBSCAN_COORD_RANGE
+        if stats["min_cx"] < lo or stats["max_cx"] > hi or \
+                stats["min_cy"] < lo or stats["max_cy"] > hi:
+            raise ValueError(
+                "ext_dbscan_grid: grid coordinates outside "
+                f"[{lo}, {hi}] (cx ∈ [{stats['min_cx']}, {stats['max_cx']}], "
+                f"cy ∈ [{stats['min_cy']}, {stats['max_cy']}]) — the "
+                "(cx+100)*1000+(cy+100) cell-key packing would silently "
+                "collide; rescale the embedding or widen the packing"
+            )
     dcells = [(r["cx"], r["cy"], r["key"]) for r in dense.collect()]
     keys = {(cx, cy): k for cx, cy, k in dcells}
     parent = {k: k for _, _, k in dcells}

@@ -359,3 +359,75 @@ class TestRound3Session2Empty:
         assert same.resized == blob  # identity at equal size
         down = resize_nn(df, 4, 4, 2, 2).collect()[0]
         assert list(down.resized) == [0, 2, 8, 10]  # NN grid rows/cols {0,2}
+
+
+class TestDbscanGridGuards:
+    """Round-7 verdict #2: the dense-cell collect in ext_dbscan_grid is
+    grid-area-bounded by DESIGN; these tests pin that the bound and the
+    key-packing coordinate range are ENFORCED (loud ValueError), not
+    just documented — a planted wide-range embedding must not reach the
+    driver-side collect with colliding keys or an unbounded row set."""
+
+    def _write_embeddings(self, spark, rows, prefix):
+        import os, tempfile
+
+        d = tempfile.mkdtemp(prefix=prefix)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        return d
+
+    def test_out_of_range_coords_raise(self, spark):
+        """cy = floor(1e5*10) is far outside [-100, 899]: the
+        (cx+100)*1000+(cy+100) packing would silently collide across
+        cx values, so the guard must raise before collecting."""
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        # 5 points in one far-out cell so it is dense (minPts = 5).
+        rows = [(i, [100000.0, 100000.0], 0) for i in range(5)]
+        d = self._write_embeddings(spark, rows, "dbscan_range_")
+        with _pytest.raises(ValueError, match="silently collide"):
+            QUERIES["ext_dbscan_grid"](spark, d).collect()
+
+    def test_packing_collision_pair_is_rejected(self, spark):
+        """Adversarial planted COLLISION: cells (cx=0, cy=1000) and
+        (cx=1, cy=0) both pack to key 101100 — without the range guard
+        they would merge into one 'cluster'. The guard must refuse."""
+        import pytest as _pytest
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        rows = [(i, [0.05, 100.05], 0) for i in range(5)] + [
+            (10 + i, [0.15, 0.05], 0) for i in range(5)
+        ]
+        d = self._write_embeddings(spark, rows, "dbscan_collide_")
+        with _pytest.raises(ValueError, match="silently collide"):
+            QUERIES["ext_dbscan_grid"](spark, d).collect()
+
+    def test_in_range_small_fixture_still_works(self, spark):
+        """Sanity: the guard must not reject the designed regime —
+        two separated dense cells inside the packing range cluster
+        independently; sparse points report as noise (-1)."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        rows = (
+            [(i, [0.05, 0.05], 0) for i in range(5)]       # dense cell A
+            + [(10 + i, [5.05, 5.05], 0) for i in range(5)]  # dense cell B
+            + [(100, [9.05, 9.05], 0)]                        # noise
+        )
+        d = self._write_embeddings(spark, rows, "dbscan_ok_")
+        out = {
+            r["cluster_id"]: (r["n_cells"], r["n_points"])
+            for r in QUERIES["ext_dbscan_grid"](spark, d).collect()
+        }
+        assert out[-1] == (1, 1)  # the noise point, its own sparse cell
+        clusters = {k: v for k, v in out.items() if k != -1}
+        assert sorted(clusters.values()) == [(1, 5), (1, 5)]
+
+    def test_empty_embeddings_do_not_trip_guard(self, spark):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        d = self._write_embeddings(spark, [], "dbscan_empty_")
+        assert QUERIES["ext_dbscan_grid"](spark, d).count() == 0
