@@ -38,6 +38,25 @@ def _check_local_cutoff(local_cutoff: int) -> None:
         )
 
 
+def _check_on_round_cap(on_round_cap: str) -> None:
+    if on_round_cap not in ("raise", "truncate"):
+        raise ValueError(
+            f"on_round_cap={on_round_cap!r}: expected 'raise' (exact "
+            "fixpoint or loud error — the default, keeps engine output "
+            "equal to the exact transitive-closure oracles) or "
+            "'truncate' (accept the round-capped, coarser answer)"
+        )
+
+
+def _round_cap_error(algo: str, cap_name: str, cap: int) -> ValueError:
+    return ValueError(
+        f"{algo}: round cap {cap_name}={cap} exhausted before the "
+        "fixpoint — the capped answer would be coarser than the exact "
+        f"one. Raise {cap_name}, or pass on_round_cap='truncate' to "
+        "accept the truncated labels deliberately."
+    )
+
+
 def _local_components_df(
     spark, pdf, u_col: str, v_col: str, id_type
 ) -> DataFrame:
@@ -52,16 +71,16 @@ def _local_components_df(
     code-point order == Spark's binary UTF-8 order (UTF-8 preserves
     code-point ordering).
 
-    TRUNCATION CONTRACT (round-5 ADVICE): the local tail always runs
-    to the EXACT fixpoint — it ignores the caller's
-    ``max_iter``/``max_rounds`` cap, which only bounds the distributed
-    rounds. On a graph whose fixpoint needs more rounds than the cap,
-    sub-cutoff inputs therefore get the exact answer while
-    above-cutoff inputs get the capped (coarser) one — and a
-    fixed-depth unrolled oracle (the DuckDB 16-round CTEs) matches the
-    CAPPED semantics only. Callers needing capped-truncation parity on
-    small graphs must pass ``local_cutoff=0`` to force the distributed
-    path (the adversarial-input tests do exactly this)."""
+    UNIFORM-SEMANTICS CONTRACT (round-7 verdict #3, superseding the
+    round-5 truncation note): the local tail always runs to the EXACT
+    fixpoint, and since round 7 the DISTRIBUTED paths default to
+    ``on_round_cap='raise'`` — they either reach (and confirm) the
+    same exact fixpoint within the round cap or raise loudly. Engine
+    output is therefore exact EVERYWHERE it returns, matching the
+    exact transitive-closure oracles with no caller convention;
+    ``on_round_cap='truncate'`` is the explicit opt-in for the old
+    capped (coarser) behavior, and the truncation tests pass it
+    together with ``local_cutoff=0``."""
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -99,6 +118,7 @@ def connected_components(
     max_iter: int = 10,
     checkpoint_every: int = 4,
     local_cutoff: int = 200_000,
+    on_round_cap: str = "raise",
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, cluster_id) where cluster_id is the min
     node id reachable through the pair graph. Nodes present in pairs
@@ -109,11 +129,18 @@ def connected_components(
     contract — see _local_components_df); the distributed
     label-propagation rounds below only engage on graphs too large to
     collect, where their per-round shuffle is real work rather than
-    scheduling overhead. NOTE: the local tail runs to the exact
-    fixpoint, ignoring ``max_iter`` (see _local_components_df's
-    truncation contract); ``local_cutoff`` is capped by
-    MAX_LOCAL_CUTOFF (loud error, not a driver OOM)."""
+    scheduling overhead. ``local_cutoff`` is capped by
+    MAX_LOCAL_CUTOFF (loud error, not a driver OOM).
+
+    UNIFORM SEMANTICS (round-7): both paths return the EXACT fixpoint.
+    If ``max_iter`` distributed rounds end without a confirmed
+    fixpoint, one cheap checksum-only probe round distinguishes
+    "converged exactly at the cap" from "genuinely truncated"; the
+    latter raises under the default ``on_round_cap='raise'`` (pass
+    ``'truncate'`` to accept the capped, coarser labels — e.g. for
+    bounded-latency jobs that prefer coarse clusters over a retry)."""
     _check_local_cutoff(local_cutoff)
+    _check_on_round_cap(on_round_cap)
     edges = pairs.select(
         F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
     ).persist()
@@ -140,6 +167,7 @@ def connected_components(
     # version ran each round is gone; the checksum rides the round's
     # own materializing action.
     prev_sum = None
+    converged = False
     for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -182,8 +210,40 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # The loop exhausted max_iter with the LAST round still moving
+        # labels — but that round may itself have completed the
+        # fixpoint (the checksum compare needs one more round to
+        # confirm). One checksum-only probe round (no persist, no
+        # extra relation) settles it; only a genuinely unconverged
+        # graph pays anything beyond this agg.
+        nm = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        probe = (
+            labels.join(nm, labels.id == nm.src, "left")
+            .select(
+                F.xxhash64(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ),
+                ).alias("h")
+            )
+            .agg(F.coalesce(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(0)))
+            .collect()[0][0]
+        )
+        converged = prev_sum is not None and int(probe) == prev_sum
+        if not converged and on_round_cap == "raise":
+            edges.unpersist()  # no-op unless max_iter == 0 skipped the loop
+            sym.unpersist()
+            labels.unpersist()
+            raise _round_cap_error("connected_components", "max_iter", max_iter)
     # sym fed only the per-round joins, every one already materialized
     # through labels' actions; the returned plan reads labels' cache
     # (recompute after eviction would just re-derive sym uncached), so
@@ -199,6 +259,7 @@ def star_contraction_components(
     checkpoint_every: int = 2,
     cast: str | None = "long",
     local_cutoff: int = 200_000,
+    on_round_cap: str = "raise",
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, cluster_id): the alternating
     large-star / small-star connected-components algorithm (Kiveris et
@@ -225,10 +286,13 @@ def star_contraction_components(
     the star fixpoint (checksum-equal two rounds running), detected
     from observed metrics on the round's own materializing action;
     lineage is truncated with localCheckpoint like
-    ``connected_components``.
+    ``connected_components``; the ``on_round_cap`` contract (exact
+    fixpoint or loud error by default, ``'truncate'`` to opt into the
+    capped coarser labels) is shared with it too.
     """
     from pyspark.sql import Window
     _check_local_cutoff(local_cutoff)
+    _check_on_round_cap(on_round_cap)
     # any totally ordered key type works (the algorithm only needs
     # min/least comparisons); cast=None keeps e.g. string entity keys
     ua = F.col("id_a").cast(cast) if cast else F.col("id_a")
@@ -275,6 +339,7 @@ def star_contraction_components(
     # (it has no owner after return; bench's 3 passes would stack it).
     nodes = nodes.localCheckpoint(eager=True)
     raw.unpersist()
+    converged = False
     for rnd in range(max_rounds):
         # large-star: center every node u over its FULL neighborhood;
         # hook each larger neighbor v > u onto m = min(N(u) ∪ {u}).
@@ -330,8 +395,49 @@ def star_contraction_components(
         edges.unpersist()
         edges = small
         if cur == prev:
+            converged = True
             break
         prev = cur
+
+    if not converged:
+        # Same confirmation probe as connected_components: the final
+        # round may have completed the star fixpoint without the
+        # checksum compare seeing it. Re-derive one round's (count,
+        # hash-sum) WITHOUT persisting and compare; only a genuinely
+        # unconverged graph goes past this aggregate.
+        sym_p = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        wu_p = Window.partitionBy("u")
+        large_p = (
+            sym_p.withColumn("m", F.min(F.least("v", "u")).over(wu_p))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        row = (
+            large_p.withColumn("m", F.min("v").over(wu_p))
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+                ).alias("s"),
+            )
+            .collect()[0]
+        )
+        converged = (int(row["n"]), int(row["s"])) == prev
+        if not converged and on_round_cap == "raise":
+            edges.unpersist()
+            raise _round_cap_error(
+                "star_contraction_components", "max_rounds", max_rounds
+            )
 
     # fixpoint: every edge is (member, component_min); nodes without a
     # parent edge (roots, self-loop-only nodes, isolated ids) label
@@ -373,6 +479,7 @@ def kcore_nodes(
     max_rounds: int = 16,
     checkpoint_every: int = 3,
     local_cutoff: int = 200_000,
+    on_round_cap: str = "raise",
 ) -> DataFrame:
     """pairs(id_a, id_b) → (id, core_degree): the k-core — the maximal
     subgraph in which every node keeps degree ≥ k — by iterative
@@ -400,11 +507,15 @@ def kcore_nodes(
     instead of one scheduled multi-stage job per round. Fact-scale
     work stays distributed at any input size; the cutoff bounds
     driver memory independent of scale (capped by MAX_LOCAL_CUTOFF —
-    loud error, not a driver OOM). NOTE: the numpy tail peels to the
-    exact fixpoint regardless of how many ``max_rounds`` remain (same
-    truncation contract as _local_components_df — pass
-    ``local_cutoff=0`` for capped-parity semantics)."""
+    loud error, not a driver OOM). The numpy tail peels to the exact
+    fixpoint regardless of how many ``max_rounds`` remain, and the
+    distributed path shares the round-7 ``on_round_cap`` contract: if
+    ``max_rounds`` ends with the relation still above the cutoff, a
+    count-only probe peel confirms the fixpoint or (by default)
+    raises — engine output is the exact k-core everywhere it returns;
+    pass ``'truncate'`` to accept the partially-peeled supergraph."""
     _check_local_cutoff(local_cutoff)
+    _check_on_round_cap(on_round_cap)
     import numpy as np
     import pandas as pd
 
@@ -448,10 +559,28 @@ def kcore_nodes(
         n_prev = n_cur
 
     if n_prev > local_cutoff:
-        # max_rounds exhausted while still large: stay distributed
+        # max_rounds exhausted while still large. Peeling only ever
+        # removes edges, so one count-only probe peel (no persist)
+        # distinguishes "already at the fixpoint" from "genuinely
+        # truncated"; the latter raises by default (on_round_cap).
         sym = edges.unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
+        keep_p = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("u")
+        )
+        n_next = (
+            edges.join(keep_p, "u", "left_semi")
+            .join(keep_p.select(F.col("u").alias("v")), "v", "left_semi")
+            .count()
+        )
+        if n_next != n_prev and on_round_cap == "raise":
+            edges.unpersist()
+            raise _round_cap_error("kcore_nodes", "max_rounds", max_rounds)
+        # stay distributed: exact (probe confirmed) or opted-in coarse
         return sym.groupBy(F.col("u").alias("id")).agg(
             F.count(F.lit(1)).alias("core_degree")
         )
