@@ -390,15 +390,33 @@ def main() -> None:
         # Round-5 ADVICE: an ad-hoc run at a non-canonical SF must not
         # clobber the committed sf0.1 artifact that bench_compare and
         # the round records consume — non-canonical SFs get an
-        # SF-suffixed filename instead.
+        # SF-suffixed filename instead. Round-7 verdict #4: the
+        # canonical-SF file is now a LIVE artifact (gitignored — any
+        # run may overwrite it); the numbers a round's records cite
+        # are round-stamped WRITE-ONCE copies (BENCH_DETAIL_r{N}.json,
+        # committed): set SPARK_GRAFT_BENCH_ROUND=N on the round-close
+        # run and a later re-run — driver or ad-hoc — cannot clobber
+        # the certified artifact (existing stamps are never
+        # overwritten).
         detail_name = (
             "BENCH_DETAIL.json" if sf == "0.1" else f"BENCH_DETAIL_sf{sf}.json"
         )
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), detail_name
-        )
-        with open(detail_path, "w") as fh:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, detail_name), "w") as fh:
             json.dump(detail, fh, indent=1)
+        rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+        if rnd and sf == "0.1":
+            stamp = os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+            if os.path.exists(stamp):
+                print(
+                    f"# {os.path.basename(stamp)} already exists — "
+                    "round-stamped artifacts are write-once; not "
+                    "overwritten",
+                    file=sys.stderr,
+                )
+            else:
+                with open(stamp, "w") as fh:
+                    json.dump(detail, fh, indent=1)
     except OSError as exc:  # read-only checkout: the stdout line stands
         print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     print(

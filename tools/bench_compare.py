@@ -7,9 +7,13 @@ annotated by-design trades don't read as silent regressions.
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [threshold_pct]
 
-Accepts either a BENCH_DETAIL.json file or a driver BENCH_r{N}.json
-wrapper (whose "tail"/"parsed" fields hold the bench stdout line) — the
-per-query map is extracted from whichever shape parses.
+Accepts a BENCH_DETAIL.json / round-stamped BENCH_DETAIL_r{N}.json
+file or a driver BENCH_r{N}.json wrapper (whose "tail"/"parsed" fields
+hold the bench stdout line) — the per-query map is extracted from
+whichever shape parses. Since round 7 the canonical round-over-round
+comparison is BENCH_DETAIL_r{N-1}.json vs BENCH_DETAIL_r{N}.json: the
+un-suffixed live file is gitignored and any run may overwrite it,
+while round stamps are write-once (bench.py, SPARK_GRAFT_BENCH_ROUND).
 """
 
 from __future__ import annotations
