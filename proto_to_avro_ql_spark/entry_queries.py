@@ -11,6 +11,11 @@ Conventions for oracle stability:
 - dates rendered as ISO strings (reference semantics, SURVEY §1.2);
 - arrays/structs are projected to scalars (length, joined string,
   element fields) for hashing; the nested forms are asserted in tests/.
+- oracles must be PURE SELECT/WITH queries: the verification gate
+  shares one DuckDB connection per sf_dir, so SET/CREATE/INSTALL/
+  INSERT would leak state into later entries (enforced at run time in
+  tests/oracle_check.duckdb_run and statically by tools/lint_oracles
+  rule R5).
 """
 
 from __future__ import annotations

@@ -93,6 +93,19 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def duckdb_run(sf_dir: str, sql: str) -> pd.DataFrame:
+    # The shared-connection reuse above is stateless ONLY while every
+    # oracle is a pure read (r6 ADVICE): a future oracle issuing
+    # SET/CREATE/INSTALL/INSERT would silently leak state into every
+    # subsequent entry's verification on this connection. Reject
+    # anything that isn't SELECT/WITH up front.
+    head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+    if head not in ("SELECT", "WITH"):
+        raise ValueError(
+            f"oracle SQL must be a pure SELECT/WITH query (got {head!r}): "
+            "the per-sf_dir DuckDB connection is shared across entries, "
+            "so statements with side effects would leak state between "
+            "verifications"
+        )
     return duckdb_con(sf_dir).execute(sql).fetchdf()
 
 

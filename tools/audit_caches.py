@@ -45,32 +45,40 @@ CACHE_ATTRS = {"cache", "persist"}
 
 
 def sites_in_file(path: str) -> list[tuple[str, int, bool]]:
-    """(enclosing_function, lineno, paired_with_unpersist) per site."""
+    """(enclosing_function, lineno, paired_with_unpersist) per site.
+
+    PAIRED is COUNT-BASED per enclosing function (r6 ADVICE: the old
+    any-unpersist-in-function heuristic let a function with 3 persists
+    and 1 unpersist pass while leaking 2 caches): every cache/persist
+    and unpersist call is attributed to its INNERMOST enclosing
+    function, and a function's cache sites are paired only when it
+    contains at least as many unpersist calls as cache sites. Genuine
+    single-shot sites stay on the ALLOWED allowlist."""
     with open(path) as fh:
         tree = ast.parse(fh.read(), filename=path)
 
-    out: list[tuple[str, int, bool]] = []
+    cache_sites: list[tuple[ast.AST | None, str, int]] = []
+    counts: dict[ast.AST | None, list[int]] = {}  # fn -> [caches, unpersists]
 
     def walk(node: ast.AST, stack: list[ast.AST]) -> None:
         for child in ast.iter_child_nodes(node):
             is_fn = isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef))
             walk(child, stack + [child] if is_fn else stack)
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Attribute)
-            and node.func.attr in CACHE_ATTRS
-        ):
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
             fn = stack[-1] if stack else None
-            fn_name = fn.name if fn is not None else "<module>"
-            paired = fn is not None and any(
-                isinstance(n, ast.Call)
-                and isinstance(n.func, ast.Attribute)
-                and n.func.attr == "unpersist"
-                for n in ast.walk(fn)
-            )
-            out.append((fn_name, node.lineno, paired))
+            if node.func.attr in CACHE_ATTRS:
+                fn_name = fn.name if fn is not None else "<module>"
+                cache_sites.append((fn, fn_name, node.lineno))
+                counts.setdefault(fn, [0, 0])[0] += 1
+            elif node.func.attr == "unpersist":
+                counts.setdefault(fn, [0, 0])[1] += 1
 
     walk(tree, [])
+    out: list[tuple[str, int, bool]] = []
+    for fn, fn_name, lineno in cache_sites:
+        n_cache, n_unpersist = counts.get(fn, [0, 0])
+        paired = fn is not None and n_unpersist >= n_cache
+        out.append((fn_name, lineno, paired))
     return out
 
 

@@ -256,6 +256,17 @@ def lint_all(repo_root: str | Path | None = None) -> dict[str, list[str]]:
             for h in find_violations(sql)
             if (name, h.split(" ", 1)[0]) not in ALLOW
         ]
+        # R5 pure-SELECT (r6 ADVICE): the oracle gate shares one DuckDB
+        # connection per sf_dir, so an oracle issuing SET/CREATE/
+        # INSTALL/INSERT would leak state into every later entry's
+        # verification. oracle_check.duckdb_run also rejects this at
+        # run time; linting it here catches the regression statically.
+        head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+        if head not in ("SELECT", "WITH"):
+            hits.append(
+                f"R5 non-SELECT oracle: starts with {head!r} — side effects "
+                "would leak through the shared per-sf_dir connection"
+            )
         if hits:
             bad[name] = hits
     # Spark-side: the same SQL surface appears in F.expr/selectExpr
