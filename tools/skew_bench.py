@@ -223,6 +223,166 @@ def main() -> None:
     )
     emb.unpersist()
 
+    # -- experiment 6: psm caliper 1-NN, ALL orders in one hot band ------
+    # (r6 verdict next-round #6). ext_psm_match's one shuffle key is
+    # the caliper band; the adversarial input is every order in ONE
+    # band — the whole match lands in a single window partition. The
+    # structural mitigation is the two-edge-window design: within a
+    # band the 1-NN is a sort + two O(n) running frames, NOT the
+    # treated×control candidate join a naive matcher runs. Both are
+    # timed on the same planted single-band table and must agree
+    # exactly (n_matched, sums, ATT) — with 10k×10k in-band pairs the
+    # quadratic candidate relation is ~100M rows while the edge
+    # windows sort 20k.
+    import tempfile as _tf
+
+    from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+    n_orders = 20_000
+    psm_dir = _tf.mkdtemp(prefix="skew_psm_")
+    spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        F.col("id").alias("o_custkey"),  # parity → 50/50 treated/control
+        # all prices < $10k → every order in caliper band 0
+        ((F.pmod(F.col("id") * 7919, F.lit(9000))).cast("double") + 0.25).alias(
+            "o_totalprice"
+        ),
+        F.when(F.pmod("id", F.lit(3)) == 0, F.lit("F"))
+        .otherwise(F.lit("O"))
+        .alias("o_orderstatus"),
+        F.lit("1995-01-01").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        F.lit("c").alias("o_clerk"),
+        F.lit(0).alias("o_shippriority"),
+        F.lit("x").alias("o_comment"),
+    ).write.mode("overwrite").parquet(os.path.join(psm_dir, "orders.parquet"))
+
+    def psm_edge_windows():
+        return tuple(
+            QUERIES["ext_psm_match"](spark, psm_dir)
+            .select("band", "n_treated", "n_matched", "sum_yt", "sum_yc")
+            .collect()[0]
+        )
+
+    def psm_quadratic():
+        # the naive matcher: band-equi-join every treated order to
+        # every in-band control, rank by (distance, lower-side
+        # tie-break) — same semantics, quadratic candidate relation
+        s = (
+            read_table(spark, psm_dir, "orders")
+            .select(
+                F.col("o_orderkey").alias("okey"),
+                (F.col("o_custkey") % 2).cast("bigint").alias("treated"),
+                (F.col("o_totalprice").cast("decimal(38,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+            )
+            .withColumn("band", F.expr("cents DIV 1000000"))
+        )
+        t = s.where(F.col("treated") == 1).select("band", "okey", "cents", "y")
+        rep = (
+            s.where(F.col("treated") == 0)
+            .groupBy("band", "cents")
+            .agg(F.min_by("y", "okey").alias("yc"))
+            .select(
+                F.col("band").alias("r_band"),
+                F.col("cents").alias("r_cents"),
+                "yc",
+            )
+        )
+        cand = t.join(rep, F.col("r_band") == F.col("band"))
+        wnn = Window.partitionBy("okey").orderBy(
+            F.abs(F.col("r_cents") - F.col("cents")), F.col("r_cents")
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(wnn))
+            .where(F.col("rn") == 1)
+            .select("band", "y", "yc")
+        )
+        agg = best.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_treated"),
+            F.count("yc").alias("n_matched"),
+            F.sum("y").cast("bigint").alias("sum_yt"),
+            F.sum("yc").cast("bigint").alias("sum_yc"),
+        )
+        return tuple(agg.collect()[0])
+
+    psm_edge_windows()  # warm per variant (codegen differs)
+    psm_quadratic()
+    r_edge = timed("psm_hot_band_edge_windows", psm_edge_windows)
+    r_quad = timed("psm_hot_band_quadratic_join", psm_quadratic)
+    r_edge["result"], r_quad["result"] = (
+        list(r_edge["result"]),
+        list(r_quad["result"]),
+    )
+    print(json.dumps(r_edge))
+    print(json.dumps(r_quad))
+    assert r_edge["result"] == r_quad["result"], (
+        "edge-window matching must equal the quadratic matcher exactly: "
+        f"{r_edge['result']} vs {r_quad['result']}"
+    )
+    assert r_edge["wall_s"] < r_quad["wall_s"], (
+        "the sort + running-frame design should beat the quadratic "
+        "candidate join on a hot band"
+    )
+
+    # -- experiment 7: sessionize, ONE user holding 50% of all events ----
+    # (r6 verdict next-round #6). sessionize's shuffle key is user_id;
+    # the adversarial input routes half the stream to one user. Two
+    # keyed mitigations are structural and asserted here: (a) both
+    # window passes share ONE exchange+sort (exactly one hash
+    # exchange in the physical plan, hot input or not), and (b) both
+    # frames are RUNNING frames — O(n) per partition — so growing the
+    # hot partition 4× must cost ~4×, not the ~16× a per-row-rescan
+    # frame would (the ext_psm_match UnboundedFollowing lesson,
+    # SCALE.md). The 3× slack on the assert absorbs local jitter.
+    from proto_to_avro_ql_spark.operators.windows import sessionize
+
+    def hot_events(replicate: int) -> DataFrame:
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        rep = ev.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        )
+        return rep.select(
+            (F.col("event_id") * replicate + F.col("_r")).alias("event_id"),
+            F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            F.timestamp_seconds(
+                F.unix_timestamp("ts") + F.col("_r") * 17
+            ).alias("ts"),
+        )
+
+    plan = sessionize(hot_events(2))._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, (
+        f"sessionize must plan ONE shared exchange for both window "
+        f"passes, got {n_exchanges}"
+    )
+
+    def run_sessionize(replicate: int):
+        df = hot_events(replicate)
+
+        def run():
+            return int(
+                sessionize(df).agg(F.sum("session_seq")).first()[0]
+            )
+        return run
+
+    run_sessionize(2)()  # warm both sizes
+    run_sessionize(8)()
+    r_s2 = timed("sessionize_hot_user_x2", run_sessionize(2))
+    r_s8 = timed("sessionize_hot_user_x8", run_sessionize(8))
+    print(json.dumps(r_s2))
+    print(json.dumps(r_s8))
+    assert r_s8["wall_s"] < 12 * r_s2["wall_s"], (
+        "running-frame sessionization should scale ~linearly in the hot "
+        f"partition (4× rows): {r_s2['wall_s']} -> {r_s8['wall_s']}"
+    )
+
 
 if __name__ == "__main__":
     main()
