@@ -302,6 +302,21 @@ def sink_comparison(spark, sf_dir: str) -> None:
         print(f"# {name}: {round(time.perf_counter() - t0, 3)}s", file=sys.stderr)
 
 
+def round_stamp_path(here: str, sf: str, rnd: str | None) -> str | None:
+    """Round-7 verdict #4 — the write-once round-stamp decision.
+
+    Returns the BENCH_DETAIL_r{N}.json path to write, None when no
+    stamp applies (no SPARK_GRAFT_BENCH_ROUND set, or a non-canonical
+    SF — only sf0.1 numbers are certified), or the sentinel "EXISTS"
+    when the stamp is already on disk: an existing round stamp is
+    NEVER overwritten, so a later driver or ad-hoc canonical-SF re-run
+    cannot clobber the numbers a round's records cite."""
+    if not rnd or sf != "0.1":
+        return None
+    stamp = os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+    return "EXISTS" if os.path.exists(stamp) else stamp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -404,19 +419,16 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, detail_name), "w") as fh:
             json.dump(detail, fh, indent=1)
-        rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-        if rnd and sf == "0.1":
-            stamp = os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
-            if os.path.exists(stamp):
-                print(
-                    f"# {os.path.basename(stamp)} already exists — "
-                    "round-stamped artifacts are write-once; not "
-                    "overwritten",
-                    file=sys.stderr,
-                )
-            else:
-                with open(stamp, "w") as fh:
-                    json.dump(detail, fh, indent=1)
+        stamp = round_stamp_path(here, sf, os.environ.get("SPARK_GRAFT_BENCH_ROUND"))
+        if stamp == "EXISTS":
+            print(
+                "# round stamp already exists — round-stamped artifacts "
+                "are write-once; not overwritten",
+                file=sys.stderr,
+            )
+        elif stamp:
+            with open(stamp, "w") as fh:
+                json.dump(detail, fh, indent=1)
     except OSError as exc:  # read-only checkout: the stdout line stands
         print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     print(

@@ -103,3 +103,44 @@ def test_bench_headline13_prefix_is_stable():
         "ext_sessionize",
         "ext_corpus_pipeline",
     ]
+
+
+class TestBenchRoundStamp:
+    """Round-7 verdict #4: certified bench artifacts are write-once
+    round stamps; the live BENCH_DETAIL.json is gitignored. The stamp
+    decision is pure (bench.round_stamp_path) so immutability is
+    pinned here without running the bench."""
+
+    def test_no_round_env_means_no_stamp(self, tmp_path):
+        import bench
+
+        assert bench.round_stamp_path(str(tmp_path), "0.1", None) is None
+        assert bench.round_stamp_path(str(tmp_path), "0.1", "") is None
+
+    def test_non_canonical_sf_never_stamps(self, tmp_path):
+        import bench
+
+        assert bench.round_stamp_path(str(tmp_path), "0.01", "7") is None
+
+    def test_fresh_stamp_path_and_write_once(self, tmp_path):
+        import os
+
+        import bench
+
+        p = bench.round_stamp_path(str(tmp_path), "0.1", "7")
+        assert p is not None and p.endswith("BENCH_DETAIL_r07.json")
+        open(p, "w").write("{}")
+        # a second canonical-SF run the same round must refuse
+        assert bench.round_stamp_path(str(tmp_path), "0.1", "7") == "EXISTS"
+        # the next round stamps its own file
+        p8 = bench.round_stamp_path(str(tmp_path), "0.1", "8")
+        assert p8 is not None and p8.endswith("BENCH_DETAIL_r08.json")
+        assert not os.path.exists(p8)
+
+    def test_live_detail_is_gitignored(self):
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        gi = open(os.path.join(root, ".gitignore")).read().splitlines()
+        assert "BENCH_DETAIL.json" in gi
+        assert "BENCH_DETAIL_sf*.json" in gi
