@@ -118,6 +118,14 @@ SWEEP = [
     "ext_rfm",
     "ext_pareto_frontier",
     "ext_match_pattern",
+    # round 7: the remaining window-rotation entries not yet swept +
+    # the r08-staged grouping/stats aggregates
+    "ext_sessionize",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
