@@ -601,3 +601,75 @@ class TestGraphProperties:
             for r in edge_triangle_support(oriented).collect()
         }
         assert got == expected, (sorted(simple), got, expected)
+
+
+class TestUniformCCSemantics:
+    """Round-7: with on_round_cap='raise' the engine contract is 'exact
+    fixpoint or loud error' on EVERY path. Fuzz arbitrary small graphs
+    (self-loops, duplicates, hubs, disconnected chains) through all
+    three component paths — local union-find (default cutoffs),
+    distributed label propagation, distributed star contraction — and
+    an independent Python reachability reference; all four must agree
+    exactly. Any silent-truncation regression on any path breaks this."""
+
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=11),
+                st.integers(min_value=0, max_value=11),
+            ),
+            min_size=1,
+            max_size=18,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_all_paths_agree_with_reachability_reference(self, spark, edges):
+        from proto_to_avro_ql_spark.operators.clustering import (
+            connected_components,
+            star_contraction_components,
+        )
+
+        # Python reference: min reachable id per node (BFS closure),
+        # node universe = every id appearing in any pair (incl. loops)
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        expected = {}
+        for start in adj:
+            seen, stack = {start}, [start]
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            expected[start] = min(seen)
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        local = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(pairs).collect()
+        }
+        # distributed paths forced past the cutoff; max_iter generous
+        # enough that the exact fixpoint is reachable (12 nodes)
+        lp = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(
+                pairs, max_iter=15, local_cutoff=0
+            ).collect()
+        }
+        star = {
+            (r["id"], r["cluster_id"])
+            for r in star_contraction_components(
+                pairs, local_cutoff=0
+            ).collect()
+        }
+        want = set(expected.items())
+        assert local == want, ("local", sorted(local), sorted(want))
+        assert lp == want, ("label-prop", sorted(lp), sorted(want))
+        assert star == want, ("star", sorted(star), sorted(want))
