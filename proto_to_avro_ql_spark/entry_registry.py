@@ -16510,8 +16510,61 @@ def q_ext_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_dtw")  # rows-only: an O(nm) DP is not ANSI-SQL-expressible;
-# correctness is pinned by the brute-force pytest (identical integer DP).
+@register(
+    "ext_dtw",
+    # Anti-diagonal wavefront DP as a DuckDB recursive CTE (round 7 —
+    # this entry was rows-only through r6; the r3 judgment "a 2-D DP
+    # recurrence is not ANSI-SQL-expressible" missed the wavefront
+    # reformulation). Cell (i, j) on diagonal k = i+j depends only on
+    # diagonals k-1 ((i,j-1), (i-1,j)) and k-2 ((i-1,j-1)) — NO
+    # in-diagonal dependency — so the recursion marches k = 0..n+m
+    # carrying two whole diagonals as BIGINT lists (each indexed by i,
+    # fixed length n+1; out-of-band cells hold INF = 2^60, which never
+    # overflows: reachable costs are tiny and INF cells accumulate at
+    # most (n+m)·max|a-b| on top). This is a genuinely independent
+    # formulation of the same exact integer kernel the Spark side runs
+    # row-major in mapInPandas — all costs BIGINT, so the value hash
+    # is bit-exact.
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2
+       ), ser AS (
+         SELECT event_type, list(n ORDER BY d) AS s FROM daily GROUP BY 1
+       ), pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.s AS sa, b.s AS sb,
+                CAST(len(a.s) AS BIGINT) AS n, CAST(len(b.s) AS BIGINT) AS m
+         FROM ser a JOIN ser b ON a.event_type < b.event_type
+       ), dp(type_a, type_b, k, cur, prev) AS (
+         SELECT type_a, type_b, CAST(0 AS BIGINT),
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, n + 1),
+                                 i -> CAST(1152921504606846976 AS BIGINT))),
+                CAST(NULL AS BIGINT[])
+         FROM pairs
+         UNION ALL
+         SELECT p.type_a, p.type_b, dp.k + 1,
+                list_transform(range(0, p.n + 1), i ->
+                  CASE
+                    WHEN dp.k + 1 - i < 0 OR dp.k + 1 - i > p.m
+                         OR i = 0 OR dp.k + 1 - i = 0
+                      THEN CAST(1152921504606846976 AS BIGINT)
+                    ELSE abs(p.sa[CAST(i AS INT)]
+                             - p.sb[CAST(dp.k + 1 - i AS INT)])
+                         + least(dp.cur[CAST(i + 1 AS INT)],
+                                 dp.cur[CAST(i AS INT)],
+                                 dp.prev[CAST(i AS INT)])
+                  END),
+                dp.cur
+         FROM dp JOIN pairs p USING (type_a, type_b)
+         WHERE dp.k < p.n + p.m
+       )
+       SELECT dp.type_a, dp.type_b, p.n AS len_a, p.m AS len_b,
+              dp.cur[CAST(p.n + 1 AS INT)] AS dtw_cost
+       FROM dp JOIN pairs p USING (type_a, type_b)
+       WHERE dp.k = p.n + p.m""",
+)
 def q_ext_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-time-warping distance between every pair of event
     types' daily count series — the alignment-tolerant similarity that
@@ -16524,10 +16577,12 @@ def q_ext_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs — collect_list alone has no order contract), the 10-row
     pair relation built by a self-join, and the DP in an Arrow-batched
     mapInPandas over PAIR-SIZED data (series length, not event
-    count). All costs are exact BIGINTs. No DuckDB oracle — a DP
-    recurrence over a 2-D table is not expressible in ANSI SQL
-    without quadratic recursive machinery; the pytest runs the
-    identical integer DP in plain Python instead."""
+    count). All costs are exact BIGINTs. Oracled since round 7: the
+    DuckDB side computes the SAME exact integer DP as an
+    anti-diagonal-wavefront recursive CTE (see the oracle comment) —
+    an independent formulation of the recurrence, hash-compared
+    bit-exact — and the brute-force pytest (plain-Python row-major DP)
+    still triple-checks both."""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
