@@ -398,3 +398,20 @@ class TestRoundCapContract:
         assert {(int(a), int(b)) for a, b in want} == {
             (i, 0) for i in range(n)
         }
+
+    def test_star_fixpoint_at_cap_does_not_false_raise(self, spark):
+        """A 3-node path contracts to a star IN the single allowed
+        round; the checksum compare can't confirm it in-loop (the
+        round changed the edge set), so the probe must prove
+        convergence and return exact labels instead of raising."""
+        from proto_to_avro_ql_spark.operators.clustering import (
+            star_contraction_components,
+        )
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        out = star_contraction_components(
+            pairs, max_rounds=1, local_cutoff=0
+        ).collect()
+        assert sorted((r["id"], r["cluster_id"]) for r in out) == [
+            (1, 1), (2, 1), (3, 1)
+        ]
