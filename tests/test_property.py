@@ -673,3 +673,62 @@ class TestUniformCCSemantics:
         assert local == want, ("local", sorted(local), sorted(want))
         assert lp == want, ("label-prop", sorted(lp), sorted(want))
         assert star == want, ("star", sorted(star), sorted(want))
+
+
+class TestKCoreProperties:
+    """Fuzz iterative k-core peeling on arbitrary small graphs against
+    a Python reference, on BOTH paths (local numpy tail and the
+    distributed rounds forced past the cutoff) — complements
+    TestUniformCCSemantics for the third iterative graph operator."""
+
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        k=st.integers(min_value=2, max_value=3),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_kcore_matches_reference_peel(self, spark, edges, k):
+        from proto_to_avro_ql_spark.operators.clustering import kcore_nodes
+
+        simple = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        if not simple:
+            return
+        # Python reference: peel to fixpoint, report surviving degrees
+        es = set(simple)
+        while True:
+            deg: dict[int, int] = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in es if u in alive and v in alive}
+            if nxt == es:
+                break
+            es = nxt
+        expected = {}
+        for u, v in es:
+            expected[u] = expected.get(u, 0) + 1
+            expected[v] = expected.get(v, 0) + 1
+
+        pairs = spark.createDataFrame(sorted(simple), "id_a long, id_b long")
+        local = {
+            (r["id"], r["core_degree"])
+            for r in kcore_nodes(pairs, k=k).collect()
+        }
+        dist = {
+            (r["id"], r["core_degree"])
+            for r in kcore_nodes(pairs, k=k, local_cutoff=0).collect()
+        }
+        want = set(expected.items())
+        assert local == want, ("local", sorted(local), sorted(want))
+        assert dist == want, ("distributed", sorted(dist), sorted(want))
