@@ -91,3 +91,41 @@ class TestSanctionedPatternsPass:
             "SELECT CAST(ROUND(ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)), 6)"
             " AS DECIMAL(38,6)) FROM t"
         )
+
+
+class TestPureSelectOracles:
+    """r6 ADVICE #3: the shared per-sf_dir DuckDB connection is
+    stateless only while every oracle is a pure read. Both enforcement
+    layers are pinned: the run-time rejection in duckdb_run and the
+    registry-wide invariant the static R5 lint rides on."""
+
+    def test_runtime_rejects_non_select(self):
+        import pytest as _pytest
+
+        from tests.oracle_check import duckdb_run
+
+        for sql in ("SET threads=1", "CREATE TABLE x(a INT)",
+                    "INSTALL httpfs", "INSERT INTO t VALUES (1)", "  "):
+            with _pytest.raises(ValueError, match="pure SELECT/WITH"):
+                duckdb_run("/root/testdata/sf0.001", sql)
+
+    def test_runtime_accepts_select_and_with(self):
+        from tests.oracle_check import duckdb_run
+
+        assert len(duckdb_run("/root/testdata/sf0.001", "SELECT 1 AS a")) == 1
+        assert (
+            len(
+                duckdb_run(
+                    "/root/testdata/sf0.001",
+                    "  WITH t AS (SELECT 1 AS a) SELECT * FROM t",
+                )
+            )
+            == 1
+        )
+
+    def test_every_registered_oracle_is_pure(self):
+        from proto_to_avro_ql_spark.entry_queries import ORACLES
+
+        for name, sql in ORACLES.items():
+            head = sql.lstrip().split(None, 1)[0].upper()
+            assert head in ("SELECT", "WITH"), (name, head)
