@@ -207,3 +207,66 @@ class TestRepresentativeEntries:
 
         smells = plan_smells(physical_plan(QUERIES[name](spark, sf_dir)))
         assert smells == set(), (name, smells)
+
+
+class TestCountBasedPairing:
+    """Round-7 (r6 ADVICE #2): the PAIRED heuristic is count-based per
+    innermost enclosing function — a function with more cache sites
+    than unpersist calls is leaking and must NOT pass as paired."""
+
+    def _scan_src(self, tmp_path, src):
+        import textwrap
+
+        from tools.audit_caches import sites_in_file
+
+        p = tmp_path / "mod.py"
+        p.write_text(textwrap.dedent(src))
+        return sites_in_file(str(p))
+
+    def test_equal_counts_are_paired(self, tmp_path):
+        sites = self._scan_src(
+            tmp_path,
+            """
+            def f(a, b):
+                x = a.cache()
+                y = b.persist()
+                x.unpersist()
+                y.unpersist()
+            """,
+        )
+        assert [(n, p) for n, _l, p in sites] == [("f", True), ("f", True)]
+
+    def test_partial_unpersist_is_not_paired(self, tmp_path):
+        # 3 persists, 1 unpersist: the old any-unpersist rule blessed
+        # all three; the count rule must flag them
+        sites = self._scan_src(
+            tmp_path,
+            """
+            def g(a, b, c):
+                x = a.persist()
+                y = b.persist()
+                z = c.cache()
+                x.unpersist()
+            """,
+        )
+        assert all(n == "g" and not p for n, _l, p in sites)
+        assert len(sites) == 3
+
+    def test_attribution_is_per_innermost_function(self, tmp_path):
+        # outer's cache is NOT blessed by an unpersist inside a nested
+        # helper — each function balances its own books
+        sites = self._scan_src(
+            tmp_path,
+            """
+            def outer(a):
+                x = a.cache()
+                def inner():
+                    x.unpersist()
+                return inner
+            """,
+        )
+        assert [(n, p) for n, _l, p in sites] == [("outer", False)]
+
+    def test_module_level_cache_never_paired(self, tmp_path):
+        sites = self._scan_src(tmp_path, "df = spark.read.parquet('x').cache()\n")
+        assert [(n, p) for n, _l, p in sites] == [("<module>", False)]
