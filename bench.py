@@ -313,6 +313,17 @@ def round_stamp_path(here: str, sf: str, rnd: str | None) -> str | None:
     cannot clobber the numbers a round's records cite."""
     if not rnd or sf != "0.1":
         return None
+    if not rnd.isdigit():
+        # r7 ADVICE: int(rnd) on a malformed SPARK_GRAFT_BENCH_ROUND
+        # raised ValueError inside a try that only caught OSError,
+        # crashing bench after the live detail write but before the
+        # headline line. A bad round number only costs the stamp.
+        print(
+            f"# warning: SPARK_GRAFT_BENCH_ROUND={rnd!r} is not a round "
+            "number; skipping the round stamp",
+            file=sys.stderr,
+        )
+        return None
     stamp = os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
     return "EXISTS" if os.path.exists(stamp) else stamp
 

@@ -94,22 +94,21 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 7 (out: ext_kendall_tau, ext_psm_match, ext_holt_winters,
-    # ext_dbscan_grid, ext_shapley_attribution — all driver-green in
-    # CORRECTNESS_r06; they remain locally gated by oracle_check). In:
-    # the staged r07 candidates from ROADMAP.md "Driver-window
-    # rotation", never driver-verified, pre-certified at r6 close at
-    # sf0.001/0.01/0.1 (commit 1fa51d1).
-    # r08 rotation suggestion (next never-driver-verified oracled
-    # entries, INDEX.md top-to-bottom per the rotation policy):
-    # agg_cube, agg_grouping_sets, agg_percentile, agg_rollup,
-    # agg_stats — swap in once CORRECTNESS_r07 confirms the current
+    # round 8 (out: ext_entity_resolution, ext_match_pattern,
+    # ext_sessionize, ext_pagerank, ext_scd2_build — all driver-green
+    # in CORRECTNESS_r07; they remain locally gated by oracle_check).
+    # In: the staged r08 candidates from ROADMAP.md "Driver-window
+    # rotation", never driver-verified, pre-certified at r7 close at
+    # sf0.001/0.01/0.1.
+    # r09 rotation suggestion (already pre-certified at r7 close):
+    # ext_ab_test, ext_abc_analysis, ext_ann_recall, ext_anomaly_band,
+    # ext_anova — swap in once CORRECTNESS_r08 confirms the current
     # slots green.
-    "ext_entity_resolution",      # blocked fuzzy matching end-to-end
-    "ext_match_pattern",          # MATCH_RECOGNIZE-shaped row patterns
-    "ext_sessionize",             # gap-based sessionization windows
-    "ext_pagerank",               # fixed-iteration PageRank
-    "ext_scd2_build",             # SCD Type-2 dimension build
+    "agg_cube",                   # CUBE grouping-set aggregation
+    "agg_grouping_sets",          # explicit GROUPING SETS
+    "agg_percentile",             # exact percentile aggregation
+    "agg_rollup",                 # ROLLUP hierarchy aggregation
+    "agg_stats",                  # stddev/variance/corr stats family
 ]
 
 

@@ -165,8 +165,18 @@ def connected_components(
     # consecutive rounds with equal (count, label-hash-sum) observed
     # metrics mean no label moved — the comparison join the previous
     # version ran each round is gone; the checksum rides the round's
-    # own materializing action.
-    prev_sum = None
+    # own materializing action. prev_sum is seeded with the INITIAL
+    # labels' checksum (r7 ADVICE: mirroring star contraction's
+    # pre-loop _checksum) so the post-loop probe can confirm a
+    # max_iter=0 fixpoint instead of unconditionally raising; the agg
+    # doubles as the action that materializes the labels cache.
+    prev_sum = int(
+        labels.agg(
+            F.coalesce(
+                F.sum(F.xxhash64("id", "label").cast("decimal(38,0)")), F.lit(0)
+            )
+        ).collect()[0][0]
+    )
     converged = False
     for it in range(max_iter):
         neighbor_min = (
@@ -238,9 +248,9 @@ def connected_components(
             .agg(F.coalesce(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(0)))
             .collect()[0][0]
         )
-        converged = prev_sum is not None and int(probe) == prev_sum
+        converged = int(probe) == prev_sum
+        edges.unpersist()  # no-op unless max_iter == 0 skipped the loop
         if not converged and on_round_cap == "raise":
-            edges.unpersist()  # no-op unless max_iter == 0 skipped the loop
             sym.unpersist()
             labels.unpersist()
             raise _round_cap_error("connected_components", "max_iter", max_iter)
@@ -529,6 +539,7 @@ def kcore_nodes(
     )
     spark = pairs.sparkSession
     n_prev = edges.count()
+    converged = False
     for rnd in range(max_rounds):
         if n_prev <= local_cutoff:
             break
@@ -555,31 +566,37 @@ def kcore_nodes(
         edges.unpersist()
         edges = nxt
         if n_cur == n_prev:
+            converged = True
             break
         n_prev = n_cur
 
     if n_prev > local_cutoff:
-        # max_rounds exhausted while still large. Peeling only ever
-        # removes edges, so one count-only probe peel (no persist)
-        # distinguishes "already at the fixpoint" from "genuinely
-        # truncated"; the latter raises by default (on_round_cap).
         sym = edges.unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        keep_p = (
-            sym.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= k)
-            .select("u")
-        )
-        n_next = (
-            edges.join(keep_p, "u", "left_semi")
-            .join(keep_p.select(F.col("u").alias("v")), "v", "left_semi")
-            .count()
-        )
-        if n_next != n_prev and on_round_cap == "raise":
-            edges.unpersist()
-            raise _round_cap_error("kcore_nodes", "max_rounds", max_rounds)
+        if not converged:
+            # max_rounds exhausted while still large AND the loop never
+            # saw n_cur == n_prev (r7 ADVICE: the probe is skipped when
+            # the loop already confirmed the fixpoint in-loop — a
+            # converged run no longer pays a redundant distributed
+            # peel). Peeling only ever removes edges, so one count-only
+            # probe peel (no persist) distinguishes "already at the
+            # fixpoint" from "genuinely truncated"; the latter raises
+            # by default (on_round_cap).
+            keep_p = (
+                sym.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("u")
+            )
+            n_next = (
+                edges.join(keep_p, "u", "left_semi")
+                .join(keep_p.select(F.col("u").alias("v")), "v", "left_semi")
+                .count()
+            )
+            if n_next != n_prev and on_round_cap == "raise":
+                edges.unpersist()
+                raise _round_cap_error("kcore_nodes", "max_rounds", max_rounds)
         # stay distributed: exact (probe confirmed) or opted-in coarse
         return sym.groupBy(F.col("u").alias("id")).agg(
             F.count(F.lit(1)).alias("core_degree")

@@ -96,15 +96,20 @@ def duckdb_run(sf_dir: str, sql: str) -> pd.DataFrame:
     # The shared-connection reuse above is stateless ONLY while every
     # oracle is a pure read (r6 ADVICE): a future oracle issuing
     # SET/CREATE/INSTALL/INSERT would silently leak state into every
-    # subsequent entry's verification on this connection. Reject
-    # anything that isn't SELECT/WITH up front.
-    head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-    if head not in ("SELECT", "WITH"):
+    # subsequent entry's verification on this connection. The first
+    # guard was a first-token check, which (r7 ADVICE) both passed
+    # CTE-prefixed DML ('WITH c AS (...) INSERT INTO ...' is a valid
+    # DuckDB INSERT) and false-rejected comment-prefixed oracles.
+    # Classify via the parser instead: exactly ONE statement, and the
+    # parser must type it SELECT (comments are handled for free).
+    stmts = duckdb.extract_statements(sql)
+    if len(stmts) != 1 or stmts[0].type != duckdb.StatementType.SELECT:
+        kinds = [str(s.type) for s in stmts]
         raise ValueError(
-            f"oracle SQL must be a pure SELECT/WITH query (got {head!r}): "
-            "the per-sf_dir DuckDB connection is shared across entries, "
-            "so statements with side effects would leak state between "
-            "verifications"
+            f"oracle SQL must be exactly one pure SELECT statement (parser "
+            f"saw {kinds}): the per-sf_dir DuckDB connection is shared "
+            "across entries, so statements with side effects would leak "
+            "state between verifications"
         )
     return duckdb_con(sf_dir).execute(sql).fetchdf()
 

@@ -347,6 +347,41 @@ class TestRoundCapContract:
             (0, 2), (1, 2), (2, 2), (3, 2)
         ]
 
+    def test_cc_zero_cap_fixpoint_confirmed_by_probe(self, spark):
+        """r7 ADVICE: with max_iter=0, prev_sum used to be None, so the
+        probe could NEVER confirm convergence and a graph already at
+        the fixpoint raised anyway — inconsistent with star contraction
+        and k-core, which confirm a zero-cap fixpoint via a pre-loop
+        baseline. A self-loop-only graph is at the label fixpoint from
+        the start (every node's only neighbor is itself), so max_iter=0
+        must return exact self-clusters, not raise."""
+        loops = spark.createDataFrame(
+            [(i, i) for i in range(6)], "id_a long, id_b long"
+        )
+        from proto_to_avro_ql_spark.operators.clustering import (
+            connected_components,
+        )
+
+        out = connected_components(loops, max_iter=0, local_cutoff=0)
+        assert sorted((r["id"], r["cluster_id"]) for r in out.collect()) == [
+            (i, i) for i in range(6)
+        ]
+
+    def test_kcore_in_loop_convergence_with_spare_rounds_stays_exact(self, spark):
+        """r7 ADVICE companion: when the loop confirms the fixpoint
+        in-loop (n_cur == n_prev with rounds to spare), the
+        confirmation probe is skipped — the converged distributed path
+        must still return the exact core."""
+        from proto_to_avro_ql_spark.operators.clustering import kcore_nodes
+
+        cyc = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "id_a long, id_b long"
+        )
+        out = kcore_nodes(cyc, k=2, max_rounds=8, local_cutoff=0)
+        assert sorted((r["id"], r["core_degree"]) for r in out.collect()) == [
+            (0, 2), (1, 2), (2, 2), (3, 2)
+        ]
+
     def test_bad_on_round_cap_rejected(self, spark):
         import pytest as _pytest
 

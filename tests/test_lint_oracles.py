@@ -106,10 +106,26 @@ class TestPureSelectOracles:
 
         for sql in ("SET threads=1", "CREATE TABLE x(a INT)",
                     "INSTALL httpfs", "INSERT INTO t VALUES (1)", "  "):
-            with _pytest.raises(ValueError, match="pure SELECT/WITH"):
+            with _pytest.raises(ValueError, match="one pure SELECT"):
                 duckdb_run("/root/testdata/sf0.001", sql)
 
-    def test_runtime_accepts_select_and_with(self):
+    def test_runtime_rejects_cte_prefixed_dml(self):
+        """r7 ADVICE: DuckDB accepts CTE-prefixed DML, so the old
+        first-token guard let 'WITH ... INSERT INTO ...' through and
+        it MUTATED the shared connection. The parser-based guard must
+        classify it as INSERT and reject."""
+        import pytest as _pytest
+
+        from tests.oracle_check import duckdb_run
+
+        for sql in (
+            "WITH c AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM c",
+            "SELECT 1; SELECT 2",  # multi-statement: second could be DML
+        ):
+            with _pytest.raises(ValueError, match="one pure SELECT"):
+                duckdb_run("/root/testdata/sf0.001", sql)
+
+    def test_runtime_accepts_select_with_and_comments(self):
         from tests.oracle_check import duckdb_run
 
         assert len(duckdb_run("/root/testdata/sf0.001", "SELECT 1 AS a")) == 1
@@ -122,10 +138,27 @@ class TestPureSelectOracles:
             )
             == 1
         )
+        # r7 ADVICE: the first-token guard false-rejected oracles that
+        # start with a SQL comment; the parser-based guard must not.
+        assert (
+            len(
+                duckdb_run(
+                    "/root/testdata/sf0.001",
+                    "-- leading comment\nSELECT 1 AS a",
+                )
+            )
+            == 1
+        )
 
     def test_every_registered_oracle_is_pure(self):
+        import duckdb
+
         from proto_to_avro_ql_spark.entry_queries import ORACLES
 
         for name, sql in ORACLES.items():
-            head = sql.lstrip().split(None, 1)[0].upper()
-            assert head in ("SELECT", "WITH"), (name, head)
+            stmts = duckdb.extract_statements(sql)
+            assert len(stmts) == 1, (name, [str(s.type) for s in stmts])
+            assert stmts[0].type == duckdb.StatementType.SELECT, (
+                name,
+                str(stmts[0].type),
+            )

@@ -256,17 +256,25 @@ def lint_all(repo_root: str | Path | None = None) -> dict[str, list[str]]:
             for h in find_violations(sql)
             if (name, h.split(" ", 1)[0]) not in ALLOW
         ]
-        # R5 pure-SELECT (r6 ADVICE): the oracle gate shares one DuckDB
-        # connection per sf_dir, so an oracle issuing SET/CREATE/
-        # INSTALL/INSERT would leak state into every later entry's
-        # verification. oracle_check.duckdb_run also rejects this at
-        # run time; linting it here catches the regression statically.
-        head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-        if head not in ("SELECT", "WITH"):
-            hits.append(
-                f"R5 non-SELECT oracle: starts with {head!r} — side effects "
-                "would leak through the shared per-sf_dir connection"
-            )
+        # R5 pure-SELECT (r6 ADVICE, r7 ADVICE): the oracle gate shares
+        # one DuckDB connection per sf_dir, so an oracle issuing SET/
+        # CREATE/INSTALL/INSERT would leak state into every later
+        # entry's verification. The first-token form of this check both
+        # passed CTE-prefixed DML ('WITH c AS (...) INSERT ...') and
+        # false-rejected comment-prefixed oracles; classify via the
+        # DuckDB parser instead, mirroring oracle_check.duckdb_run.
+        try:
+            import duckdb
+
+            stmts = duckdb.extract_statements(sql)
+            if len(stmts) != 1 or stmts[0].type != duckdb.StatementType.SELECT:
+                kinds = [str(s.type) for s in stmts]
+                hits.append(
+                    f"R5 non-SELECT oracle: parser saw {kinds} — side effects "
+                    "would leak through the shared per-sf_dir connection"
+                )
+        except duckdb.Error as exc:  # unparseable SQL is its own failure
+            hits.append(f"R5 oracle does not parse: {exc}")
         if hits:
             bad[name] = hits
     # Spark-side: the same SQL surface appears in F.expr/selectExpr
