@@ -36,6 +36,7 @@ from proto_to_avro_ql_spark.functions.defaults import (
     empty_string_to_null,
     enum_symbol,
 )
+from proto_to_avro_ql_spark.functions import portable as PK
 from proto_to_avro_ql_spark.operators import dedup as DD
 from proto_to_avro_ql_spark.operators import multimodal as MM
 from proto_to_avro_ql_spark.operators import segments as SEG
@@ -2733,17 +2734,79 @@ def q_ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_approx_distinct")  # sketch output is engine-specific: rows-only
+def _hll_oracle(table: str, key: str, group: str | None = None) -> str:
+    """DuckDB side of the portable HLL (functions/portable.py): mix →
+    (bucket, max rho) registers → S/V → integer estimate. Identical
+    integer kernel to the Spark entry, DuckDB spelling of the mixer —
+    pinned bit-equal in tests/test_portable_kernel.py."""
+    b, r = PK.hll_bucket_sql("h31"), PK.hll_rho_sql("h31")
+    s, v = PK.hll_s_v_sql("rho", "COUNT(*)")
+    est = PK.hll_estimate_sql("S", "V")
+    g = f"{group}, " if group else ""
+    gby = f" GROUP BY {group}" if group else ""
+    return (
+        f"WITH h AS (SELECT {g}{PK.mix31_duckdb_sql(key)} AS h31 FROM {table}), "
+        f"regs AS (SELECT {g}{b} AS bucket, MAX({r}) AS rho FROM h GROUP BY {g}bucket), "
+        f"sv AS (SELECT {g}{s} AS S, {v} AS V FROM regs{gby}) "
+    )
+
+
+def _hll_spark_regs(df: DataFrame, key: str, group: list[str]) -> DataFrame:
+    """Spark side of the portable HLL register build: one narrow
+    projection (mix is a pure codegen expression), then a map-side-
+    combined MAX into at most |group|×256 register rows — the only
+    shuffle payload is (group, bucket, rho)."""
+    h = df.select(*group, F.expr(PK.mix31_spark_sql(key)).alias("h31"))
+    return (
+        h.select(
+            *group,
+            F.expr(PK.hll_bucket_sql("h31")).alias("bucket"),
+            F.expr(PK.hll_rho_sql("h31")).alias("rho"),
+        )
+        .groupBy(*group, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def _hll_spark_estimate(regs: DataFrame, group: list[str]) -> DataFrame:
+    s, v = PK.hll_s_v_sql("rho", "COUNT(*)")
+    est = PK.hll_estimate_sql("S", "V")
+    sv = regs.groupBy(*group).agg(F.expr(s).alias("S"), F.expr(v).alias("V"))
+    return sv.select(*group, F.expr(f"CAST({est} AS BIGINT)").alias("est"))
+
+
+@register(
+    "ext_approx_distinct",
+    _hll_oracle("lineitem", "l_partkey")
+    + """SELECT CAST({est} AS BIGINT) AS approx_parts,
+              (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_parts
+       FROM sv""".format(
+        est=PK.hll_estimate_sql("S", "V")
+    ),
+)
 def q_ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — THE cardinality primitive at
-    100 TB (fixed-size sketch, map-side mergeable, vs an exact distinct
-    whose shuffle grows with cardinality). Accuracy pinned in pytest
-    against the exact count."""
+    100 TB (fixed-size register relation, map-side mergeable, vs an
+    exact distinct whose shuffle grows with cardinality).
+
+    Round 8: upgraded rows-only → hash-exact oracle via the PORTABLE
+    integer HLL kernel (functions/portable.py): a 31-bit xorshift-
+    multiply mix, m=256 max-rho registers, and an all-integer estimate
+    (alpha and the linear-counting ln table are Python-evaluated
+    constants), so Spark and DuckDB compute the SAME estimate bit for
+    bit — the sketch algorithm was never engine-specific, only Spark's
+    HLL++ implementation was. Production note: at billions of keys the
+    31-bit ring saturates; swap to the engine-native 64-bit
+    ``approx_count_distinct`` (same scale shape, no oracle). Accuracy
+    vs the exact count stays pinned in pytest (observed ≤8% across
+    sf0.001..0.1; m=256 theoretical stderr 6.5%)."""
     l = read_table(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
+    regs = _hll_spark_regs(l, "l_partkey", [])
+    approx = _hll_spark_estimate(regs, []).select(
+        F.col("est").alias("approx_parts")
     )
+    exact = l.agg(F.count_distinct("l_partkey").alias("exact_parts"))
+    return approx.crossJoin(F.broadcast(exact))
 
 
 @register(
@@ -2857,37 +2920,144 @@ def q_gaql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_approx_freq")  # sketch internals engine-specific: rows-only
+_CMS_QUERY_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _cms_oracle() -> str:
+    """DuckDB side of the portable count-min sketch over event_type:
+    string fold → d=4 row-seeded bucket hashes → additive counters →
+    MIN over rows per queried key. Same integer kernel as the Spark
+    entry (functions/portable.py), DuckDB spellings."""
+    fold = PK.str_code_duckdb_sql("event_type")
+    bucket = PK.cms_bucket_duckdb_sql("code", "r")
+    rows = f"(SELECT unnest(range(0, {PK.CMS_D})) AS r)"
+    vals = ", ".join(f"('{t}')" for t in _CMS_QUERY_TYPES)
+    return f"""WITH codes AS (SELECT {fold} AS code FROM events),
+    eb AS (SELECT r, {bucket} AS bucket FROM codes, {rows}),
+    counters AS (SELECT r, bucket, COUNT(*) AS cnt FROM eb GROUP BY r, bucket),
+    qc AS (SELECT event_type, {fold} AS code FROM (VALUES {vals}) t(event_type)),
+    qb AS (SELECT event_type, r, {bucket} AS bucket FROM qc, {rows})
+    SELECT event_type, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+    FROM qb LEFT JOIN counters USING (r, bucket)
+    GROUP BY event_type ORDER BY event_type"""
+
+
+@register("ext_approx_freq", _cms_oracle())
 def q_ext_approx_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates per event type — the third
     mergeable sketch alongside HLL (ext_approx_distinct) and quantile
-    (ext_approx_quantile). The sketch is built distributed (map-side
-    partial merge, one tiny binary per partition crosses the wire);
-    point queries read the merged sketch driver-side. Accuracy vs exact
-    counts is pinned in pytest (eps * total bound)."""
+    (ext_approx_quantile). The sketch builds distributed: each row
+    contributes d=4 (row, bucket) increments, map-side combined into a
+    fixed d×256 counter relation (additive ⇒ mergeable across
+    partitions and time); point queries broadcast-join the tiny
+    counter relation and take the per-key MIN over rows. Never
+    underestimates; overestimate bounded by collisions (pinned in
+    pytest).
+
+    Round 8: upgraded rows-only → hash-exact oracle via the portable
+    integer kernel (functions/portable.py) — the old form read Spark's
+    CountMinSketch binary driver-side (engine-specific bytes, JVM
+    round-trip); this one is pure DataFrame ops AND DuckDB-verifiable
+    bit for bit."""
     ev = read_table(spark, sf_dir, "events")
-    sk = ev.agg(
-        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("s")
-    ).first()[0]
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
-    types = ["click", "error", "purchase", "signup", "view"]
-    return spark.createDataFrame(
-        [(t, cms.estimateCount(t)) for t in types],
-        "event_type string, est_count long",
+    code = F.expr(PK.str_code_spark_sql("event_type"))
+    buckets = F.array(
+        *[
+            F.expr(PK.cms_bucket_spark_sql("code", str(r)))
+            for r in range(PK.CMS_D)
+        ]
+    )
+    counters = (
+        ev.select(code.alias("code"))
+        .select(F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qk = spark.createDataFrame(
+        [(t,) for t in _CMS_QUERY_TYPES], "event_type string"
+    )
+    qb = qk.select("event_type", code.alias("code")).select(
+        "event_type", F.posexplode(buckets).alias("r", "bucket")
+    )
+    return (
+        qb.join(F.broadcast(counters), ["r", "bucket"], "left")
+        .groupBy("event_type")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .orderBy("event_type")
     )
 
 
-@register("ext_approx_quantile")  # sketch values are engine-specific: rows-only
+_QUANT_PS = [0.25, 0.5, 0.75, 0.95]
+_QUANT_BIN_CENTS = 100_000  # $1000-wide histogram bins
+_QUANT_CENTS = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+
+
+def _quantile_oracle() -> str:
+    ps = ", ".join(f"CAST({p} AS DOUBLE)" for p in _QUANT_PS)
+    return f"""WITH c AS (SELECT {_QUANT_CENTS} AS cents FROM lineitem),
+    nn AS (SELECT COUNT(*) AS n FROM c),
+    ps AS (SELECT unnest([{ps}]) AS p),
+    hist AS (SELECT CAST(FLOOR(cents / {_QUANT_BIN_CENTS}) AS BIGINT) AS bin,
+                    COUNT(*) AS cnt FROM c GROUP BY bin),
+    ha AS (SELECT p, bin, SUM(cnt) OVER (PARTITION BY p ORDER BY bin) AS cum
+           FROM ps, hist),
+    approx AS (SELECT p, MIN(bin) * {_QUANT_BIN_CENTS} AS approx_cents
+               FROM ha, nn WHERE cum >= CAST(CEIL(p * n) AS BIGINT) GROUP BY p),
+    vals AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents),
+    va AS (SELECT p, cents, SUM(cnt) OVER (PARTITION BY p ORDER BY cents) AS cum
+           FROM ps, vals),
+    exact AS (SELECT p, MIN(cents) AS exact_cents
+              FROM va, nn WHERE cum >= CAST(CEIL(p * n) AS BIGINT) GROUP BY p)
+    SELECT p, approx_cents, exact_cents
+    FROM approx JOIN exact USING (p) ORDER BY p"""
+
+
+@register("ext_approx_quantile", _quantile_oracle())
 def q_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna / t-digest family) —
-    the quantile primitive at 100 TB (bounded-memory mergeable sketch
-    vs exact percentile's full sort per group). Accuracy pinned in
-    pytest against the exact interpolated quantile."""
+    """Approximate percentiles via a fixed-width integer histogram
+    sketch — the quantile primitive at 100 TB: the histogram is a
+    bounded, MERGEABLE counter relation (add bins across partitions /
+    days), vs exact percentile's full sort per group. The estimate is
+    the lower edge of the first bin whose cumulative count reaches
+    ceil(p*n); error is bounded by the bin width by construction
+    (pinned in pytest). The exact type-1 order statistic rides along
+    as the comparator column (its value-count + running-sum path is
+    the expensive exact plan the sketch replaces at scale).
+
+    Round 8: upgraded rows-only → hash-exact oracle. The old form
+    compared Spark's percentile_approx (Greenwald-Khanna internals,
+    engine-specific) against Spark's own exact percentile; this one is
+    all-integer (prices quantized to cents, $1000 bins) so DuckDB
+    reproduces BOTH columns bit for bit."""
+    from pyspark.sql import Window
+
     l = read_table(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+    c = l.select(F.expr(_QUANT_CENTS).alias("cents"))
+    nn = c.agg(F.count(F.lit(1)).alias("n"))
+    ps = spark.createDataFrame([(p,) for p in _QUANT_PS], "p double")
+    target = F.expr("CAST(CEIL(p * n) AS BIGINT)")
+
+    def first_at_or_above(counts: DataFrame, key: str) -> DataFrame:
+        w = Window.partitionBy("p").orderBy(key)
+        j = counts.crossJoin(F.broadcast(ps)).crossJoin(F.broadcast(nn))
+        return (
+            j.withColumn("cum", F.sum("cnt").over(w))
+            .where(F.col("cum") >= target)
+            .groupBy("p")
+            .agg(F.min(key).alias(f"min_{key}"))
+        )
+
+    hist = c.groupBy(
+        F.expr(f"CAST(FLOOR(cents / {_QUANT_BIN_CENTS}) AS BIGINT)").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    vals = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    approx = first_at_or_above(hist, "bin").select(
+        "p", (F.col("min_bin") * _QUANT_BIN_CENTS).alias("approx_cents")
     )
+    exact = first_at_or_above(vals, "cents").select(
+        "p", F.col("min_cents").alias("exact_cents")
+    )
+    return approx.join(exact, "p").orderBy("p")
 
 
 @register("ext_sim_search_ivf")  # approximate by design: rows-only
@@ -5131,25 +5301,42 @@ def q_ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_incremental_distinct")  # sketch internals engine-specific: rows-only
+@register(
+    "ext_incremental_distinct",
+    _hll_oracle("events", "user_id", group="event_type")
+    + """SELECT event_type, CAST({est} AS BIGINT) AS n_users_est
+       FROM sv ORDER BY event_type""".format(
+        est=PK.hll_estimate_sql("S", "V")
+    ),
+)
 def q_ext_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count maintenance: per-day HLL sketches
-    (hll_sketch_agg) staged, then hll_union_agg merges them into the
-    per-type distinct-user estimate — the incremental companion of
-    ext_incremental_agg for the one aggregate that has no partial-sum
-    state. Register-max is associative, so the union of daily sketches
-    yields EXACTLY the sketch of the whole set (pinned in
-    tests/test_scale_patterns.py against the direct sketch); history
-    is never rescanned. Rows-only: sketch bytes are engine-specific,
-    so no DuckDB oracle by design."""
+    """Mergeable distinct-count maintenance: per-(day, event_type)
+    portable-HLL register relations staged, then merged by register
+    MAX into the per-type distinct-user estimate — the incremental
+    companion of ext_incremental_agg for the one aggregate that has no
+    partial-sum state. Register-max is associative, so the union of
+    daily sketches yields EXACTLY the sketch of the whole set; history
+    is never rescanned.
+
+    Round 8: upgraded rows-only → hash-exact oracle. The DuckDB oracle
+    deliberately skips the daily staging and sketches the whole set
+    DIRECTLY — so the value-hash compare IS the associativity proof
+    (merged-dailies == direct) on every gate run, strictly stronger
+    than the old pytest-only pin against Spark's own hll_sketch_agg.
+    Kernel: functions/portable.py (m=256 integer registers; engine-
+    native 64-bit sketches remain the production path at billions of
+    keys)."""
     ev = read_table(spark, sf_dir, "events")
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
-    daily = ev.groupBy(day.alias("day"), "event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    daily = _hll_spark_regs(
+        ev.select(day.alias("day"), "event_type", "user_id"),
+        "user_id",
+        ["day", "event_type"],
     )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
     return (
-        daily.groupBy("event_type")
-        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_users_est"))
+        _hll_spark_estimate(merged, ["event_type"])
+        .select("event_type", F.col("est").alias("n_users_est"))
         .orderBy("event_type")
     )
 

@@ -1,0 +1,199 @@
+"""Portable integer sketch kernels — one algorithm, both engines.
+
+The round-7 verdict asked for the 9 rows-only entries to be re-audited
+"with the ext_dtw lesson applied": entries were rows-only because
+their values came from engine-specific sketch implementations (Spark's
+HLL++ / CountMinSketch / Greenwald-Khanna internals differ from
+anything DuckDB can reproduce, so no value-hash oracle was possible).
+The lesson: the *algorithm* is not engine-specific — only the chosen
+implementation was. This module re-expresses the sketch kernels as
+pure integer arithmetic over a 31-bit deterministic hash, emitted as
+SQL text fragments for Spark SQL (via ``F.expr``) and DuckDB (in the
+oracle string). Both engines then compute the exact same registers,
+counters, and estimates — bit-identical, hash-exact.
+
+Exactness rules (each fragment below honors them):
+- integers only, every intermediate in [0, 2^31) and every product
+  < 2^62 (no overflow under Spark ANSI mode, no HUGEINT promotion
+  surprises in DuckDB);
+- shared-text fragments use only ``%  *  +  -  /  FLOOR  CAST  CASE
+  length  bin  POWER`` — identical name and semantics in both engines;
+- integer division is ``CAST(FLOOR(a / b) AS BIGINT)`` — both engines
+  divide to DOUBLE, operands < 2^53, so the double is exact and the
+  floor identical (Spark ``div`` / DuckDB ``//`` are NOT shared text,
+  and a bare CAST of a double rounds in DuckDB but truncates in
+  Spark — FLOOR first makes them agree);
+- the mixer needs XOR and right-shift, which the engines spell
+  differently (Spark ``^`` / ``shiftright`` vs DuckDB ``xor()`` /
+  ``>>``), so it is emitted per-engine; the two spellings are pinned
+  bit-equal on a 50k-value grid plus unicode strings by
+  tests/test_portable_kernel.py;
+- the only float op is one final IEEE-754 double divide per estimate
+  with both operands < 2^53 (exactly representable), so the quotient
+  is the same correctly-rounded double on both engines. ln() never
+  runs in either engine: the linear-counting table is evaluated once
+  in Python below and shipped as integer literals.
+
+The mixer is a 31-bit xorshift-multiply (murmur-finalizer shape, odd
+public constants from xxHash's prime list reduced mod 2^31). It is not
+cryptographic; it is a deterministic, portable diffusion function
+whose quality is MEASURED, not assumed: the HLL estimate error is
+within the theoretical m=256 bound (~8% max observed across n = 15 …
+600k during tuning) and re-pinned on real data by the accuracy pytests.
+
+At 100 TB: a 31-bit ring supports cardinalities into the tens of
+millions (HLL needs ~log2(n * m) hash bits). For billions of keys a
+production job would flip to the engine-native 64-bit sketch
+(``approx_count_distinct`` / DataSketches); these portable kernels are
+the *verification* variant — same algorithm, engine-exact — and the
+scale shape (map-side partial max/add into a fixed register relation)
+is identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+M31 = 2_147_483_648  # 2^31 — the hash ring
+_MK1 = 0x27D4EB2F  # 668265263, odd (xxHash PRIME32_3 reduced)
+_MK2 = 0x165667B1  # 374761393, odd (xxHash PRIME32_5)
+CMS_SALT = 1_779_033_703  # per-row seed stride (SHA-256 IV word, public)
+
+# HLL geometry: m=256 registers. bucket = top 8 bits, w = low 23 bits,
+# rho = leading-zero rank of w within 23 bits + 1 ∈ [1, 24].
+HLL_M = 256
+_HLL_WBITS = 23
+_HLL_W = 1 << _HLL_WBITS  # 8388608
+_HLL_RHOCAP = _HLL_WBITS + 1  # 24
+_HLL_WMAX = 1 << _HLL_RHOCAP  # 2^24: register r contributes 2^(24-r) to S
+# alpha_256 * m^2 * 2^24, rounded once here and inlined as an integer
+# literal so neither engine evaluates alpha's float formula.
+HLL_ALPHA_NUM = int(
+    round((0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * _HLL_WMAX)
+)
+# Linear-counting lookup for the small-range regime (raw estimate
+# <= 2.5m and empty registers exist): est = round(m * ln(m / V)).
+# V has only 256 possible values, so the float ln runs ONCE here and
+# ships as integer CASE arms — no ln() in either engine.
+_LC_TABLE = {v: int(round(HLL_M * math.log(HLL_M / v))) for v in range(1, HLL_M + 1)}
+HLL_LC_THRESHOLD = int(2.5 * HLL_M)  # 640
+
+# CMS geometry: d=4 rows, w=256 buckets (top 8 bits of the mix).
+CMS_D = 4
+CMS_W = 256
+_CMS_SHIFT_DIV = M31 // CMS_W  # 8388608 = 2^23
+
+
+def _mix31(e: str, xor: str, shr: str) -> str:
+    """31-bit xorshift-multiply mixer, parameterized on the engine's
+    XOR/shift spelling. xor/shr are format strings with {a}/{b}."""
+
+    def x(a: str, b: int) -> str:
+        return f"({xor.format(a=a, b=shr.format(a=a, b=b))})"
+
+    h = f"((({e}) % {M31} + {M31}) % {M31})"
+    h = x(h, 15)
+    h = f"(({h} * {_MK1}) % {M31})"
+    h = x(h, 13)
+    h = f"(({h} * {_MK2}) % {M31})"
+    h = x(h, 16)
+    return h
+
+
+def mix31_spark_sql(e: str) -> str:
+    return _mix31(e, "{a} ^ {b}", "shiftright({a}, {b})")
+
+
+def mix31_duckdb_sql(e: str) -> str:
+    return _mix31(e, "xor({a}, {b})", "({a} >> {b})")
+
+
+def str_code_spark_sql(col: str) -> str:
+    """Polynomial code-point fold of a string column — Spark spelling.
+    NULL/empty fold to the bare seed (the engines disagree on what a
+    zero-length split yields: Spark ascii('')=0, DuckDB ord('')
+    errors/underflows — so that case never reaches the fold)."""
+    return (
+        f"(CASE WHEN {col} IS NULL OR {col} = '' THEN CAST(7 AS BIGINT) ELSE "
+        f"aggregate(transform(split({col}, ''), c -> ascii(c)), "
+        f"CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % {M31}) END)"
+    )
+
+
+def str_code_duckdb_sql(col: str) -> str:
+    """The same fold — DuckDB spelling (list_reduce needs a non-empty
+    list, so the seed is prepended as the first element)."""
+    return (
+        f"(CASE WHEN {col} IS NULL OR {col} = '' THEN CAST(7 AS BIGINT) ELSE "
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(string_split({col}, ''), c -> ord(c))), "
+        f"(h, c) -> (h * 31 + c) % {M31}) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL fragments (shared text): take the NAME of a materialized h31
+# column — compute the mix once into a column/CTE first, it is a large
+# expression.
+# ---------------------------------------------------------------------------
+
+
+def hll_bucket_sql(h: str) -> str:
+    return f"CAST(FLOOR(({h}) / {_HLL_W}) AS BIGINT)"
+
+
+def hll_rho_sql(h: str) -> str:
+    """Rank of the leading 1-bit of the low 23 bits, from the top:
+    rho = 24 - bitlength(w), with w = 0 mapping to the max rank 24.
+    bin() renders without leading zeros in BOTH engines (probed:
+    bin(5)='101', bin(0)='0'), so length(bin(w)) IS the bit length."""
+    w = f"(({h}) % {_HLL_W})"
+    return (
+        f"(CASE WHEN {w} = 0 THEN {_HLL_RHOCAP} "
+        f"ELSE {_HLL_RHOCAP} - length(bin(CAST({w} AS BIGINT))) END)"
+    )
+
+
+def hll_s_v_sql(rho_col: str, n_expr: str) -> tuple[str, str]:
+    """(S, V) aggregate fragments over a register relation with
+    per-bucket max-rho ``rho_col``: S = Σ 2^(24-rho) over present
+    buckets plus 2^24 per absent bucket; V = number of absent buckets
+    (absent ⇔ register 0). ``n_expr`` is the present-bucket count
+    expression (e.g. COUNT(*))."""
+    s = (
+        f"(SUM(CAST(POWER(2, {_HLL_RHOCAP} - {rho_col}) AS BIGINT)) "
+        f"+ ({HLL_M} - {n_expr}) * {_HLL_WMAX})"
+    )
+    return s, f"({HLL_M} - {n_expr})"
+
+
+def hll_estimate_sql(s: str, v: str) -> str:
+    """Estimate from named S and V columns: raw harmonic-mean estimate
+    with the standard linear-counting small-range correction, every
+    arm an integer literal."""
+    raw = f"CAST(FLOOR({HLL_ALPHA_NUM} / CAST({s} AS DOUBLE)) AS BIGINT)"
+    arms = " ".join(f"WHEN {vv} THEN {est}" for vv, est in _LC_TABLE.items())
+    lc = f"(CASE {v} {arms} END)"
+    return (
+        f"(CASE WHEN {raw} <= {HLL_LC_THRESHOLD} AND {v} > 0 "
+        f"THEN {lc} ELSE {raw} END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS fragments (engine-tagged because the mixer is)
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket_spark_sql(code: str, r: str) -> str:
+    """Row-r counter bucket for an integer key code: top 8 bits of the
+    mix of (code + r * SALT). SALT is cast to BIGINT explicitly: under
+    Spark ANSI mode an INT-literal product (r * SALT) overflows int32
+    loudly instead of promoting."""
+    h = mix31_spark_sql(f"({code}) + ({r}) * CAST({CMS_SALT} AS BIGINT)")
+    return f"CAST(FLOOR(({h}) / {_CMS_SHIFT_DIV}) AS BIGINT)"
+
+
+def cms_bucket_duckdb_sql(code: str, r: str) -> str:
+    h = mix31_duckdb_sql(f"({code}) + ({r}) * CAST({CMS_SALT} AS BIGINT)")
+    return f"CAST(FLOOR(({h}) / {_CMS_SHIFT_DIV}) AS BIGINT)"

@@ -74,22 +74,37 @@ class TestEmptyInputs:
 
 
 class TestSketchAccuracy:
+    """Round 8: the sketch entries moved to the portable integer
+    kernels (functions/portable.py) so DuckDB oracles them hash-exact;
+    these tests keep pinning the orthogonal claim the oracle can't —
+    that the estimates are close to the TRUTH, not merely
+    cross-engine-identical."""
+
     def test_hll_within_tolerance(self, spark, sf_dir):
         from proto_to_avro_ql_spark.entry_queries import QUERIES
 
         r = QUERIES["ext_approx_distinct"](spark, sf_dir).first()
-        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
+        # m=256 registers: theoretical stderr ~6.5%; observed ≤7.4%
+        # across sf0.001..0.1 during round-8 tuning.
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.12
 
-    def test_approx_quantile_within_tolerance(self, spark, sf_dir):
+    def test_approx_quantile_bin_bound(self, spark, sf_dir):
+        """The histogram estimate is the lower edge of the bin holding
+        the target order statistic, so the exact value sits within one
+        bin width above it — an ERROR BOUND, not a tolerance."""
         from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.entry_registry import _QUANT_BIN_CENTS
 
-        r = QUERIES["ext_approx_quantile"](spark, sf_dir).first()
-        assert abs(r.p50_approx - r.p50_exact) / r.p50_exact < 0.02
+        rows = QUERIES["ext_approx_quantile"](spark, sf_dir).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert 0 <= r.exact_cents - r.approx_cents < _QUANT_BIN_CENTS, r
 
     def test_cms_within_eps_bound(self, spark, sf_dir):
-        """CMS overestimates by at most eps * total (w.h.p.); never
-        underestimates."""
+        """CMS never underestimates; overestimate is bounded by bucket
+        collisions (d=4 rows × w=256 buckets)."""
         from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from proto_to_avro_ql_spark.functions.portable import CMS_W
         from proto_to_avro_ql_spark.sources.io import read_table
 
         ev = read_table(spark, sf_dir, "events")
@@ -97,7 +112,7 @@ class TestSketchAccuracy:
         total = sum(exact.values())
         for r in QUERIES["ext_approx_freq"](spark, sf_dir).collect():
             assert r.est_count >= exact[r.event_type]
-            assert r.est_count - exact[r.event_type] <= 0.001 * total + 1
+            assert r.est_count - exact[r.event_type] <= 2 * total / CMS_W + 1
 
 
 class TestUnicodeText:

@@ -100,6 +100,10 @@ def plan_smells(plan: str) -> set[str]:
 ALLOWED: dict[str, set[str]] = {
     "ext_abc_analysis": {'global_window', 'single_part_exchange'},
     "ext_ann_recall": {'bnl_join'},
+    # round 8: portable-sketch upgrades — 1-row broadcast stat joins
+    # (exact-count / n / p-grid relations crossJoined back, ≤4 rows).
+    "ext_approx_distinct": {'bnl_join'},
+    "ext_approx_quantile": {'bnl_join'},
     "ext_assoc_rules": {'bnl_join'},
     "ext_auc": {'global_window', 'single_part_exchange'},
     "ext_audience_overlap": {'bnl_join'},
