@@ -197,3 +197,127 @@ def cms_bucket_spark_sql(code: str, r: str) -> str:
 def cms_bucket_duckdb_sql(code: str, r: str) -> str:
     h = mix31_duckdb_sql(f"({code}) + ({r}) * CAST({CMS_SALT} AS BIGINT)")
     return f"CAST(FLOOR(({h}) / {_CMS_SHIFT_DIV}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Vector kernels: integer-grid embeddings (round 8 — ext_kmeans /
+# ext_sim_search_ivf / ext_pq_search rows-only → oracled).
+#
+# Embeddings quantize to an integer micro-grid (floor(x * 1e6): the
+# float32 → double widening is exact and the double product
+# deterministic IEEE, so both engines land on the same BIGINT). All
+# distances are integer squared-L2 (values ≤ ~1e6, 64 dims → sums
+# < 2^47, overflow-safe); centroid updates are exact integer floor
+# division, so Lloyd's iterations stay bit-identical across engines —
+# the round-3 judgment "iterative float centroid training is not
+# portably expressible" confused the FLOAT variant with the algorithm.
+# ---------------------------------------------------------------------------
+
+VEC_SCALE = 1_000_000
+
+
+def vec_quant_spark_sql(col: str) -> str:
+    return (
+        f"transform({col}, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {VEC_SCALE}) AS BIGINT))"
+    )
+
+
+def vec_quant_duckdb_sql(col: str) -> str:
+    return (
+        f"list_transform({col}, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {VEC_SCALE}) AS BIGINT))"
+    )
+
+
+def l2sq_spark_sql(a: str, b: str) -> str:
+    """Integer squared-L2 between two quantized vectors — Spark."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (s, t) -> s + t)"
+    )
+
+
+def l2sq_duckdb_sql(a: str, b: str) -> str:
+    """The same — DuckDB (list_zip packs pairs as unnamed structs,
+    indexed positionally)."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+
+def fdiv_sql(s: str, n: str) -> str:
+    """Exact floor division for a possibly-negative integer sum —
+    shared text: subtract the positive mod first, then the division is
+    exact (both engines' % agree on negatives: -7 % 2 == -1, probed)."""
+    posmod = f"((({s}) % ({n}) + ({n})) % ({n}))"
+    return f"CAST(FLOOR((({s}) - {posmod}) / ({n})) AS BIGINT)"
+
+
+def duckdb_kmeans_ctes(
+    k: int, iters: int, dim: int, table: str = "embeddings", sub: int | None = None
+) -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs (AS MATERIALIZED:
+    each round references the previous assignment several times, and
+    un-materialized CTE inlining re-expands the whole chain per
+    reference — exponential planning). Produces CTEs:
+
+      q(vec_id[, sub], v)      quantized (sub)vectors
+      pos(i)                   1..dim positions
+      c{0..iters}([sub,] cell, cv)   centroids per round
+      a{iters}(vec_id[, sub], cell)  final assignment
+
+    ``sub`` splits each vector into dim-sized contiguous subvectors
+    (PQ codebook training: the SAME unrolled chain, one extra group
+    key). Seeds are the k lowest vec_ids — deterministic, mirroring
+    the Spark variant."""
+    g = "sub, " if sub is not None else ""
+    gj = "(vec_id)" if sub is None else "(vec_id, sub)"
+    if sub is None:
+        q = (
+            f"q AS MATERIALIZED (SELECT vec_id, "
+            f"{vec_quant_duckdb_sql('embedding')} AS v FROM {table})"
+        )
+    else:
+        q = (
+            f"q AS MATERIALIZED (SELECT vec_id, s.sub, "
+            f"list_transform(range(1, {dim + 1}), j -> "
+            f"{vec_quant_duckdb_sql('embedding')}[s.sub * {dim} + j]) AS v "
+            f"FROM {table}, (SELECT unnest(range(0, {sub})) AS sub) s)"
+        )
+    parts = [
+        q,
+        f"pos AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+        f"c0 AS MATERIALIZED (SELECT {g}vec_id AS cell, v AS cv "
+        f"FROM q WHERE vec_id < {k})",
+    ]
+    dist = l2sq_duckdb_sql("q.v", "c.cv")
+    for it in range(iters):
+        join_g = " AND q.sub = c.sub" if sub is not None else ""
+        sel_g = "q.sub, " if sub is not None else ""
+        part_g = "q.vec_id" + (", q.sub" if sub is not None else "")
+        parts.append(
+            f"a{it} AS MATERIALIZED (SELECT {g}vec_id, cell FROM ("
+            f"SELECT {sel_g}q.vec_id, c.cell, ROW_NUMBER() OVER ("
+            f"PARTITION BY {part_g} ORDER BY {dist}, c.cell) AS rn "
+            f"FROM q, c{it} c WHERE TRUE{join_g}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{it + 1} AS MATERIALIZED (SELECT {g}cell, "
+            f"list({fdiv_sql('s', 'n')} ORDER BY i) AS cv FROM ("
+            f"SELECT {g}cell, i, SUM(v[i]) AS s, COUNT(*) AS n "
+            f"FROM a{it} JOIN q USING {gj}, pos "
+            f"GROUP BY {g}cell, i) GROUP BY {g}cell)"
+        )
+    it = iters
+    join_g = " AND q.sub = c.sub" if sub is not None else ""
+    sel_g = "q.sub, " if sub is not None else ""
+    part_g = "q.vec_id" + (", q.sub" if sub is not None else "")
+    parts.append(
+        f"a{it} AS MATERIALIZED (SELECT {g}vec_id, cell FROM ("
+        f"SELECT {sel_g}q.vec_id, c.cell, ROW_NUMBER() OVER ("
+        f"PARTITION BY {part_g} ORDER BY {dist}, c.cell) AS rn "
+        f"FROM q, c{it} c WHERE TRUE{join_g}) WHERE rn = 1)"
+    )
+    return ",\n    ".join(parts)

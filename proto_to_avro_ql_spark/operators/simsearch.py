@@ -547,3 +547,219 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-grid variants (round 8): the same Lloyd's / IVF / PQ
+# algorithms over micro-quantized integer vectors, so every distance,
+# centroid, and rank is exact integer arithmetic that DuckDB reproduces
+# bit-for-bit (functions/portable.py holds the paired SQL fragments and
+# the unrolled-CTE oracle generator). The float variants above remain
+# the production path for raw recall work; these are the ORACLED path —
+# same scale shape (broadcast centroids/codebooks, map-side-combined
+# per-dimension sums, never a vector-sized shuffle beyond the corpus
+# pass), deterministic to the last bit.
+# ---------------------------------------------------------------------------
+
+
+def _quant(vec_col: str) -> Column:
+    from proto_to_avro_ql_spark.functions.portable import vec_quant_spark_sql
+
+    return F.expr(vec_quant_spark_sql(vec_col))
+
+
+def l2sq_int(a: str, b: str) -> Column:
+    from proto_to_avro_ql_spark.functions.portable import l2sq_spark_sql
+
+    return F.expr(l2sq_spark_sql(a, b))
+
+
+def _fdiv(s: str, n: str) -> Column:
+    from proto_to_avro_ql_spark.functions.portable import fdiv_sql
+
+    return F.expr(fdiv_sql(s, n))
+
+
+def _assign_cells_int(qv: DataFrame, cents: DataFrame, keys: list[str]) -> DataFrame:
+    """Nearest centroid by integer L2 — min(struct(dist, cell)) hash
+    aggregate (lexicographic min == ROW_NUMBER(dist, cell) rank 1 in
+    the DuckDB oracle; no sort window)."""
+    join_on = [k for k in keys if k == "sub"]
+    j = (
+        qv.join(F.broadcast(cents), join_on)
+        if join_on
+        else qv.crossJoin(F.broadcast(cents))
+    )
+    scored = j.select(
+        *keys,
+        "v",
+        F.struct(l2sq_int("v", "cv").alias("d"), F.col("cell").alias("cell")).alias(
+            "dc"
+        ),
+    )
+    return (
+        scored.groupBy(*keys)
+        .agg(F.min("dc").alias("best"), F.first("v").alias("v"))
+        .select(*keys, F.col("best.cell").alias("cell"), "v")
+    )
+
+
+def _mean_vectors_int(assigned: DataFrame, group: list[str]) -> DataFrame:
+    """(group, cell, v) → (group, cell, cv): per-dimension exact
+    integer floor-mean, map-side-combined sums, re-assembled in
+    position order."""
+    pos = assigned.select(*group, "cell", F.posexplode("v").alias("i", "val"))
+    per_dim = pos.groupBy(*group, "cell", "i").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_dim = per_dim.select(*group, "cell", "i", _fdiv("s", "n").alias("cval"))
+    return (
+        per_dim.groupBy(*group, "cell")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "cval"))).alias("dims"))
+        .select(*group, "cell", F.transform("dims", lambda d: d["cval"]).alias("cv"))
+    )
+
+
+def kmeans_cells_int(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-grid Lloyd's: deterministic seeds (k lowest-id vectors),
+    integer squared-L2 assignment with (dist, cell) tie-break, exact
+    floor-mean updates. Returns (vec_id, v, cell, cv) — assignment plus
+    final centroids. Bit-identical to portable.duckdb_kmeans_ctes."""
+    qv = embeddings.select(F.col(id_col).alias("vec_id"), _quant(vec_col).alias("v"))
+    cents = qv.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign_cells_int(qv, cents, ["vec_id"])
+        cents = _mean_vectors_int(assigned, [])
+    return _assign_cells_int(qv, cents, ["vec_id"]).join(F.broadcast(cents), "cell")
+
+
+def ivf_topk_int(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    probes: int = 2,
+    k_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN on the integer grid: probe the ``probes`` inverted lists
+    whose centroids are L2-nearest each query; exact integer ranks
+    throughout (dist asc, id asc). Scale shape identical to ivf_topk:
+    centroids tiny and broadcast, a query touches ~probes/k_cells of a
+    cell-partitioned corpus."""
+    assigned = kmeans_cells_int(
+        embeddings, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    ).persist()
+    cents = assigned.select("cell", "cv").distinct()
+    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cell", l2sq_int("qv", "cv").alias("cd"))
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cell"))
+    probed = (
+        qc.withColumn("cr", F.row_number().over(w_cell))
+        .where(F.col("cr") <= probes)
+        .select("query_id", "qv", "cell")
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cell"
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", l2sq_int("qv", "nv").alias("l2_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    # assigned stays persisted into the returned plan (centroid distinct,
+    # probe ranking, and the candidate scan all read it) — same
+    # single-shot shape as ivf_topk, allowlisted in tools/audit_caches.
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
+def _sub_slices_int(embeddings: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, sub, v): quantized contiguous subvectors — quantize the
+    full vector once, then slice cheap index ranges (the Generate
+    pitfall rule: slice after the transform, never explode a computed
+    frame array)."""
+    from proto_to_avro_ql_spark.functions.portable import vec_quant_spark_sql
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    sub = dim // m
+    qv = vec_quant_spark_sql(vec_col)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice({qv}, s * {sub} + 1, {sub}))"
+            )
+        ).alias("sub", "v"),
+    )
+
+
+def pq_adc_topk_int(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 16,
+    k_codes: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-grid PQ ADC search (the oracled variant of pq_adc_topk):
+    per-subspace codebooks trained with integer Lloyd's over quantized
+    subvectors, candidates carried as (id, sub, code) rows, distance =
+    Σ over subspaces of the broadcast LUT entry. Same scale shape as
+    the float variant — codebooks m*k rows broadcast, one corpus pass
+    per training iteration, ADC is a keyed join + hash aggregate,
+    nothing vector-sized shuffles."""
+    sv = _sub_slices_int(embeddings, m, id_col, vec_col).persist()
+    books = sv.where(F.col("vec_id") < k_codes).select(
+        "sub", F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign_cells_int(sv, books, ["vec_id", "sub"])
+        books = _mean_vectors_int(assigned, ["sub"])
+    codes = _assign_cells_int(sv, books, ["vec_id", "sub"]).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "cell"
+    )
+    qq = sv.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("v").alias("qv")
+    )
+    lut = qq.join(F.broadcast(books), "sub").select(
+        "query_id", "sub", "cell", l2sq_int("qv", "cv").alias("pd")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    # sv stays persisted into the returned plan (codebook training,
+    # encoding, and the query LUT all read it) — single-shot shape,
+    # allowlisted in tools/audit_caches.
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -121,8 +121,12 @@ ALLOWED: dict[str, str] = {
         "per-doc token aggregate (df join + doc-length stats broadcast)",
     "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk":
         "cell-assigned embeddings (centroid stats + probe join)",
+    "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk_int":
+        "cell-assigned integer embeddings (centroid distinct + probe + scan)",
     "proto_to_avro_ql_spark/operators/simsearch.py:pq_adc_topk":
         "PQ codes (codebook build + ADC scoring branch)",
+    "proto_to_avro_ql_spark/operators/simsearch.py:pq_adc_topk_int":
+        "quantized subvectors (codebook training + encoding + query LUT)",
     # --- entry_registry single-shot entries ------------------------------
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_assoc_rules":
         "baskets: N, marginals, in-task pairs share it",
