@@ -1289,16 +1289,39 @@ def q_ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_multimodal_features")  # Arrow/mapInPandas plumbing: rows-only
+def _byte_hist_oracle() -> str:
+    hs = ", ".join(
+        "CAST(len(list_filter(list_transform(string_split(props, ''), "
+        f"c -> ord(c)), b -> CAST(FLOOR(b / 32) AS BIGINT) = {i})) AS BIGINT) "
+        f"AS h{i}"
+        for i in range(8)
+    )
+    return (
+        "SELECT event_id, CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes, "
+        f"{hs} FROM events"
+    )
+
+
+@register("ext_multimodal_features", _byte_hist_oracle())
 def q_ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
-    batches); decode step is the documented deterministic stub."""
+    batches); the decode step is the documented deterministic stub
+    (an 8-bin byte histogram standing in for a codec decode).
+
+    Round 8: upgraded rows-only → hash-exact oracle. "Arrow/mapInPandas
+    plumbing" was never un-verifiable — only the float-normalized
+    features were awkward; the RAW integer histogram is reproducible
+    from the source strings in DuckDB (payloads are ASCII JSON, so
+    ord(char) == byte; a non-ASCII byte would mismatch loudly). The
+    gate therefore proves, on every run, that payload bytes crossed
+    the Python/Arrow boundary uncorrupted AND that the per-batch
+    vectorized loop computes the declared function — the two things
+    that can actually break in mapInPandas plumbing. Scale shape
+    unchanged: binary payloads cross into Python once per Arrow batch,
+    never per row; output is narrow typed columns."""
     ev = read_table(spark, sf_dir, "events")
     packed = MM.pack_blob(ev, "props", "application/json")
-    feats = MM.extract_features(packed)
-    return feats.select(
-        "event_id", "n_bytes", F.round(F.element_at("feat", 1), 6).alias("feat0")
-    )
+    return MM.extract_byte_histogram(packed)
 
 
 # ===========================================================================
@@ -1390,24 +1413,52 @@ def q_ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, table_name="q_stream_window")
 
 
-@register("ext_stream_append_sink")  # append-mode finalization: rows-only
+@register(
+    "ext_stream_append_sink",
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+         strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2, 3""",
+)
 def q_ext_stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native parquet file sink in APPEND output mode with watermark
     finalization — each window emitted exactly once when the watermark
     passes its end (state for closed windows evicted; the only output
-    mode viable for an unbounded 100 TB stream). Subset-and-equality vs
-    the batch agg is pinned in tests/test_streaming.py; emission timing
-    is watermark-dependent, hence rows-only here."""
+    mode viable for an unbounded 100 TB stream).
+
+    Round 8: upgraded rows-only → hash-exact oracle. The old "emission
+    timing is watermark-dependent" justification was about the
+    TRAILING windows: the watermark Spark applies in batch N is
+    computed from data through batch N-1, so the last windows' fate
+    was protocol-defined, not data-defined. Two staged sentinel slices
+    (streaming/sinks.py flush_sentinels) push the watermark past every
+    real window end with a batch to spare, which makes the finalized
+    set exactly "every real window" — a pure function of the data —
+    so the DuckDB oracle is the plain batch windowed aggregation, and
+    the gate now proves end-to-end that append mode emitted each
+    window EXACTLY once with the right aggregate values (a dropped or
+    doubled finalization hash-mismatches). The sentinels' own windows
+    never finalize and are filtered defensively."""
     import tempfile
 
     from proto_to_avro_ql_spark.streaming.sinks import run_stream_append_parquet
 
-    return run_stream_append_parquet(
+    out = run_stream_append_parquet(
         spark,
         sf_dir,
         tempfile.mkdtemp(prefix="q_app_stage_"),
         tempfile.mkdtemp(prefix="q_app_out_"),
         tempfile.mkdtemp(prefix="q_app_ckpt_"),
+        flush_sentinels=2,
+    )
+    return out.where(F.col("event_type") != "sentinel").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
 
 

@@ -210,3 +210,41 @@ def dedup_payloads(packed: DataFrame, id_col: str = "event_id") -> DataFrame:
             F.min(F.col("blob_meta.n_bytes")).alias("n_bytes"),
         )
     )
+
+
+HIST_SCHEMA = T.StructType(
+    [T.StructField("event_id", T.LongType()), T.StructField("n_bytes", T.LongType())]
+    + [T.StructField(f"h{i}", T.LongType()) for i in range(8)]
+)
+
+
+def extract_byte_histogram(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Round 8: the ORACLED feature extractor — the same mapInPandas
+    Arrow plumbing as extract_features, but the deterministic fake
+    decode emits the RAW 8-bin byte histogram as integer columns
+    instead of normalized floats. Integers make the features
+    reproducible outside Spark entirely: the DuckDB oracle recomputes
+    them from the source strings (payloads are ASCII, so code points
+    == bytes — asserted by the oracle itself: any non-ASCII byte would
+    hash-mismatch), which turns the gate into an end-to-end proof that
+    payload bytes crossed the Arrow batch boundary uncorrupted. A real
+    deployment swaps `_hist` for the codec decode; the plumbing —
+    schema, batching, per-batch vectorization — is exactly what ships.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for payload in pdf["blob"]:
+                b = bytes(payload)
+                bins = [0] * 8
+                for byte in b:
+                    bins[byte >> 5] += 1
+                rows.append([len(b)] + bins)
+            out = pd.DataFrame(
+                rows, columns=["n_bytes"] + [f"h{i}" for i in range(8)]
+            )
+            out.insert(0, "event_id", pdf[id_col].to_numpy())
+            yield out.astype("int64")
+
+    return df.select(id_col, "blob").mapInPandas(batches, HIST_SCHEMA)

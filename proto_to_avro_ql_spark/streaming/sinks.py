@@ -73,6 +73,7 @@ def run_stream_append_parquet(
     duration: str = "1 hour",
     watermark: str = "2 hours",
     n_files: int = 4,
+    flush_sentinels: int = 0,
 ) -> DataFrame:
     """Native parquet file sink in APPEND output mode: each window row
     is emitted exactly once, when the watermark passes its end — the
@@ -92,7 +93,19 @@ def run_stream_append_parquet(
     ascending, because the file source orders by mtime and a tie would
     make the batch order (hence the watermark sequence, hence the
     finalized set) run-dependent.
-    """
+
+    ``flush_sentinels`` (round 8): with 0, which windows finalize is a
+    function of Spark's micro-batch watermark protocol (the watermark
+    observed by batch N is computed from data through batch N-1, so
+    the trailing windows stay un-emitted) — reproducible, but
+    implementation-defined. With k >= 2, k single-row 'sentinel'
+    slices are staged AFTER the real data, far enough ahead
+    (> watermark + duration past max ts) that the advancing watermark
+    passes every REAL window end with at least one batch to spare —
+    so the emitted set becomes exactly "all real windows", a pure
+    function of the data, and the append run is DuckDB-oracle-able as
+    a plain windowed aggregation (the sentinels' own windows are never
+    emitted: nothing later advances the watermark past them)."""
     import glob
     import os
 
@@ -106,7 +119,7 @@ def run_stream_append_parquet(
         F.lit(n_files - 1),
         F.floor((F.unix_timestamp("ts") - lo_epoch) / (span_s / n_files)),
     )
-    base_mtime = int(os.path.getmtime(staging)) - 2 * n_files
+    base_mtime = int(os.path.getmtime(staging)) - 2 * (n_files + flush_sentinels)
     for i in range(n_files):
         part_dir = os.path.join(staging, f"slice={i}")
         ev_batch.where(slice_expr == i).coalesce(1).write.mode("overwrite").parquet(
@@ -114,6 +127,30 @@ def run_stream_append_parquet(
         )
         for f in glob.glob(os.path.join(part_dir, "*.parquet")):
             os.utime(f, (base_mtime + 2 * i, base_mtime + 2 * i))
+    for j in range(flush_sentinels):
+        # one future event per sentinel slice: ts beyond watermark +
+        # duration past the real max, each an hour apart so every
+        # sentinel batch advances the watermark again.
+        sent_ts = F.lit(hi) + F.expr(
+            f"INTERVAL {watermark} + INTERVAL {duration} "
+            f"+ INTERVAL {j + 1} HOUR"
+        )
+        sent = (
+            ev_batch.limit(1)
+            .select(
+                F.lit(-1 - j).cast("long").alias("event_id"),
+                sent_ts.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        part_dir = os.path.join(staging, f"slice={n_files + j}")
+        sent.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        mt = base_mtime + 2 * (n_files + j)
+        for f in glob.glob(os.path.join(part_dir, "*.parquet")):
+            os.utime(f, (mt, mt))
 
     ev = (
         spark.readStream.schema(ev_batch.schema)
