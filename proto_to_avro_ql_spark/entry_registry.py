@@ -14,6 +14,8 @@ self-checks instead.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +59,30 @@ from proto_to_avro_ql_spark.sources.io import (
     sink_json_direct,
     write_avro_or_parquet,
 )
+
+# ---------------------------------------------------------------------------
+# Session-scoped temp dirs (round-7 verdict #5). Sink/source round-trip
+# entries need a scratch dir per run, and the RETURNED plan reads it
+# lazily (the driver collects after the entry function returns), so
+# eager per-entry deletion is impossible. Every dir is registered here
+# and removed once at interpreter exit — a full 361-entry gate now
+# leaves /tmp no larger than it started.
+# ---------------------------------------------------------------------------
+
+_SESSION_TMPDIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SESSION_TMPDIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_session_tmpdirs() -> None:
+    for d in _SESSION_TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 # ===========================================================================
 # §2.2 — projection / schema transformation
@@ -472,7 +498,7 @@ def _cache_producer(spark: SparkSession, sf_dir: str):
 @register("sink_cache_write", _CACHE_AGG_SQL)
 def q_sink_cache_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-through result cache: miss → execute + stage as parquet."""
-    cache = QueryCache(spark, tempfile.mkdtemp(prefix="qcache_w_"))
+    cache = QueryCache(spark, _tmpdir(prefix="qcache_w_"))
     query_text = f"SELECT status agg FROM orders @ {sf_dir}"
     assert not cache.hit(query_text)
     return cache.run(query_text, _cache_producer(spark, sf_dir))
@@ -482,7 +508,7 @@ def q_sink_cache_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_src_cache_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache hit path: second run with identical query text replays the
     staged parquet without re-executing the producer."""
-    cache = QueryCache(spark, tempfile.mkdtemp(prefix="qcache_r_"))
+    cache = QueryCache(spark, _tmpdir(prefix="qcache_r_"))
     query_text = f"SELECT status agg FROM orders @ {sf_dir}"
     cache.run(query_text, _cache_producer(spark, sf_dir))
     assert cache.hit(query_text)
@@ -520,7 +546,7 @@ def q_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="sink_avro_"), "report.avro")
+    path = os.path.join(_tmpdir(prefix="sink_avro_"), "report.avro")
     write_avro_file(n, path, name="Nation")
     return read_avro_file(spark, path, n.schema)
 
@@ -532,7 +558,7 @@ def q_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink verified by schema-stable read-back."""
     r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    path = tempfile.mkdtemp(prefix="sink_json_")
+    path = _tmpdir(prefix="sink_json_")
     r.write.mode("overwrite").json(path)
     return spark.read.schema("r_regionkey int, r_name string").json(path)
 
@@ -1338,7 +1364,7 @@ def q_ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_filter_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cache-hit equality predicate on exact query text: miss before
     write, hit after, different text still a miss."""
-    cache = QueryCache(spark, tempfile.mkdtemp(prefix="qcache_hit_"))
+    cache = QueryCache(spark, _tmpdir(prefix="qcache_hit_"))
     q1 = "SELECT a FROM t WHERE x"
     q2 = "SELECT a FROM t WHERE y"
     steps = [(0, cache.hit(q1))]
@@ -1448,9 +1474,9 @@ def q_ext_stream_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_append_parquet(
         spark,
         sf_dir,
-        tempfile.mkdtemp(prefix="q_app_stage_"),
-        tempfile.mkdtemp(prefix="q_app_out_"),
-        tempfile.mkdtemp(prefix="q_app_ckpt_"),
+        _tmpdir(prefix="q_app_stage_"),
+        _tmpdir(prefix="q_app_out_"),
+        _tmpdir(prefix="q_app_ckpt_"),
         flush_sentinels=2,
     )
     return out.where(F.col("event_type") != "sentinel").select(
@@ -2175,7 +2201,7 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    path = tempfile.mkdtemp(prefix="sink_orc_")
+    path = _tmpdir(prefix="sink_orc_")
     n.write.mode("overwrite").option("compression", "snappy").orc(path)
     return spark.read.schema(
         "n_nationkey int, n_name string, n_regionkey int"
@@ -2199,7 +2225,7 @@ def q_ext_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     ev = read_table(spark, sf_dir, "events")
-    path = os.path.join(tempfile.mkdtemp(prefix="file_meta_"), "by_type")
+    path = os.path.join(_tmpdir(prefix="file_meta_"), "by_type")
     (
         ev.repartition(F.col("event_type"))
         .write.mode("overwrite")
@@ -2227,7 +2253,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     let alone read (asserted in tests/test_plans.py)."""
     from proto_to_avro_ql_spark.operators.reports import flagship_report
 
-    path = tempfile.mkdtemp(prefix="sink_part_")
+    path = _tmpdir(prefix="sink_part_")
     flagship_report(spark, sf_dir).write.mode("overwrite").partitionBy(
         "campaign_status"
     ).parquet(path)
@@ -2373,7 +2399,7 @@ def q_src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema unifies them and proto defaults fill the gap (missing
     int → 0), so readers see one stable schema."""
     n = read_table(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="evolve_")
+    path = _tmpdir(prefix="evolve_")
     n.select(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name")).write.parquet(
         f"{path}/batch=1"
     )
@@ -4637,7 +4663,7 @@ def q_ext_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = tempfile.mkdtemp(prefix="compact_")
+    path = _tmpdir(prefix="compact_")
     compacted, _before, _after = compact_small_files(
         spark, ev, path, partition_col="event_type"
     )
@@ -4828,7 +4854,7 @@ def q_sink_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", 4).alias("sum_value"),
     )
-    path = tempfile.mkdtemp(prefix="backfill_")
+    path = _tmpdir(prefix="backfill_")
     daily.write.mode("overwrite").partitionBy("day").parquet(path)
     # Backfill one day (recompute is identical here; in production the
     # upstream correction changed it) under dynamic overwrite.
@@ -5387,7 +5413,7 @@ def q_ext_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).alias("sum_dec"),  # unrounded state
         )
 
-    staged_path = tempfile.mkdtemp(prefix="inc_agg_")
+    staged_path = _tmpdir(prefix="inc_agg_")
     partial(ev.where(day < cutoff)).write.mode("overwrite").parquet(staged_path)
     staged = spark.read.parquet(staged_path)
     delta = partial(ev.where(day >= cutoff))
@@ -5940,7 +5966,7 @@ def q_sink_replay_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ensure_min_parallelism(read_table(spark, sf_dir, "events")).select(
         "event_id", "user_id", "event_type", "value"
     )
-    staged = tempfile.mkdtemp(prefix="replay_sink_")
+    staged = _tmpdir(prefix="replay_sink_")
     ev.repartition(4).write.format("proto_replay").option("path", staged).mode(
         "append"
     ).save()
@@ -5965,7 +5991,7 @@ def q_sink_variant_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration — the at-rest counterpart of ext_variant_json's
     query-time tolerance."""
     ev = read_table(spark, sf_dir, "events")
-    staged = tempfile.mkdtemp(prefix="variant_pq_")
+    staged = _tmpdir(prefix="variant_pq_")
     ev.select("event_id", F.parse_json("props").alias("v")).write.mode(
         "overwrite"
     ).parquet(staged)
@@ -6414,7 +6440,7 @@ def q_src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "events_csv")
+    path = os.path.join(_tmpdir(prefix="src_csv_"), "events_csv")
     ev.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
@@ -9724,7 +9750,7 @@ def q_src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="src_jsonl_"), "documents_jsonl")
+    path = os.path.join(_tmpdir(prefix="src_jsonl_"), "documents_jsonl")
     docs.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -11968,7 +11994,7 @@ def q_src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\t", F.col("doc_id").cast("string"), TX.normalize_text(F.col("text"))
         ).alias("value")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="src_text_"), "docs_txt")
+    path = os.path.join(_tmpdir(prefix="src_text_"), "docs_txt")
     lines.write.mode("overwrite").text(path)
     back = spark.read.text(path)
     doc_id = F.split(F.col("value"), "\t", 2).getItem(0).cast("long")

@@ -265,3 +265,45 @@ class TestReplayConnector:
         assert len(names2) == 1 and names2[0].startswith("part-"), names2
         back = spark.read.format("proto_replay").option("path", d).load()
         assert {r.event_id for r in back.collect()} == {1, 2}
+
+
+class TestSessionTmpdirs:
+    """Round-8 (r7 verdict #5): sink/source round-trip entries route
+    their scratch dirs through one session-scoped registry that an
+    atexit hook removes — a full 361-entry gate must leave /tmp no
+    larger than it started."""
+
+    def test_tmpdir_registers_and_cleanup_removes(self):
+        import os
+
+        from proto_to_avro_ql_spark import entry_registry as ER
+
+        d = ER._tmpdir("tmpdir_unit_")
+        assert os.path.isdir(d) and d in ER._SESSION_TMPDIRS
+        # run the hook against ONLY our dir — other tests in this
+        # session may have registered dirs their lazy plans still read
+        saved = ER._SESSION_TMPDIRS[:]
+        try:
+            ER._SESSION_TMPDIRS[:] = [d]
+            ER._cleanup_session_tmpdirs()
+            assert not os.path.exists(d)
+        finally:
+            ER._SESSION_TMPDIRS[:] = [x for x in saved if x != d]
+
+    def test_no_bare_mkdtemp_left_in_entry_registry(self):
+        """Every scratch dir must go through _tmpdir, or gate sessions
+        leak it; the helper itself is the single allowed call."""
+        import inspect
+
+        from proto_to_avro_ql_spark import entry_registry as ER
+
+        src = inspect.getsource(ER)
+        assert src.count("tempfile.mkdtemp(") == 1  # inside _tmpdir only
+
+    def test_sink_entry_scratch_is_session_registered(self, spark, sf_dir):
+        from proto_to_avro_ql_spark import entry_registry as ER
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        before = len(ER._SESSION_TMPDIRS)
+        QUERIES["sink_json"](spark, sf_dir).collect()
+        assert len(ER._SESSION_TMPDIRS) > before
