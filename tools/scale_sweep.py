@@ -126,6 +126,29 @@ SWEEP = [
     "agg_percentile",
     "agg_rollup",
     "agg_stats",
+    # round 8: the portable-kernel rewrites (integer HLL/CMS/histogram
+    # sketches, integer-grid kmeans/IVF/PQ, raw byte-histogram
+    # features, sentinel-finalized append sink) — new plans, so their
+    # cost curves need fresh empirical backing
+    "ext_approx_distinct",
+    "ext_approx_freq",
+    "ext_approx_quantile",
+    "ext_incremental_distinct",
+    "ext_kmeans",
+    "ext_sim_search_ivf",
+    "ext_pq_search",
+    "ext_multimodal_features",
+    "ext_stream_append_sink",
+    # round 8: staged rotation candidates (r9-r11) not already swept
+    "ext_ab_test",
+    "ext_abc_analysis",
+    "ext_ann_recall",
+    "ext_anomaly_band",
+    "ext_array_ops",
+    "ext_assortativity",
+    "ext_audience_overlap",
+    "ext_autocorr",
+    "ext_backtest_naive",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 

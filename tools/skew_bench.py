@@ -383,6 +383,139 @@ def main() -> None:
         f"partition (4× rows): {r_s2['wall_s']} -> {r_s8['wall_s']}"
     )
 
+    # -- experiment 8: triangle count, celebrity hub holding 50% of edges -
+    # (r7 verdict next-round #3). The graph family's claimed skew
+    # mitigation is DEGREE ORIENTATION (graphs.py orient_by_degree): a
+    # hub's raw neighborhood is unbounded, its oriented out-neighborhood
+    # is ≤ sqrt(2m). Plant the adversarial input — ONE celebrity node
+    # with 32k spokes holding 50% of all edges — on a graph whose exact
+    # triangle count is closed-form, and time three formulations that
+    # must all return it:
+    #   wedgejoin_id (naive)  — the oracle's wedge self-join under
+    #     lowest-id orientation; the hub is id 0, so out(hub) = 32k and
+    #     the join emits C(32k,2) ≈ 512M wedge rows, ALL in the s=0
+    #     partition (one task — the skew collapse being measured);
+    #   wedgejoin_degree      — the SAME self-join under degree
+    #     orientation: only the orientation changes, out(hub) drops to
+    #     0, max out-degree on this graph is ~3, wedge relation ~m;
+    #   shipped (intersect)   — the ext_triangle_count entry's plan:
+    #     degree orientation + sorted-array adjacency intersection (no
+    #     wedge materialization at all; wins once Σ out-deg² >> m, r3
+    #     measured 9.6 s vs 1.6 s on the sf0.1 co-purchase build).
+    # Spokes are pair-linked (spoke 2i-1 — spoke 2i), so the hub closes
+    # 16k triangles THROUGH itself — the orientation must still count
+    # every hub triangle while never fanning the hub's wedges out.
+    from proto_to_avro_ql_spark.operators.graphs import (
+        node_degrees,
+        orient_by_degree,
+    )
+
+    hub_spokes = 32_000
+    n_bg_tri = 5_000
+    hub_e = spark.range(1, hub_spokes + 1).select(
+        F.lit(0).cast("bigint").alias("u"), F.col("id").alias("v")
+    )
+    pair_e = spark.range(1, hub_spokes // 2 + 1).select(
+        (F.col("id") * 2 - 1).alias("u"), (F.col("id") * 2).alias("v")
+    )
+    tri_base = F.lit(1_000_000) + F.col("id") * 3
+    bg_e = (
+        spark.range(n_bg_tri)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(tri_base.alias("u"), (tri_base + 1).alias("v")),
+                    F.struct(tri_base.alias("u"), (tri_base + 2).alias("v")),
+                    F.struct(
+                        (tri_base + 1).alias("u"), (tri_base + 2).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    g_edges = hub_e.unionAll(pair_e).unionAll(bg_e).persist()
+    m_edges = g_edges.count()
+    tri_expected = hub_spokes // 2 + n_bg_tri
+    print(
+        f"# hub graph: {m_edges} edges, hub holds {hub_spokes / m_edges:.0%},"
+        f" closed-form triangles {tri_expected}",
+        file=sys.stderr,
+    )
+    e_deg = orient_by_degree(g_edges, node_degrees(g_edges)).persist()
+    e_deg.count()
+    e_id = g_edges.select(F.col("u").alias("s"), F.col("v").alias("t")).persist()
+    e_id.count()
+
+    def tri_intersect(e):
+        def run():
+            adj = e.groupBy("s").agg(
+                F.sort_array(F.collect_list("t")).alias("nbrs")
+            )
+            au = adj.select(F.col("s").alias("u_key"), F.col("nbrs").alias("nu"))
+            av = adj.select(F.col("s").alias("v_key"), F.col("nbrs").alias("nv"))
+            return (
+                e.join(au, F.col("s") == F.col("u_key"))
+                .join(av, F.col("t") == F.col("v_key"))
+                .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
+                .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long"))
+                .first()[0]
+            )
+
+        return run
+
+    def tri_wedge(e, ranked: bool):
+        def run():
+            w1, w2 = e.alias("w1"), e.alias("w2")
+            closing = e.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
+            if ranked:  # degree orientation carries the (dt, t) rank
+                order = (F.col("w1.dt") < F.col("w2.dt")) | (
+                    (F.col("w1.dt") == F.col("w2.dt"))
+                    & (F.col("w1.t") < F.col("w2.t"))
+                )
+            else:  # id orientation: rank IS the id
+                order = F.col("w1.t") < F.col("w2.t")
+            return (
+                w1.join(w2, (F.col("w1.s") == F.col("w2.s")) & order)
+                .join(
+                    closing,
+                    (F.col("cs") == F.col("w1.t"))
+                    & (F.col("ct") == F.col("w2.t")),
+                )
+                .agg(F.count(F.lit(1)))
+                .first()[0]
+            )
+
+        return run
+
+    tri_results = {}
+    for label, fn in [
+        ("tri_hub_shipped_intersect", tri_intersect(e_deg)),
+        ("tri_hub_wedgejoin_degree", tri_wedge(e_deg, True)),
+        ("tri_hub_wedgejoin_id_naive", tri_wedge(e_id, False)),
+    ]:
+        fn()  # warm per variant (codegen differs)
+        tri_results[label] = timed(label, fn)
+        print(json.dumps(tri_results[label]))
+        assert tri_results[label]["result"] == tri_expected, (
+            f"{label} must hit the closed-form triangle count: "
+            f"{tri_results[label]['result']} vs {tri_expected}"
+        )
+    assert (
+        tri_results["tri_hub_shipped_intersect"]["wall_s"]
+        < tri_results["tri_hub_wedgejoin_id_naive"]["wall_s"]
+    ), "the shipped degree-oriented plan must beat the naive id wedge-join"
+    assert (
+        tri_results["tri_hub_wedgejoin_degree"]["wall_s"]
+        < tri_results["tri_hub_wedgejoin_id_naive"]["wall_s"]
+    ), (
+        "degree orientation ALONE (same self-join formulation) must beat "
+        "id orientation on the hub"
+    )
+    g_edges.unpersist()
+    e_deg.unpersist()
+    e_id.unpersist()
+
 
 if __name__ == "__main__":
     main()
