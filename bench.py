@@ -273,6 +273,17 @@ HEADLINE = [
     "ext_kcore",             # distributed peel + bounded local tail
     "ext_dedup_cluster",     # near-dup pairs -> CC clusters (local tail)
     "ext_entity_resolution", # vocab fuzzy match + string-keyed CC
+    # round 8: portable-kernel rewrites (rows-only -> oracled) get
+    # bench visibility so future moves in the NEW plans are tracked
+    "ext_approx_distinct",      # integer HLL, 256 max-rho registers
+    "ext_approx_freq",          # integer count-min, 4x256 counters
+    "ext_approx_quantile",      # fixed-width histogram quantile
+    "ext_incremental_distinct", # daily HLL registers merged
+    "ext_kmeans",               # integer-grid Lloyd's iterations
+    "ext_sim_search_ivf",       # integer-grid IVF probe
+    "ext_pq_search",            # integer ADC product-quantization scan
+    "ext_multimodal_features",  # raw byte-histogram via mapInPandas
+    "ext_stream_append_sink",   # watermark-finalized append sink
 ]
 
 
