@@ -252,3 +252,119 @@ class TestVectorKernelsAgainstPython:
         assert got_assign == ref_assign
         got_cents = {r["cell"]: list(r["cv"]) for r in out}
         assert got_cents == ref_cents
+
+
+def ref_ivf_topk(
+    vecs: dict[int, list[int]],
+    query_ids: list[int],
+    k: int,
+    probes: int,
+    k_cells: int,
+    iters: int,
+) -> set[tuple[int, int, int, int]]:
+    """Plain-Python IVF: Lloyd's cells, probe the L2-nearest
+    ``probes`` centroids per query, exact rank (dist, id) within the
+    probed lists."""
+    assign, cents = ref_kmeans(vecs, k=k_cells, iters=iters)
+    out = set()
+    for qid in query_ids:
+        qv = vecs[qid]
+        probed = sorted(cents, key=lambda c: (ref_l2sq(qv, cents[c]), c))[
+            :probes
+        ]
+        cands = sorted(
+            (
+                (ref_l2sq(qv, vecs[nid]), nid)
+                for nid, cell in assign.items()
+                if cell in probed and nid != qid
+            )
+        )
+        for rank, (d, nid) in enumerate(cands[:k], start=1):
+            out.add((qid, nid, d, rank))
+    return out
+
+
+def ref_pq_adc_topk(
+    vecs: dict[int, list[int]],
+    query_ids: list[int],
+    k: int,
+    m: int,
+    k_codes: int,
+    iters: int,
+) -> set[tuple[int, int, int, int]]:
+    """Plain-Python PQ ADC: per-subspace Lloyd's codebooks over the
+    quantized subvectors, candidates encoded as per-sub codes, distance
+    = sum over subspaces of the query-to-centroid LUT entry."""
+    dim = len(next(iter(vecs.values())))
+    sub_len = dim // m
+    subs = {
+        s: {vid: v[s * sub_len : (s + 1) * sub_len] for vid, v in vecs.items()}
+        for s in range(m)
+    }
+    books = {}
+    codes = {}
+    for s in range(m):
+        codes_s, cents_s = ref_kmeans(subs[s], k=k_codes, iters=iters)
+        books[s], codes[s] = cents_s, codes_s
+    out = set()
+    for qid in query_ids:
+        scored = {}
+        for nid in vecs:
+            if nid == qid:
+                continue
+            scored[nid] = sum(
+                ref_l2sq(subs[s][qid], books[s][codes[s][nid]])
+                for s in range(m)
+            )
+        top = sorted((d, nid) for nid, d in scored.items())[:k]
+        for rank, (d, nid) in enumerate(top, start=1):
+            out.add((qid, nid, d, rank))
+    return out
+
+
+class TestAnnChainsAgainstPython:
+    def test_ivf_chain_matches_python(self, spark):
+        import numpy as np
+
+        from proto_to_avro_ql_spark.operators.simsearch import ivf_topk_int
+
+        raw = [
+            [float(np.float32(_R.random() * 2 - 1)) for _ in range(6)]
+            for _ in range(40)
+        ]
+        sdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(raw)],
+            "vec_id long, embedding array<float>",
+        )
+        qids = [2, 11, 29]
+        got = {
+            (r["query_id"], r["neighbor_id"], r["l2_dist"], r["rank"])
+            for r in ivf_topk_int(
+                sdf, qids, k=3, probes=2, k_cells=4, iters=2
+            ).collect()
+        }
+        q = {i: ref_quant(v) for i, v in enumerate(raw)}
+        assert got == ref_ivf_topk(q, qids, k=3, probes=2, k_cells=4, iters=2)
+
+    def test_pq_chain_matches_python(self, spark):
+        import numpy as np
+
+        from proto_to_avro_ql_spark.operators.simsearch import pq_adc_topk_int
+
+        raw = [
+            [float(np.float32(_R.random() * 2 - 1)) for _ in range(8)]
+            for _ in range(36)
+        ]
+        sdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(raw)],
+            "vec_id long, embedding array<float>",
+        )
+        qids = [1, 13, 27]
+        got = {
+            (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+            for r in pq_adc_topk_int(
+                sdf, qids, k=3, m=2, k_codes=3, iters=1
+            ).collect()
+        }
+        q = {i: ref_quant(v) for i, v in enumerate(raw)}
+        assert got == ref_pq_adc_topk(q, qids, k=3, m=2, k_codes=3, iters=1)
