@@ -94,22 +94,27 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 8 (out: ext_entity_resolution, ext_match_pattern,
-    # ext_sessionize, ext_pagerank, ext_scd2_build — all driver-green
-    # in CORRECTNESS_r07; they remain locally gated by oracle_check).
-    # In: the staged r08 candidates from ROADMAP.md "Driver-window
-    # rotation", never driver-verified, pre-certified at r7 close at
-    # sf0.001/0.01/0.1.
-    # r09 rotation suggestion (already pre-certified at r7 close):
-    # ext_ab_test, ext_abc_analysis, ext_ann_recall, ext_anomaly_band,
-    # ext_anova — swap in once CORRECTNESS_r08 confirms the current
-    # slots green.
-    "agg_cube",                   # CUBE grouping-set aggregation
-    "agg_grouping_sets",          # explicit GROUPING SETS
-    "agg_percentile",             # exact percentile aggregation
-    "agg_rollup",                 # ROLLUP hierarchy aggregation
-    "agg_stats",                  # stddev/variance/corr stats family
+    # round 9 (out: agg_cube, agg_grouping_sets, agg_percentile,
+    # agg_rollup, agg_stats — all driver-green in CORRECTNESS_r08;
+    # they remain locally gated by oracle_check). In: the staged r09
+    # candidates from ROADMAP.md "Driver-window rotation", never
+    # driver-verified, pre-certified at r7 close AND re-certified at
+    # r8 at sf0.001/0.01/0.1.
+    "ext_ab_test",                # two-sample proportion z-test
+    "ext_abc_analysis",           # Pareto ABC class assignment
+    "ext_ann_recall",             # LSH-vs-brute ANN recall measurement
+    "ext_anomaly_band",           # rolling mean±k·stddev outlier bands
+    "ext_anova",                  # one-way ANOVA F-statistic
 ]
+
+# VETERAN RE-VERIFICATION POLICY (round-8 verdict #7): once per ~5
+# rounds, one of the five rotation slots is spent on the OLDEST
+# previously-driver-verified rotated-out entry instead of a first-time
+# entry — a spot re-check that the rotation mechanism itself (and the
+# local gate that guards rotated-out entries) still holds. Schedule:
+# r10 uses src_proto_decode (driver-green r03, oldest veteran) in the
+# fifth slot; next veteran slot ~r15. Displaced first-time candidates
+# shift down one staging round (see ROADMAP.md rotation log).
 
 
 def ordered_query_names() -> list[str]:
