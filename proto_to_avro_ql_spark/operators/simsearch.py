@@ -620,17 +620,23 @@ def _mean_vectors_int(assigned: DataFrame, group: list[str]) -> DataFrame:
     )
 
 
-def kmeans_cells_int(
+def kmeans_train_int(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Integer-grid Lloyd's: deterministic seeds (k lowest-id vectors),
-    integer squared-L2 assignment with (dist, cell) tie-break, exact
-    floor-mean updates. Returns (vec_id, v, cell, cv) — assignment plus
-    final centroids. Bit-identical to portable.duckdb_kmeans_ctes."""
+) -> tuple[DataFrame, DataFrame]:
+    """Integer-grid Lloyd's training: deterministic seeds (k lowest-id
+    vectors), integer squared-L2 assignment with (dist, cell)
+    tie-break, exact floor-mean updates. Returns ``(qv, cents)`` —
+    the quantized vectors ``(vec_id, v)`` and the FULL trained centroid
+    relation ``(cell, cv)`` (= the oracle's ``c{iters}`` CTE and the
+    Python reference's final-update centroids, including any cell that
+    ends the final assignment with zero members). Consumers that need
+    the complete probe set — ivf_topk_int — must rank over this
+    relation, never over the assignment⋈centroids join, which drops
+    final-empty cells."""
     qv = embeddings.select(F.col(id_col).alias("vec_id"), _quant(vec_col).alias("v"))
     cents = qv.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
@@ -638,6 +644,24 @@ def kmeans_cells_int(
     for _ in range(iters):
         assigned = _assign_cells_int(qv, cents, ["vec_id"])
         cents = _mean_vectors_int(assigned, [])
+    return qv, cents
+
+
+def kmeans_cells_int(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-grid Lloyd's: assignment view of kmeans_train_int.
+    Returns (vec_id, v, cell, cv) — assignment plus final centroids
+    (inner join: a trained centroid with no final members carries no
+    row here; use kmeans_train_int for the full centroid relation).
+    Bit-identical to portable.duckdb_kmeans_ctes."""
+    qv, cents = kmeans_train_int(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
     return _assign_cells_int(qv, cents, ["vec_id"]).join(F.broadcast(cents), "cell")
 
 
@@ -655,11 +679,26 @@ def ivf_topk_int(
     whose centroids are L2-nearest each query; exact integer ranks
     throughout (dist asc, id asc). Scale shape identical to ivf_topk:
     centroids tiny and broadcast, a query touches ~probes/k_cells of a
-    cell-partitioned corpus."""
-    assigned = kmeans_cells_int(
+    cell-partitioned corpus.
+
+    Probe ranking runs over the FULL trained centroid relation from
+    kmeans_train_int — NOT over ``assigned.select(cell, cv).distinct()``,
+    which would silently drop a centroid that ends the final Lloyd's
+    iteration with zero members and diverge from the DuckDB oracle
+    (entry_registry._ivf_oracle ranks over the whole ``c{iters}`` CTE)
+    and the Python reference (tests/test_portable_reference.ref_ivf_topk)
+    whenever such an orphaned centroid ranks within ``probes`` of a
+    query. Pinned by the planted empty-final-cell test in
+    tests/test_portable_reference.py."""
+    qv, cents = kmeans_train_int(
         embeddings, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
-    ).persist()
-    cents = assigned.select("cell", "cv").distinct()
+    )
+    # cents is k rows but its lineage is the full Lloyd's chain; persist
+    # so the probe crossJoin and the final assignment both read the
+    # materialized 8-row relation instead of re-running training —
+    # allowlisted in tools/audit_caches (single-shot, session sweep drops it).
+    cents = cents.persist()
+    assigned = _assign_cells_int(qv, cents, ["vec_id"]).persist()
     q = assigned.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -684,9 +723,10 @@ def ivf_topk_int(
         .select("query_id", "neighbor_id", l2sq_int("qv", "nv").alias("l2_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
-    # assigned stays persisted into the returned plan (centroid distinct,
-    # probe ranking, and the candidate scan all read it) — same
-    # single-shot shape as ivf_topk, allowlisted in tools/audit_caches.
+    # cents and assigned stay persisted into the returned plan (cents:
+    # probe ranking + the assignment pass; assigned: query extraction +
+    # the candidate scan) — same single-shot shape as ivf_topk,
+    # allowlisted in tools/audit_caches.
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

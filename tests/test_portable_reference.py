@@ -168,7 +168,8 @@ class TestHllAgainstPython:
         and through the Python reference — exact integer equality,
         covering the linear-counting arm (n=5, 80), the threshold
         neighborhood (n=641), and the raw arm (n=5000)."""
-        keys = [_R.randrange(-(2**50), 2**50) for _ in range(n)]
+        rng = random.Random(20260815 + n)  # fresh per test: order-independent
+        keys = [rng.randrange(-(2**50), 2**50) for _ in range(n)]
         ms = P.mix31_spark_sql("v")
         b, r = P.hll_bucket_sql("h31"), P.hll_rho_sql("h31")
         s_sql, v_sql = P.hll_s_v_sql("rho", "COUNT(*)")
@@ -189,7 +190,10 @@ class TestHllAgainstPython:
 class TestCmsAgainstPython:
     def test_cms_bucket_matches_python(self, spark):
         bs = P.cms_bucket_spark_sql("c", "r")
-        rows = [(int(c), r) for c in KEYS[:120] for r in range(P.CMS_D)]
+        # 120 random draws PLUS the adversarial tail (KEYS[400:] holds the
+        # ring-edge and negative values: -1, 0, M31-1, M31, ±2^52) so the
+        # CMS path covers the edge cases this file exists for.
+        rows = [(int(c), r) for c in KEYS[:120] + KEYS[400:] for r in range(P.CMS_D)]
         sdf = spark.createDataFrame(rows, "c long, r int")
         got = [x[0] for x in sdf.select(F.expr(bs)).collect()]
         assert got == [ref_cms_bucket(c, r) for c, r in rows]
@@ -197,8 +201,9 @@ class TestCmsAgainstPython:
 
 class TestVectorKernelsAgainstPython:
     def test_quant_and_l2sq_match_python(self, spark):
+        rng = random.Random(20260901)  # fresh per test: order-independent
         vecs = [
-            [(_R.random() * 2 - 1) for _ in range(8)] for _ in range(50)
+            [(rng.random() * 2 - 1) for _ in range(8)] for _ in range(50)
         ]
         import numpy as np
 
@@ -226,32 +231,42 @@ class TestVectorKernelsAgainstPython:
             ), i
 
     def test_kmeans_chain_matches_python(self, spark):
-        """The full integer-grid Lloyd's chain (operators/simsearch.
-        kmeans_cells_int) against the plain-Python reference on a
-        30×6 float32 table: same assignment AND same final centroids,
-        exactly. This is the third implementation of the chain the
+        """The full integer-grid Lloyd's chain against the plain-Python
+        reference on a 30×6 float32 table: same assignment, same FULL
+        trained centroid relation (kmeans_train_int == ref_kmeans final
+        update, including any final-empty cell), and the joined
+        kmeans_cells_int view carries exactly the assignment-surviving
+        subset. This is the third implementation of the chain the
         ext_kmeans/ext_sim_search_ivf oracles rely on."""
         import numpy as np
 
         from proto_to_avro_ql_spark.operators.simsearch import (
             kmeans_cells_int,
+            kmeans_train_int,
         )
 
+        rng = random.Random(20260902)  # fresh per test: order-independent
         raw = [
-            [float(np.float32(_R.random() * 2 - 1)) for _ in range(6)]
+            [float(np.float32(rng.random() * 2 - 1)) for _ in range(6)]
             for _ in range(30)
         ]
         sdf = spark.createDataFrame(
             [(i, v) for i, v in enumerate(raw)],
             "vec_id long, embedding array<float>",
         )
-        out = kmeans_cells_int(sdf, k=4, iters=2).collect()
         q = {i: ref_quant(v) for i, v in enumerate(raw)}
         ref_assign, ref_cents = ref_kmeans(q, k=4, iters=2)
+
+        _, cents = kmeans_train_int(sdf, k=4, iters=2)
+        got_trained = {r["cell"]: list(r["cv"]) for r in cents.collect()}
+        assert got_trained == ref_cents  # FULL set, final-empty cells included
+
+        out = kmeans_cells_int(sdf, k=4, iters=2).collect()
         got_assign = {r["vec_id"]: r["cell"] for r in out}
         assert got_assign == ref_assign
         got_cents = {r["cell"]: list(r["cv"]) for r in out}
-        assert got_cents == ref_cents
+        live = set(ref_assign.values())
+        assert got_cents == {c: v for c, v in ref_cents.items() if c in live}
 
 
 def ref_ivf_topk(
@@ -328,8 +343,9 @@ class TestAnnChainsAgainstPython:
 
         from proto_to_avro_ql_spark.operators.simsearch import ivf_topk_int
 
+        rng = random.Random(20260903)  # fresh per test: order-independent
         raw = [
-            [float(np.float32(_R.random() * 2 - 1)) for _ in range(6)]
+            [float(np.float32(rng.random() * 2 - 1)) for _ in range(6)]
             for _ in range(40)
         ]
         sdf = spark.createDataFrame(
@@ -351,8 +367,9 @@ class TestAnnChainsAgainstPython:
 
         from proto_to_avro_ql_spark.operators.simsearch import pq_adc_topk_int
 
+        rng = random.Random(20260904)  # fresh per test: order-independent
         raw = [
-            [float(np.float32(_R.random() * 2 - 1)) for _ in range(8)]
+            [float(np.float32(rng.random() * 2 - 1)) for _ in range(8)]
             for _ in range(36)
         ]
         sdf = spark.createDataFrame(
@@ -368,3 +385,58 @@ class TestAnnChainsAgainstPython:
         }
         q = {i: ref_quant(v) for i, v in enumerate(raw)}
         assert got == ref_pq_adc_topk(q, qids, k=3, m=2, k_codes=3, iters=1)
+
+    def test_ivf_probes_include_final_empty_centroid(self, spark):
+        """Planted regression for the orphaned-centroid divergence: a
+        centroid that ends the LAST Lloyd's iteration with zero members
+        must still be probe-rankable (the DuckDB oracle ranks over the
+        whole c{iters} CTE; a probe set derived from the
+        assignment⋈centroids join silently drops it). Seed 20×4 @
+        seed=1629 trains k_cells=4/iters=2 to an orphan (cell 2) that
+        ranks within probes=2 of queries 2 and 4 AND changes their
+        top-3 — so this test fails loudly if ivf_topk_int ever reverts
+        to ranking over the joined assignment's centroid set."""
+        import numpy as np
+
+        from proto_to_avro_ql_spark.operators.simsearch import ivf_topk_int
+
+        rng = random.Random(1629)
+        raw = [
+            [float(np.float32(rng.random() * 2 - 1)) for _ in range(4)]
+            for _ in range(20)
+        ]
+        q = {i: ref_quant(v) for i, v in enumerate(raw)}
+        ref_assign, ref_cents = ref_kmeans(q, k=4, iters=2)
+        live = set(ref_assign.values())
+        orphans = set(ref_cents) - live
+        assert orphans == {2}, "planted property drifted — re-search the seed"
+        qids = [2, 4]
+        full = ref_ivf_topk(q, qids, k=3, probes=2, k_cells=4, iters=2)
+        # the discriminating property: dropping the orphan changes the answer
+        surv_cents = {c: v for c, v in ref_cents.items() if c in live}
+        dropped = set()
+        for qid in qids:
+            qv = q[qid]
+            probed = sorted(
+                surv_cents, key=lambda c: (ref_l2sq(qv, surv_cents[c]), c)
+            )[:2]
+            cands = sorted(
+                (ref_l2sq(qv, q[nid]), nid)
+                for nid, cell in ref_assign.items()
+                if cell in probed and nid != qid
+            )
+            for rank, (d, nid) in enumerate(cands[:3], start=1):
+                dropped.add((qid, nid, d, rank))
+        assert dropped != full, "planted property drifted — re-search the seed"
+
+        sdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(raw)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"], r["l2_dist"], r["rank"])
+            for r in ivf_topk_int(
+                sdf, qids, k=3, probes=2, k_cells=4, iters=2
+            ).collect()
+        }
+        assert got == full

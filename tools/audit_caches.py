@@ -122,7 +122,8 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk":
         "cell-assigned embeddings (centroid stats + probe join)",
     "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk_int":
-        "cell-assigned integer embeddings (centroid distinct + probe + scan)",
+        "trained centroids (probe rank + assignment) and cell-assigned "
+        "integer embeddings (query extraction + candidate scan)",
     "proto_to_avro_ql_spark/operators/simsearch.py:pq_adc_topk":
         "PQ codes (codebook build + ADC scoring branch)",
     "proto_to_avro_ql_spark/operators/simsearch.py:pq_adc_topk_int":

@@ -489,29 +489,38 @@ def main() -> None:
         return run
 
     tri_results = {}
-    for label, fn in [
-        ("tri_hub_shipped_intersect", tri_intersect(e_deg)),
-        ("tri_hub_wedgejoin_degree", tri_wedge(e_deg, True)),
-        ("tri_hub_wedgejoin_id_naive", tri_wedge(e_id, False)),
+    for label, fn, warm in [
+        ("tri_hub_shipped_intersect", tri_intersect(e_deg), True),
+        ("tri_hub_wedgejoin_degree", tri_wedge(e_deg, True), True),
+        # no warm pass for the naive variant: it is a one-task ~40 s
+        # 512M-wedge join where codegen warmup is marginal, and running
+        # it twice doubles the experiment's dominant cost.
+        ("tri_hub_wedgejoin_id_naive", tri_wedge(e_id, False), False),
     ]:
-        fn()  # warm per variant (codegen differs)
+        if warm:
+            fn()  # warm per variant (codegen differs)
         tri_results[label] = timed(label, fn)
         print(json.dumps(tri_results[label]))
         assert tri_results[label]["result"] == tri_expected, (
             f"{label} must hit the closed-form triangle count: "
             f"{tri_results[label]['result']} vs {tri_expected}"
         )
-    assert (
-        tri_results["tri_hub_shipped_intersect"]["wall_s"]
-        < tri_results["tri_hub_wedgejoin_id_naive"]["wall_s"]
-    ), "the shipped degree-oriented plan must beat the naive id wedge-join"
-    assert (
-        tri_results["tri_hub_wedgejoin_degree"]["wall_s"]
-        < tri_results["tri_hub_wedgejoin_id_naive"]["wall_s"]
-    ), (
-        "degree orientation ALONE (same self-join formulation) must beat "
-        "id orientation on the hub"
-    )
+    # Measured margins are 60-134x; assert with a 2x slack factor (not
+    # strict <) so the documented 15-20% host drift / >100% per-query
+    # tails can never flip a single-pass timing comparison, and log the
+    # ratios so the actual margin stays visible in the output.
+    naive_w = tri_results["tri_hub_wedgejoin_id_naive"]["wall_s"]
+    for label in ("tri_hub_shipped_intersect", "tri_hub_wedgejoin_degree"):
+        ratio = naive_w / max(tri_results[label]["wall_s"], 1e-9)
+        print(
+            json.dumps({"metric": f"{label}_speedup_vs_naive", "ratio": round(ratio, 1)}),
+            file=sys.stderr,
+        )
+        assert 2.0 * tri_results[label]["wall_s"] < naive_w, (
+            f"{label} must beat the naive id wedge-join by >=2x "
+            f"(got {ratio:.1f}x; margins were 60-134x when planted — a "
+            f"collapse below 2x is a real plan regression, not host noise)"
+        )
     g_edges.unpersist()
     e_deg.unpersist()
     e_id.unpersist()
