@@ -313,6 +313,55 @@ def sink_comparison(spark, sf_dir: str) -> None:
         print(f"# {name}: {round(time.perf_counter() - t0, 3)}s", file=sys.stderr)
 
 
+def rel_spread(passes: list[float]) -> float:
+    """(max - min) / median of one query's timed passes — the per-query
+    same-HEAD noise measurement the r8 verdict asked bench to stamp
+    (pure; pinned in tests/test_bench_noise.py)."""
+    if not passes:
+        return 0.0
+    med = statistics.median(passes)
+    if med <= 0:
+        return 0.0
+    return (max(passes) - min(passes)) / med
+
+
+def noise_envelope(
+    passes_map: dict[str, list[float]],
+    control_query: str,
+    control_main: float,
+    control_end: float,
+) -> dict:
+    """Summarize the run's own measured noise so bench_compare can
+    adjudicate round-over-round movers mechanically instead of via
+    ROADMAP prose (r8 verdict, What's-wrong #1: 8 movers >=30% carried
+    no NOTE, all host noise, adjudicated only in prose).
+
+    - median/p90_rel_spread: distribution of per-query pass spreads
+      within THIS run (r8 measured 14% median / >100% tail same-HEAD).
+    - control_drift_rel: the control query re-timed at the END of the
+      run vs its own main-slot median — within-session drift over the
+      run's wall-clock (the +18% unchanged-code control, measured
+      per-run instead of assumed)."""
+    spreads = sorted(rel_spread(p) for p in passes_map.values() if p)
+    if spreads:
+        med = statistics.median(spreads)
+        p90 = spreads[max(0, -(-9 * len(spreads) // 10) - 1)]  # nearest-rank p90
+    else:
+        med = p90 = 0.0
+    drift = (
+        abs(control_end - control_main) / control_main if control_main > 0 else 0.0
+    )
+    return {
+        "median_rel_spread": round(med, 4),
+        "p90_rel_spread": round(p90, 4),
+        "control_query": control_query,
+        "control_main_s": round(control_main, 3),
+        "control_end_s": round(control_end, 3),
+        "control_drift_rel": round(drift, 4),
+        "n_queries": len(spreads),
+    }
+
+
 def round_stamp_path(here: str, sf: str, rnd: str | None) -> str | None:
     """Round-7 verdict #4 — the write-once round-stamp decision.
 
@@ -372,6 +421,7 @@ def main() -> None:
     QUERIES[HEADLINE[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    passes_map: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
@@ -391,11 +441,31 @@ def main() -> None:
             n = df.count()  # materialize the full pipeline
             passes.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(passes), 3)
+        passes_map[name] = [round(p, 4) for p in passes]
         print(
             f"# {name}: {timings[name]}s median of "
             f"{[round(p, 3) for p in passes]} ({n} rows)",
             file=sys.stderr,
         )
+
+    # End-of-run control: re-time the first headline query so the stamp
+    # carries the run's own within-session drift (see noise_envelope).
+    control_q = HEADLINE[0]
+    control_passes = []
+    if control_q in timings:
+        fn = QUERIES[control_q]
+        for _ in range(N_RUNS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            control_passes.append(time.perf_counter() - t0)
+    envelope = noise_envelope(
+        passes_map,
+        control_q,
+        timings.get(control_q, 0.0),
+        statistics.median(control_passes) if control_passes else 0.0,
+    )
+    print(f"# noise_envelope: {json.dumps(envelope)}", file=sys.stderr)
 
     if os.environ.get("SPARK_GRAFT_BENCH_SINKS"):
         sink_comparison(spark, sf_dir)
@@ -421,6 +491,12 @@ def main() -> None:
         "stat": "median",
         "headline13": headline13,
         "notes": {k: v for k, v in NOTES.items() if k in timings},
+        # Per-query pass times + the run's measured noise envelope:
+        # tools/bench_compare.py classifies round-over-round movers
+        # inside this envelope as "within measured noise" mechanically
+        # (r8 verdict, What's-wrong #1).
+        "passes": passes_map,
+        "noise_envelope": envelope,
     }
     print(json.dumps(detail))
     try:

@@ -1,0 +1,126 @@
+"""Pin the bench noise-envelope math and the bench_compare mover
+classifier (r8 verdict, What's-wrong #1: 8 host-noise movers >=30%
+read as "regressions without a NOTE" and were adjudicated only in
+ROADMAP prose; the envelope makes that adjudication mechanical).
+
+Pure functions only — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
+
+from bench import noise_envelope, rel_spread  # noqa: E402
+from bench_compare import classify, noise_bound  # noqa: E402
+
+
+class TestRelSpread:
+    def test_basic(self):
+        import pytest
+
+        # median 1.0, max-min = 0.4 -> 40%
+        assert rel_spread([0.8, 1.0, 1.2]) == pytest.approx(0.4)
+
+    def test_identical_passes(self):
+        assert rel_spread([2.0, 2.0, 2.0]) == 0.0
+
+    def test_empty_and_zero_guard(self):
+        assert rel_spread([]) == 0.0
+        assert rel_spread([0.0, 0.0]) == 0.0
+
+
+class TestNoiseEnvelope:
+    def test_stats_and_drift(self):
+        pm = {
+            "q1": [1.0, 1.0, 1.0],      # spread 0.0
+            "q2": [1.0, 1.1, 1.2],      # spread ~0.1818
+            "q3": [2.0, 2.0, 3.0],      # spread 0.5
+        }
+        env = noise_envelope(pm, "q1", control_main=1.0, control_end=1.18)
+        assert env["median_rel_spread"] == round(0.2 / 1.1, 4)
+        # nearest-rank p90 of 3 points = the max
+        assert env["p90_rel_spread"] == 0.5
+        assert env["control_drift_rel"] == round(0.18, 4)
+        assert env["n_queries"] == 3
+        assert env["control_query"] == "q1"
+
+    def test_empty_run(self):
+        env = noise_envelope({}, "q", 0.0, 0.0)
+        assert env["median_rel_spread"] == 0.0
+        assert env["p90_rel_spread"] == 0.0
+        assert env["control_drift_rel"] == 0.0
+
+    def test_p90_nearest_rank_is_not_max_on_larger_runs(self):
+        # 20 queries: one extreme tail value must NOT set p90
+        pm = {f"q{i}": [1.0, 1.0, 1.0 + 0.01 * i] for i in range(19)}
+        pm["tail"] = [1.0, 1.0, 9.0]  # 800% spread outlier
+        env = noise_envelope(pm, "q0", 1.0, 1.0)
+        assert env["p90_rel_spread"] < 1.0  # the 800% tail excluded
+
+
+def _blob(env=None, passes=None):
+    b = {}
+    if env is not None:
+        b["noise_envelope"] = env
+    if passes is not None:
+        b["passes"] = passes
+    return b
+
+
+ENV = {"p90_rel_spread": 0.25, "control_drift_rel": 0.10}
+
+
+class TestNoiseBound:
+    def test_both_sides_measured(self):
+        old = _blob(ENV, {"q": [1.0, 1.0, 1.1]})   # spread 0.1
+        new = _blob(ENV, {"q": [1.0, 1.1, 1.15]})  # spread ~0.136
+        b = noise_bound("q", old, new)
+        # per-query spreads sum to ~0.236 < p90 base 0.25 -> base wins
+        assert b == 0.25 + 0.10
+
+    def test_per_query_spread_can_exceed_base(self):
+        old = _blob(ENV, {"q": [1.0, 1.0, 1.3]})  # 0.3
+        new = _blob(ENV, {"q": [1.0, 1.0, 1.2]})  # 0.2
+        assert noise_bound("q", old, new) == 0.5 + 0.10
+
+    def test_one_sided_envelope_borrows(self):
+        # r08 stamps predate the envelope: the r09 side's envelope must
+        # still yield a mechanical bound (symmetric-noise assumption).
+        old = _blob(None)
+        new = _blob(ENV, {"q": [1.0, 1.0, 1.0]})
+        assert noise_bound("q", old, new) == 0.25 + 0.10
+
+    def test_no_envelope_anywhere(self):
+        assert noise_bound("q", _blob(None), _blob(None)) is None
+
+
+class TestClassify:
+    def test_within_noise_beats_note(self):
+        assert classify(+0.30, noted=True, bound=0.35) == "within-noise"
+
+    def test_noted_regression_beyond_noise(self):
+        assert classify(+0.50, noted=True, bound=0.35) == "noted"
+
+    def test_unnoted_regression_beyond_noise(self):
+        assert classify(+0.50, noted=False, bound=0.35) == "regression"
+
+    def test_improvement_beyond_noise(self):
+        assert classify(-0.50, noted=False, bound=0.35) == "improvement"
+        # a NOTE never excuses/absorbs an improvement label
+        assert classify(-0.50, noted=True, bound=0.35) == "improvement"
+
+    def test_no_bound_falls_back_to_note_only(self):
+        assert classify(+0.31, noted=False, bound=None) == "regression"
+        assert classify(+0.31, noted=True, bound=None) == "noted"
+
+    def test_r08_scenario_mechanically_within_noise(self):
+        """The exact r8 failure mode: an unchanged-code +18-30% mover
+        with a measured 25% p90 spread + 10% drift must classify as
+        within-noise, not as a regression without a NOTE."""
+        old = _blob(None)  # r08 stamp: no envelope
+        new = _blob(ENV, {"ext_tfidf": [1.0, 1.05, 1.1]})
+        bound = noise_bound("ext_tfidf", old, new)
+        assert classify(+0.30, noted=False, bound=bound) == "within-noise"

@@ -42,13 +42,18 @@ def _warn_if_headline_only(q: dict, blob: dict, path: str) -> dict:
     return q
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_blob(path: str) -> tuple[dict[str, float], dict]:
+    """Returns (per-query timings, the full payload). The payload may
+    carry `noise_envelope` + `passes` (bench.py detail shape, round 9+)
+    used for mechanical mover adjudication; driver wrappers and older
+    stamps degrade to an empty blob (classification falls back to the
+    other side's envelope — see noise_bound)."""
     raw = json.load(open(path))
     if "queries" in raw:
-        return _warn_if_headline_only(raw["queries"], raw, path)
+        return _warn_if_headline_only(raw["queries"], raw, path), raw
     parsed = raw.get("parsed")
     if isinstance(parsed, dict) and "queries" in parsed:
-        return _warn_if_headline_only(parsed["queries"], parsed, path)
+        return _warn_if_headline_only(parsed["queries"], parsed, path), parsed
     # fall back: fish the map out of the captured tail text — a driver
     # capture may have truncated the LINE HEAD (the r04 artifact), so
     # scan "name": float pairs up to the trailing metadata and keep the
@@ -64,14 +69,64 @@ def load_queries(path: str) -> dict[str, float]:
         if out:
             m = re.search(r'"n_queries": (\d+)', tail)
             blob = {"n_queries": int(m.group(1))} if m else {}
-            return _warn_if_headline_only(out, blob, path)
+            return _warn_if_headline_only(out, blob, path), blob
     raise SystemExit(f"no per-query map found in {path}")
+
+
+def noise_bound(q: str, old_blob: dict, new_blob: dict) -> float | None:
+    """Per-query noise bound a mover must exceed to count as a real
+    move (r8 verdict, What's-wrong #1: the NOTE mechanism alone let 8
+    host-noise movers read as unexplained regressions; this makes the
+    measured same-HEAD spread part of the comparison itself).
+
+    bound = max(p90 same-HEAD spread across the two runs,
+                this query's own old-pass spread + new-pass spread)
+            + max(control drift across the two runs)
+
+    A side without an envelope borrows the other side's (symmetric-
+    noise assumption, documented: r08 and older stamps predate the
+    envelope). Returns None when NEITHER side measured one — the
+    caller must then fall back to NOTE-only adjudication."""
+    from bench import rel_spread
+
+    envs = [old_blob.get("noise_envelope"), new_blob.get("noise_envelope")]
+    if not any(envs):
+        return None
+    e_old = envs[0] or envs[1]
+    e_new = envs[1] or envs[0]
+    base = max(
+        float(e_old.get("p90_rel_spread", 0.0)),
+        float(e_new.get("p90_rel_spread", 0.0)),
+    )
+    drift = max(
+        float(e_old.get("control_drift_rel", 0.0)),
+        float(e_new.get("control_drift_rel", 0.0)),
+    )
+    po = (old_blob.get("passes") or {}).get(q)
+    pn = (new_blob.get("passes") or {}).get(q)
+    per_q = rel_spread(po) + rel_spread(pn) if po and pn else 0.0
+    return max(base, per_q) + drift
+
+
+def classify(delta: float, noted: bool, bound: float | None) -> str:
+    """One mover's verdict (pure; pinned in tests/test_bench_noise.py):
+    'within-noise' when |delta| fits the measured envelope, else
+    'noted' for annotated by-design slowdowns, else 'regression' /
+    'improvement'."""
+    if bound is not None and abs(delta) <= bound:
+        return "within-noise"
+    if noted and delta > 0:
+        return "noted"
+    return "regression" if delta > 0 else "improvement"
 
 
 def main() -> None:
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
-    old, new = load_queries(sys.argv[1]), load_queries(sys.argv[2])
+    (old, old_blob), (new, new_blob) = (
+        load_blob(sys.argv[1]),
+        load_blob(sys.argv[2]),
+    )
     thresh = float(sys.argv[3]) / 100 if len(sys.argv) > 3 else 0.30
     from bench import NOTES  # annotated by-design trades
 
@@ -84,20 +139,36 @@ def main() -> None:
         delta = (b - a) / a
         # ignore sub-0.2s absolute moves: pure scheduling jitter
         if abs(delta) >= thresh and abs(b - a) >= 0.2:
-            moved.append((delta, q, a, b))
-    for delta, q, a, b in sorted(moved):
-        note = " [NOTED: by-design]" if q in NOTES else ""
-        print(f"{delta:+7.0%}  {q}: {a:.3f}s -> {b:.3f}s{note}")
+            verdict = classify(delta, q in NOTES, noise_bound(q, old_blob, new_blob))
+            moved.append((delta, q, a, b, verdict))
+    tags = {
+        "within-noise": " [within measured noise]",
+        "noted": " [NOTED: by-design]",
+        "regression": " [REGRESSION]",
+        "improvement": "",
+    }
+    for delta, q, a, b, verdict in sorted(moved):
+        print(f"{delta:+7.0%}  {q}: {a:.3f}s -> {b:.3f}s{tags[verdict]}")
     gone = sorted(set(old) - set(new))
     added = sorted(set(new) - set(old))
     if gone:
         print(f"# dropped from bench: {gone}")
     if added:
         print(f"# new in bench: {added}")
-    unnoted = [q for d, q, a, b in moved if d > 0 and q not in NOTES]
+    envs = [old_blob.get("noise_envelope"), new_blob.get("noise_envelope")]
+    if any(envs):
+        src = ("old" if envs[0] else "") + ("+new" if envs[1] else "")
+        print(f"# noise envelope measured by: {src.strip('+') or 'none'} run(s)")
+    else:
+        print("# no noise envelope on either side: NOTE-only adjudication")
+    n_noise = sum(1 for *_x, v in moved if v == "within-noise")
+    n_noted = sum(1 for *_x, v in moved if v == "noted")
+    regressions = [q for d, q, a, b, v in moved if v == "regression"]
     print(
         f"# {len(moved)} moved >={thresh:.0%} (of {len(both)} shared); "
-        f"{len(unnoted)} regressions without a NOTE: {unnoted}"
+        f"{n_noise} within measured noise; {n_noted} noted by-design; "
+        f"{len(regressions)} regressions beyond noise without a NOTE: "
+        f"{regressions}"
     )
 
 
