@@ -3035,7 +3035,10 @@ def q_ext_approx_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer kernel (functions/portable.py) — the old form read Spark's
     CountMinSketch binary driver-side (engine-specific bytes, JVM
     round-trip); this one is pure DataFrame ops AND DuckDB-verifiable
-    bit for bit."""
+    bit for bit. Production note: the portable 31-bit hash ring is
+    verification-grade to ~tens of millions of distinct keys; a 100 TB
+    job flips to an engine-native 64-bit CMS (Spark's count_min_sketch
+    / DataSketches) — same d×w additive counter shape, no oracle."""
     ev = read_table(spark, sf_dir, "events")
     code = F.expr(PK.str_code_spark_sql("event_type"))
     buckets = F.array(
@@ -3105,7 +3108,11 @@ def q_ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared Spark's percentile_approx (Greenwald-Khanna internals,
     engine-specific) against Spark's own exact percentile; this one is
     all-integer (prices quantized to cents, $1000 bins) so DuckDB
-    reproduces BOTH columns bit for bit."""
+    reproduces BOTH columns bit for bit. Production note: the
+    fixed-width cents histogram is the verification variant — it needs
+    a known bounded domain; on unbounded/unknown domains at 100 TB
+    flip to percentile_approx / DataSketches KLL (same mergeable-
+    counter scale shape, no oracle)."""
     from pyspark.sql import Window
 
     l = read_table(spark, sf_dir, "lineitem")
