@@ -284,6 +284,8 @@ HEADLINE = [
     "ext_pq_search",            # integer ADC product-quantization scan
     "ext_multimodal_features",  # raw byte-histogram via mapInPandas
     "ext_stream_append_sink",   # watermark-finalized append sink
+    # round 9: new operators claimed done this round
+    "ext_dsir_weights",         # DSIR hashed likelihood-ratio selection
 ]
 
 

@@ -19884,3 +19884,117 @@ def q_ext_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gain_micros"),
         (F.col("imp").cast("double") / F.lit(1000000.0)).alias("impurity"),
     )
+
+
+# ===========================================================================
+# Round 9: DSIR importance resampling — hashed-token likelihood-ratio
+# data selection (Xie et al., "Data Selection for Language Models via
+# Importance Resampling", NeurIPS 2023 — public paper).
+# ===========================================================================
+
+_DSIR_B = 64  # hashed feature buckets; tiny so the ratio relation broadcasts
+
+
+def _dsir_oracle() -> str:
+    code = PK.str_code_duckdb_sql("tok")
+    mix = PK.mix31_duckdb_sql("code")
+    b = _DSIR_B
+    return rf"""WITH toks AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    coded AS (SELECT doc_id, lang, {code} AS code FROM toks),
+    bkt AS (SELECT doc_id, lang, ({mix}) % {b} AS b FROM coded),
+    db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM bkt GROUP BY doc_id, lang, b),
+    raw AS (SELECT b, COUNT(*) AS cr FROM bkt GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM bkt WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT COUNT(*) AS nr,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM bkt),
+    lr AS (SELECT raw.b,
+              CAST(ROUND(LN(CAST((COALESCE(tgt.ct, 0) + 1) * (tot.nr + {b}) AS DOUBLE)
+                            / CAST((raw.cr + 1) * (tot.nt + {b}) AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS lrm
+           FROM raw LEFT JOIN tgt USING (b), tot)
+    SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_toks,
+           CAST(SUM(c * lrm) AS BIGINT) AS dsir_micro
+    FROM db JOIN lr USING (b)
+    GROUP BY doc_id, lang
+    ORDER BY dsir_micro DESC, doc_id ASC
+    LIMIT 20"""
+
+
+@register("ext_dsir_weights", _dsir_oracle())
+def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-document importance weights via hashed
+    bag-of-token likelihood ratios (Xie et al., NeurIPS 2023), target
+    distribution = the English slice, raw = the whole corpus; returns
+    the top-20 documents by weight — the "select pretraining data that
+    looks like the target domain" primitive.
+
+    weight(x) = Σ_b count_b(x) · ln(p_tgt(b) / p_raw(b)) with add-one
+    smoothing over B=64 hashed buckets. All-integer score transport:
+    the per-bucket log-ratio is frozen to integer micros
+    (ROUND(ln(exact_int / exact_int) · 1e6) — the ln argument is a
+    ratio of exact BIGINT products, identical in both engines, so the
+    micro value matches bit for bit), and the per-doc score is then an
+    exact integer Σ count·lrm — order-independent, no float-sum noise.
+
+    Scale shape at 100 TB: tokens are bucketed map-side (portable
+    str_code→mix31 hash, functions/portable.py) and immediately
+    partially aggregated, so the shuffle carries (doc_id, bucket,
+    count) rows — ≤B per doc — never token text; the bucket-ratio
+    relation is B rows broadcast (the 1-row totals crossJoin is the
+    allowlisted stat-join shape); top-k plans as
+    TakeOrderedAndProject. Production note: the paper uses B=10k and
+    hashed bigrams — one constant and one extra concat here; B=64
+    keeps the oracle readable and the unit semantics identical."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    coded = toks.select(
+        "doc_id", "lang", F.expr(PK.str_code_spark_sql("tok")).alias("code")
+    )
+    bkt = coded.select(
+        "doc_id",
+        "lang",
+        (F.expr(PK.mix31_spark_sql("code")) % _DSIR_B).alias("b"),
+    )
+    db = bkt.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    raw = bkt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bkt.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = bkt.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(ROUND(LN(CAST((ct + 1) * (nr + {_DSIR_B}) AS DOUBLE)"
+                f" / CAST((cr + 1) * (nt + {_DSIR_B}) AS DOUBLE)) * 1000000)"
+                " AS BIGINT)"
+            ).alias("lrm"),
+        )
+    )
+    scored = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.col("c") * F.col("lrm")).alias("dsir_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_micro"), F.asc("doc_id")).limit(20)

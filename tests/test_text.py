@@ -76,3 +76,27 @@ class TestBM25:
         assert ranked == [1, 2, 3]  # 4 has no query terms → absent
         scores = {r.doc_id: r.bm25 for r in out}
         assert scores[1] > scores[2] > scores[3] > 0
+
+
+class TestDsirWeights:
+    def test_target_lang_scores_higher(self, spark, sf_dir):
+        """DSIR semantics: with target = the English slice, English
+        documents must dominate the per-token importance score — the
+        mean normalized weight (dsir_micro / n_toks) of 'en' docs must
+        exceed that of every other language, and the top-20 selection
+        must be majority-English."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        top = QUERIES["ext_dsir_weights"](spark, sf_dir).collect()
+        assert len(top) == 20
+        en = sum(1 for r in top if r["lang"] == "en")
+        assert en > 10, f"top-20 should be majority target-lang, got {en}"
+        # weights are integer micros: exact, no float noise
+        assert all(isinstance(r["dsir_micro"], int) for r in top)
+
+    def test_deterministic(self, spark, sf_dir):
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        a = [tuple(r) for r in QUERIES["ext_dsir_weights"](spark, sf_dir).collect()]
+        b = [tuple(r) for r in QUERIES["ext_dsir_weights"](spark, sf_dir).collect()]
+        assert a == b

@@ -124,6 +124,9 @@ ALLOWED: dict[str, set[str]] = {
     "ext_cuped": {'bnl_join'},
     "ext_dedup_embed": {'bnl_join'},
     "ext_domain_mix": {'bnl_join'},
+    # round 9: DSIR — the 1-row corpus-totals relation (nr, nt)
+    # crossJoined back onto the 64-row bucket-ratio build.
+    "ext_dsir_weights": {'bnl_join'},
     "ext_dtw": {'bnl_join'},
     "ext_eb_shrinkage": {'bnl_join'},
     "ext_fk_audit": {'bnl_join'},
