@@ -286,6 +286,7 @@ HEADLINE = [
     "ext_stream_append_sink",   # watermark-finalized append sink
     # round 9: new operators claimed done this round
     "ext_dsir_weights",         # DSIR hashed likelihood-ratio selection
+    "ext_tokenizer_fertility",  # per-lang tokens/word + bytes/token QA
 ]
 
 

@@ -19998,3 +19998,78 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("dsir_micro"), F.asc("doc_id")).limit(20)
+
+
+def _fertility_oracle() -> str:
+    bpe = (
+        r"""CAST(len(regexp_extract_all(text,
+           '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+           AS BIGINT)"""
+    )
+    ws = (
+        r"""CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = ''
+              THEN 0 ELSE len(string_split(
+                trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END
+           AS BIGINT)"""
+    )
+    fert = PK.fdiv_sql("CAST(SUM(n_bpe) AS BIGINT) * 1000000",
+                       "CAST(SUM(n_ws) AS BIGINT)")
+    bpt = PK.fdiv_sql("CAST(SUM(n_bytes) AS BIGINT) * 1000000",
+                      "CAST(SUM(n_bpe) AS BIGINT)")
+    return f"""WITH per AS (
+      SELECT lang, {bpe} AS n_bpe, {ws} AS n_ws,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+           CAST(SUM(n_ws) AS BIGINT) AS sum_ws,
+           CASE WHEN SUM(n_ws) = 0 THEN CAST(0 AS BIGINT)
+                ELSE {fert} END AS fertility_micro,
+           CASE WHEN SUM(n_bpe) = 0 THEN CAST(0 AS BIGINT)
+                ELSE {bpt} END AS bytes_per_bpe_micro
+    FROM per GROUP BY lang ORDER BY lang"""
+
+
+@register("ext_tokenizer_fertility", _fertility_oracle())
+def q_ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — THE tokenizer-QA readout: how
+    many BPE-ish tokens each whitespace word costs (fertility) and how
+    many UTF-8 bytes each token carries, by language. High fertility on
+    a language = the vocabulary under-serves it (its texts burn context
+    budget); bytes/token shows compression. Builds on the
+    ext_token_bpe counting kernel (functions/text.py token_count_bpe —
+    the Java/RE2-identical regex subset) plus octet_length (Spark) /
+    strlen (DuckDB), both UTF-8 byte counts (probed identical on
+    multibyte text).
+
+    All-integer transport: ratios are exact floor-divided micros
+    (portable.fdiv_sql, shared SQL text) over exact BIGINT sums — no
+    float noise. Scale shape: one map-side pass computing three
+    counters per doc, then a #langs-row hash aggregate; the shuffle
+    carries (lang, partial sums) only. Zero joins, zero windows."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        TX.token_count_bpe(F.col("text")).cast("long").alias("n_bpe"),
+        TX.token_count_ws(F.col("text")).cast("long").alias("n_ws"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("sum_bpe"),
+        F.sum("n_ws").alias("sum_ws"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_bpe",
+        "sum_ws",
+        F.when(F.col("sum_ws") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(PK.fdiv_sql("sum_bpe * 1000000", "sum_ws")))
+        .alias("fertility_micro"),
+        F.when(F.col("sum_bpe") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(PK.fdiv_sql("sum_bytes * 1000000", "sum_bpe")))
+        .alias("bytes_per_bpe_micro"),
+    ).orderBy("lang")

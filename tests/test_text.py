@@ -100,3 +100,19 @@ class TestDsirWeights:
         a = [tuple(r) for r in QUERIES["ext_dsir_weights"](spark, sf_dir).collect()]
         b = [tuple(r) for r in QUERIES["ext_dsir_weights"](spark, sf_dir).collect()]
         assert a == b
+
+
+class TestTokenizerFertility:
+    def test_fertility_semantics(self, spark, sf_dir):
+        """Every whitespace word yields >=1 BPE-ish token (the regex
+        partitions non-space text), so per-language fertility is
+        >= 1.0; byte cost per token is positive; one row per lang."""
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        rows = QUERIES["ext_tokenizer_fertility"](spark, sf_dir).collect()
+        langs = [r["lang"] for r in rows]
+        assert langs == sorted(langs) and len(set(langs)) == len(langs)
+        for r in rows:
+            assert r["sum_bpe"] >= r["sum_ws"], r
+            assert r["fertility_micro"] >= 1_000_000, r
+            assert r["bytes_per_bpe_micro"] > 0, r
