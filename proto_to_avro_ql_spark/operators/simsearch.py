@@ -203,7 +203,7 @@ def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -
     )
 
 
-def kmeans_cells(
+def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
@@ -213,13 +213,31 @@ def kmeans_cells(
     """Train the IVF coarse quantizer: Lloyd's iterations with
     deterministic seeds (the k lowest-id vectors — no RNG, reproducible
     plans). Each iteration: one broadcast assignment pass + one
-    aggregate; centroids stay tiny and driver-free."""
+    aggregate; centroids stay tiny and driver-free. Returns the FULL
+    trained (cell, centroid) relation — including a cell that ends the
+    final assignment empty (same contract as the integer-grid
+    kmeans_train_int; probe ranking must use this relation, not the
+    assignment join's surviving cells)."""
     cents = embeddings.where(F.col(id_col) < k).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
     )
     for _ in range(iters):
         assigned = _assign_cells(embeddings, cents, id_col, vec_col)
         cents = _mean_vectors(assigned, vec_col)
+    return cents
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment view of kmeans_train: (id, vec, cell, centroid).
+    Inner join — a trained centroid with no final members carries no
+    row here; use kmeans_train for the complete probe set."""
+    cents = kmeans_train(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return _assign_cells(embeddings, cents, id_col, vec_col).join(
         cents, "cell"
     )
@@ -238,9 +256,17 @@ def ivf_topk(
     centroids are nearest each query. At 100 TB the corpus is
     partitioned by cell, so a query touches ~probes/k_cells of the
     data; centroids are tiny and broadcast; the quantizer is trained
-    once and reused across queries."""
-    assigned = kmeans_cells(embeddings, k=k_cells, id_col=id_col, vec_col=vec_col).persist()
-    cents = assigned.select("cell", "centroid").distinct()
+    once and reused across queries. Probe ranking runs over the FULL
+    trained centroid relation (kmeans_train), not the assignment
+    join's surviving cells — same orphaned-centroid contract as
+    ivf_topk_int."""
+    # cents is k rows but carries the whole Lloyd's chain; persist so
+    # probe ranking and the assignment pass read the materialized rows
+    # (allowlisted in tools/audit_caches, single-shot).
+    cents = kmeans_train(
+        embeddings, k=k_cells, id_col=id_col, vec_col=vec_col
+    ).persist()
+    assigned = _assign_cells(embeddings, cents, id_col, vec_col).persist()
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

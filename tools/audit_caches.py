@@ -120,7 +120,8 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/operators/lexical.py:bm25_search":
         "per-doc token aggregate (df join + doc-length stats broadcast)",
     "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk":
-        "cell-assigned embeddings (centroid stats + probe join)",
+        "trained centroids (probe rank + assignment) and cell-assigned "
+        "embeddings (candidate scan)",
     "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk_int":
         "trained centroids (probe rank + assignment) and cell-assigned "
         "integer embeddings (query extraction + candidate scan)",
