@@ -19942,13 +19942,15 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro value matches bit for bit), and the per-doc score is then an
     exact integer Σ count·lrm — order-independent, no float-sum noise.
 
-    Scale shape at 100 TB: tokens are bucketed map-side (portable
-    str_code→mix31 hash, functions/portable.py) and immediately
-    partially aggregated, so the shuffle carries (doc_id, bucket,
-    count) rows — ≤B per doc — never token text; the bucket-ratio
-    relation is B rows broadcast (the 1-row totals crossJoin is the
-    allowlisted stat-join shape); top-k plans as
-    TakeOrderedAndProject. Production note: the paper uses B=10k and
+    Scale shape at 100 TB: ONE tokenize pass — tokens are bucketed
+    map-side (portable str_code→mix31 hash, functions/portable.py) and
+    immediately partially aggregated into the per-doc bucket counts,
+    so the only data-scale shuffle carries (doc_id, bucket, count)
+    rows — ≤B per doc — never token text; raw/target bucket counts and
+    the corpus totals all derive from that cached numeric relation
+    (not from re-reading text); the bucket-ratio relation is B rows
+    broadcast (the 1-row totals crossJoin is the allowlisted stat-join
+    shape); top-k plans as TakeOrderedAndProject. Production note: the paper uses B=10k and
     hashed bigrams — one constant and one extra concat here; B=64
     keeps the oracle readable and the unit semantics identical."""
     docs = read_table(spark, sf_dir, "documents")
@@ -19965,16 +19967,25 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.expr(PK.mix31_spark_sql("code")) % _DSIR_B).alias("b"),
     )
-    db = bkt.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
-    raw = bkt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        bkt.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # One tokenize pass: every downstream relation (raw/target bucket
+    # counts, corpus totals) derives from the per-doc bucket counts —
+    # numeric (doc_id, lang, b, c) rows, never re-reading text. The
+    # cache is the single-shot shared-subtree shape (allowlisted in
+    # tools/audit_caches; session sweeps drop it).
+    db = (
+        bkt.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    tot = bkt.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (
+        db.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    tot = db.agg(
+        F.sum("c").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("nt"),
     )
     lr = (
         raw.join(tgt, "b", "left")

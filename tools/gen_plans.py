@@ -227,6 +227,9 @@ AUDIT = {
     "ext_sql_groupby_all": "GROUP BY ALL sugar parity",
     "ext_match_pattern": "V-shape row patterns via direction islands",
     "ext_feature_importance": "4-feature Gini screen via one melted pass",
+    # round 9
+    "ext_dsir_weights": "DSIR selection (bucketed token counts, broadcast ratios, TakeOrdered)",
+    "ext_tokenizer_fertility": "per-lang fertility (one map pass, #langs-row agg, no joins)",
 }
 
 CODEGEN_RE = re.compile(r"\*\((\d+)\)")
