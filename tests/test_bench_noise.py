@@ -14,7 +14,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
 
 from bench import noise_envelope, rel_spread  # noqa: E402
-from bench_compare import classify, noise_bound  # noqa: E402
+from bench_compare import (  # noqa: E402
+    classify,
+    median_shift,
+    noise_bound,
+    shift_adjust,
+)
 
 
 class TestRelSpread:
@@ -115,6 +120,30 @@ class TestClassify:
     def test_no_bound_falls_back_to_note_only(self):
         assert classify(+0.31, noted=False, bound=None) == "regression"
         assert classify(+0.31, noted=True, bound=None) == "noted"
+
+    def test_uniform_host_shift_scenario(self):
+        """The r9 close scenario: the whole fleet moved ~+40% (host
+        drift, reproduced on the unchanged r8 tree), so a +50% raw
+        mover is only ~+7% after re-centering and must classify as
+        within-noise — while a genuine 3x outlier stays flagged."""
+        old = {f"q{i}": 1.0 for i in range(20)}
+        new = {f"q{i}": 1.4 for i in range(20)}
+        new["q7"] = 1.5   # +50% raw
+        new["q9"] = 3.0   # 3x raw — real even after re-centering
+        shift = median_shift(old, new)
+        assert abs(shift - 0.4) < 1e-9
+        assert classify(shift_adjust(0.5, shift), False, 0.25) == "within-noise"
+        assert classify(shift_adjust(2.0, shift), False, 0.25) == "regression"
+
+    def test_median_shift_same_tree_same_host_is_zero(self):
+        q = {"a": 1.0, "b": 2.0, "c": 0.5}
+        assert median_shift(q, dict(q)) == 0.0
+        assert median_shift({}, {}) == 0.0
+
+    def test_shift_adjust_identity_at_zero_shift(self):
+        import pytest
+
+        assert shift_adjust(0.3, 0.0) == pytest.approx(0.3)
 
     def test_r08_scenario_mechanically_within_noise(self):
         """The exact r8 failure mode: an unchanged-code +18-30% mover

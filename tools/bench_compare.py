@@ -108,11 +108,40 @@ def noise_bound(q: str, old_blob: dict, new_blob: dict) -> float | None:
     return max(base, per_q) + drift
 
 
+def median_shift(old: dict[str, float], new: dict[str, float]) -> float:
+    """Median per-query relative delta across ALL shared queries — the
+    host-drift signature detector. Two same-tree runs on the same host
+    land near 0; a fleet-wide uniform move (r9 measured the unchanged
+    r8 tree at +37% median on the r9-close host) means the HOST
+    changed, not the plans. Caveat, documented: a code change that
+    genuinely slowed most of the suite would also shift the median —
+    that case is visible in the diff and must be adjudicated by an
+    unchanged-tree control run (the r8/r9 precedent), which is why the
+    advisory line always names the control as the definitive check."""
+    import statistics
+
+    rel = [
+        (new[q] - old[q]) / old[q]
+        for q in set(old) & set(new)
+        if old[q] > 0
+    ]
+    return statistics.median(rel) if rel else 0.0
+
+
+def shift_adjust(delta: float, shift: float) -> float:
+    """A mover's delta re-centered on the fleet median shift:
+    (1+delta)/(1+shift) - 1 — 'how much did this query move relative
+    to how much EVERYTHING moved'."""
+    return (1.0 + delta) / (1.0 + shift) - 1.0
+
+
 def classify(delta: float, noted: bool, bound: float | None) -> str:
     """One mover's verdict (pure; pinned in tests/test_bench_noise.py):
     'within-noise' when |delta| fits the measured envelope, else
     'noted' for annotated by-design slowdowns, else 'regression' /
-    'improvement'."""
+    'improvement'. Callers pass the shift-ADJUSTED delta (see
+    shift_adjust) so a uniform host-level move doesn't read as
+    per-query regressions; the raw delta is still printed."""
     if bound is not None and abs(delta) <= bound:
         return "within-noise"
     if noted and delta > 0:
@@ -131,6 +160,16 @@ def main() -> None:
     from bench import NOTES  # annotated by-design trades
 
     both = sorted(set(old) & set(new))
+    shift = median_shift(old, new)
+    if abs(shift) > 0.10:
+        print(
+            f"# UNIFORM SHIFT: fleet median {shift:+.0%} across {len(both)} "
+            "shared queries — host-drift signature (two same-host same-tree "
+            "runs land near 0). Classifications below use shift-ADJUSTED "
+            "deltas; the definitive attribution for a uniform move is an "
+            "unchanged-tree control run (ROADMAP r9: unchanged r8 tree "
+            "reproduced +37% median on the r9-close host)."
+        )
     moved = []
     for q in both:
         a, b = old[q], new[q]
@@ -139,16 +178,20 @@ def main() -> None:
         delta = (b - a) / a
         # ignore sub-0.2s absolute moves: pure scheduling jitter
         if abs(delta) >= thresh and abs(b - a) >= 0.2:
-            verdict = classify(delta, q in NOTES, noise_bound(q, old_blob, new_blob))
-            moved.append((delta, q, a, b, verdict))
+            adj = shift_adjust(delta, shift)
+            verdict = classify(adj, q in NOTES, noise_bound(q, old_blob, new_blob))
+            moved.append((delta, adj, q, a, b, verdict))
     tags = {
         "within-noise": " [within measured noise]",
         "noted": " [NOTED: by-design]",
         "regression": " [REGRESSION]",
         "improvement": "",
     }
-    for delta, q, a, b, verdict in sorted(moved):
-        print(f"{delta:+7.0%}  {q}: {a:.3f}s -> {b:.3f}s{tags[verdict]}")
+    for delta, adj, q, a, b, verdict in sorted(moved):
+        print(
+            f"{delta:+7.0%} (adj {adj:+.0%})  {q}: "
+            f"{a:.3f}s -> {b:.3f}s{tags[verdict]}"
+        )
     gone = sorted(set(old) - set(new))
     added = sorted(set(new) - set(old))
     if gone:
@@ -163,11 +206,12 @@ def main() -> None:
         print("# no noise envelope on either side: NOTE-only adjudication")
     n_noise = sum(1 for *_x, v in moved if v == "within-noise")
     n_noted = sum(1 for *_x, v in moved if v == "noted")
-    regressions = [q for d, q, a, b, v in moved if v == "regression"]
+    regressions = [q for d, adj, q, a, b, v in moved if v == "regression"]
     print(
-        f"# {len(moved)} moved >={thresh:.0%} (of {len(both)} shared); "
+        f"# {len(moved)} moved >={thresh:.0%} (of {len(both)} shared, "
+        f"median shift {shift:+.0%}); "
         f"{n_noise} within measured noise; {n_noted} noted by-design; "
-        f"{len(regressions)} regressions beyond noise without a NOTE: "
+        f"{len(regressions)} regressions beyond noise+shift without a NOTE: "
         f"{regressions}"
     )
 
