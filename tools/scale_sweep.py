@@ -149,6 +149,22 @@ SWEEP = [
     "ext_audience_overlap",
     "ext_autocorr",
     "ext_backtest_naive",
+    # round 9: new entries + staged rotation candidates (r12-r14) not
+    # already swept
+    "ext_dsir_weights",
+    "ext_tokenizer_fertility",
+    "ext_benford",
+    "ext_best_split",
+    "ext_bitmap_index",
+    "ext_bloom_prune",
+    "ext_dedup_embed_lsh",
+    "ext_burn_rate",
+    "ext_burstiness",
+    "ext_calibration",
+    "ext_capture_recapture",
+    "ext_chi_residuals",
+    "ext_chi_square",
+    "ext_class_metrics",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
