@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import tempfile
@@ -76,13 +75,6 @@ def measure_tree(tree: str, sf_dir: str, names: list[str]) -> dict[str, float]:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def median_shift(old: dict[str, float], new: dict[str, float]) -> float:
-    rel = [
-        (new[q] - old[q]) / old[q] for q in set(old) & set(new) if old[q] > 0
-    ]
-    return statistics.median(rel) if rel else 0.0
-
-
 def main() -> None:
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
@@ -90,7 +82,9 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
     sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench import HEADLINE, HEADLINE13_N
+    from bench_compare import median_shift  # the tested shared definition
 
     names = HEADLINE[:HEADLINE13_N]
     wt = os.path.join(REPO, f".tmp_hostctrl_{os.getpid()}")
