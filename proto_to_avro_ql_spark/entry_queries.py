@@ -94,17 +94,21 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 9 (out: agg_cube, agg_grouping_sets, agg_percentile,
-    # agg_rollup, agg_stats — all driver-green in CORRECTNESS_r08;
-    # they remain locally gated by oracle_check). In: the staged r09
-    # candidates from ROADMAP.md "Driver-window rotation", never
-    # driver-verified, pre-certified at r7 close AND re-certified at
-    # r8 at sf0.001/0.01/0.1.
-    "ext_ab_test",                # two-sample proportion z-test
-    "ext_abc_analysis",           # Pareto ABC class assignment
-    "ext_ann_recall",             # LSH-vs-brute ANN recall measurement
-    "ext_anomaly_band",           # rolling mean±k·stddev outlier bands
-    "ext_anova",                  # one-way ANOVA F-statistic
+    # round 10 (out: ext_ab_test, ext_abc_analysis, ext_ann_recall,
+    # ext_anomaly_band, ext_anova — all driver-green in
+    # CORRECTNESS_r09; they remain locally gated by oracle_check).
+    # In: the staged r10 candidates from ROADMAP.md "Driver-window
+    # rotation", pre-certified at r8 close and 100×-swept, plus the
+    # scheduled VETERAN slot (policy below): src_proto_decode,
+    # driver-green r03, oldest veteran and the round-9 bench outlier
+    # adjudicated as host drift — re-reading it under driver
+    # conditions spot-checks both the rotation mechanism and the
+    # drift attribution.
+    "ext_approx_distinct",        # HLL-sketch approx count-distinct
+    "ext_approx_freq",            # frequent-items (heavy hitters)
+    "ext_approx_quantile",        # t-digest-style approx quantiles
+    "ext_array_ops",              # array transform/filter/aggregate
+    "src_proto_decode",           # VETERAN slot (r10): driver-green r03
 ]
 
 # VETERAN RE-VERIFICATION POLICY (round-8 verdict #7): once per ~5
