@@ -19914,8 +19914,10 @@ def _dsir_oracle() -> str:
     tot AS (SELECT COUNT(*) AS nr,
                    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM bkt),
     lr AS (SELECT raw.b,
-              CAST(ROUND(LN(CAST((COALESCE(tgt.ct, 0) + 1) * (tot.nr + {b}) AS DOUBLE)
-                            / CAST((raw.cr + 1) * (tot.nt + {b}) AS DOUBLE)) * 1000000)
+              CAST(ROUND(LN(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                            * CAST(tot.nr + {b} AS DOUBLE)
+                            / (CAST(raw.cr + 1 AS DOUBLE)
+                               * CAST(tot.nt + {b} AS DOUBLE))) * 1000000)
                    AS BIGINT) AS lrm
            FROM raw LEFT JOIN tgt USING (b), tot)
     SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_toks,
@@ -19936,11 +19938,20 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     weight(x) = Σ_b count_b(x) · ln(p_tgt(b) / p_raw(b)) with add-one
     smoothing over B=64 hashed buckets. All-integer score transport:
-    the per-bucket log-ratio is frozen to integer micros
-    (ROUND(ln(exact_int / exact_int) · 1e6) — the ln argument is a
-    ratio of exact BIGINT products, identical in both engines, so the
-    micro value matches bit for bit), and the per-doc score is then an
-    exact integer Σ count·lrm — order-independent, no float-sum noise.
+    the per-bucket log-ratio is frozen to integer micros,
+    ROUND(ln(a·b / (c·d)) · 1e6), where each of the four counts is
+    CAST to DOUBLE *before* the multiply — each factor is an exact
+    double below 2^53 (corpora to ~9e15 tokens), and IEEE */÷ are
+    correctly rounded and engine-identical, so no BIGINT product ever
+    forms (a (ct+1)·(nr+B) int64 product would overflow at ~1e13-token
+    100 TB corpora: DuckDB errors, Spark wraps silently) and LN sees a
+    bit-identical double in both engines. The remaining cross-engine
+    assumption is LN itself: libm vs JVM Math.log are each ≤1 ulp but
+    not correctly rounded, so a micros flip needs ROUND's .5 boundary
+    to fall within that ulp — pinned by the adversarial probe in
+    tests/test_portable_reference.py::test_ln_micros_cross_engine. The
+    per-doc score is then an exact integer Σ count·lrm —
+    order-independent, no float-sum noise.
 
     Scale shape at 100 TB: ONE tokenize pass — tokens are bucketed
     map-side (portable str_code→mix31 hash, functions/portable.py) and
@@ -19994,8 +20005,10 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "b",
             F.expr(
-                f"CAST(ROUND(LN(CAST((ct + 1) * (nr + {_DSIR_B}) AS DOUBLE)"
-                f" / CAST((cr + 1) * (nt + {_DSIR_B}) AS DOUBLE)) * 1000000)"
+                f"CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE)"
+                f" * CAST(nr + {_DSIR_B} AS DOUBLE)"
+                f" / (CAST(cr + 1 AS DOUBLE)"
+                f" * CAST(nt + {_DSIR_B} AS DOUBLE))) * 1000000)"
                 " AS BIGINT)"
             ).alias("lrm"),
         )

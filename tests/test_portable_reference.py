@@ -440,3 +440,100 @@ class TestAnnChainsAgainstPython:
             ).collect()
         }
         assert got == full
+
+
+class TestLnMicrosCrossEngine:
+    """Adversarial probe for the DSIR log-ratio transport
+    (entry_registry.q_ext_dsir_weights).
+
+    The entry freezes ln(a·b/(c·d)) to integer micros with the four
+    counts CAST to DOUBLE before the multiply. Two claims are probed
+    here, on inputs a hash-exact oracle run can't reach:
+
+    1. **No int64 overflow**: count tuples sized like a 100 TB corpus
+       (~1e13 tokens) — where the previous (ct+1)*(nr+B) BIGINT product
+       form would exceed 2^63 — evaluate identically on Spark, DuckDB,
+       and a plain-Python double reference.
+    2. **LN ulp / ROUND .5 boundary**: libm (DuckDB) and JVM Math.log
+       (Spark) are ≤1 ulp, not correctly rounded. A micros flip needs
+       the .5 boundary of ROUND(ln·1e6) to fall inside that ulp. We
+       seeded-search 200k random tuples for the 24 whose fractional
+       micros land closest to .5 and pin all three engines on exactly
+       those.
+    """
+
+    EXPR_TMPL = (
+        "CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) * CAST(nr + {b} AS DOUBLE)"
+        " / (CAST(cr + 1 AS DOUBLE) * CAST(nt + {b} AS DOUBLE))) * 1000000)"
+        " AS BIGINT)"
+    )
+
+    @staticmethod
+    def ref_lrm(ct: int, nr: int, cr: int, nt: int, b: int) -> int:
+        x = (float(ct + 1) * float(nr + b)) / (float(cr + 1) * float(nt + b))
+        # Python round() is banker's; SQL ROUND is half-away — emulate.
+        y = math.log(x) * 1e6
+        return math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)
+
+    def _tuples(self) -> list[tuple[int, int, int, int]]:
+        rng = random.Random(20260816)
+        # (1) 100 TB-scale tuples: nr ~ 1e13 total tokens, ct*nr ≈ 1e24
+        # >> 2^63 ≈ 9.2e18 — the old integer-product form overflows.
+        big = []
+        for _ in range(40):
+            nr = rng.randrange(10**12, 2 * 10**13)
+            nt = rng.randrange(nr // 100, nr // 2)
+            cr = rng.randrange(10**9, 10**12)
+            ct = rng.randrange(0, cr)
+            big.append((ct, nr, cr, nt))
+        # (2) boundary search: keep the tuples whose ln·1e6 fractional
+        # part is closest to .5 — the only place an LN ulp can flip
+        # ROUND between engines.
+        cands = []
+        for _ in range(200_000):
+            nr = rng.randrange(10**3, 10**13)
+            nt = rng.randrange(1, nr)
+            cr = rng.randrange(1, nr)
+            ct = rng.randrange(0, cr + 1)
+            x = (float(ct + 1) * float(nr + 64)) / (
+                float(cr + 1) * float(nt + 64)
+            )
+            frac = abs((math.log(x) * 1e6) % 1.0 - 0.5)
+            cands.append((frac, ct, nr, cr, nt))
+        cands.sort()
+        edge = [(ct, nr, cr, nt) for _, ct, nr, cr, nt in cands[:24]]
+        return big + edge
+
+    def test_ln_micros_cross_engine(self, spark):
+        import duckdb
+
+        rows = self._tuples()
+        expr = self.EXPR_TMPL.format(b=64)
+        ref = [self.ref_lrm(ct, nr, cr, nt, 64) for ct, nr, cr, nt in rows]
+
+        sdf = spark.createDataFrame(
+            rows, "ct long, nr long, cr long, nt long"
+        ).coalesce(1)
+        got_spark = [
+            r[0] for r in sdf.selectExpr(f"{expr} AS lrm").collect()
+        ]
+        assert got_spark == ref
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t(ct BIGINT, nr BIGINT, cr BIGINT, nt BIGINT)"
+        )
+        con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+        got_duck = [
+            r[0]
+            for r in con.execute(f"SELECT {expr} AS lrm FROM t").fetchall()
+        ]
+        assert got_duck == ref
+
+    def test_old_product_form_would_overflow(self):
+        # Document WHY the cast-before-multiply form exists: the probed
+        # 100 TB tuples genuinely break the int64-product spelling.
+        ct, nr, cr, nt = next(
+            t for t in self._tuples() if t[1] >= 10**12 and t[0] >= 10**6
+        )
+        assert (ct + 1) * (nr + 64) > 2**63 - 1
