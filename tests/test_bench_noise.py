@@ -11,12 +11,15 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
 
 from bench import noise_envelope, rel_spread  # noqa: E402
 from bench_compare import (  # noqa: E402
     classify,
     median_shift,
+    mover_gate,
     noise_bound,
     shift_adjust,
 )
@@ -153,3 +156,45 @@ class TestClassify:
         new = _blob(ENV, {"ext_tfidf": [1.0, 1.05, 1.1]})
         bound = noise_bound("ext_tfidf", old, new)
         assert classify(+0.30, noted=False, bound=bound) == "within-noise"
+
+
+class TestNoiseBoundOneSidedPasses:
+    def test_one_sided_pass_record_still_contributes(self):
+        # r08-style stamp (no per-pass capture) vs r09 detail blob: the
+        # side that DID measure a spread larger than the p90 base must
+        # raise the bound — previously it was discarded entirely.
+        old = _blob(ENV)                            # no passes at all
+        new = _blob(ENV, {"q": [1.0, 1.0, 1.4]})    # spread 0.4 > 0.25
+        assert noise_bound("q", old, new) == pytest.approx(0.4 + 0.10)
+
+    def test_missing_side_adds_zero_not_discard(self):
+        old = _blob(ENV, {"q": [1.0, 1.0, 1.3]})    # spread 0.3
+        new = _blob(ENV)                            # no passes
+        assert noise_bound("q", old, new) == pytest.approx(0.3 + 0.10)
+
+
+class TestMoverGate:
+    def test_raw_delta_gates_as_before(self):
+        assert mover_gate(0.5, 0.5, 1.0, 1.5, 0.30)
+
+    def test_small_moves_stay_hidden(self):
+        assert not mover_gate(0.05, 0.05, 1.0, 1.05, 0.30)
+
+    def test_negative_shift_cannot_mask_a_regression(self):
+        # Host got 30% faster fleet-wide (shift -0.30); a query that
+        # regressed ~43% like-for-like lands at raw delta 0.0 — the
+        # adjusted delta must still surface it.
+        shift = -0.30
+        a, b = 1.0, 1.0
+        delta = (b - a) / a                  # 0.0 raw
+        adj = shift_adjust(delta, shift)     # ~ +0.43
+        assert adj > 0.40
+        assert mover_gate(delta, adj, a, b, 0.30)
+
+    def test_absolute_jitter_guard_uses_adjusted_seconds(self):
+        # Tiny query (0.1 s): even a large adjusted delta is 0.04 s of
+        # movement — still below the 0.2 s scheduling-jitter floor.
+        shift = -0.30
+        a, b = 0.1, 0.1
+        adj = shift_adjust(0.0, shift)
+        assert not mover_gate(0.0, adj, a, b, 0.30)

@@ -114,7 +114,11 @@ def noise_bound(q: str, old_blob: dict, new_blob: dict) -> float | None:
     )
     po = (old_blob.get("passes") or {}).get(q)
     pn = (new_blob.get("passes") or {}).get(q)
-    per_q = rel_spread(po) + rel_spread(pn) if po and pn else 0.0
+    # One-sided pass records (e.g. an old stamp predating per-pass
+    # capture vs a new detail blob) still contribute THEIR side's
+    # measured spread — rel_spread([]) is 0.0, so a missing side adds
+    # nothing rather than discarding the present side's evidence.
+    per_q = rel_spread(po or []) + rel_spread(pn or [])
     return max(base, per_q) + drift
 
 
@@ -143,6 +147,20 @@ def shift_adjust(delta: float, shift: float) -> float:
     (1+delta)/(1+shift) - 1 — 'how much did this query move relative
     to how much EVERYTHING moved'."""
     return (1.0 + delta) / (1.0 + shift) - 1.0
+
+
+def mover_gate(
+    delta: float, adj: float, a: float, b: float, thresh: float
+) -> bool:
+    """Should this query appear in the movers list? (pure; pinned in
+    tests/test_bench_noise.py). Gates on the LARGER of the raw and
+    shift-adjusted relative deltas — under a negative fleet shift
+    (host got faster) a genuine per-query regression can be
+    arithmetically cancelled to a small raw delta and would otherwise
+    never be listed or classified. The 0.2 s absolute jitter guard is
+    applied the same way (a·|adj| is the adjusted move in seconds)."""
+    eff = max(abs(delta), abs(adj))
+    return eff >= thresh and max(abs(b - a), a * abs(adj)) >= 0.2
 
 
 def classify(delta: float, noted: bool, bound: float | None) -> str:
@@ -186,9 +204,8 @@ def main() -> None:
         if a <= 0:
             continue
         delta = (b - a) / a
-        # ignore sub-0.2s absolute moves: pure scheduling jitter
-        if abs(delta) >= thresh and abs(b - a) >= 0.2:
-            adj = shift_adjust(delta, shift)
+        adj = shift_adjust(delta, shift)
+        if mover_gate(delta, adj, a, b, thresh):
             verdict = classify(adj, q in NOTES, noise_bound(q, old_blob, new_blob))
             moved.append((delta, adj, q, a, b, verdict))
     tags = {

@@ -69,9 +69,17 @@ def measure_tree(tree: str, sf_dir: str, names: list[str]) -> dict[str, float]:
         [sys.executable, "-c", _RUNNER, tree, sf_dir, ",".join(names)],
         capture_output=True,
         text=True,
-        check=True,
         cwd=tempfile.gettempdir(),  # foreign CWD, like driver_sim
     )
+    if out.returncode != 0:
+        # Old ref trees can fail to import or crash under today's env;
+        # surface the captured stderr (check=True would swallow it)
+        # before the finally-block worktree cleanup hides the tree.
+        raise SystemExit(
+            f"host_control: measuring tree {tree} failed "
+            f"(exit {out.returncode}).\n--- runner stderr (tail) ---\n"
+            + "\n".join(out.stderr.strip().splitlines()[-30:])
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
