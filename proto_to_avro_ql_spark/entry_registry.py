@@ -19895,11 +19895,12 @@ def q_ext_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 64  # hashed feature buckets; tiny so the ratio relation broadcasts
 
 
-def _dsir_oracle() -> str:
+def _dsir_unigram_cte() -> str:
+    """CTE chain defining ``bkt(doc_id, lang, b)`` — hashed UNIGRAM
+    features, shared by ext_dsir_weights and ext_dsir_resample."""
     code = PK.str_code_duckdb_sql("tok")
     mix = PK.mix31_duckdb_sql("code")
-    b = _DSIR_B
-    return rf"""WITH toks AS (
+    return rf"""toks AS (
       SELECT doc_id, lang, tok FROM (
         SELECT doc_id, lang,
                unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
@@ -19907,7 +19908,38 @@ def _dsir_oracle() -> str:
       ) WHERE tok <> ''
     ),
     coded AS (SELECT doc_id, lang, {code} AS code FROM toks),
-    bkt AS (SELECT doc_id, lang, ({mix}) % {b} AS b FROM coded),
+    bkt AS (SELECT doc_id, lang, ({mix}) % {_DSIR_B} AS b FROM coded)"""
+
+
+def _dsir_bigram_cte() -> str:
+    """CTE chain defining ``bkt(doc_id, lang, b)`` — hashed BIGRAM
+    features (adjacent-token pairs joined with one space), the paper's
+    actual feature space (Xie et al. §3: hashed n-grams, n=2)."""
+    code = PK.str_code_duckdb_sql("tok")
+    mix = PK.mix31_duckdb_sql("code")
+    return rf"""arrs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         t -> t <> '') AS a
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(list_zip(a[1:len(a)-1], a[2:len(a)]),
+                                   s -> s[1] || ' ' || s[2])) AS tok
+      FROM arrs
+    ),
+    coded AS (SELECT doc_id, lang, {code} AS code FROM toks),
+    bkt AS (SELECT doc_id, lang, ({mix}) % {_DSIR_B} AS b FROM coded)"""
+
+
+def _dsir_score_sql(feats_cte: str, final_select: str) -> str:
+    """The shared DSIR scoring tail over any ``bkt`` feature CTE:
+    per-doc bucket counts → smoothed log-ratio micros → exact integer
+    per-doc score, then ``final_select`` over ``scored(doc_id, lang,
+    n_toks, dsir_micro)``."""
+    b = _DSIR_B
+    return rf"""WITH {feats_cte},
     db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM bkt GROUP BY doc_id, lang, b),
     raw AS (SELECT b, COUNT(*) AS cr FROM bkt GROUP BY b),
     tgt AS (SELECT b, COUNT(*) AS ct FROM bkt WHERE lang = 'en' GROUP BY b),
@@ -19919,16 +19951,79 @@ def _dsir_oracle() -> str:
                             / (CAST(raw.cr + 1 AS DOUBLE)
                                * CAST(tot.nt + {b} AS DOUBLE))) * 1000000)
                    AS BIGINT) AS lrm
-           FROM raw LEFT JOIN tgt USING (b), tot)
-    SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_toks,
-           CAST(SUM(c * lrm) AS BIGINT) AS dsir_micro
-    FROM db JOIN lr USING (b)
-    GROUP BY doc_id, lang
+           FROM raw LEFT JOIN tgt USING (b), tot),
+    scored AS (
+      SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_toks,
+             CAST(SUM(c * lrm) AS BIGINT) AS dsir_micro
+      FROM db JOIN lr USING (b)
+      GROUP BY doc_id, lang)
+    {final_select}"""
+
+
+_DSIR_TOPK_SELECT = """SELECT doc_id, lang, n_toks, dsir_micro
+    FROM scored
     ORDER BY dsir_micro DESC, doc_id ASC
     LIMIT 20"""
 
 
-@register("ext_dsir_weights", _dsir_oracle())
+def _dsir_scored(bkt: DataFrame) -> DataFrame:
+    """Shared DSIR scoring tail over any hashed-feature relation
+    ``bkt(doc_id, lang, b)``: per-doc bucket counts → smoothed
+    log-ratio micros (double-cast-before-multiply, see
+    q_ext_dsir_weights) → exact integer per-doc score ``scored(doc_id,
+    lang, n_toks, dsir_micro)``. One featurize pass: every downstream
+    relation (raw/target histograms, corpus totals, scoring) derives
+    from the persisted per-doc bucket counts — numeric (doc_id, lang,
+    b, c) rows, never re-reading text. The cache is the single-shot
+    shared-subtree shape (allowlisted in tools/audit_caches; session
+    sweeps drop it)."""
+    db = (
+        bkt.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (
+        db.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    tot = db.agg(
+        F.sum("c").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("nt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE)"
+                f" * CAST(nr + {_DSIR_B} AS DOUBLE)"
+                f" / (CAST(cr + 1 AS DOUBLE)"
+                f" * CAST(nt + {_DSIR_B} AS DOUBLE))) * 1000000)"
+                " AS BIGINT)"
+            ).alias("lrm"),
+        )
+    )
+    return (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.col("c") * F.col("lrm")).alias("dsir_micro"),
+        )
+    )
+
+
+def _dsir_topk(bkt: DataFrame) -> DataFrame:
+    return _dsir_scored(bkt).orderBy(
+        F.desc("dsir_micro"), F.asc("doc_id")
+    ).limit(20)
+
+
+@register("ext_dsir_weights", _dsir_score_sql(_dsir_unigram_cte(), _DSIR_TOPK_SELECT))
 def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: per-document importance weights via hashed
     bag-of-token likelihood ratios (Xie et al., NeurIPS 2023), target
@@ -19961,9 +20056,11 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus totals all derive from that cached numeric relation
     (not from re-reading text); the bucket-ratio relation is B rows
     broadcast (the 1-row totals crossJoin is the allowlisted stat-join
-    shape); top-k plans as TakeOrderedAndProject. Production note: the paper uses B=10k and
-    hashed bigrams — one constant and one extra concat here; B=64
-    keeps the oracle readable and the unit semantics identical."""
+    shape); top-k plans as TakeOrderedAndProject. Production notes:
+    the paper's hashed-bigram feature space is ext_dsir_bigram (same
+    scoring tail), the select-then-sample step is ext_dsir_resample,
+    and the paper's B=10k is one constant — B=64 keeps the oracle
+    readable and the unit semantics identical."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -19978,50 +20075,7 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.expr(PK.mix31_spark_sql("code")) % _DSIR_B).alias("b"),
     )
-    # One tokenize pass: every downstream relation (raw/target bucket
-    # counts, corpus totals) derives from the per-doc bucket counts —
-    # numeric (doc_id, lang, b, c) rows, never re-reading text. The
-    # cache is the single-shot shared-subtree shape (allowlisted in
-    # tools/audit_caches; session sweeps drop it).
-    db = (
-        bkt.groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    raw = db.groupBy("b").agg(F.sum("c").alias("cr"))
-    tgt = (
-        db.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.sum("c").alias("ct"))
-    )
-    tot = db.agg(
-        F.sum("c").alias("nr"),
-        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("nt"),
-    )
-    lr = (
-        raw.join(tgt, "b", "left")
-        .na.fill({"ct": 0})
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.expr(
-                f"CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE)"
-                f" * CAST(nr + {_DSIR_B} AS DOUBLE)"
-                f" / (CAST(cr + 1 AS DOUBLE)"
-                f" * CAST(nt + {_DSIR_B} AS DOUBLE))) * 1000000)"
-                " AS BIGINT)"
-            ).alias("lrm"),
-        )
-    )
-    scored = (
-        db.join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("c").alias("n_toks"),
-            F.sum(F.col("c") * F.col("lrm")).alias("dsir_micro"),
-        )
-    )
-    return scored.orderBy(F.desc("dsir_micro"), F.asc("doc_id")).limit(20)
+    return _dsir_topk(bkt)
 
 
 def _fertility_oracle() -> str:
@@ -20097,3 +20151,171 @@ def q_ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr(PK.fdiv_sql("sum_bytes * 1000000", "sum_bpe")))
         .alias("bytes_per_bpe_micro"),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# Round 10: DSIR follow-ons — hashed BIGRAM features (the paper's
+# actual feature space) and the deterministic select-then-sample step
+# (systematic resampling over exact integer cumulative weights),
+# completing the Xie et al. (NeurIPS 2023) pipeline.
+# ===========================================================================
+
+
+@register("ext_dsir_bigram", _dsir_score_sql(_dsir_bigram_cte(), _DSIR_TOPK_SELECT))
+def q_ext_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed BIGRAM features — the
+    feature space the paper actually uses (hashed n-grams, n=2):
+    adjacent normalized tokens joined with one space, then the same
+    str_code→mix31 bucket hash and scoring tail as ext_dsir_weights
+    (shared _dsir_scored; B=64 buckets keeps the oracle readable, the
+    paper's B=10k is one constant).
+
+    Bigram construction is pure JVM array algebra — filter empty
+    tokens, then zip_with(slice(a,1,n-1), slice(a,2,n-1), concat):
+    no posexplode self-join, no shuffle before the bucket hash, so
+    featurization stays map-side and the only data-scale shuffle is
+    still the (doc_id, bucket, count) partial aggregate. DuckDB
+    mirrors it with list_zip + list_transform over identical
+    normalized arrays, so the hashed features — and therefore every
+    downstream integer — are engine-identical.
+
+    Scale shape at 100 TB: identical to ext_dsir_weights (ONE
+    featurize pass, ≤B rows per doc shuffled, B-row broadcast ratio
+    relation, TakeOrderedAndProject top-k); bigrams roughly double the
+    map-side token stream but leave every shuffle bound unchanged."""
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda t: t != F.lit(""),
+        ).alias("a"),
+    )
+    toks = arrs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2 THEN CAST(array() AS array<string>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> concat(x, ' ', y)) END"
+            )
+        ).alias("tok"),
+    )
+    coded = toks.select(
+        "doc_id", "lang", F.expr(PK.str_code_spark_sql("tok")).alias("code")
+    )
+    bkt = coded.select(
+        "doc_id",
+        "lang",
+        (F.expr(PK.mix31_spark_sql("code")) % _DSIR_B).alias("b"),
+    )
+    return _dsir_topk(bkt)
+
+
+_DSIR_N_SAMPLES = 100     # resample quota (the paper's k, corpus-sized in prod)
+_DSIR_W_CAP = 1_000_000   # per-doc weight saturation (micros)
+
+_DSIR_RESAMPLE_SELECT = f"""wts AS (
+      SELECT doc_id, lang,
+             1 + LEAST(GREATEST(dsir_micro, 0), {_DSIR_W_CAP}) AS weight
+      FROM scored),
+    cums AS (
+      SELECT doc_id, lang, weight,
+             SUM(weight) OVER (ORDER BY doc_id) AS cum
+      FROM wts),
+    tot2 AS (SELECT SUM(weight) AS tw FROM wts),
+    cop AS (
+      SELECT doc_id, lang, weight,
+             CAST(({2 * _DSIR_N_SAMPLES} * cum + tw - 1) // (2 * tw)
+                  - ({2 * _DSIR_N_SAMPLES} * (cum - weight) + tw - 1) // (2 * tw)
+                  AS BIGINT) AS copies
+      FROM cums, tot2)
+    SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight, copies
+    FROM cop WHERE copies > 0 ORDER BY doc_id"""
+
+
+@register(
+    "ext_dsir_resample",
+    # The sampler CTEs splice into the shared scoring chain: the
+    # final_select slot legally continues the WITH list (leading
+    # comma) before its terminal SELECT.
+    _dsir_score_sql(_dsir_unigram_cte(), ",\n    " + _DSIR_RESAMPLE_SELECT),
+)
+def q_ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic resampling over DSIR importance
+    weights — the 'sample' half of the paper's select-then-sample
+    pair (Xie et al. §2.3 resample k documents ∝ importance weight).
+
+    Semantics, exact-integer throughout: per-doc weight = 1 +
+    clamp(dsir_micro, 0, 1e6) (a rank-preserving saturated-affine
+    stand-in for the paper's exp(score/T) — saturation is the
+    standard importance-weight-clipping variance guard, and keeps
+    every product below int64: tw ≤ 1,000,001·#docs, so the
+    cross-multiplied comparisons 200·cum stay under 2^63 through
+    ~4.6e10 documents ≈ 100 TB at 2-4 KB/doc; beyond that lift the
+    arithmetic to DECIMAL(38,0)). Systematic sampler: positions
+    p_j = (2j+1)·tw/2n for j∈[0,n); doc i is drawn once for every
+    p_j inside its cumulative-weight interval [cum_i − w_i, cum_i).
+    copies_i = q(cum_i) − q(cum_i − w_i) with q(c) = ⌈(2n·c − tw) /
+    2tw⌉ = (2n·c + tw − 1) div 2tw — pure per-row arithmetic, no
+    position relation, no join against the samples at all (every
+    operand nonnegative, so Spark's truncating div and DuckDB's
+    flooring // agree).
+
+    Scale shape at 100 TB: the one global structure is the cumulative
+    weight, built with banded_global_cumsum (operators/layout.py) —
+    per-band partitioned running sums + a #bands-row offset relation —
+    never a single-partition window; the corpus total tw is a 1-row
+    broadcast (allowlisted stat-join shape). Everything after the
+    cumsum is map-side arithmetic. Σ copies = n exactly (pinned in
+    tests/test_dsir_resample.py)."""
+    from proto_to_avro_ql_spark.operators.layout import banded_global_cumsum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    coded = toks.select(
+        "doc_id", "lang", F.expr(PK.str_code_spark_sql("tok")).alias("code")
+    )
+    bkt = coded.select(
+        "doc_id",
+        "lang",
+        (F.expr(PK.mix31_spark_sql("code")) % _DSIR_B).alias("b"),
+    )
+    wts = _dsir_scored(bkt).select(
+        "doc_id",
+        "lang",
+        (
+            F.lit(1)
+            + F.least(
+                F.greatest(F.col("dsir_micro"), F.lit(0)),
+                F.lit(_DSIR_W_CAP),
+            )
+        ).cast("long").alias("weight"),
+    )
+    cums = banded_global_cumsum(
+        wts,
+        band=(F.col("doc_id") / 4096).cast("bigint"),
+        order_cols=[F.col("doc_id")],
+        value=F.col("weight"),
+        name="cum",
+    )
+    tot = wts.agg(F.sum("weight").alias("tw"))
+    n2 = 2 * _DSIR_N_SAMPLES
+    cop = cums.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "lang",
+        "weight",
+        (
+            F.expr(f"({n2} * cum + tw - 1) div (2 * tw)")
+            - F.expr(f"({n2} * (cum - weight) + tw - 1) div (2 * tw)")
+        ).cast("long").alias("copies"),
+    )
+    return cop.where(F.col("copies") > 0).orderBy("doc_id")
+

@@ -131,6 +131,53 @@ def banded_global_rank(
     )
 
 
+def banded_global_cumsum(
+    df: DataFrame,
+    band: Column,
+    order_cols: list[Column],
+    value: Column,
+    name: str = "_gcum",
+) -> DataFrame:
+    """Exact INCLUSIVE global running sum of ``value`` over
+    ``order_cols`` without a single-partition window — the weighted
+    prefix-sum sibling of :func:`banded_global_rank`.
+
+    Same contract: ``band`` must be a coarse prefix of the total order
+    (rows sort by (band, *order_cols) exactly as by ``order_cols``
+    alone), and band granularity is a pure parallelism knob. Same plan
+    shape at any scale: (1) per-band running sum — a PARTITIONED
+    window, one shuffle on band; (2) per-band totals → prefix sum over
+    the #bands-row relation (the only unpartitioned window — pick a
+    band expression that keeps #bands ≪ #rows); (3) unhinted join of
+    the offsets back (AQE broadcasts while the band relation is
+    small). This is how a 100 TB table gets a cumulative weight
+    column for quota/resampling cuts without funneling through one
+    partition."""
+    from pyspark.sql import Window
+
+    stamped = df.withColumn("_band", band).withColumn("_v", value)
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = stamped.withColumn("_lsum", F.sum("_v").over(w_in))
+    totals = stamped.groupBy("_band").agg(F.sum("_v").alias("_bs"))
+    # #bands rows only: the global window here is bounded and cheap.
+    w_pre = (
+        Window.orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_band", (F.sum("_bs").over(w_pre) - F.col("_bs")).alias("_boff")
+    )
+    return (
+        local.join(offsets, "_band")
+        .withColumn(name, (F.col("_boff") + F.col("_lsum")).cast("bigint"))
+        .drop("_band", "_v", "_lsum", "_boff")
+    )
+
+
 def ntile_from_rank(rank: Column, total: Column, n_tiles: int) -> Column:
     """SQL ``ntile(n)`` bucket (0-indexed) computed from a 0-indexed
     global rank and the total row count: the first ``total % n`` tiles

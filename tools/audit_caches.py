@@ -150,9 +150,10 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_cuped": _SHARED,
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_dbscan_grid":
         "cell counts (dense filter + point labeling)",
-    "proto_to_avro_ql_spark/entry_registry.py:q_ext_dsir_weights":
+    "proto_to_avro_ql_spark/entry_registry.py:_dsir_scored":
         "per-doc bucket counts (raw/target histograms + totals + scoring "
-        "all derive from it — one tokenize pass)",
+        "all derive from it — one featurize pass; shared by the DSIR "
+        "weights/bigram/resample entries)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_eb_shrinkage":
         "global moments + the per-day report share it",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_fleiss_kappa": _SHARED,

@@ -124,8 +124,13 @@ ALLOWED: dict[str, set[str]] = {
     "ext_cuped": {'bnl_join'},
     "ext_dedup_embed": {'bnl_join'},
     "ext_domain_mix": {'bnl_join'},
-    # round 9: DSIR — the 1-row corpus-totals relation (nr, nt)
-    # crossJoined back onto the 64-row bucket-ratio build.
+    # round 9/10: DSIR family — the 1-row corpus-totals relation
+    # crossJoined back onto the 64-row bucket-ratio build (weights /
+    # bigram) and onto the per-doc copies arithmetic (resample);
+    # resample's global window/exchange is the #bands-row offset
+    # relation of banded_global_cumsum (bounded: docs/4096).
+    "ext_dsir_bigram": {'bnl_join'},
+    "ext_dsir_resample": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_dsir_weights": {'bnl_join'},
     "ext_dtw": {'bnl_join'},
     "ext_eb_shrinkage": {'bnl_join'},

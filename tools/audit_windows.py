@@ -87,6 +87,8 @@ ALLOWED: dict[str, set[str]] = {
     "ext_bitmap_index": {"row_number("},
     "ext_burn_rate": {"sum(n"},
     "ext_contribution_analysis": {"sum(_w0"},
+    # banded_global_cumsum offsets: #bands-row relation (docs/4096)
+    "ext_dsir_resample": {"sum(_bs"},
     "ext_gini": {"sum(_bn"},
     "ext_hybrid_search": {"row_number("},
     "ext_isotonic": {"sum(n"},

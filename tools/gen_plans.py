@@ -229,6 +229,8 @@ AUDIT = {
     "ext_feature_importance": "4-feature Gini screen via one melted pass",
     # round 9
     "ext_dsir_weights": "DSIR selection (bucketed token counts, broadcast ratios, TakeOrdered)",
+    "ext_dsir_bigram": "DSIR bigram features (map-side zip_with pairing, same scoring tail)",
+    "ext_dsir_resample": "DSIR systematic resample (banded cumsum, broadcast total, per-row copies arithmetic)",
     "ext_tokenizer_fertility": "per-lang fertility (one map pass, #langs-row agg, no joins)",
 }
 
