@@ -287,6 +287,34 @@ HEADLINE = [
     # round 9: new operators claimed done this round
     "ext_dsir_weights",         # DSIR hashed likelihood-ratio selection
     "ext_tokenizer_fertility",  # per-lang tokens/word + bytes/token QA
+    # round 10 (r9 verdict #6): the registry tail's heaviest entries by
+    # gate wall-clock (single-pass sf0.01 sweep, this round) — whole
+    # families (streaming joins, pandas-UDF surfaces, sinks, remaining
+    # dedup variants) were bench-invisible, so a scale regression there
+    # could not show up in BENCH_DETAIL. Plus the two round-10 DSIR
+    # entries and ext_dedup_embed_lsh (r11 rotation target).
+    "ext_stream_join",           # stream-stream interval join, micro-batch
+    "proj_subtree",              # nested-struct subtree projection
+    "ext_dsir_resample",         # DSIR systematic resample (banded cumsum)
+    "ext_dedup_ngram_jaccard",   # n-gram Jaccard near-dup (banded)
+    "ext_dedup_simhash",         # SimHash banded near-dup
+    "udf_cogrouped_pandas",      # applyInPandas cogrouped surface
+    "ext_dedup_embed",           # exact embedding-cosine dedup
+    "ext_stream_window",         # windowed streaming agg vs batch
+    "ext_dsir_bigram",           # DSIR hashed-bigram features
+    "ext_near_dedup_pipeline",   # normalize→minhash→verify chain
+    "ext_stream_dedup",          # dropDuplicates-within-watermark
+    "src_proto_repeated",        # repeated-field proto wire decode
+    "val_unknown_field",         # unknown-field validation walk
+    "ext_dedup_near",            # normalize-hash near-dup
+    "ext_udtf_polymorphic",      # arrow-batched polymorphic UDTF
+    "sink_partitioned",          # partitioned parquet sink layout
+    "ext_compaction",            # small-file compaction planner
+    "ext_expectations",          # data-quality expectation suite
+    "sink_backfill",             # idempotent partition backfill
+    "ext_sim_search_lsh",        # hyperplane-LSH ANN buckets
+    "ext_dedup_embed_lsh",       # embedding-LSH near-dup (r11 target)
+    "ext_ann_recall",            # LSH-vs-brute recall measurement
 ]
 
 
