@@ -165,6 +165,14 @@ SWEEP = [
     "ext_chi_residuals",
     "ext_chi_square",
     "ext_class_metrics",
+    # round 10: new DSIR entries + staged r15 rotation candidates
+    "ext_dsir_bigram",
+    "ext_dsir_resample",
+    "ext_cluster_quality",
+    "ext_clustering_coeff",
+    "ext_coec_bias",
+    "ext_cohens_kappa",
+    "ext_cohort_ltv",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
