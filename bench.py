@@ -61,6 +61,12 @@ NOTES = {
         "running-max window (the ext_zorder_manifest trade) — slightly "
         "slower at local sf0.1, removes the one-task sort at scale"
     ),
+    "ext_bpe_train": (
+        "inherently iterative: k=8 SEQUENTIAL merge-rule rounds, each a "
+        "pair-count aggregate + top-1 + broadcast build over the cached "
+        "word-frequency relation — per-round scheduling latency, not "
+        "data cost (the corpus is read once; iterations are vocab-sized)"
+    ),
     "ext_rfm": (
         "r05 rewrite: three banded ranks replaced three global NTILE "
         "sorts — same local cost, no single-partition window at scale"
@@ -315,6 +321,7 @@ HEADLINE = [
     "ext_sim_search_lsh",        # hyperplane-LSH ANN buckets
     "ext_dedup_embed_lsh",       # embedding-LSH near-dup (r11 target)
     "ext_ann_recall",            # LSH-vs-brute recall measurement
+    "ext_bpe_train",             # BPE merge-rule training (8 iterations)
 ]
 
 

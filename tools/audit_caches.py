@@ -150,6 +150,11 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_cuped": _SHARED,
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_dbscan_grid":
         "cell counts (dense filter + point labeling)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_bpe_train":
+        "distinct-word frequency relation (all k merge iterations train "
+        "on it — the corpus is read once) + the k 1-row merge rules "
+        "(each referenced by the output AND every later iteration; "
+        "uncached the lineage is 2^k pair aggregates)",
     "proto_to_avro_ql_spark/entry_registry.py:_dsir_scored":
         "per-doc bucket counts (raw/target histograms + totals + scoring "
         "all derive from it — one featurize pass; shared by the DSIR "

@@ -129,6 +129,9 @@ ALLOWED: dict[str, set[str]] = {
     # bigram) and onto the per-doc copies arithmetic (resample);
     # resample's global window/exchange is the #bands-row offset
     # relation of banded_global_cumsum (bounded: docs/4096).
+    # round 10: BPE training — 8 chained 1-row merge-rule broadcasts
+    # (the allowlisted stat-join shape, one per learned rule).
+    "ext_bpe_train": {'bnl_join'},
     "ext_dsir_bigram": {'bnl_join'},
     "ext_dsir_resample": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_dsir_weights": {'bnl_join'},

@@ -173,6 +173,7 @@ SWEEP = [
     "ext_coec_bias",
     "ext_cohens_kappa",
     "ext_cohort_ltv",
+    "ext_bpe_train",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
