@@ -67,6 +67,11 @@ NOTES = {
         "word-frequency relation — per-round scheduling latency, not "
         "data cost (the corpus is read once; iterations are vocab-sized)"
     ),
+    "ext_bpe_encode": (
+        "runs the full ext_bpe_train k-round trainer first (same "
+        "sequential scheduling cost), then k map-side broadcast "
+        "replaces over the per-(lang, word) relation"
+    ),
     "ext_rfm": (
         "r05 rewrite: three banded ranks replaced three global NTILE "
         "sorts — same local cost, no single-partition window at scale"
@@ -322,6 +327,7 @@ HEADLINE = [
     "ext_dedup_embed_lsh",       # embedding-LSH near-dup (r11 target)
     "ext_ann_recall",            # LSH-vs-brute recall measurement
     "ext_bpe_train",             # BPE merge-rule training (8 iterations)
+    "ext_bpe_encode",            # apply learned merges, per-lang stats
 ]
 
 

@@ -20333,7 +20333,10 @@ _BPE_STEPS = 8          # learned merge rules (the paper's k, 10k-60k in prod)
 _BPE_SEP = "·"     # symbol separator; words are [a-z0-9]+ so it never collides
 
 
-def _bpe_oracle() -> str:
+def _bpe_train_ctes() -> list[str]:
+    """The shared CTE chain: words/wf/s0, then per iteration the pair
+    relations a{i}/pr{i}/pc{i}, the rule m{i}, and (except after the
+    last rule) the re-symbolized s{i+1}."""
     s = _BPE_SEP
     parts = [rf"""words AS (
       SELECT tok FROM (
@@ -20360,6 +20363,10 @@ def _bpe_oracle() -> str:
                      '{s}' || x || '{s}{s}' || y || '{s}',
                      '{s}' || x || y || '{s}') AS sym, wc
       FROM s{i}, m{i})""")
+    return parts
+
+
+def _bpe_oracle() -> str:
     sel = "\n      UNION ALL\n      ".join(
         f"SELECT CAST({i + 1} AS INTEGER) AS step, x AS merge_left,"
         f" y AS merge_right, CAST(freq AS BIGINT) AS freq FROM m{i}"
@@ -20367,8 +20374,43 @@ def _bpe_oracle() -> str:
     )
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_bpe_train_ctes())
         + f"\n    SELECT * FROM (\n      {sel}\n    ) ORDER BY step"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    s = _BPE_SEP
+    parts = list(_bpe_train_ctes())
+    parts.append(rf"""lwords AS (
+      SELECT lang, tok FROM (
+        SELECT lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' AND regexp_matches(tok, '^[a-z0-9]+$')),
+    wl AS (SELECT lang, tok AS word, COUNT(*) AS wc FROM lwords GROUP BY lang, tok),
+    e0 AS (SELECT lang, '{s}{s}' || regexp_replace(word, '(.)', '\1{s}{s}', 'g') AS sym, wc FROM wl)""")
+    for i in range(_BPE_STEPS):
+        parts.append(f"""e{i + 1} AS (
+      SELECT lang, replace(sym,
+                           '{s}' || x || '{s}{s}' || y || '{s}',
+                           '{s}' || x || y || '{s}') AS sym, wc
+      FROM e{i}, m{i})""")
+    parts.append(f"""per AS (
+      SELECT lang, wc,
+             CAST(len(list_filter(string_split(sym, '{s}{s}'), t -> t <> '')) AS BIGINT) AS n_sub
+      FROM e{_BPE_STEPS})""")
+    spw = PK.fdiv_sql(
+        "CAST(SUM(n_sub * wc) AS BIGINT) * 1000000", "CAST(SUM(wc) AS BIGINT)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT lang, CAST(SUM(wc) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub * wc) AS BIGINT) AS n_subwords,
+           {spw} AS subwords_per_word_micro
+    FROM per GROUP BY lang ORDER BY lang"""
     )
 
 
@@ -20398,6 +20440,71 @@ def _bpe_pair_counts(symdf: DataFrame) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.sum("wc").alias("freq"))
     )
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-word frequency relation BPE trains on — the only
+    corpus-scale pass (single-shot shared-subtree cache, allowlisted
+    in audit_caches)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(TX.normalize_text(F.col("text")), " ")
+            ).alias("tok")
+        )
+        .where((F.col("tok") != "") & F.col("tok").rlike("^[a-z0-9]+$"))
+    )
+    return words.groupBy("tok").agg(F.count(F.lit(1)).alias("wc")).persist()
+
+
+def _bpe_symbolize(col_name: str):
+    s = _BPE_SEP
+    return F.concat(
+        F.lit(s + s), F.expr(f"regexp_replace({col_name}, '(.)', '$1{s}{s}')")
+    )
+
+
+def _bpe_apply(symdf: DataFrame, m: DataFrame) -> DataFrame:
+    """Apply one (x, y) merge rule to ``sym`` map-side (broadcast 1-row
+    rule; single-pass double-separator replace = exact greedy leftmost
+    merging — see q_ext_bpe_train). Preserves every other column."""
+    s = _BPE_SEP
+    rest = [c for c in symdf.columns if c != "sym"]
+    return symdf.crossJoin(F.broadcast(m.select("x", "y"))).select(
+        F.expr(
+            f"replace(sym,"
+            f" concat('{s}', x, '{s}{s}', y, '{s}'),"
+            f" concat('{s}', x, y, '{s}'))"
+        ).alias("sym"),
+        *rest,
+    )
+
+
+def _bpe_learn(wf: DataFrame) -> list[DataFrame]:
+    """The k-iteration trainer over (tok, wc): returns the k persisted
+    1-row merge-rule relations (x, y, freq), in learned order.
+
+    Each rule is persisted: m_i is referenced by the caller's output
+    AND transitively by every later iteration — without
+    materialization the lineage re-evaluates sym_{i-1} twice per
+    level, i.e. 2^k pair aggregates (measured 24 s at sf0.001); cached
+    rules make the stage count linear in k (~2 s). Single-shot caches,
+    dropped by the session-hygiene sweeps (allowlisted in
+    audit_caches)."""
+    sym = wf.select(_bpe_symbolize("tok").alias("sym"), "wc")
+    merges = []
+    for i in range(_BPE_STEPS):
+        m = (
+            _bpe_pair_counts(sym)
+            .orderBy(F.desc("freq"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .persist()
+        )
+        merges.append(m)
+        if i < _BPE_STEPS - 1:
+            sym = _bpe_apply(sym, m)
+    return merges
 
 
 @register("ext_bpe_train", _bpe_oracle())
@@ -20440,58 +20547,81 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainers run k~30k with incremental pair-delta maintenance; the
     k-pass formulation here keeps every step independently
     SQL-checkable (chained CTEs, same shape as ext_kmeans)."""
-    s = _BPE_SEP
+    rules = _bpe_learn(_bpe_word_freq(spark, sf_dir))
+    steps = [
+        m.select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.col("x").alias("merge_left"),
+            F.col("y").alias("merge_right"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        for i, m in enumerate(rules)
+    ]
+    out = steps[0]
+    for m in steps[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
+
+
+@register("ext_bpe_encode", _bpe_encode_oracle())
+def q_ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus encoding: apply the k=8 merge rules learned by
+    ext_bpe_train to every word and report per-language subword
+    statistics — words, subword tokens after merging, and exact
+    integer subwords-per-word micros. The train→encode→QA loop:
+    ext_bpe_train learns the table, this entry segments with it, and
+    the readout is the same fertility-style signal as
+    ext_tokenizer_fertility but for the LEARNED vocabulary (merges
+    trained on the corpus majority language compress it best — the
+    under-served-language effect made measurable).
+
+    Scale shape at 100 TB: ONE corpus pass builds the per-(lang, word)
+    count relation (persisted; the global word-frequency relation the
+    trainer needs derives from it by a vocab-sized re-aggregation, so
+    text is never re-read); training is ext_bpe_train's k vocab-sized
+    iterations; encoding is k map-side broadcast-rule replaces over
+    the (lang, word) relation — no shuffle grows with corpus size
+    beyond the initial tokenize + groupBy, and the final aggregate
+    shuffles #langs partial rows."""
     docs = read_table(spark, sf_dir, "documents")
-    words = (
+    lwords = (
         docs.select(
+            "lang",
             F.explode(
                 F.split(TX.normalize_text(F.col("text")), " ")
-            ).alias("tok")
+            ).alias("tok"),
         )
         .where((F.col("tok") != "") & F.col("tok").rlike("^[a-z0-9]+$"))
     )
-    # The distinct-word frequency relation all iterations train on —
-    # single-shot shared-subtree cache (allowlisted in audit_caches).
-    wf = words.groupBy("tok").agg(F.count(F.lit(1)).alias("wc")).persist()
-    sym = wf.select(
-        F.concat(
-            F.lit(s + s), F.expr(f"regexp_replace(tok, '(.)', '$1{s}{s}')")
-        ).alias("sym"),
-        "wc",
+    # One corpus pass: both the trainer's global word-frequency
+    # relation and the encode chain derive from this cached relation.
+    wl = (
+        lwords.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
     )
-    merges = []
-    for i in range(_BPE_STEPS):
-        # Each 1-row rule is persisted: m_i is referenced twice (the
-        # output table and the next symbolization) and transitively by
-        # every later iteration — without materialization the lineage
-        # re-evaluates sym_{i-1} twice per level, i.e. 2^k pair
-        # aggregates (measured 24 s at sf0.001); cached rules make the
-        # stage count linear in k (~2 s). Single-shot caches, dropped
-        # by the session-hygiene sweeps (allowlisted in audit_caches).
-        m = (
-            _bpe_pair_counts(sym)
-            .orderBy(F.desc("freq"), F.asc("x"), F.asc("y"))
-            .limit(1)
-            .persist()
-        )
-        merges.append(
-            m.select(
-                F.lit(i + 1).cast("int").alias("step"),
-                F.col("x").alias("merge_left"),
-                F.col("y").alias("merge_right"),
-                F.col("freq").cast("long").alias("freq"),
-            )
-        )
-        if i < _BPE_STEPS - 1:
-            sym = sym.crossJoin(F.broadcast(m.select("x", "y"))).select(
-                F.expr(
-                    f"replace(sym,"
-                    f" concat('{s}', x, '{s}{s}', y, '{s}'),"
-                    f" concat('{s}', x, y, '{s}'))"
-                ).alias("sym"),
-                "wc",
-            )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("step")
+    wf = wl.groupBy("tok").agg(F.sum("wc").alias("wc"))
+    rules = _bpe_learn(wf)
+    enc = wl.select("lang", _bpe_symbolize("tok").alias("sym"), "wc")
+    for m in rules:
+        enc = _bpe_apply(enc, m)
+    sep2 = _BPE_SEP * 2
+    per = enc.select(
+        "lang",
+        "wc",
+        F.expr(f"size(filter(split(sym, '{sep2}'), t -> t <> ''))")
+        .cast("long")
+        .alias("n_sub"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.sum("wc").alias("n_words"),
+        F.sum(F.col("n_sub") * F.col("wc")).alias("n_subwords"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+        F.expr(
+            PK.fdiv_sql("n_subwords * 1000000", "n_words")
+        ).alias("subwords_per_word_micro"),
+    ).orderBy("lang")

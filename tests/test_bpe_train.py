@@ -124,3 +124,40 @@ class TestEntryAgainstPythonReference:
             for r in QUERIES["ext_bpe_train"](spark, SF).collect()
         ]
         assert got == ref
+
+
+class TestEncodeAgainstPythonReference:
+    def test_per_lang_subword_stats_match(self, spark):
+        rows = (
+            duckdb.connect()
+            .execute(f"SELECT lang, text FROM '{SF}/documents.parquet'")
+            .fetchall()
+        )
+        wc: dict[str, int] = {}
+        wl: dict[tuple[str, str], int] = {}
+        for lang, t in rows:
+            for tok in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+                if tok and re.fullmatch(r"[a-z0-9]+", tok):
+                    wc[tok] = wc.get(tok, 0) + 1
+                    wl[(lang, tok)] = wl.get((lang, tok), 0) + 1
+        rules = [(x, y) for _, x, y, _ in ref_bpe(wc, 8)]
+        ref: dict[str, tuple[int, int]] = {}
+        for (lang, tok), c in wl.items():
+            syms = list(tok)
+            for x, y in rules:
+                syms = ref_merge(syms, x, y)
+            nw, ns = ref.get(lang, (0, 0))
+            ref[lang] = (nw + c, ns + len(syms) * c)
+        expect = {
+            lang: (nw, ns, ns * 1_000_000 // nw)
+            for lang, (nw, ns) in ref.items()
+        }
+        got = {
+            r["lang"]: (
+                r["n_words"],
+                r["n_subwords"],
+                r["subwords_per_word_micro"],
+            )
+            for r in QUERIES["ext_bpe_encode"](spark, SF).collect()
+        }
+        assert got == expect

@@ -150,11 +150,17 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_cuped": _SHARED,
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_dbscan_grid":
         "cell counts (dense filter + point labeling)",
-    "proto_to_avro_ql_spark/entry_registry.py:q_ext_bpe_train":
+    "proto_to_avro_ql_spark/entry_registry.py:_bpe_word_freq":
         "distinct-word frequency relation (all k merge iterations train "
-        "on it — the corpus is read once) + the k 1-row merge rules "
-        "(each referenced by the output AND every later iteration; "
-        "uncached the lineage is 2^k pair aggregates)",
+        "on it — the corpus is read once)",
+    "proto_to_avro_ql_spark/entry_registry.py:_bpe_learn":
+        "the k 1-row merge rules (each referenced by the caller's "
+        "output AND every later iteration; uncached the lineage is 2^k "
+        "pair aggregates)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_bpe_encode":
+        "per-(lang, word) counts (the one corpus pass; the global "
+        "word-frequency relation and the encode chain both derive "
+        "from it)",
     "proto_to_avro_ql_spark/entry_registry.py:_dsir_scored":
         "per-doc bucket counts (raw/target histograms + totals + scoring "
         "all derive from it — one featurize pass; shared by the DSIR "

@@ -131,6 +131,7 @@ ALLOWED: dict[str, set[str]] = {
     # relation of banded_global_cumsum (bounded: docs/4096).
     # round 10: BPE training — 8 chained 1-row merge-rule broadcasts
     # (the allowlisted stat-join shape, one per learned rule).
+    "ext_bpe_encode": {'bnl_join'},
     "ext_bpe_train": {'bnl_join'},
     "ext_dsir_bigram": {'bnl_join'},
     "ext_dsir_resample": {'bnl_join', 'global_window', 'single_part_exchange'},

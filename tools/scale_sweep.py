@@ -174,6 +174,7 @@ SWEEP = [
     "ext_cohens_kappa",
     "ext_cohort_ltv",
     "ext_bpe_train",
+    "ext_bpe_encode",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
