@@ -328,6 +328,7 @@ HEADLINE = [
     "ext_ann_recall",            # LSH-vs-brute recall measurement
     "ext_bpe_train",             # BPE merge-rule training (8 iterations)
     "ext_bpe_encode",            # apply learned merges, per-lang stats
+    "ext_kneser_ney",            # interpolated KN bigram LM per lang
 ]
 
 

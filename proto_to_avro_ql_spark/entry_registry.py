@@ -20625,3 +20625,156 @@ def q_ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             PK.fdiv_sql("n_subwords * 1000000", "n_words")
         ).alias("subwords_per_word_micro"),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# Round 10: interpolated Kneser-Ney bigram LM (Kneser & Ney 1995;
+# Chen & Goodman 1999 — public papers). Completes the LM-scoring
+# family: ext_lm_score (unigram), ext_bigram_lm (naive smoothing),
+# ext_kneser_ney (THE standard n-gram smoothing).
+# ===========================================================================
+
+# Shared probability expression, identical SQL text in both engines:
+# interpolated KN with absolute discount D = 0.75 —
+#   P(w|v) = (c(vw) - D)/c(v) + D·N1+(v,·)/c(v) · N1+(·,w)/T
+# (self-scored corpus: every evaluated bigram was seen, so c(vw) ≥ 1
+# and the max(·,0) clamp is vacuous; Σ_w P(w|v) = 1 exactly). Every
+# count is an exact BIGINT cast to DOUBLE (exact below 2^53); the
+# arithmetic is fixed-order IEEE (identical parse both engines; 0.75e0
+# forces a DOUBLE literal — a bare 0.75 is DECIMAL in DuckDB), so LN
+# sees a bit-identical double; the ulp/ROUND-boundary caveat is the
+# DSIR one (tests/test_portable_reference.py LN probe).
+_KN_LP = (
+    "CAST(ROUND(LN((CAST(c_vw AS DOUBLE) - 0.75e0) / CAST(c_v AS DOUBLE)"
+    " + 0.75e0 * CAST(n1v AS DOUBLE) / CAST(c_v AS DOUBLE)"
+    " * CAST(n1w AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+
+
+def _kn_oracle() -> str:
+    avg = PK.fdiv_sql(
+        "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+    )
+    return rf"""WITH arrs AS (
+      SELECT lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    occ AS (
+      SELECT lang, v, w, COUNT(*) AS cnt FROM (
+        SELECT lang, unnest(a[1:len(a)-1]) AS v, unnest(a[2:len(a)]) AS w
+        FROM arrs
+      ) GROUP BY 1, 2, 3
+    ),
+    bc AS (SELECT v, w, SUM(cnt) AS c_vw FROM occ GROUP BY 1, 2),
+    cv AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1v FROM bc GROUP BY 1),
+    nw AS (SELECT w, COUNT(*) AS n1w FROM bc GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM bc),
+    lp AS (
+      SELECT bc.v, bc.w, {_KN_LP} AS lpm
+      FROM bc JOIN cv USING (v) JOIN nw USING (w), tt
+    ),
+    sc AS (
+      SELECT lang, SUM(cnt) AS n_bigrams,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM occ JOIN lp USING (v, w) GROUP BY 1
+    )
+    SELECT lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(sum_lp AS BIGINT) AS sum_lp_micro,
+           {avg} AS avg_neg_lp_micro
+    FROM sc ORDER BY lang"""
+
+
+@register("ext_kneser_ney", _kn_oracle())
+def q_ext_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model, self-scored per
+    language: the standard n-gram smoothing (absolute discount D=0.75
+    + continuation-probability backoff weighted by the context's
+    distinct-successor mass). Per-language output: bigram tokens,
+    exact total log-probability micros, and average negative
+    log-probability micros — the training-perplexity-style corpus
+    quality readout (higher avg_neg_lp = the language's text is less
+    predictable under its own bigram statistics).
+
+    All-integer transport: the per-bigram-TYPE log-probability is
+    frozen once to micros (_KN_LP — fixed-order IEEE doubles over
+    exact counts, engine-identical input to LN), and per-language
+    totals are exact integer Σ cnt·lpm (128-bit accumulators both
+    sides: Spark DECIMAL(38,0), DuckDB HUGEINT — at 100 TB corpus
+    scale Σ|lpm|·cnt ≈ 4e19 exceeds int64; the BIGINT output cast is
+    the documented test-scale narrowing, the avg stays in-range
+    always). The vacuous max(c-D, 0) clamp is dropped because
+    self-scoring guarantees c(vw) ≥ 1 (docstring contract: score a
+    HELD-OUT corpus by re-adding the clamp and an OOV floor).
+
+    Scale shape at 100 TB: bigram occurrences partial-aggregate
+    map-side into (lang, v, w, cnt) — the ONLY corpus-scale shuffle,
+    bounded by observed-bigram-type × language cardinality, never raw
+    token positions; bc/cv/nw are vocab-bounded aggregates of it; the
+    type-count total T is a 1-row broadcast (allowlisted stat-join
+    shape); the scoring join is occ⋈lp on (v, w) — two vocab-bounded
+    relations; the final aggregate ships #langs partial rows. Pair
+    generation is map-side zip_with (no posexplode self-join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    )
+    pr = arrs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2"
+                " THEN CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> named_struct('v', x, 'w', y)) END"
+            )
+        ).alias("p"),
+    )
+    # (lang, v, w, cnt) — the one corpus-scale aggregate; every LM
+    # relation (bigram/context/continuation counts, T, the scoring
+    # join) derives from it. Single-shot shared-subtree cache
+    # (allowlisted in audit_caches).
+    occ = (
+        pr.select("lang", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+        .groupBy("lang", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    bc = occ.groupBy("v", "w").agg(F.sum("cnt").alias("c_vw"))
+    cv = bc.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1v")
+    )
+    nw = bc.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    lp = (
+        bc.join(cv, "v")
+        .join(nw, "w")
+        .crossJoin(F.broadcast(tt))
+        .select("v", "w", F.expr(_KN_LP).alias("lpm"))
+    )
+    sc = (
+        occ.join(lp, ["v", "w"])
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("lpm")
+            ).alias("sum_lp"),
+        )
+    )
+    return sc.select(
+        "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_lp").cast("long").alias("sum_lp_micro"),
+        F.expr(
+            PK.fdiv_sql(
+                "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+            )
+        ).alias("avg_neg_lp_micro"),
+    ).orderBy("lang")

@@ -150,6 +150,9 @@ ALLOWED: dict[str, set[str]] = {
     "ext_js_divergence": {'bnl_join'},
     "ext_key_skew_profile": {'bnl_join'},
     "ext_kmeans": {'bnl_join'},
+    # round 10: KN bigram LM — the 1-row bigram-type total T
+    # crossJoined onto the vocab-bounded probability relation.
+    "ext_kneser_ney": {'bnl_join'},
     "ext_knn_classify": {'bnl_join'},
     "ext_ks_test": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_lift_table": {'global_window', 'single_part_exchange'},

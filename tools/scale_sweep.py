@@ -175,6 +175,7 @@ SWEEP = [
     "ext_cohort_ltv",
     "ext_bpe_train",
     "ext_bpe_encode",
+    "ext_kneser_ney",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
