@@ -176,6 +176,12 @@ SWEEP = [
     "ext_bpe_train",
     "ext_bpe_encode",
     "ext_kneser_ney",
+    # round 10: staged r16 rotation candidates
+    "ext_collation",
+    "ext_compaction",
+    "ext_contamination",
+    "ext_contribution_analysis",
+    "ext_conversion_lag",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
