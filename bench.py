@@ -329,6 +329,7 @@ HEADLINE = [
     "ext_bpe_train",             # BPE merge-rule training (8 iterations)
     "ext_bpe_encode",            # apply learned merges, per-lang stats
     "ext_kneser_ney",            # interpolated KN bigram LM per lang
+    "ext_kneser_ney_holdout",    # held-out KN scoring (OOV floor)
 ]
 
 

@@ -20778,3 +20778,173 @@ def q_ext_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("avg_neg_lp_micro"),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# Round 10: held-out Kneser-Ney — the production contract of the LM
+# (train on one split, score unseen text) with the clamp and OOV floor
+# that self-scoring makes vacuous (q_ext_kneser_ney docstring).
+# ===========================================================================
+
+# Held-out probability, identical SQL text both engines. Eval bigrams
+# LEFT-join the train statistics, so any of c_vw / c_v / n1v / n1w can
+# be NULL: unseen bigram in a seen context keeps the discounted term
+# clamped at 0 (max(c - D, 0) with c = 0) and falls back to the
+# continuation mass; an unseen context backs off to the continuation
+# probability alone; a never-seen successor bottoms out at the 1e-9
+# OOV floor (GREATEST — the standard guard against -inf log-probs).
+_KN_HOLDOUT_LP = (
+    "CAST(ROUND(LN(GREATEST("
+    "CASE WHEN c_v IS NULL"
+    " THEN CAST(COALESCE(n1w, 0) AS DOUBLE) / CAST(t AS DOUBLE)"
+    " ELSE GREATEST(CAST(COALESCE(c_vw, 0) AS DOUBLE) - 0.75e0, 0.0e0)"
+    "      / CAST(c_v AS DOUBLE)"
+    "      + 0.75e0 * CAST(n1v AS DOUBLE) / CAST(c_v AS DOUBLE)"
+    "      * CAST(COALESCE(n1w, 0) AS DOUBLE) / CAST(t AS DOUBLE)"
+    " END, 1.0e-9)) * 1000000) AS BIGINT)"
+)
+
+
+def _kn_holdout_oracle() -> str:
+    mix = PK.mix31_duckdb_sql("doc_id")
+    avg = PK.fdiv_sql(
+        "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+    )
+    return rf"""WITH arrs AS (
+      SELECT CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END AS is_eval, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    occ AS (
+      SELECT is_eval, lang, v, w, COUNT(*) AS cnt FROM (
+        SELECT is_eval, lang, unnest(a[1:len(a)-1]) AS v, unnest(a[2:len(a)]) AS w
+        FROM arrs
+      ) GROUP BY 1, 2, 3, 4
+    ),
+    bc AS (SELECT v, w, SUM(cnt) AS c_vw FROM occ WHERE is_eval = 0 GROUP BY 1, 2),
+    cv AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1v FROM bc GROUP BY 1),
+    nw AS (SELECT w, COUNT(*) AS n1w FROM bc GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM bc),
+    ev AS (SELECT lang, v, w, SUM(cnt) AS cnt FROM occ WHERE is_eval = 1 GROUP BY 1, 2, 3),
+    lp AS (
+      SELECT ev.lang, ev.cnt, bc.c_vw, {_KN_HOLDOUT_LP} AS lpm
+      FROM ev
+      LEFT JOIN bc USING (v, w)
+      LEFT JOIN cv USING (v)
+      LEFT JOIN nw USING (w), tt
+    ),
+    sc AS (
+      SELECT lang, SUM(cnt) AS n_bigrams,
+             SUM(CASE WHEN c_vw IS NULL THEN cnt ELSE 0 END) AS n_unseen,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM lp GROUP BY 1
+    )
+    SELECT lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_unseen AS BIGINT) AS n_unseen_bigrams,
+           CAST(sum_lp AS BIGINT) AS sum_lp_micro,
+           {avg} AS avg_neg_lp_micro
+    FROM sc ORDER BY lang"""
+
+
+@register("ext_kneser_ney_holdout", _kn_holdout_oracle())
+def q_ext_kneser_ney_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney scoring — the production LM contract: train
+    interpolated KN bigram statistics on the 80% split (mix31(doc_id)
+    % 5 != 0, the portable deterministic split), score the held-out
+    20%'s bigrams per language. Unlike the self-scored
+    ext_kneser_ney, unseen events are real here: the max(c − D, 0)
+    clamp engages for unseen bigrams in seen contexts, an unseen
+    context backs off to the continuation probability, and a
+    never-seen successor bottoms out at the documented 1e-9 OOV floor
+    — so no log ever sees 0. Reports held-out bigram tokens, how many
+    were train-unseen (the generalization-gap readout), and exact
+    integer total / average negative log-probability micros.
+
+    Same transport and scale shape as ext_kneser_ney: ONE tokenize
+    pass partial-aggregates (is_eval, lang, v, w, cnt) map-side — the
+    only corpus-scale shuffle; train statistics are vocab-bounded
+    aggregates of its train slice; the scoring LEFT joins are
+    vocab-bounded; T is a 1-row broadcast; per-language totals are
+    exact integer sums in 128-bit accumulators."""
+    mix = PK.mix31_spark_sql("doc_id")
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        F.expr(f"CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END").alias(
+            "is_eval"
+        ),
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    )
+    pr = arrs.select(
+        "is_eval",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2"
+                " THEN CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> named_struct('v', x, 'w', y)) END"
+            )
+        ).alias("p"),
+    )
+    # (is_eval, lang, v, w, cnt) — the one corpus-scale aggregate;
+    # train statistics and the eval scoring both slice it. Single-shot
+    # shared-subtree cache (allowlisted in audit_caches).
+    occ = (
+        pr.select(
+            "is_eval",
+            "lang",
+            F.col("p.v").alias("v"),
+            F.col("p.w").alias("w"),
+        )
+        .groupBy("is_eval", "lang", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    bc = (
+        occ.where(F.col("is_eval") == 0)
+        .groupBy("v", "w")
+        .agg(F.sum("cnt").alias("c_vw"))
+    )
+    cv = bc.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1v")
+    )
+    nw = bc.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    ev = (
+        occ.where(F.col("is_eval") == 1)
+        .groupBy("lang", "v", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    lp = (
+        ev.join(bc, ["v", "w"], "left")
+        .join(cv, "v", "left")
+        .join(nw, "w", "left")
+        .crossJoin(F.broadcast(tt))
+        .select("lang", "cnt", "c_vw", F.expr(_KN_HOLDOUT_LP).alias("lpm"))
+    )
+    sc = lp.groupBy("lang").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("c_vw").isNull(), F.col("cnt")).otherwise(0)
+        ).alias("n_unseen"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("lpm")
+        ).alias("sum_lp"),
+    )
+    return sc.select(
+        "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_unseen").cast("long").alias("n_unseen_bigrams"),
+        F.col("sum_lp").cast("long").alias("sum_lp_micro"),
+        F.expr(
+            PK.fdiv_sql(
+                "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+            )
+        ).alias("avg_neg_lp_micro"),
+    ).orderBy("lang")

@@ -153,6 +153,7 @@ ALLOWED: dict[str, set[str]] = {
     # round 10: KN bigram LM — the 1-row bigram-type total T
     # crossJoined onto the vocab-bounded probability relation.
     "ext_kneser_ney": {'bnl_join'},
+    "ext_kneser_ney_holdout": {'bnl_join'},
     "ext_knn_classify": {'bnl_join'},
     "ext_ks_test": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_lift_table": {'global_window', 'single_part_exchange'},

@@ -233,6 +233,7 @@ AUDIT = {
     "ext_bpe_train": "BPE merge training (word-freq relation, k chained pair-count aggregates + broadcast rules)",
     "ext_bpe_encode": "BPE encoding (train chain + k broadcast-rule replaces over (lang, word) counts)",
     "ext_kneser_ney": "KN bigram LM (one corpus partial-agg, vocab-bounded joins, broadcast T)",
+    "ext_kneser_ney_holdout": "held-out KN (split in the one partial-agg, vocab-bounded LEFT joins, OOV floor)",
     "ext_dsir_resample": "DSIR systematic resample (banded cumsum, broadcast total, per-row copies arithmetic)",
     "ext_tokenizer_fertility": "per-lang fertility (one map pass, #langs-row agg, no joins)",
 }

@@ -176,6 +176,7 @@ SWEEP = [
     "ext_bpe_train",
     "ext_bpe_encode",
     "ext_kneser_ney",
+    "ext_kneser_ney_holdout",
     # round 10: staged r16 rotation candidates
     "ext_collation",
     "ext_compaction",
