@@ -67,6 +67,18 @@ NOTES = {
         "word-frequency relation — per-round scheduling latency, not "
         "data cost (the corpus is read once; iterations are vocab-sized)"
     ),
+    "ext_dedup_embed": (
+        "by design the exact O(n^2) cosine baseline (exact=True is "
+        "documented oracle-scale-only in simsearch.embedding_near_dup_"
+        "pairs); ext_dedup_embed_lsh is the bucketed scale path and "
+        "runs ~40x faster on the same data — first benched in r10 via "
+        "the tail-coverage sweep"
+    ),
+    "udf_cogrouped_pandas": (
+        "the documented Python-rate cogroup escape hatch: one Python "
+        "invocation per distinct key by API contract — demonstrates "
+        "the applyInPandas cogroup surface, not a data-path plan"
+    ),
     "ext_bpe_encode": (
         "runs the full ext_bpe_train k-round trainer first (same "
         "sequential scheduling cost), then k map-side broadcast "
