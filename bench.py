@@ -342,6 +342,7 @@ HEADLINE = [
     "ext_bpe_encode",            # apply learned merges, per-lang stats
     "ext_kneser_ney",            # interpolated KN bigram LM per lang
     "ext_kneser_ney_holdout",    # held-out KN scoring (OOV floor)
+    "ext_nb_langid",             # learned NB lang-id, held-out confusion
 ]
 
 

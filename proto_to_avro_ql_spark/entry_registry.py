@@ -20948,3 +20948,188 @@ def q_ext_kneser_ney_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("avg_neg_lp_micro"),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# Round 10: learned language ID — multinomial Naive Bayes over hashed
+# token features with held-out evaluation (the fastText-style lang-id
+# pipeline primitive; ext_lang_id is the zero-training heuristic, this
+# is the trained model + confusion-matrix readout).
+# ===========================================================================
+
+_NB_B = 64  # hashed feature buckets (same ring as DSIR)
+
+
+def _nb_oracle() -> str:
+    mix_doc = PK.mix31_duckdb_sql("doc_id")
+    code = PK.str_code_duckdb_sql("tok")
+    mix = PK.mix31_duckdb_sql("code")
+    b = _NB_B
+    return rf"""WITH toks AS (
+      SELECT doc_id, CASE WHEN ({mix_doc}) % 5 = 0 THEN 1 ELSE 0 END AS is_eval,
+             lang, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    coded AS (SELECT doc_id, is_eval, lang, {code} AS code FROM toks),
+    bkt AS (SELECT doc_id, is_eval, lang, ({mix}) % {b} AS b FROM coded),
+    db AS (SELECT doc_id, is_eval, lang, b, COUNT(*) AS c
+           FROM bkt GROUP BY 1, 2, 3, 4),
+    tr AS (SELECT lang, b, SUM(c) AS cnt FROM db WHERE is_eval = 0 GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(cnt) AS n_toks FROM tr GROUP BY 1),
+    docs_l AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs
+      FROM db WHERE is_eval = 0 GROUP BY 1),
+    docs_t AS (SELECT SUM(n_docs) AS n_all FROM docs_l),
+    grid AS (SELECT tot.lang, g.b FROM tot CROSS JOIN range({b}) g(b)),
+    llm AS (
+      SELECT grid.lang, grid.b,
+             CAST(ROUND(LN(CAST(COALESCE(tr.cnt, 0) + 1 AS DOUBLE)
+                           / CAST(tot.n_toks + {b} AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lpm
+      FROM grid
+      LEFT JOIN tr ON tr.lang = grid.lang AND tr.b = grid.b
+      JOIN tot ON tot.lang = grid.lang
+    ),
+    prior AS (
+      SELECT lang, CAST(ROUND(LN(CAST(n_docs AS DOUBLE)
+                                 / CAST(n_all AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS prm
+      FROM docs_l, docs_t
+    ),
+    ev AS (SELECT doc_id, lang AS lang_true, b, c FROM db WHERE is_eval = 1),
+    sco AS (
+      SELECT ev.doc_id, ev.lang_true, llm.lang AS lang_cand,
+             MAX(prior.prm) + SUM(ev.c * llm.lpm) AS score
+      FROM ev JOIN llm USING (b) JOIN prior ON prior.lang = llm.lang
+      GROUP BY 1, 2, 3
+    ),
+    pick AS (
+      SELECT doc_id, lang_true, lang_cand AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang_cand ASC) AS rk
+      FROM sco
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pick WHERE rk = 1
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+@register("ext_nb_langid", _nb_oracle())
+def q_ext_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language ID: multinomial Naive Bayes over B=64 hashed
+    token buckets, trained on the 80% mix31(doc_id) split and
+    evaluated on the held-out 20% — output is the confusion matrix
+    (lang_true, lang_pred, n_docs). The trained counterpart of the
+    heuristic ext_lang_id, and the shape of every fastText-style
+    corpus classifier (lang-id, quality filter, domain tagger): swap
+    the label column and the same plan trains a different filter.
+
+    All-integer transport: per-(lang, bucket) log-likelihoods and
+    per-lang log-priors freeze to micros from single divisions of
+    exact counts (add-one smoothing, double-cast ratio — engine-
+    identical LN input, the DSIR transport); per-doc scores are exact
+    integer prior + Σ count·llm, so the argmax (ties broken lang ASC)
+    is deterministic in both engines.
+
+    Scale shape at 100 TB: ONE tokenize pass partial-aggregates
+    (doc_id, is_eval, lang, bucket, count) map-side — ≤B rows per doc,
+    the only corpus-scale shuffle (the shared DSIR shape); training
+    statistics are L×B-bounded aggregates of its train slice; the
+    model (L×B log-likelihoods + L priors) is a broadcast-sized
+    relation joined to the eval per-doc bucket counts on the bucket
+    key; the argmax window partitions BY DOC (never global); the
+    confusion aggregate ships L² partials."""
+    mix_doc = PK.mix31_spark_sql("doc_id")
+    b = _NB_B
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"CASE WHEN ({mix_doc}) % 5 = 0 THEN 1 ELSE 0 END").alias(
+            "is_eval"
+        ),
+        "lang",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    coded = toks.select(
+        "doc_id",
+        "is_eval",
+        "lang",
+        F.expr(PK.str_code_spark_sql("tok")).alias("code"),
+    )
+    bkt = coded.select(
+        "doc_id",
+        "is_eval",
+        "lang",
+        (F.expr(PK.mix31_spark_sql("code")) % b).alias("b"),
+    )
+    # (doc_id, is_eval, lang, b, c) — the one corpus-scale aggregate;
+    # train statistics and eval scoring both slice it. Single-shot
+    # shared-subtree cache (allowlisted in audit_caches).
+    db = (
+        bkt.groupBy("doc_id", "is_eval", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tr = (
+        db.where(F.col("is_eval") == 0)
+        .groupBy("lang", "b")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    tot = tr.groupBy("lang").agg(F.sum("cnt").alias("n_toks"))
+    docs_l = (
+        db.where(F.col("is_eval") == 0)
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    docs_t = docs_l.agg(F.sum("n_docs").alias("n_all"))
+    grid = tot.select("lang", "n_toks").crossJoin(
+        spark.range(b).select(F.col("id").cast("long").alias("b"))
+    )
+    llm = grid.join(tr, ["lang", "b"], "left").select(
+        "lang",
+        "b",
+        F.expr(
+            f"CAST(ROUND(LN(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)"
+            f" / CAST(n_toks + {b} AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("lpm"),
+    )
+    prior = docs_l.crossJoin(F.broadcast(docs_t)).select(
+        "lang",
+        F.expr(
+            "CAST(ROUND(LN(CAST(n_docs AS DOUBLE)"
+            " / CAST(n_all AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("prm"),
+    )
+    ev = db.where(F.col("is_eval") == 1).select(
+        "doc_id", F.col("lang").alias("lang_true"), "b", "c"
+    )
+    model = F.broadcast(
+        llm.join(prior, "lang").select(
+            F.col("lang").alias("lang_cand"), "b", "lpm", "prm"
+        )
+    )
+    sco = (
+        ev.join(model, "b")
+        .groupBy("doc_id", "lang_true", "lang_cand")
+        .agg(
+            (F.max("prm") + F.sum(F.col("c") * F.col("lpm"))).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("lang_cand")
+    )
+    pick = sco.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return (
+        pick.groupBy(
+            "lang_true", F.col("lang_cand").alias("lang_pred")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )

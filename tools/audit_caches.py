@@ -138,6 +138,9 @@ ALLOWED: dict[str, str] = {
         "observed cells: marginals + grid share it",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_chi_square":
         "both marginals, the total, and the cell join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_nb_langid":
+        "(doc_id, is_eval, lang, b, c) bucket partials (train statistics "
+        "and eval scoring both slice it — one tokenize pass)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney_holdout":
         "(is_eval, lang, v, w, cnt) bigram partials (train statistics "
         "and the eval scoring both slice it — one tokenize pass)",

@@ -234,6 +234,7 @@ AUDIT = {
     "ext_bpe_encode": "BPE encoding (train chain + k broadcast-rule replaces over (lang, word) counts)",
     "ext_kneser_ney": "KN bigram LM (one corpus partial-agg, vocab-bounded joins, broadcast T)",
     "ext_kneser_ney_holdout": "held-out KN (split in the one partial-agg, vocab-bounded LEFT joins, OOV floor)",
+    "ext_nb_langid": "NB lang-id (one bucket partial-agg, broadcast LxB model, per-doc argmax window)",
     "ext_dsir_resample": "DSIR systematic resample (banded cumsum, broadcast total, per-row copies arithmetic)",
     "ext_tokenizer_fertility": "per-lang fertility (one map pass, #langs-row agg, no joins)",
 }

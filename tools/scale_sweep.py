@@ -177,6 +177,7 @@ SWEEP = [
     "ext_bpe_encode",
     "ext_kneser_ney",
     "ext_kneser_ney_holdout",
+    "ext_nb_langid",
     # round 10: staged r16 rotation candidates
     "ext_collation",
     "ext_compaction",
