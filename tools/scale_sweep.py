@@ -184,6 +184,11 @@ SWEEP = [
     "ext_contamination",
     "ext_contribution_analysis",
     "ext_conversion_lag",
+    # round 10: staged r17 rotation candidates (not already swept)
+    "ext_corpus_stats",
+    "ext_corr_matrix",
+    "ext_cramers_v",
+    "ext_cross_correlation",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
