@@ -94,21 +94,21 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 10 (out: ext_ab_test, ext_abc_analysis, ext_ann_recall,
-    # ext_anomaly_band, ext_anova — all driver-green in
-    # CORRECTNESS_r09; they remain locally gated by oracle_check).
-    # In: the staged r10 candidates from ROADMAP.md "Driver-window
-    # rotation", pre-certified at r8 close and 100×-swept, plus the
-    # scheduled VETERAN slot (policy below): src_proto_decode,
-    # driver-green r03, oldest veteran and the round-9 bench outlier
-    # adjudicated as host drift — re-reading it under driver
-    # conditions spot-checks both the rotation mechanism and the
-    # drift attribution.
-    "ext_approx_distinct",        # HLL-sketch approx count-distinct
-    "ext_approx_freq",            # frequent-items (heavy hitters)
-    "ext_approx_quantile",        # t-digest-style approx quantiles
-    "ext_array_ops",              # array transform/filter/aggregate
-    "src_proto_decode",           # VETERAN slot (r10): driver-green r03
+    # round 11 (out: ext_approx_distinct, ext_approx_freq,
+    # ext_approx_quantile, ext_array_ops, src_proto_decode — all
+    # driver-green in CORRECTNESS_r10; they remain locally gated by
+    # oracle_check). In: the staged r11 candidates from ROADMAP.md
+    # "Driver-window rotation" — first four pre-certified at r8 (5/5
+    # oracle-green at sf0.001/0.01/0.1); ext_dedup_embed_lsh
+    # re-certified at r10 at all three SFs. ext_dedup_embed_lsh is
+    # the r10-verdict priority: the ONLY entry whose latest driver
+    # record is an error (no_oracle, r01, predating its oracle) —
+    # this rotation replaces that stale record with a green row.
+    "ext_assortativity",          # degree assortativity (graph mixing)
+    "ext_auc",                    # ROC AUC via rank statistic
+    "ext_audience_overlap",       # pairwise audience Jaccard
+    "ext_autocorr",               # lag-k autocorrelation
+    "ext_dedup_embed_lsh",        # hyperplane-LSH near-dup (r01 repair)
 ]
 
 # VETERAN RE-VERIFICATION POLICY (round-8 verdict #7): once per ~5
