@@ -20301,7 +20301,10 @@ def q_ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cums = banded_global_cumsum(
         wts,
-        band=(F.col("doc_id") / 4096).cast("bigint"),
+        # Integral division: exact at any doc_id magnitude (float-div
+        # then cast truncates and is only exact below 2^53, and would
+        # break the band-prefix ordering contract for negative ids).
+        band=F.expr("doc_id div 4096"),
         order_cols=[F.col("doc_id")],
         value=F.col("weight"),
         name="cum",
@@ -20331,6 +20334,15 @@ def q_ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_STEPS = 8          # learned merge rules (the paper's k, 10k-60k in prod)
 _BPE_SEP = "·"     # symbol separator; words are [a-z0-9]+ so it never collides
+# Sennrich et al. (2016) end-of-word marker, fused onto each word's
+# final character (the subword-nmt convention: 'abc' → a, b, c</w>) so
+# learned merges DISTINGUISH word-final pairs from word-internal ones
+# — ('e','r') in 'erase' never pools with ('e','r</w>') in 'lower',
+# letting the tokenizer restore word boundaries on decode. ASCII-only
+# and disjoint from both the [a-z0-9] word alphabet and the separator,
+# so the double-separator replace trick and the (freq DESC, x, y)
+# tie-break stay byte-identical across Spark / DuckDB / Python.
+_BPE_EOW = "</w>"
 
 
 def _bpe_train_ctes() -> list[str]:
@@ -20344,7 +20356,7 @@ def _bpe_train_ctes() -> list[str]:
         FROM documents
       ) WHERE tok <> '' AND regexp_matches(tok, '^[a-z0-9]+$')),
     wf AS (SELECT tok AS word, COUNT(*) AS wc FROM words GROUP BY tok),
-    s0 AS (SELECT '{s}{s}' || regexp_replace(word, '(.)', '\1{s}{s}', 'g') AS sym, wc FROM wf)"""]
+    s0 AS (SELECT '{s}{s}' || regexp_replace(regexp_replace(word, '(.)', '\1{s}{s}', 'g'), '{s}{s}$', '{_BPE_EOW}{s}{s}') AS sym, wc FROM wf)"""]
     for i in range(_BPE_STEPS):
         parts.append(f"""a{i} AS (
       SELECT wc, list_filter(string_split(sym, '{s}{s}'), t -> t <> '') AS a FROM s{i}),
@@ -20389,7 +20401,7 @@ def _bpe_encode_oracle() -> str:
         FROM documents
       ) WHERE tok <> '' AND regexp_matches(tok, '^[a-z0-9]+$')),
     wl AS (SELECT lang, tok AS word, COUNT(*) AS wc FROM lwords GROUP BY lang, tok),
-    e0 AS (SELECT lang, '{s}{s}' || regexp_replace(word, '(.)', '\1{s}{s}', 'g') AS sym, wc FROM wl)""")
+    e0 AS (SELECT lang, '{s}{s}' || regexp_replace(regexp_replace(word, '(.)', '\1{s}{s}', 'g'), '{s}{s}$', '{_BPE_EOW}{s}{s}') AS sym, wc FROM wl)""")
     for i in range(_BPE_STEPS):
         parts.append(f"""e{i + 1} AS (
       SELECT lang, replace(sym,
@@ -20459,9 +20471,18 @@ def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_symbolize(col_name: str):
+    """Word → double-separator symbol string with the Sennrich
+    end-of-word marker fused onto the final character:
+    'abc' → '··a··b··c</w>··' (symbols a, b, c</w>). The anchored
+    outer replace rewrites only the trailing separator the per-char
+    expansion always emits."""
     s = _BPE_SEP
     return F.concat(
-        F.lit(s + s), F.expr(f"regexp_replace({col_name}, '(.)', '$1{s}{s}')")
+        F.lit(s + s),
+        F.expr(
+            f"regexp_replace(regexp_replace({col_name}, '(.)', '$1{s}{s}'),"
+            f" '{s}{s}$', '{_BPE_EOW}{s}{s}')"
+        ),
     )
 
 
@@ -20513,7 +20534,11 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges from the corpus — each step merges the globally
     most-frequent adjacent symbol pair (count-weighted over distinct
     words; ties broken by (left, right) ascending, deterministic in
-    both engines over the [a-z0-9]-only symbol alphabet). Returns the
+    both engines over the ASCII symbol alphabet). Per Sennrich et al.
+    (2016), each word's FINAL character carries a fused end-of-word
+    marker ('abc' → a, b, c</w>), so word-final pairs are learned
+    separately from word-internal ones — the merge table can restore
+    word boundaries on decode. Returns the
     merge table (step, merge_left, merge_right, freq) — the artifact a
     tokenizer ships.
 
@@ -20566,9 +20591,10 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ext_bpe_encode", _bpe_encode_oracle())
 def q_ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE corpus encoding: apply the k=8 merge rules learned by
-    ext_bpe_train to every word and report per-language subword
-    statistics — words, subword tokens after merging, and exact
-    integer subwords-per-word micros. The train→encode→QA loop:
+    ext_bpe_train to every word (end-of-word-marked identically to
+    training: the final char carries the fused </w>) and report
+    per-language subword statistics — words, subword tokens after
+    merging, and exact integer subwords-per-word micros. The train→encode→QA loop:
     ext_bpe_train learns the table, this entry segments with it, and
     the readout is the same fertility-style signal as
     ext_tokenizer_fertility but for the LEARNED vocabulary (merges
@@ -20704,7 +20730,15 @@ def q_ext_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides: Spark DECIMAL(38,0), DuckDB HUGEINT — at 100 TB corpus
     scale Σ|lpm|·cnt ≈ 4e19 exceeds int64; the BIGINT output cast is
     the documented test-scale narrowing, the avg stays in-range
-    always). The vacuous max(c-D, 0) clamp is dropped because
+    always). NARROWING ASYMMETRY (round-10 advice): if sum_lp ever
+    DID overflow int64, the two engines fail differently — Spark's
+    non-ANSI decimal(38,0)→long cast yields NULL silently while
+    DuckDB's HUGEINT→BIGINT cast raises; the oracle gate would catch
+    the divergence (hash mismatch vs oracle error), so the narrowing
+    cannot silently pass, but a production caller at full corpus
+    scale should read avg_neg_lp_micro (always in-range: it divides
+    by n_bigrams BEFORE narrowing) rather than sum_lp_micro. The
+    vacuous max(c-D, 0) clamp is dropped because
     self-scoring guarantees c(vw) ≥ 1 (docstring contract: score a
     HELD-OUT corpus by re-adding the clamp and an OOV floor).
 

@@ -63,6 +63,19 @@ def zorder_layout(
     )
 
 
+def _assert_no_reserved(df: DataFrame, reserved: tuple[str, ...], fn: str) -> None:
+    """Guard the banded helpers' scratch columns: ``withColumn``
+    silently REPLACES an existing column of the same name, so a caller
+    column colliding with a temp name would corrupt results with no
+    error (round-10 advice). Fail loudly instead."""
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"{fn}: input columns {clash} collide with reserved temp "
+            f"names {list(reserved)}; rename them before calling"
+        )
+
+
 def banded_global_rank(
     df: DataFrame,
     band: Column,
@@ -72,6 +85,11 @@ def banded_global_rank(
 ) -> DataFrame:
     """Exact 0-indexed GLOBAL rank over ``order_cols`` without a
     single-partition window.
+
+    RESERVED temp columns: ``_band``, ``_lrank``, ``_bn``, ``_boff``
+    are stamped internally and must be absent from ``df`` (and from
+    ``counts_from``) — asserted, because ``withColumn`` would silently
+    replace a caller column of the same name.
 
     Requires ``band`` to be a coarse prefix of the total order: rows
     sort by (band, *order_cols) exactly as by ``order_cols`` alone
@@ -107,6 +125,11 @@ def banded_global_rank(
     """
     from pyspark.sql import Window
 
+    _assert_no_reserved(df, ("_band", "_lrank", "_bn", "_boff"), "banded_global_rank")
+    if counts_from is not None:
+        _assert_no_reserved(
+            counts_from, ("_band", "_bn"), "banded_global_rank(counts_from)"
+        )
     stamped = df.withColumn("_band", band)
     w_in = Window.partitionBy("_band").orderBy(*order_cols)
     local = stamped.withColumn("_lrank", F.row_number().over(w_in) - 1)
@@ -152,9 +175,17 @@ def banded_global_cumsum(
     the offsets back (AQE broadcasts while the band relation is
     small). This is how a 100 TB table gets a cumulative weight
     column for quota/resampling cuts without funneling through one
-    partition."""
+    partition.
+
+    RESERVED temp columns: ``_band``, ``_v``, ``_lsum``, ``_bs``,
+    ``_boff`` are stamped internally and must be absent from ``df`` —
+    asserted, because ``withColumn`` would silently replace a caller
+    column of the same name."""
     from pyspark.sql import Window
 
+    _assert_no_reserved(
+        df, ("_band", "_v", "_lsum", "_bs", "_boff"), "banded_global_cumsum"
+    )
     stamped = df.withColumn("_band", band).withColumn("_v", value)
     w_in = (
         Window.partitionBy("_band")

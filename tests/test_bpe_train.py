@@ -26,6 +26,14 @@ from proto_to_avro_ql_spark.entry_queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 SEP = "·"
+EOW = "</w>"  # Sennrich end-of-word marker, fused onto the final char
+
+
+def symbolize(word: str) -> list[str]:
+    """'abc' → ['a', 'b', 'c</w>'] (the subword-nmt convention)."""
+    syms = list(word)
+    syms[-1] += EOW
+    return syms
 
 
 def ref_merge(tokens: list[str], x: str, y: str) -> list[str]:
@@ -42,7 +50,7 @@ def ref_merge(tokens: list[str], x: str, y: str) -> list[str]:
 
 
 def ref_bpe(wordcounts: dict[str, int], k: int) -> list[tuple[int, str, str, int]]:
-    syms = {w: list(w) for w in wordcounts}
+    syms = {w: symbolize(w) for w in wordcounts}
     table = []
     for step in range(k):
         pc: dict[tuple[str, str], int] = {}
@@ -83,8 +91,18 @@ class TestReplaceMergeEqualsGreedyMerge:
             ["x"],
             [],
             ["y", "y", "x", "y", "x", "x"],
+            ["a", "b", "c</w>"],
+            ["a", "a</w>"],
+            ["a", "a", "a</w>"],
         ]
-        rules = [("a", "a"), ("x", "y"), ("ab", "c"), ("y", "x")]
+        rules = [
+            ("a", "a"),
+            ("x", "y"),
+            ("ab", "c"),
+            ("y", "x"),
+            ("b", "c</w>"),
+            ("a", "a</w>"),
+        ]
         for toks in cases:
             for x, y in rules:
                 assert replace_merge(toks, x, y) == ref_merge(toks, x, y), (
@@ -143,7 +161,7 @@ class TestEncodeAgainstPythonReference:
         rules = [(x, y) for _, x, y, _ in ref_bpe(wc, 8)]
         ref: dict[str, tuple[int, int]] = {}
         for (lang, tok), c in wl.items():
-            syms = list(tok)
+            syms = symbolize(tok)
             for x, y in rules:
                 syms = ref_merge(syms, x, y)
             nw, ns = ref.get(lang, (0, 0))
