@@ -20183,6 +20183,14 @@ def q_ext_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurize pass, ≤B rows per doc shuffled, B-row broadcast ratio
     relation, TakeOrderedAndProject top-k); bigrams roughly double the
     map-side token stream but leave every shuffle bound unchanged."""
+    return _dsir_topk(_dsir_bigram_bkt(spark, sf_dir))
+
+
+def _dsir_bigram_bkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram feature relation ``bkt(doc_id, lang, b)`` — the
+    Spark twin of :func:`_dsir_bigram_cte`, shared by ext_dsir_bigram
+    and ext_dsir_pipeline. Pure map-side JVM array algebra (see
+    q_ext_dsir_bigram's docstring)."""
     docs = read_table(spark, sf_dir, "documents")
     arrs = docs.select(
         "doc_id",
@@ -20207,12 +20215,11 @@ def q_ext_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = toks.select(
         "doc_id", "lang", F.expr(PK.str_code_spark_sql("tok")).alias("code")
     )
-    bkt = coded.select(
+    return coded.select(
         "doc_id",
         "lang",
         (F.expr(PK.mix31_spark_sql("code")) % _DSIR_B).alias("b"),
     )
-    return _dsir_topk(bkt)
 
 
 _DSIR_N_SAMPLES = 100     # resample quota (the paper's k, corpus-sized in prod)
@@ -20322,6 +20329,140 @@ def q_ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cop.where(F.col("copies") > 0).orderBy("doc_id")
 
+
+# ---------------------------------------------------------------------------
+# Round 11: the COMPOSED DSIR pipeline (round-10 verdict #6) — the full
+# select-then-sample-then-cut chain as ONE declarative plan, mirroring
+# ext_corpus_pipeline / ext_near_dedup_pipeline: composed entries catch
+# integration bugs the per-stage oracles can't (column threading, stage
+# boundary off-by-ones, weight/count unit mismatches).
+# ---------------------------------------------------------------------------
+
+_DSIR_PIPELINE_SQL = f"""wts AS (
+      SELECT doc_id, lang, n_toks,
+             1 + LEAST(GREATEST(dsir_micro, 0), {_DSIR_W_CAP}) AS weight
+      FROM scored),
+    cums AS (
+      SELECT doc_id, lang, n_toks, weight,
+             SUM(weight) OVER (ORDER BY doc_id) AS cum
+      FROM wts),
+    tot2 AS (SELECT SUM(weight) AS tw FROM wts),
+    cop AS (
+      SELECT doc_id, lang, n_toks, weight,
+             CAST(({2 * _DSIR_N_SAMPLES} * cum + tw - 1) // (2 * tw)
+                  - ({2 * _DSIR_N_SAMPLES} * (cum - weight) + tw - 1) // (2 * tw)
+                  AS BIGINT) AS copies
+      FROM cums, tot2),
+    sel AS (
+      SELECT doc_id, lang, n_toks, weight, copies,
+             n_toks * copies AS contrib
+      FROM cop WHERE copies > 0),
+    bud AS (SELECT (SUM(contrib) + 1) // 2 AS budget FROM sel),
+    cut AS (
+      SELECT doc_id, lang, n_toks, weight, copies, contrib,
+             SUM(contrib) OVER (ORDER BY weight DESC, doc_id) AS cumtok
+      FROM sel)
+    SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(weight AS BIGINT) AS weight, copies,
+           CAST(cumtok AS BIGINT) AS cum_tokens
+    FROM cut, bud WHERE cumtok - contrib < budget ORDER BY doc_id"""
+
+
+@register(
+    "ext_dsir_pipeline",
+    _dsir_score_sql(_dsir_bigram_cte(), ",\n    " + _DSIR_PIPELINE_SQL),
+)
+def q_ext_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed DSIR pipeline — tokenize → hashed BIGRAM features (the
+    paper's feature space) → smoothed log-ratio importance weights →
+    deterministic systematic resample → token-budget cut, one
+    declarative plan end-to-end (Xie et al., NeurIPS 2023 §2: select
+    then sample, then the practitioner's final budget trim).
+
+    Stage semantics (all exact-integer, engine-identical):
+    featurize + score are _dsir_bigram_bkt → _dsir_scored; weight =
+    1 + clamp(dsir_micro, 0, 1e6) and the p_j = (2j+1)·tw/2n
+    systematic sampler are ext_dsir_resample's exactly; the NEW final
+    stage orders the selected docs by (weight DESC, doc_id) —
+    highest-importance first — and keeps each doc whose cumulative
+    hashed-feature count BEFORE adding it is under budget = ⌈Σ/2⌉
+    (the greedy prefix cut, so the boundary doc that crosses the
+    budget is kept and Σ kept ≥ budget always). The budget unit is
+    the hashed-feature count (bigrams ≈ tokens − 1): it derives from
+    the SAME single featurize pass as the weights, so the whole
+    pipeline reads text once; a caller budgeting in BPE tokens would
+    join ext_token_bpe's counter in place of n_toks.
+
+    Scale shape at 100 TB: ext_dsir_resample's shape plus ONE more
+    banded global cumsum — the cut's running token total over
+    (weight DESC, doc_id) with band = -(weight div 1024): weight
+    saturates at 1,000,001 so the band relation is ≤ ~977 rows at ANY
+    corpus size, and the band is a monotone prefix of the cut order.
+    The budget is a 1-row broadcast (allowlisted stat-join shape).
+    Nothing after featurization touches text; no single-partition
+    window anywhere. Σ copies = n and the budget boundary are pinned
+    in tests/test_dsir_resample.py."""
+    from proto_to_avro_ql_spark.operators.layout import banded_global_cumsum
+
+    wts = _dsir_scored(_dsir_bigram_bkt(spark, sf_dir)).select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        (
+            F.lit(1)
+            + F.least(
+                F.greatest(F.col("dsir_micro"), F.lit(0)),
+                F.lit(_DSIR_W_CAP),
+            )
+        ).cast("long").alias("weight"),
+    )
+    cums = banded_global_cumsum(
+        wts,
+        band=F.expr("doc_id div 4096"),
+        order_cols=[F.col("doc_id")],
+        value=F.col("weight"),
+        name="cum",
+    )
+    tot = wts.agg(F.sum("weight").alias("tw"))
+    n2 = 2 * _DSIR_N_SAMPLES
+    sel = (
+        cums.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "weight",
+            (
+                F.expr(f"({n2} * cum + tw - 1) div (2 * tw)")
+                - F.expr(f"({n2} * (cum - weight) + tw - 1) div (2 * tw)")
+            ).cast("long").alias("copies"),
+        )
+        .where(F.col("copies") > 0)
+        .withColumn("contrib", F.col("n_toks") * F.col("copies"))
+    )
+    cut = banded_global_cumsum(
+        sel,
+        # Monotone prefix of (weight DESC, doc_id): -(weight div 1024)
+        # is non-decreasing as weight descends; ≤ ~977 bands ever.
+        band=F.expr("-(weight div 1024)"),
+        order_cols=[F.col("weight").desc(), F.col("doc_id").asc()],
+        value=F.col("contrib"),
+        name="cum_tokens",
+    )
+    bud = sel.agg(F.expr("(sum(contrib) + 1) div 2").alias("budget"))
+    return (
+        cut.crossJoin(F.broadcast(bud))
+        .where(F.col("cum_tokens") - F.col("contrib") < F.col("budget"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            "weight",
+            "copies",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ===========================================================================

@@ -91,6 +91,57 @@ class TestSystematicResample:
         assert out.get(2, 0) <= 1
 
 
+class TestComposedPipeline:
+    def test_budget_cut_matches_exact_reference(self, spark):
+        """End-to-end pin of ext_dsir_pipeline: recompute the resample
+        + greedy token-budget cut in plain Python from the bigram
+        scored relation and compare every output row."""
+        from proto_to_avro_ql_spark.entry_registry import _dsir_bigram_bkt
+
+        scored = _dsir_scored(_dsir_bigram_bkt(spark, SF)).collect()
+        meta = {
+            r["doc_id"]: (
+                r["lang"],
+                r["n_toks"],
+                1 + min(max(r["dsir_micro"], 0), _DSIR_W_CAP),
+            )
+            for r in scored
+        }
+        weights = [(d, w) for d, (_, _, w) in meta.items()]
+        copies = ref_systematic(weights, _DSIR_N_SAMPLES)
+        sel = [
+            (d, meta[d][0], meta[d][1], meta[d][2], c, meta[d][1] * c)
+            for d, c in sorted(copies.items())
+            if c > 0
+        ]
+        total = sum(contrib for *_, contrib in sel)
+        budget = (total + 1) // 2
+        ref = {}
+        cum = 0
+        for d, lang, n_toks, w, c, contrib in sorted(
+            sel, key=lambda r: (-r[3], r[0])
+        ):
+            if cum >= budget:
+                break
+            cum += contrib
+            ref[d] = (lang, n_toks, w, c, cum)
+        got = {
+            r["doc_id"]: (
+                r["lang"],
+                r["n_toks"],
+                r["weight"],
+                r["copies"],
+                r["cum_tokens"],
+            )
+            for r in QUERIES["ext_dsir_pipeline"](spark, SF).collect()
+        }
+        assert got == ref
+        # The greedy prefix invariant: kept mass reaches the budget,
+        # and dropping the boundary doc would fall under it.
+        kept = sum(n * c for (_, n, _, c, _) in ref.values())
+        assert kept >= budget
+
+
 class TestBandedGlobalCumsum:
     def test_matches_naive_global_window(self, spark):
         # k = a permutation of 0..199 (gcd(53, 200) = 1 → unique keys)

@@ -134,6 +134,11 @@ ALLOWED: dict[str, set[str]] = {
     "ext_bpe_encode": {'bnl_join'},
     "ext_bpe_train": {'bnl_join'},
     "ext_dsir_bigram": {'bnl_join'},
+    # round 11: the composed pipeline adds the CUT's banded cumsum —
+    # its global window/exchange is the weight-band offset relation,
+    # ≤ ~977 rows at any corpus size (weight saturates at 1,000,001,
+    # band = weight div 1024) — plus the 1-row budget broadcast.
+    "ext_dsir_pipeline": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_dsir_resample": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_dsir_weights": {'bnl_join'},
     "ext_dtw": {'bnl_join'},

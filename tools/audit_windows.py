@@ -89,6 +89,9 @@ ALLOWED: dict[str, set[str]] = {
     "ext_contribution_analysis": {"sum(_w0"},
     # banded_global_cumsum offsets: #bands-row relation (docs/4096)
     "ext_dsir_resample": {"sum(_bs"},
+    # the composed pipeline's two banded cumsums: doc-id bands
+    # (docs/4096) + weight bands (≤ ~977 rows, weight div 1024)
+    "ext_dsir_pipeline": {"sum(_bs"},
     "ext_gini": {"sum(_bn"},
     "ext_hybrid_search": {"row_number("},
     "ext_isotonic": {"sum(n"},

@@ -189,6 +189,8 @@ SWEEP = [
     "ext_corr_matrix",
     "ext_cramers_v",
     "ext_cross_correlation",
+    # round 11
+    "ext_dsir_pipeline",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
