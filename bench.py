@@ -343,6 +343,37 @@ HEADLINE = [
     "ext_kneser_ney",            # interpolated KN bigram LM per lang
     "ext_kneser_ney_holdout",    # held-out KN scoring (OOV floor)
     "ext_nb_langid",             # learned NB lang-id, held-out confusion
+    # round 11 (r10 verdict #4): the next-heaviest unbenched tail by a
+    # single-pass sf0.01 sweep (172 entries probed; everything below
+    # ~1 s is fixed-overhead-dominated). Mix of curation / privacy /
+    # SQL-surface / §2-contract entries that had no bench visibility.
+    "ext_dsir_pipeline",         # composed select-sample-cut DSIR chain (NEW r11)
+    "proj_flatten_scalar",       # nested-path scalar flattening (§2)
+    "udf_grouped_pandas",        # applyInPandas grouped surface
+    "val_empty_struct",          # empty-struct validation walk (§2)
+    "ext_stream_static_join",    # stream-static enrichment join
+    "ext_contamination",         # benchmark-contamination scan
+    "ext_trimmed_mean",          # banded-rank trimmed mean
+    "ext_corpus_stats",          # cleaned-corpus token accounting
+    "ext_vocab",                 # corpus vocabulary build
+    "ext_token_overlap_matrix",  # pairwise source token overlap
+    "sink_cache_write",          # query-text result cache write (§2)
+    "setop_union_except",        # UNION/EXCEPT set-operator surface
+    "ext_chi_square",            # independence test panel
+    "ext_copurchase",            # apriori-pruned basket pairs
+    "ext_feature_pipeline",      # composed train-features chain
+    "ext_file_metadata",         # manifest/footer metadata scan
+    "ext_mutual_information",    # MI feature screen
+    "ext_incremental_agg",       # merge-on-read incremental agg
+    "ext_survival_km",           # Kaplan-Meier retention curve
+    "ext_cuped",                 # CUPED variance reduction
+    "proj_struct_synth",         # struct synthesis projection (§2)
+    "ext_lift_table",            # decile lift/gain table
+    # round 11: new operators claimed done this round
+    "ext_good_turing",           # bigram count-of-counts GT table
+    "ext_bpe_vocab",             # BPE vocab + decode round-trip QA
+    "ext_lm_ppl_filter",         # CCNet-style KN perplexity filter
+    "ext_semdedup_kmeans",       # k-means-bucketed semantic dedup (learned cells)
 ]
 
 

@@ -20644,16 +20644,23 @@ def _bpe_apply(symdf: DataFrame, m: DataFrame) -> DataFrame:
 
 
 def _bpe_learn(wf: DataFrame) -> list[DataFrame]:
-    """The k-iteration trainer over (tok, wc): returns the k persisted
-    1-row merge-rule relations (x, y, freq), in learned order.
+    """The k-iteration trainer over (tok, wc): returns the k 1-row
+    merge-rule relations (x, y, freq), in learned order — each
+    eagerly localCheckpoint'ed, which BOTH materializes it and
+    TRUNCATES its logical plan.
 
-    Each rule is persisted: m_i is referenced by the caller's output
-    AND transitively by every later iteration — without
-    materialization the lineage re-evaluates sym_{i-1} twice per
-    level, i.e. 2^k pair aggregates (measured 24 s at sf0.001); cached
-    rules make the stage count linear in k (~2 s). Single-shot caches,
-    dropped by the session-hygiene sweeps (allowlisted in
-    audit_caches)."""
+    Why checkpoint and not persist (round 11): m_i's analyzed plan
+    contains sym_i's, which contains m_{i-1}'s, which contains
+    sym_{i-1}'s — so |plan| DOUBLES per round (2^k nodes) even though
+    a persist makes EXECUTION linear; at k=8 Catalyst re-analyzes a
+    ~256× plan on every downstream action, and the measured cost was
+    ~7 s of pure driver-side planning per action on a CACHED 155-row
+    result (round-10's persist fixed execution, not planning).
+    localCheckpoint freezes the 1-row rule on the executors and
+    replaces its plan with a leaf, making plan size linear in k too
+    (measured: ext_bpe_encode 12.5 s → ~3 s at sf0.001). Training is
+    inherently sequential (rule i feeds round i+1), so the k eager
+    jobs add no wall-clock that lazy evaluation wouldn't."""
     sym = wf.select(_bpe_symbolize("tok").alias("sym"), "wc")
     merges = []
     for i in range(_BPE_STEPS):
@@ -20661,7 +20668,7 @@ def _bpe_learn(wf: DataFrame) -> list[DataFrame]:
             _bpe_pair_counts(sym)
             .orderBy(F.desc("freq"), F.asc("x"), F.asc("y"))
             .limit(1)
-            .persist()
+            .localCheckpoint()
         )
         merges.append(m)
         if i < _BPE_STEPS - 1:
@@ -21308,3 +21315,460 @@ def q_ext_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+# ===========================================================================
+# Round 11: simple Good-Turing frequency smoothing (Good 1953; Gale &
+# Sampson 1995 — public papers). Completes the LM-smoothing family:
+# ext_bigram_lm (add-k), ext_kneser_ney (absolute discount +
+# continuation), ext_good_turing (count-of-counts reallocation — the
+# classic unseen-mass estimator, and the diagnostic table behind
+# Katz backoff).
+# ===========================================================================
+
+_GT_ORACLE = rf"""WITH arrs AS (
+      SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents),
+    bg AS (
+      SELECT v, w, COUNT(*) AS r FROM (
+        SELECT unnest(a[1:len(a)-1]) AS v, unnest(a[2:len(a)]) AS w FROM arrs
+      ) GROUP BY 1, 2),
+    ff AS (SELECT r, COUNT(*) AS n_r FROM bg GROUP BY r),
+    tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+            FROM ff)
+    SELECT f.r AS r, f.n_r AS n_types,
+           COALESCE(g.n_r, 0) AS n_types_next,
+           {{rstar}} AS r_star_micro,
+           {{p0}} AS p0_micro
+    FROM ff f LEFT JOIN ff g ON g.r = f.r + 1, tot
+    ORDER BY f.r LIMIT 10""".format(
+    rstar=PK.fdiv_sql("(f.r + 1) * COALESCE(g.n_r, 0) * 1000000", "f.n_r"),
+    p0=PK.fdiv_sql("n1 * 1000000", "n_tokens"),
+)
+
+
+@register("ext_good_turing", _GT_ORACLE)
+def q_ext_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing smoothing table over word-BIGRAM events:
+    count-of-counts N_r and the adjusted counts r* = (r+1)·N_{r+1}/N_r
+    for the 10 smallest observed r — the low-frequency band where GT
+    reallocation matters (Gale & Sampson §2; higher counts keep their
+    MLE; on a natural corpus the smallest observed r IS 1..10, while a
+    LIMIT over hardcoded r ≤ 10 would return nothing on a closed-
+    vocabulary corpus like the synthetic one) — plus the unseen-mass
+    estimate p0 = N_1/N on every row. Bigrams are the event space
+    because that is where GT feeds Katz backoff: the N_1 band of
+    BIGRAM types is what sizes the backoff mass. All exact-integer:
+    r* and p0 are floor-division micros via the shared fdiv kernel,
+    so both engines emit identical BIGINTs with no float in the
+    transport. The table is the LM-quality diagnostic a corpus
+    curation pass reads: a heavy N_1 band (large p0) flags a corpus
+    whose bigram inventory is still growing — dedup leakage or OCR
+    noise push it up.
+
+    Scale shape at 100 TB: ONE corpus-scale shuffle — the (v, w,
+    partial-count) groupBy with map-side combine (bigram-vocab-
+    bounded out). The count-of-counts relation is ≤ #distinct
+    frequencies (thousands at any corpus size); it is persisted once
+    and read three ways (the r band, the shifted r+1 join side, and
+    the totals row) — single-shot shared-subtree cache, allowlisted
+    in audit_caches. The totals row is a 1-row broadcast (allowlisted
+    stat-join shape). Magnitudes: (r+1)·N_{{r+1}}·1e6 ≤ 11·vocab·1e6
+    and N_1·1e6 — inside int64 at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a")
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2"
+                " THEN CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> named_struct('v', x, 'w', y)) END"
+            )
+        ).alias("p")
+    )
+    bg = pairs.groupBy(
+        F.col("p.v").alias("v"), F.col("p.w").alias("w")
+    ).agg(F.count(F.lit(1)).alias("r"))
+    ff = bg.groupBy("r").agg(F.count(F.lit(1)).alias("n_r")).persist()
+    tot = ff.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    return (
+        ff.join(nxt, "r", "left")
+        .na.fill({"n_next": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.col("n_r").alias("n_types"),
+            F.col("n_next").alias("n_types_next"),
+            F.expr(
+                PK.fdiv_sql("(r + 1) * n_next * 1000000", "n_r")
+            ).alias("r_star_micro"),
+            F.expr(PK.fdiv_sql("n1 * 1000000", "n_tokens")).alias("p0_micro"),
+        )
+        .orderBy("r")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Round 11: BPE vocabulary + decode round-trip QA — the third artifact
+# of the tokenizer-training loop (ext_bpe_train learns the merges,
+# ext_bpe_encode measures fertility, ext_bpe_vocab reports the RESULT
+# vocabulary and proves the segmentation is invertible).
+# ===========================================================================
+
+def _bpe_vocab_oracle() -> str:
+    s = _BPE_SEP
+    parts = list(_bpe_train_ctes())
+    parts.append(rf"""lwords AS (
+      SELECT lang, tok FROM (
+        SELECT lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' AND regexp_matches(tok, '^[a-z0-9]+$')),
+    wl AS (SELECT lang, tok AS word, COUNT(*) AS wc FROM lwords GROUP BY lang, tok),
+    e0 AS (SELECT lang, word,
+                  '{s}{s}' || regexp_replace(regexp_replace(word, '(.)', '\1{s}{s}', 'g'), '{s}{s}$', '{_BPE_EOW}{s}{s}') AS sym,
+                  wc
+           FROM wl)""")
+    for i in range(_BPE_STEPS):
+        parts.append(f"""e{i + 1} AS (
+      SELECT lang, word, replace(sym,
+                           '{s}' || x || '{s}{s}' || y || '{s}',
+                           '{s}' || x || y || '{s}') AS sym, wc
+      FROM e{i}, m{i})""")
+    parts.append(f"""pieces AS (
+      SELECT lang, word, wc,
+             unnest(list_filter(string_split(sym, '{s}{s}'), t -> t <> '')) AS piece
+      FROM e{_BPE_STEPS}),
+    rt AS (
+      SELECT lang, word, wc,
+             replace(replace(sym, '{s}', ''), '{_BPE_EOW}', '') AS decoded
+      FROM e{_BPE_STEPS})""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT p.lang AS lang,
+           CAST(COUNT(DISTINCT p.piece) AS BIGINT) AS n_vocab,
+           CAST(SUM(p.wc) AS BIGINT) AS n_piece_tokens,
+           CAST(r.n_mismatch AS BIGINT) AS n_decode_mismatch
+    FROM pieces p
+    JOIN (SELECT lang, SUM(CASE WHEN decoded <> word THEN wc ELSE 0 END) AS n_mismatch
+          FROM rt GROUP BY lang) r ON r.lang = p.lang
+    GROUP BY p.lang, r.n_mismatch ORDER BY p.lang"""
+    )
+
+
+@register("ext_bpe_vocab", _bpe_vocab_oracle())
+def q_ext_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE result vocabulary + decode round-trip proof, per language:
+    after applying the k=8 learned merges, report the DISTINCT subword
+    inventory size (the vocabulary a tokenizer would ship: base chars
+    + </w>-fused finals + merged pieces), the corpus-weighted piece
+    token count, and the number of corpus words (count-weighted) whose
+    decode — concatenate pieces, strip separators and the </w> marker
+    — differs from the original word. The mismatch column is the
+    INVERTIBILITY certificate of the end-of-word design: merges only
+    ever concatenate adjacent symbols, so decode(encode(w)) = w must
+    hold for every word, and the entry proves it cross-engine as data
+    (expect 0) rather than as a test-only assertion.
+
+    Scale shape at 100 TB: identical to ext_bpe_encode — ONE corpus
+    pass builds the (lang, word, count) relation; training is
+    ext_bpe_train's k vocab-sized iterations; encode is k map-side
+    broadcast-rule replaces; the piece explode multiplies the
+    DISTINCT-word relation (vocab-bounded, never corpus-bounded) by
+    mean pieces-per-word; the final aggregates shuffle #langs rows
+    (count-distinct over (lang, piece) is itself vocab-bounded)."""
+    docs = read_table(spark, sf_dir, "documents")
+    lwords = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(TX.normalize_text(F.col("text")), " ")
+            ).alias("tok"),
+        )
+        .where((F.col("tok") != "") & F.col("tok").rlike("^[a-z0-9]+$"))
+    )
+    wl = (
+        lwords.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    wf = wl.groupBy("tok").agg(F.sum("wc").alias("wc"))
+    rules = _bpe_learn(wf)
+    enc = wl.select(
+        "lang",
+        F.col("tok").alias("word"),
+        _bpe_symbolize("tok").alias("sym"),
+        "wc",
+    )
+    for m in rules:
+        enc = _bpe_apply(enc, m)
+    # The fully-merged relation feeds TWO branches (piece inventory +
+    # round-trip check); persist the vocab-sized result so the 8-stage
+    # merge chain is not evaluated twice (measured 2× wall without it).
+    enc = enc.persist()
+    sep = _BPE_SEP
+    pieces = enc.select(
+        "lang",
+        "wc",
+        F.explode(
+            F.expr(f"filter(split(sym, '{sep}{sep}'), t -> t <> '')")
+        ).alias("piece"),
+    )
+    rt = enc.groupBy("lang").agg(
+        F.sum(
+            F.when(
+                F.expr(
+                    f"replace(replace(sym, '{sep}', ''), '{_BPE_EOW}', '')"
+                )
+                != F.col("word"),
+                F.col("wc"),
+            ).otherwise(0)
+        ).alias("n_decode_mismatch")
+    )
+    agg = pieces.groupBy("lang").agg(
+        F.countDistinct("piece").alias("n_vocab"),
+        F.sum("wc").alias("n_piece_tokens"),
+    )
+    return (
+        agg.join(rt, "lang")
+        .select(
+            "lang",
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.col("n_piece_tokens").cast("long").alias("n_piece_tokens"),
+            F.col("n_decode_mismatch").cast("long").alias("n_decode_mismatch"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Round 11: LM-perplexity quality filter (CCNet, Wenzek et al., LREC
+# 2020 — public paper: score web text with a target-domain LM, keep
+# the low-perplexity head). Composes the Kneser-Ney machinery into the
+# curation surface: ext_kneser_ney_holdout proves the held-out scorer;
+# this entry TRAINS on the target slice and FILTERS the corpus by it.
+# ===========================================================================
+
+def _lm_ppl_filter_oracle() -> str:
+    avg = PK.fdiv_sql(
+        "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+    )
+    return rf"""WITH arrs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, lang, v, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id, lang, unnest(a[1:len(a)-1]) AS v, unnest(a[2:len(a)]) AS w
+        FROM arrs
+      ) GROUP BY 1, 2, 3, 4
+    ),
+    bc AS (SELECT v, w, SUM(cnt) AS c_vw FROM occ WHERE lang = 'en' GROUP BY 1, 2),
+    cv AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1v FROM bc GROUP BY 1),
+    nw AS (SELECT w, COUNT(*) AS n1w FROM bc GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM bc),
+    lp AS (
+      SELECT occ.doc_id, occ.lang, occ.cnt, {_KN_HOLDOUT_LP} AS lpm
+      FROM occ
+      LEFT JOIN bc USING (v, w)
+      LEFT JOIN cv USING (v)
+      LEFT JOIN nw USING (w), tt
+    ),
+    sc AS (
+      SELECT doc_id, lang, SUM(cnt) AS n_bigrams,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM lp GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             {avg} AS avg_neg_lp_micro
+      FROM sc
+    ),
+    stat AS (SELECT COUNT(*) AS nd, SUM(CAST(avg_neg_lp_micro AS HUGEINT)) AS tot FROM per)
+    SELECT doc_id, lang, n_bigrams, avg_neg_lp_micro
+    FROM per, stat
+    WHERE CAST(avg_neg_lp_micro AS HUGEINT) * nd < tot
+    ORDER BY doc_id"""
+
+
+@register("ext_lm_ppl_filter", _lm_ppl_filter_oracle())
+def q_ext_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality filter: train interpolated
+    Kneser-Ney bigram statistics on the TARGET-DOMAIN slice (lang =
+    'en', standing in for CCNet's Wikipedia LM), score EVERY document
+    with the held-out probability (clamp + continuation backoff +
+    1e-9 OOV floor — _KN_HOLDOUT_LP, the exact scorer
+    ext_kneser_ney_holdout certifies), and keep the low-perplexity
+    head: documents whose avg negative log-probability is strictly
+    below the corpus mean. The kept set is what a curation pipeline
+    feeds downstream; English-like text scores low, OOV-heavy or
+    disfluent text scores high and is dropped. The mean cut is the
+    deterministic stand-in for CCNet's head/middle/tail percentile
+    buckets — exact via cross-multiplication (avg·n_docs < Σ avg) in
+    128-bit on both engines (Spark DECIMAL(38,0), DuckDB HUGEINT), so
+    no quantile estimation and no float in the decision.
+
+    Train-on-self note: English documents contribute to the statistics
+    that score them (CCNet trains on a disjoint Wikipedia dump); at
+    corpus scale the effect of any single document on the model is
+    O(1/N), and determinism is what the oracle certifies.
+
+    Scale shape at 100 TB: ONE tokenize pass partial-aggregates
+    (doc_id, lang, v, w, cnt) map-side — the only corpus-scale
+    shuffle (persisted: the en-slice train statistics and the
+    all-docs scoring both slice it — single-shot shared-subtree
+    cache, allowlisted). Train relations are vocab-bounded; the
+    scoring LEFT joins are vocab-bounded; T and the (n_docs, Σ avg)
+    decision row are 1-row broadcasts (allowlisted stat-join
+    shape)."""
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    )
+    pr = arrs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2"
+                " THEN CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> named_struct('v', x, 'w', y)) END"
+            )
+        ).alias("p"),
+    )
+    occ = (
+        pr.select(
+            "doc_id",
+            "lang",
+            F.col("p.v").alias("v"),
+            F.col("p.w").alias("w"),
+        )
+        .groupBy("doc_id", "lang", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    bc = (
+        occ.where(F.col("lang") == "en")
+        .groupBy("v", "w")
+        .agg(F.sum("cnt").alias("c_vw"))
+    )
+    cv = bc.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1v")
+    )
+    nw = bc.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    lp = (
+        occ.join(bc, ["v", "w"], "left")
+        .join(cv, "v", "left")
+        .join(nw, "w", "left")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", "lang", "cnt", F.expr(_KN_HOLDOUT_LP).alias("lpm"))
+    )
+    per = (
+        lp.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("lpm")
+            ).alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.expr(
+                PK.fdiv_sql(
+                    "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+                )
+            ).alias("avg_neg_lp_micro"),
+        )
+    )
+    stat = per.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("avg_neg_lp_micro").cast("decimal(38,0)")).alias("tot"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stat))
+        .where(
+            F.col("avg_neg_lp_micro").cast("decimal(38,0)") * F.col("nd")
+            < F.col("tot")
+        )
+        .select("doc_id", "lang", "n_bigrams", "avg_neg_lp_micro")
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Round 11: SemDeDup — semantic deduplication via cluster-bucketed
+# cosine (Abbas et al. 2023, arXiv:2303.09540 — public paper).
+# Completes the embedding-dedup family: ext_dedup_embed (exact O(n²)
+# oracle baseline), ext_dedup_embed_lsh (hyperplane buckets),
+# ext_semdedup (density-following k-means buckets, the paper's
+# formulation for paraphrase-level duplicates).
+# ===========================================================================
+
+
+@register(
+    "ext_semdedup_kmeans",
+    f"""WITH {PK.duckdb_kmeans_ctes(8, 2, 64)},
+    asg AS (
+      SELECT a.vec_id, a.cell, e.embedding
+      FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id),
+    dups AS (
+      SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+      ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])), 6) >= 0.2)
+    SELECT a.vec_id AS vec_id, a.cell AS cell,
+           CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM asg a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    ORDER BY vec_id""",
+)
+def q_ext_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with LEARNED clusters — the paper's actual bucketing
+    (Abbas et al. §3: k-means the embedding space, dedup within
+    clusters): integer-grid k-means (k=8, 2 Lloyd's iterations, the
+    ext_kmeans quantizer — bit-identical cross-engine) buckets the
+    space, then cosine near-dup search runs only WITHIN a cluster;
+    every vector with cos ≥ 0.2 to a lower-id clustermate is marked
+    is_dup = 1 (greedy keep-first). vs ext_semdedup: that entry cells
+    by the PROVIDED label (metadata bucketing) and returns the
+    surviving corpus; this one TRAINS the cells on the vectors
+    themselves — the variant that works when no label exists — and
+    returns the full per-vector verdict. The oracle replays the full
+    chain — training CTEs, assignment, within-cell pair scan, dup
+    marking — so the approximation (cluster bucketing) is itself part
+    of the verified contract, exactly the ext_dedup_embed_lsh
+    methodology with a learned partition instead of random
+    hyperplanes. See operators/simsearch.py:semdedup for the 100 TB
+    scale argument (cluster-bounded quadratic, raise k to bound
+    clusters; paper: k=11k at 100M embeddings)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.semdedup(emb, threshold=0.2, k=8, iters=2)

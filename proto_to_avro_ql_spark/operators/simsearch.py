@@ -829,3 +829,65 @@ def pq_adc_topk_int(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via cluster-bucketed cosine — cluster the embedding
+    space with the deterministic integer-grid k-means, then search for
+    high-cosine pairs ONLY within a cluster and mark every vector that
+    duplicates a lower-id clustermate (greedy keep-first, the paper's
+    keep-one-per-group policy made deterministic). Returns every input
+    vector as (id, cell, is_dup 0/1); downstream keeps is_dup = 0.
+
+    vs ext_dedup_embed_lsh: hyperplane buckets guarantee recall only
+    for NEAR-IDENTICAL vectors; k-means cells follow the data's actual
+    density, which is what "semantic" duplicates (paraphrases, same
+    content re-encoded) need. The within-cluster pair scan is the
+    paper's own trade: quadratic in CLUSTER size, never in corpus
+    size — at 100 TB raise k so clusters stay bounded (the paper uses
+    k=11k for 100M embeddings; cost is one more Lloyd's pass, and the
+    pair scan stays Σ|cluster|² ≪ n²).
+
+    Scale shape: training + assignment are kmeans_cells_int's (one
+    corpus pass per iteration, (cell, dim, partial-sum) shuffles,
+    broadcast centroids); the assigned relation is persisted once and
+    read three ways (both self-join sides + the output spine); the
+    pair scan shuffles on cell (cluster-bucketed, co-partitioned
+    self-join); the dup-id set joins back on id.
+    """
+    assigned = (
+        kmeans_cells_int(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        .select(id_col, "cell")
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .persist()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .na.fill({"_dup": 0})
+        .select(id_col, "cell", F.col("_dup").cast("int").alias("is_dup"))
+        .orderBy(id_col)
+    )

@@ -156,3 +156,53 @@ class TestIntegerGridVariants:
         p = {(r["query_id"], r["neighbor_id"]) for r in pq}
         # observed 0.34 (sf0.001) / 0.48 (sf0.01); random baseline ~0.01
         assert len(b & p) / len(b) >= 0.2, (len(b & p), len(b))
+
+
+class TestSemDedup:
+    def test_matches_python_reference(self, spark):
+        """Third implementation of the SemDeDup chain: ref_kmeans
+        (plain Lloyd's on quantized vectors) + per-cluster cosine in
+        plain Python, compared row-for-row to ext_semdedup_kmeans."""
+        import duckdb
+        import math
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from tests.test_portable_reference import ref_kmeans, ref_quant
+
+        sf = "/root/testdata/sf0.001"
+        rows = (
+            duckdb.connect()
+            .execute(f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id")
+            .fetchall()
+        )
+        raw = {int(vid): [float(x) for x in v] for vid, v in rows}
+        assign, _ = ref_kmeans({v: ref_quant(x) for v, x in raw.items()}, 8, 2)
+        by_cell: dict[int, list[int]] = {}
+        for vid, cell in assign.items():
+            by_cell.setdefault(cell, []).append(vid)
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(dot / (na * nb), 6)
+
+        dups = set()
+        for cell, ids in by_cell.items():
+            ids.sort()
+            for j, b in enumerate(ids):
+                for a in ids[:j]:
+                    if cos(raw[a], raw[b]) >= 0.2:
+                        dups.add(b)
+                        break
+        expect = {
+            vid: (assign[vid], 1 if vid in dups else 0) for vid in raw
+        }
+        got = {
+            r["vec_id"]: (r["cell"], r["is_dup"])
+            for r in QUERIES["ext_semdedup_kmeans"](spark, sf).collect()
+        }
+        assert got == expect
+        # The bucketing must actually dedup something and keep something.
+        n_dup = sum(d for _, d in got.values())
+        assert 0 < n_dup < len(got)

@@ -122,6 +122,9 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk":
         "trained centroids (probe rank + assignment) and cell-assigned "
         "embeddings (candidate scan)",
+    "proto_to_avro_ql_spark/operators/simsearch.py:semdedup":
+        "assigned (id, cell, embedding) relation (both self-join sides "
+        "of the within-cluster pair scan + the output spine read it)",
     "proto_to_avro_ql_spark/operators/simsearch.py:ivf_topk_int":
         "trained centroids (probe rank + assignment) and cell-assigned "
         "integer embeddings (query extraction + candidate scan)",
@@ -138,6 +141,19 @@ ALLOWED: dict[str, str] = {
         "observed cells: marginals + grid share it",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_chi_square":
         "both marginals, the total, and the cell join share it",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_bpe_vocab":
+        "(lang, word, count) relation (trainer's global word-frequency "
+        "aggregate + the encode chain both derive from it — one corpus "
+        "pass, same shape as q_ext_bpe_encode) AND the fully-merged "
+        "vocab-sized encode result (piece inventory + round-trip "
+        "branches both read it; halves the 8-stage chain cost)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_lm_ppl_filter":
+        "(doc_id, lang, v, w, cnt) bigram partials (en-slice train "
+        "statistics, the all-docs scoring, and both decision-row "
+        "branches all derive from it — one tokenize pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_good_turing":
+        "count-of-counts relation (≤ #distinct frequencies rows; read "
+        "three ways: the r band, the shifted r+1 join side, the totals)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_nb_langid":
         "(doc_id, is_eval, lang, b, c) bucket partials (train statistics "
         "and eval scoring both slice it — one tokenize pass)",
@@ -162,10 +178,11 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:_bpe_word_freq":
         "distinct-word frequency relation (all k merge iterations train "
         "on it — the corpus is read once)",
-    "proto_to_avro_ql_spark/entry_registry.py:_bpe_learn":
-        "the k 1-row merge rules (each referenced by the caller's "
-        "output AND every later iteration; uncached the lineage is 2^k "
-        "pair aggregates)",
+# _bpe_learn's former persist is now an eager localCheckpoint (round
+# 11): persist made EXECUTION linear in k but left the analyzed plan
+# 2^k nodes (m_i's plan nests sym_i's nests m_{i-1}'s...), costing
+# seconds of Catalyst re-analysis per downstream action; the
+# checkpoint truncates the plan to a leaf. Not a cache site anymore.
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_bpe_encode":
         "per-(lang, word) counts (the one corpus pass; the global "
         "word-frequency relation and the encode chain both derive "

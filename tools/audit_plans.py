@@ -133,6 +133,12 @@ ALLOWED: dict[str, set[str]] = {
     # (the allowlisted stat-join shape, one per learned rule).
     "ext_bpe_encode": {'bnl_join'},
     "ext_bpe_train": {'bnl_join'},
+    # round 11: same shapes — bpe_vocab chains the 8 1-row merge-rule
+    # broadcasts; good_turing crossJoins the 1-row totals; lm_ppl_filter
+    # crossJoins the 1-row T and the 1-row (n_docs, Σavg) decision row.
+    "ext_bpe_vocab": {'bnl_join'},
+    "ext_good_turing": {'bnl_join'},
+    "ext_lm_ppl_filter": {'bnl_join'},
     "ext_dsir_bigram": {'bnl_join'},
     # round 11: the composed pipeline adds the CUT's banded cumsum —
     # its global window/exchange is the weight-band offset relation,
@@ -155,6 +161,9 @@ ALLOWED: dict[str, set[str]] = {
     "ext_js_divergence": {'bnl_join'},
     "ext_key_skew_profile": {'bnl_join'},
     "ext_kmeans": {'bnl_join'},
+    # round 11: SemDeDup rides the same kmeans machinery (broadcast
+    # k-row centroid relations crossJoined for assignment).
+    "ext_semdedup_kmeans": {'bnl_join'},
     # round 10: KN bigram LM — the 1-row bigram-type total T
     # crossJoined onto the vocab-bounded probability relation.
     "ext_kneser_ney": {'bnl_join'},

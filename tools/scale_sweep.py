@@ -47,7 +47,7 @@ SWEEP = [
     "ext_variant_json",
     "ext_pmi_bigrams",
     "ext_embed_quantize",
-    "ext_semdedup",
+    "ext_semdedup_kmeans",
     "ext_hybrid_search",
     "src_replay_connector",
     # round 3, session 3
@@ -191,6 +191,10 @@ SWEEP = [
     "ext_cross_correlation",
     # round 11
     "ext_dsir_pipeline",
+    "ext_good_turing",
+    "ext_bpe_vocab",
+    "ext_lm_ppl_filter",
+    "ext_semdedup_kmeans",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
