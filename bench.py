@@ -374,6 +374,7 @@ HEADLINE = [
     "ext_bpe_vocab",             # BPE vocab + decode round-trip QA
     "ext_lm_ppl_filter",         # CCNet-style KN perplexity filter
     "ext_semdedup_kmeans",       # k-means-bucketed semantic dedup (learned cells)
+    "ext_audio_energy",          # audio windowed-energy / silence VAD kernel
 ]
 
 

@@ -21772,3 +21772,56 @@ def q_ext_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters; paper: k=11k at 100M embeddings)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SS.semdedup(emb, threshold=0.2, k=8, iters=2)
+
+
+# ===========================================================================
+# Round 11: audio-modality energy / silence detection — completes the
+# multimodal set with the AUDIO kernel (decode/feature/resize/
+# frame-sample existed; this is the VAD-style windowed-energy pass an
+# audio curation pipeline runs before transcription).
+# ===========================================================================
+
+
+@register(
+    "ext_audio_energy",
+    """WITH hx AS (
+      SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+    s AS (
+      SELECT event_id, j // 4 AS win,
+             CAST('0x' || substr(h, 4 * j + 1, 2) AS INTEGER)
+             + 256 * CAST('0x' || substr(h, 4 * j + 3, 2) AS INTEGER) AS u
+      FROM hx, (SELECT unnest(generate_series(0, 7)) AS j)),
+    sg AS (
+      SELECT event_id, win,
+             CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS x
+      FROM s)
+    SELECT event_id, CAST(win AS INTEGER) AS win,
+           CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+           CAST(CASE WHEN SUM(x * x) < 1200000000 THEN 1 ELSE 0 END AS INTEGER) AS is_silent
+    FROM sg GROUP BY event_id, win
+    ORDER BY event_id, win""",
+)
+def q_ext_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowed energy + silence flag: deterministic synthetic
+    PCM (md5(event_id) = 16 bytes = 8 little-endian int16 samples,
+    codec-free like ext_multimodal_resize's synthetic images), split
+    into 2 windows of 4 samples; per window the exact integer sum of
+    squares and a silence verdict (energy < 1.2e9 ≈ the uniform-int16
+    expected window energy, so both verdicts occur). The numpy kernel
+    (operators/multimodal.py:audio_window_energy) is REAL — frombuffer
+    + vectorized squared-sum per Arrow batch; a codec decode (mp3 →
+    PCM) would swap only the frombuffer line. The oracle re-derives
+    the samples from the same hex bytes with signed int16 arithmetic,
+    so the gate proves bytes crossed the Arrow boundary uncorrupted
+    AND the window algebra — the audio twin of the
+    ext_multimodal_features methodology.
+
+    Scale shape at 100 TB: one narrow Python pass (payloads enter
+    Arrow once per batch), typed scalar output, zero shuffles;
+    ensure_min_parallelism splits the single-row-group testdata scan
+    exactly as the other multimodal entries do."""
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_id",
+        F.unhex(F.md5(F.col("event_id").cast("string"))).alias("payload"),
+    )
+    return MM.audio_window_energy(ev).orderBy("event_id", "win")

@@ -248,3 +248,60 @@ def extract_byte_histogram(df: DataFrame, id_col: str = "event_id") -> DataFrame
             yield out.astype("int64")
 
     return df.select(id_col, "blob").mapInPandas(batches, HIST_SCHEMA)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    window: int = 4,
+    threshold: int = 1_200_000_000,
+    id_col: str = "event_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio-modality kernel: treat each binary payload as int16
+    little-endian PCM, compute per-window energy (exact integer sum of
+    squares over ``window`` samples) and a silence flag (energy <
+    threshold) — the voice-activity-detection / silence-trim primitive
+    an audio curation pass runs before transcription. The kernel is a
+    REAL vectorized computation (one numpy frombuffer + squared-sum
+    per Arrow batch inside mapInPandas); a codec-backed decoder (mp3 →
+    PCM) would swap only the frombuffer line (the documented
+    decode_image stub posture). All-integer output, so the DuckDB
+    oracle re-derives the samples from the same hex bytes and the
+    energies compare exactly.
+
+    Payloads within one call must share a length that is a multiple of
+    2·window (the fixed-frame contract of the synthetic testdata;
+    production audio would pre-chunk — ext_frame_sample's shape).
+
+    Scale shape at 100 TB: one narrow Python pass, binary payloads
+    cross into Arrow once per batch (never per row), output is typed
+    scalar columns, no shuffle at all until a downstream aggregate."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, win int, sum_sq long, is_silent int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            arr = np.stack(
+                [np.frombuffer(p, dtype="<i2") for p in pdf[payload_col]]
+            ).astype(np.int64)
+            sq = arr * arr
+            nwin = arr.shape[1] // window
+            frames = []
+            for w in range(nwin):
+                s = sq[:, w * window : (w + 1) * window].sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            "win": np.full(len(pdf), w, dtype="int32"),
+                            "sum_sq": s,
+                            "is_silent": (s < threshold).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

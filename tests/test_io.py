@@ -83,6 +83,39 @@ class TestMultimodalPlumbing:
         assert feats[1].feat[2] == 1.0 and sum(feats[1].feat) == 1.0
         assert feats[2].feat == [0.0] * 8
 
+    def test_audio_energy_matches_python(self, spark):
+        """Third implementation of the audio kernel: struct-unpack PCM
+        and sum squares in plain Python, compare every output row."""
+        import hashlib
+        import struct
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        import duckdb
+
+        ids = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(f"SELECT event_id FROM '{sf}/events.parquet'")
+            .fetchall()
+        ]
+        expect = {}
+        for eid in ids:
+            pcm = hashlib.md5(str(eid).encode()).digest()
+            samples = struct.unpack("<8h", pcm)
+            for w in range(2):
+                ss = sum(x * x for x in samples[4 * w : 4 * w + 4])
+                expect[(eid, w)] = (ss, 1 if ss < 1_200_000_000 else 0)
+        got = {
+            (r["event_id"], r["win"]): (r["sum_sq"], r["is_silent"])
+            for r in QUERIES["ext_audio_energy"](spark, sf).collect()
+        }
+        assert got == expect
+        # Both verdicts occur on the synthetic corpus.
+        flags = {v[1] for v in got.values()}
+        assert flags == {0, 1}
+
     def test_frame_sampling_reassembles(self, spark):
         from proto_to_avro_ql_spark.operators.multimodal import pack_blob, sample_frames
 

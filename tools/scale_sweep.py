@@ -195,6 +195,7 @@ SWEEP = [
     "ext_bpe_vocab",
     "ext_lm_ppl_filter",
     "ext_semdedup_kmeans",
+    "ext_audio_energy",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
