@@ -142,6 +142,27 @@ class TestComposedPipeline:
         assert kept >= budget
 
 
+class TestReservedColumnGuards:
+    def test_cumsum_rejects_colliding_input(self, spark):
+        """withColumn silently replaces same-named caller columns, so
+        the banded helpers must refuse reserved temp names loudly
+        (round-10 advice)."""
+        df = spark.createDataFrame([(1, 2, 3)], "k long, v long, _band long")
+        with pytest.raises(ValueError, match="_band"):
+            banded_global_cumsum(
+                df, (F.col("k") / 8).cast("bigint"), [F.col("k")], F.col("v")
+            )
+
+    def test_rank_rejects_colliding_input(self, spark):
+        from proto_to_avro_ql_spark.operators.layout import banded_global_rank
+
+        df = spark.createDataFrame([(1, 7)], "k long, _lrank long")
+        with pytest.raises(ValueError, match="_lrank"):
+            banded_global_rank(
+                df, (F.col("k") / 8).cast("bigint"), [F.col("k")]
+            )
+
+
 class TestBandedGlobalCumsum:
     def test_matches_naive_global_window(self, spark):
         # k = a permutation of 0..199 (gcd(53, 200) = 1 → unique keys)
