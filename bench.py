@@ -375,6 +375,7 @@ HEADLINE = [
     "ext_lm_ppl_filter",         # CCNet-style KN perplexity filter
     "ext_semdedup_kmeans",       # k-means-bucketed semantic dedup (learned cells)
     "ext_audio_energy",          # audio windowed-energy / silence VAD kernel
+    "ext_katz_backoff",          # held-out Katz GT-discount backoff LM
 ]
 
 

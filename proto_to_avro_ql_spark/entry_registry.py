@@ -21825,3 +21825,280 @@ def q_ext_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.md5(F.col("event_id").cast("string"))).alias("payload"),
     )
     return MM.audio_window_energy(ev).orderBy("event_id", "win")
+
+
+# ===========================================================================
+# Round 11: Katz back-off bigram LM (Katz 1987; Chen & Goodman 1999 —
+# public papers), held-out like ext_kneser_ney_holdout so the back-off
+# path actually engages. Completes the smoothing family: add-k
+# (ext_bigram_lm), Kneser-Ney (ext_kneser_ney*), Good-Turing table
+# (ext_good_turing), and now the GT-discount-with-back-off model the
+# GT table feeds.
+# ===========================================================================
+
+# Per-eval-bigram log-probability, identical SQL text in both engines.
+# Inputs are INTEGER columns frozen upstream (pd = discounted seen-prob
+# picos, av_num/av_den = context leftover-mass picos, pm = unigram ML
+# picos), so the only doubles here are single fixed-order divisions —
+# no order-dependent double sums anywhere.
+_KATZ_LP = (
+    "CAST(ROUND(LN(GREATEST("
+    "CASE "
+    "WHEN pd IS NOT NULL THEN CAST(pd AS DOUBLE) / 1.0e12 "
+    "WHEN av_den IS NOT NULL AND av_den > 0 AND av_num > 0 AND pm IS NOT NULL"
+    " THEN (CAST(av_num AS DOUBLE) / CAST(av_den AS DOUBLE))"
+    " * (CAST(pm AS DOUBLE) / 1.0e12) "
+    "WHEN av_den IS NULL AND pm IS NOT NULL"
+    " THEN CAST(pm AS DOUBLE) / 1.0e12 "
+    "ELSE 0.0e0 END, 1.0e-9)) * 1000000) AS BIGINT)"
+)
+
+# GT discount factor d_r for a train bigram with count r = c_vw, given
+# its count-of-counts row (nf = N_r, nf_next = N_{r+1}) and the Katz
+# correction constant A = (K+1)·N_{K+1}/N_1 (K = 5). SRILM's validity
+# convention: any r > K, or an undefined/out-of-range discount
+# (A ≥ 1, d ≤ 0, d > 1 — all possible on a closed-vocabulary corpus
+# whose N_r spectrum has gaps) falls back to d = 1 (no discount).
+_KATZ_D = (
+    "CASE WHEN c_vw > 5 OR n1 IS NULL OR n1 = 0"
+    " OR 6.0e0 * CAST(COALESCE(n6, 0) AS DOUBLE) / CAST(n1 AS DOUBLE) >= 1.0e0"
+    " THEN 1.0e0 ELSE "
+    "CASE WHEN ("
+    "(CAST(c_vw + 1 AS DOUBLE) * CAST(COALESCE(nf_next, 0) AS DOUBLE)"
+    " / CAST(nf AS DOUBLE) / CAST(c_vw AS DOUBLE)"
+    " - 6.0e0 * CAST(COALESCE(n6, 0) AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / (1.0e0 - 6.0e0 * CAST(COALESCE(n6, 0) AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    ") <= 0.0e0 OR ("
+    "(CAST(c_vw + 1 AS DOUBLE) * CAST(COALESCE(nf_next, 0) AS DOUBLE)"
+    " / CAST(nf AS DOUBLE) / CAST(c_vw AS DOUBLE)"
+    " - 6.0e0 * CAST(COALESCE(n6, 0) AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / (1.0e0 - 6.0e0 * CAST(COALESCE(n6, 0) AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    ") > 1.0e0 THEN 1.0e0 ELSE ("
+    "(CAST(c_vw + 1 AS DOUBLE) * CAST(COALESCE(nf_next, 0) AS DOUBLE)"
+    " / CAST(nf AS DOUBLE) / CAST(c_vw AS DOUBLE)"
+    " - 6.0e0 * CAST(COALESCE(n6, 0) AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / (1.0e0 - 6.0e0 * CAST(COALESCE(n6, 0) AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    ") END END"
+)
+
+# Frozen per-bigram discounted probability in picos — the one place a
+# double leaves the row: everything summed downstream is integer.
+_KATZ_PD = (
+    f"CAST(ROUND(({_KATZ_D}) * CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)"
+    " * 1.0e12) AS BIGINT)"
+)
+
+_KATZ_PM = (
+    "CAST(ROUND(CAST(c_w AS DOUBLE) / CAST(nn AS DOUBLE) * 1.0e12) AS BIGINT)"
+)
+
+
+def _katz_oracle() -> str:
+    mix = PK.mix31_duckdb_sql("doc_id")
+    avg = PK.fdiv_sql(
+        "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+    )
+    return rf"""WITH arrs AS (
+      SELECT CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END AS is_eval, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    occ AS (
+      SELECT is_eval, lang, v, w, COUNT(*) AS cnt FROM (
+        SELECT is_eval, lang, unnest(a[1:len(a)-1]) AS v, unnest(a[2:len(a)]) AS w
+        FROM arrs
+      ) GROUP BY 1, 2, 3, 4
+    ),
+    bc AS (SELECT v, w, CAST(SUM(cnt) AS BIGINT) AS c_vw FROM occ WHERE is_eval = 0 GROUP BY 1, 2),
+    cv AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v FROM bc GROUP BY 1),
+    uni AS (SELECT w, CAST(SUM(c_vw) AS BIGINT) AS c_w FROM bc GROUP BY 1),
+    nn0 AS (SELECT CAST(SUM(c_w) AS BIGINT) AS nn FROM uni),
+    ff AS (SELECT c_vw AS r, COUNT(*) AS n_r FROM bc GROUP BY 1),
+    kc AS (SELECT
+             CAST((SELECT n_r FROM ff WHERE r = 1) AS BIGINT) AS n1,
+             CAST((SELECT n_r FROM ff WHERE r = 6) AS BIGINT) AS n6),
+    pm AS (SELECT w, {_KATZ_PM} AS pm FROM uni, nn0),
+    pdrel AS (
+      SELECT v, w, pd FROM (
+        SELECT bc.v, bc.w, {_KATZ_PD} AS pd
+        FROM bc JOIN cv USING (v)
+        JOIN (SELECT r, n_r AS nf FROM ff) f1 ON f1.r = bc.c_vw
+        LEFT JOIN (SELECT r - 1 AS r, n_r AS nf_next FROM ff) fn ON fn.r = bc.c_vw, kc
+      )
+    ),
+    ctx AS (
+      SELECT p.v,
+             CAST(1000000000000 - SUM(p.pd) AS BIGINT) AS av_num,
+             CAST(1000000000000 - SUM(m.pm) AS BIGINT) AS av_den
+      FROM pdrel p JOIN pm m ON m.w = p.w
+      GROUP BY p.v
+    ),
+    ev AS (SELECT lang, v, w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM occ WHERE is_eval = 1 GROUP BY 1, 2, 3),
+    lp AS (
+      SELECT ev.lang, ev.cnt, p.pd, {_KATZ_LP} AS lpm
+      FROM ev
+      LEFT JOIN pdrel p ON p.v = ev.v AND p.w = ev.w
+      LEFT JOIN ctx ON ctx.v = ev.v
+      LEFT JOIN pm ON pm.w = ev.w
+    ),
+    sc AS (
+      SELECT lang, SUM(cnt) AS n_bigrams,
+             SUM(CASE WHEN pd IS NULL THEN cnt ELSE 0 END) AS n_unseen,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM lp GROUP BY 1
+    )
+    SELECT lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_unseen AS BIGINT) AS n_unseen_bigrams,
+           CAST(sum_lp AS BIGINT) AS sum_lp_micro,
+           {avg} AS avg_neg_lp_micro
+    FROM sc ORDER BY lang"""
+
+
+@register("ext_katz_backoff", _katz_oracle())
+def q_ext_katz_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Katz back-off bigram LM (Katz 1987): train on the 80%
+    mix31(doc_id) % 5 != 0 split, score the held-out 20% per language.
+    Seen bigrams get the Good-Turing-discounted ML estimate d_r ·
+    c(vw)/c(v) with d_r = (r*/r − A)/(1 − A), r* = (r+1)N_{r+1}/N_r
+    over the TRAIN bigram count-of-counts and A = (K+1)N_{K+1}/N_1
+    (K = 5); unseen bigrams in a seen context back off to α(v) ·
+    P_ML(w) where α(v) redistributes the context's discount-leftover
+    mass; an unseen context falls back to P_ML(w) alone; a never-seen
+    successor bottoms out at the 1e-9 OOV floor. SRILM's validity
+    convention applies: r > K or an undefined/out-of-range discount
+    (possible on a closed-vocabulary corpus whose N_r spectrum has
+    gaps — exactly this testdata) falls back to d_r = 1. P_ML uses
+    right-position bigram counts (c(w) = Σ_v c(v,w), N = Σ c(w)), so
+    the entire model derives from ONE bigram relation. Directly
+    comparable to ext_kneser_ney_holdout (same split, same output
+    shape) — the classic Katz-vs-KN smoothing comparison as data.
+
+    Exact-transport design: the per-bigram discounted probability is
+    frozen ONCE to integer picos (_KATZ_PD — fixed-order IEEE doubles
+    over exact counts), so the per-context leftover masses α_num/α_den
+    are EXACT INTEGER sums (1e12 − Σ picos) — no order-dependent
+    double summation anywhere (the trap that would break cross-engine
+    equality; KN avoided per-context sums entirely, Katz cannot). The
+    final per-bigram log-prob (_KATZ_LP) is single fixed-order double
+    divisions over those integers.
+
+    Scale shape at 100 TB: ONE tokenize pass partial-aggregates
+    (is_eval, lang, v, w, cnt) map-side — the only corpus-scale
+    shuffle (persisted: train statistics and eval scoring both slice
+    it). Everything downstream is vocab-bounded: bigram counts,
+    count-of-counts (≤ #distinct frequencies), the two-constant GT
+    row (1-row broadcast), per-context masses, and the scoring LEFT
+    joins. Per-language totals are exact integer sums in 128-bit
+    accumulators (the documented BIGINT narrowing + NULL-vs-error
+    asymmetry of ext_kneser_ney applies here too)."""
+    mix = PK.mix31_spark_sql("doc_id")
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        F.expr(f"CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END").alias(
+            "is_eval"
+        ),
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    )
+    pr = arrs.select(
+        "is_eval",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2"
+                " THEN CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> named_struct('v', x, 'w', y)) END"
+            )
+        ).alias("p"),
+    )
+    occ = (
+        pr.select(
+            "is_eval",
+            "lang",
+            F.col("p.v").alias("v"),
+            F.col("p.w").alias("w"),
+        )
+        .groupBy("is_eval", "lang", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    bc = (
+        occ.where(F.col("is_eval") == 0)
+        .groupBy("v", "w")
+        .agg(F.sum("cnt").cast("long").alias("c_vw"))
+        .persist()
+    )
+    cv = bc.groupBy("v").agg(F.sum("c_vw").cast("long").alias("c_v"))
+    uni = bc.groupBy("w").agg(F.sum("c_vw").cast("long").alias("c_w"))
+    nn0 = uni.agg(F.sum("c_w").cast("long").alias("nn"))
+    ff = bc.groupBy(F.col("c_vw").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    kc = ff.agg(
+        F.sum(F.when(F.col("r") == 1, F.col("n_r"))).cast("long").alias("n1"),
+        F.sum(F.when(F.col("r") == 6, F.col("n_r"))).cast("long").alias("n6"),
+    )
+    pm = uni.crossJoin(F.broadcast(nn0)).select(
+        "w", F.expr(_KATZ_PM).alias("pm")
+    )
+    pdrel = (
+        bc.join(cv, "v")
+        .join(ff.select(F.col("r"), F.col("n_r").alias("nf")),
+              F.col("c_vw") == F.col("r"))
+        .drop("r")
+        .join(
+            ff.select((F.col("r") - 1).alias("r2"),
+                      F.col("n_r").alias("nf_next")),
+            F.col("c_vw") == F.col("r2"),
+            "left",
+        )
+        .drop("r2")
+        .crossJoin(F.broadcast(kc))
+        .select("v", "w", F.expr(_KATZ_PD).alias("pd"))
+        .persist()
+    )
+    ctx = (
+        pdrel.join(pm, "w")
+        .groupBy("v")
+        .agg(
+            (F.lit(1_000_000_000_000) - F.sum("pd")).cast("long").alias("av_num"),
+            (F.lit(1_000_000_000_000) - F.sum("pm")).cast("long").alias("av_den"),
+        )
+    )
+    ev = (
+        occ.where(F.col("is_eval") == 1)
+        .groupBy("lang", "v", "w")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    lp = (
+        ev.join(pdrel, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(pm, "w", "left")
+        .select("lang", "cnt", "pd", F.expr(_KATZ_LP).alias("lpm"))
+    )
+    sc = lp.groupBy("lang").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(F.when(F.col("pd").isNull(), F.col("cnt")).otherwise(0)).alias(
+            "n_unseen"
+        ),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("lpm")).alias(
+            "sum_lp"
+        ),
+    )
+    return sc.select(
+        "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_unseen").cast("long").alias("n_unseen_bigrams"),
+        F.col("sum_lp").cast("long").alias("sum_lp_micro"),
+        F.expr(
+            PK.fdiv_sql(
+                "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+            )
+        ).alias("avg_neg_lp_micro"),
+    ).orderBy("lang")

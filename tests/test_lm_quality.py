@@ -163,3 +163,92 @@ def test_bpe_vocab_matches_python_reference(spark):
     assert got == expect
     # Invertibility certificate: decode(encode(w)) == w everywhere.
     assert all(b == 0 for (_, _, b) in got.values())
+
+
+def test_katz_backoff_matches_python_reference(spark):
+    """Third implementation of the held-out Katz model: dict counts,
+    float GT discounts with the SRILM validity clamp, integer-pico
+    freezing, and the per-context leftover-mass alpha — all re-derived
+    from the published formulas, no SQL."""
+    from tests.test_kneser_ney import _ref_mix31
+
+    rows = (
+        duckdb.connect()
+        .execute(f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'")
+        .fetchall()
+    )
+    bc: dict[tuple[str, str], int] = {}
+    ev: dict[tuple[str, str, str], int] = {}
+    for doc_id, lang, t in rows:
+        is_eval = _ref_mix31(doc_id) % 5 == 0
+        toks = _norm_tokens(t)
+        for v, w in zip(toks, toks[1:]):
+            if is_eval:
+                ev[(lang, v, w)] = ev.get((lang, v, w), 0) + 1
+            else:
+                bc[(v, w)] = bc.get((v, w), 0) + 1
+    c_v: dict[str, int] = {}
+    c_w: dict[str, int] = {}
+    for (v, w), c in bc.items():
+        c_v[v] = c_v.get(v, 0) + c
+        c_w[w] = c_w.get(w, 0) + c
+    nn = sum(c_w.values())
+    ff: dict[int, int] = {}
+    for c in bc.values():
+        ff[c] = ff.get(c, 0) + 1
+    n1, n6 = ff.get(1, 0), ff.get(6, 0)
+
+    def discount(r: int) -> float:
+        if r > 5 or n1 == 0:
+            return 1.0
+        a = 6.0 * n6 / n1
+        if a >= 1.0:
+            return 1.0
+        rstar_over_r = (r + 1) * ff.get(r + 1, 0) / ff[r] / r
+        d = (rstar_over_r - a) / (1.0 - a)
+        return 1.0 if (d <= 0.0 or d > 1.0) else d
+
+    pd = {
+        (v, w): _round_half_away(discount(c) * c / c_v[v] * 1e12)
+        for (v, w), c in bc.items()
+    }
+    pm = {w: _round_half_away(cw / nn * 1e12) for w, cw in c_w.items()}
+    av_num: dict[str, int] = {}
+    av_den: dict[str, int] = {}
+    for (v, w), p in pd.items():
+        av_num[v] = av_num.get(v, 10**12) - p
+        av_den[v] = av_den.get(v, 10**12) - pm[w]
+
+    ref: dict[str, tuple[int, int, int]] = {}
+    for (lang, v, w), cnt in ev.items():
+        if (v, w) in pd:
+            p = pd[(v, w)] / 1e12
+        elif v in av_den and av_den[v] > 0 and av_num[v] > 0 and w in pm:
+            p = (av_num[v] / av_den[v]) * (pm[w] / 1e12)
+        elif v not in av_den and w in pm:
+            p = pm[w] / 1e12
+        else:
+            p = 0.0
+        lpm = _round_half_away(math.log(max(p, 1.0e-9)) * 1e6)
+        n, u, s = ref.get(lang, (0, 0, 0))
+        ref[lang] = (
+            n + cnt,
+            u + (cnt if (v, w) not in pd else 0),
+            s + cnt * lpm,
+        )
+    expect = {
+        lang: (n, u, s, (-s) // n) for lang, (n, u, s) in ref.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_bigrams"],
+            r["n_unseen_bigrams"],
+            r["sum_lp_micro"],
+            r["avg_neg_lp_micro"],
+        )
+        for r in QUERIES["ext_katz_backoff"](spark, SF).collect()
+    }
+    assert got == expect
+    # The held-out split must actually exercise the back-off: some
+    # evaluated bigrams are train-unseen in every language row.
+    assert any(u > 0 for (_, u, _, _) in got.values())

@@ -157,6 +157,11 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_nb_langid":
         "(doc_id, is_eval, lang, b, c) bucket partials (train statistics "
         "and eval scoring both slice it — one tokenize pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_katz_backoff":
+        "(is_eval, lang, v, w, cnt) bigram partials (one tokenize "
+        "pass), the train bigram relation (five downstream aggregates "
+        "slice it), and the frozen per-bigram pico relation (the "
+        "context-mass build and the eval scoring both read it)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney_holdout":
         "(is_eval, lang, v, w, cnt) bigram partials (train statistics "
         "and the eval scoring both slice it — one tokenize pass)",

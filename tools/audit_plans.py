@@ -166,6 +166,9 @@ ALLOWED: dict[str, set[str]] = {
     "ext_semdedup_kmeans": {'bnl_join'},
     # round 10: KN bigram LM — the 1-row bigram-type total T
     # crossJoined onto the vocab-bounded probability relation.
+    # round 11: Katz adds the 1-row unigram total and the 1-row
+    # (N_1, N_6) GT-constant relation, same broadcast stat shape.
+    "ext_katz_backoff": {'bnl_join'},
     "ext_kneser_ney": {'bnl_join'},
     "ext_kneser_ney_holdout": {'bnl_join'},
     "ext_knn_classify": {'bnl_join'},

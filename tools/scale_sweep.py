@@ -196,6 +196,7 @@ SWEEP = [
     "ext_lm_ppl_filter",
     "ext_semdedup_kmeans",
     "ext_audio_energy",
+    "ext_katz_backoff",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
