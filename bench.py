@@ -376,6 +376,7 @@ HEADLINE = [
     "ext_semdedup_kmeans",       # k-means-bucketed semantic dedup (learned cells)
     "ext_audio_energy",          # audio windowed-energy / silence VAD kernel
     "ext_katz_backoff",          # held-out Katz GT-discount backoff LM
+    "ext_ccnet_pipeline",        # composed CCNet clean->LM->ppl-cut chain
 ]
 
 

@@ -22102,3 +22102,183 @@ def q_ext_katz_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("avg_neg_lp_micro"),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# Round 11: the composed CCNet chain (Wenzek et al., LREC 2020 —
+# dedup → lang-id → LM-perplexity bucketing, the pipeline that built
+# CCNet/CC-100): stacks this round's ext_lm_ppl_filter stage on the
+# existing ext_corpus_pipeline cleaner, one declarative plan. Composed
+# entries catch integration bugs per-stage oracles can't (here: the
+# ppl model must train on the CLEANED corpus, not the raw one — a
+# subtle real-pipeline ordering constraint).
+# ===========================================================================
+
+
+def _ccnet_oracle() -> str:
+    avg = PK.fdiv_sql(
+        "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+    )
+    return rf"""WITH clean AS ({_CORPUS_SQL}),
+    base AS (
+      SELECT c.doc_id, c.quality, c.n_tokens, d.text
+      FROM clean c JOIN documents d ON d.doc_id = c.doc_id),
+    arrs AS (
+      SELECT doc_id, quality, n_tokens,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM base),
+    occ AS (
+      SELECT doc_id, quality, n_tokens, v, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id, quality, n_tokens,
+               unnest(a[1:len(a)-1]) AS v, unnest(a[2:len(a)]) AS w
+        FROM arrs
+      ) GROUP BY 1, 2, 3, 4, 5),
+    bc AS (SELECT v, w, SUM(cnt) AS c_vw FROM occ GROUP BY 1, 2),
+    cv AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1v FROM bc GROUP BY 1),
+    nw AS (SELECT w, COUNT(*) AS n1w FROM bc GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM bc),
+    lp AS (
+      SELECT occ.doc_id, occ.quality, occ.n_tokens, occ.cnt,
+             {_KN_HOLDOUT_LP} AS lpm
+      FROM occ
+      LEFT JOIN bc USING (v, w)
+      LEFT JOIN cv USING (v)
+      LEFT JOIN nw USING (w), tt),
+    sc AS (
+      SELECT doc_id, quality, n_tokens, SUM(cnt) AS n_bigrams,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM lp GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, quality, CAST(n_tokens AS INTEGER) AS n_tokens,
+             CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             {avg} AS avg_neg_lp_micro
+      FROM sc),
+    stat AS (SELECT COUNT(*) AS nd,
+                    SUM(CAST(avg_neg_lp_micro AS HUGEINT)) AS tot FROM per)
+    SELECT doc_id, quality, n_tokens, n_bigrams, avg_neg_lp_micro
+    FROM per, stat
+    WHERE CAST(avg_neg_lp_micro AS HUGEINT) * nd < tot
+    ORDER BY doc_id"""
+
+
+@register("ext_ccnet_pipeline", _ccnet_oracle())
+def q_ext_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed CCNet curation chain (Wenzek et al. 2020), one plan:
+    normalize-dedup → quality ≥ 0.7 → heuristic lang-id = en (the
+    ext_corpus_pipeline cleaner, operators/corpus.py:clean_corpus) →
+    train KN-bigram statistics on the CLEANED corpus → score every
+    cleaned doc with the held-out-grade scorer (clamp + continuation
+    backoff + 1e-9 OOV floor) → keep the low-perplexity head (avg
+    neg-log-prob strictly below the cleaned-corpus mean; exact 128-bit
+    cross-multiplied cut, ext_lm_ppl_filter's decision rule). Output:
+    the surviving docs with their full quality audit trail (quality
+    score, token count, bigram count, perplexity micros) — what a
+    pretraining-data pipeline hands to tokenization/packing.
+
+    The integration constraint this composition pins: the LM must be
+    trained on the CLEANED corpus (post-dedup, post-lang-filter) —
+    CCNet §4's ordering — so duplicate and off-language text cannot
+    contaminate the perplexity model that judges the survivors. A
+    per-stage oracle cannot catch a pipeline wired the other way.
+
+    Scale shape at 100 TB: clean_corpus's narrow-projection dedup
+    (text never shuffles; (hash, id, scores) only) + ONE tokenize pass
+    over survivors partial-aggregating (doc_id, v, w, cnt) — the only
+    corpus-scale shuffles; persisted once (train statistics, scoring,
+    and both decision-row branches derive from it). Everything else
+    is vocab-bounded joins and 1-row broadcasts."""
+    from proto_to_avro_ql_spark.operators.corpus import clean_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    clean = clean_corpus(docs, min_quality=0.7, langs=("en",))
+    base = clean.select("doc_id", "quality", "n_tokens").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    arrs = base.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    )
+    pr = arrs.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2"
+                " THEN CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> named_struct('v', x, 'w', y)) END"
+            )
+        ).alias("p"),
+    )
+    occ = (
+        pr.select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            F.col("p.v").alias("v"),
+            F.col("p.w").alias("w"),
+        )
+        .groupBy("doc_id", "quality", "n_tokens", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    bc = occ.groupBy("v", "w").agg(F.sum("cnt").alias("c_vw"))
+    cv = bc.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1v")
+    )
+    nw = bc.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    lp = (
+        occ.join(bc, ["v", "w"], "left")
+        .join(cv, "v", "left")
+        .join(nw, "w", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            "cnt",
+            F.expr(_KN_HOLDOUT_LP).alias("lpm"),
+        )
+    )
+    per = (
+        lp.groupBy("doc_id", "quality", "n_tokens")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("lpm")
+            ).alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "quality",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.expr(
+                PK.fdiv_sql(
+                    "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+                )
+            ).alias("avg_neg_lp_micro"),
+        )
+    )
+    stat = per.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("avg_neg_lp_micro").cast("decimal(38,0)")).alias("tot"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stat))
+        .where(
+            F.col("avg_neg_lp_micro").cast("decimal(38,0)") * F.col("nd")
+            < F.col("tot")
+        )
+        .select("doc_id", "quality", "n_tokens", "n_bigrams", "avg_neg_lp_micro")
+        .orderBy("doc_id")
+    )

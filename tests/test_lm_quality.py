@@ -252,3 +252,65 @@ def test_katz_backoff_matches_python_reference(spark):
     # The held-out split must actually exercise the back-off: some
     # evaluated bigrams are train-unseen in every language row.
     assert any(u > 0 for (_, u, _, _) in got.values())
+
+
+def test_ccnet_pipeline_matches_python_reference(spark):
+    """Third implementation of the NEW composition logic: take the
+    cleaned doc set from the (independently oracled) ext_corpus_
+    pipeline entry, re-derive the train-on-cleaned KN scoring and the
+    below-mean cut in plain Python, and compare every surviving row.
+    The cleaner itself is pinned by its own oracle + the text-function
+    unit tests; this pins the STACKING (model trained on the cleaned
+    corpus, cut over the cleaned corpus)."""
+    clean = {
+        r["doc_id"]: (r["quality"], r["n_tokens"])
+        for r in QUERIES["ext_corpus_pipeline"](spark, SF).collect()
+    }
+    texts = dict(
+        duckdb.connect()
+        .execute(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+        .fetchall()
+    )
+    occ: dict[tuple[int, str, str], int] = {}
+    bc: dict[tuple[str, str], int] = {}
+    for doc_id in clean:
+        toks = _norm_tokens(texts[doc_id])
+        for v, w in zip(toks, toks[1:]):
+            occ[(doc_id, v, w)] = occ.get((doc_id, v, w), 0) + 1
+            bc[(v, w)] = bc.get((v, w), 0) + 1
+    c_v: dict[str, int] = {}
+    n1v: dict[str, int] = {}
+    n1w: dict[str, int] = {}
+    for (v, w), c in bc.items():
+        c_v[v] = c_v.get(v, 0) + c
+        n1v[v] = n1v.get(v, 0) + 1
+        n1w[w] = n1w.get(w, 0) + 1
+    t_types = len(bc)
+    per: dict[int, tuple[int, int]] = {}
+    for (doc_id, v, w), cnt in occ.items():
+        p = max(float(bc[(v, w)]) - 0.75, 0.0) / float(c_v[v]) + 0.75 * float(
+            n1v[v]
+        ) / float(c_v[v]) * float(n1w[w]) / float(t_types)
+        p = max(p, 1.0e-9)
+        lpm = _round_half_away(math.log(p) * 1e6)
+        n, s = per.get(doc_id, (0, 0))
+        per[doc_id] = (n + cnt, s + cnt * lpm)
+    avgs = {d: (-s) // n for d, (n, s) in per.items()}
+    nd, tot = len(avgs), sum(avgs.values())
+    expect = {
+        d: (clean[d][0], clean[d][1], per[d][0], avgs[d])
+        for d in avgs
+        if avgs[d] * nd < tot
+    }
+    got = {
+        r["doc_id"]: (
+            r["quality"],
+            r["n_tokens"],
+            r["n_bigrams"],
+            r["avg_neg_lp_micro"],
+        )
+        for r in QUERIES["ext_ccnet_pipeline"](spark, SF).collect()
+    }
+    assert got == expect
+    # The composed chain actually narrows at both stages.
+    assert 0 < len(got) < len(avgs) <= len(clean)

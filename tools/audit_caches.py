@@ -147,6 +147,10 @@ ALLOWED: dict[str, str] = {
         "pass, same shape as q_ext_bpe_encode) AND the fully-merged "
         "vocab-sized encode result (piece inventory + round-trip "
         "branches both read it; halves the 8-stage chain cost)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_ccnet_pipeline":
+        "(doc_id, quality, n_tokens, v, w, cnt) bigram partials over "
+        "the CLEANED corpus (train statistics, scoring, and both "
+        "decision-row branches derive from it — one tokenize pass)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_lm_ppl_filter":
         "(doc_id, lang, v, w, cnt) bigram partials (en-slice train "
         "statistics, the all-docs scoring, and both decision-row "

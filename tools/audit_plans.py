@@ -169,6 +169,9 @@ ALLOWED: dict[str, set[str]] = {
     # round 11: Katz adds the 1-row unigram total and the 1-row
     # (N_1, N_6) GT-constant relation, same broadcast stat shape.
     "ext_katz_backoff": {'bnl_join'},
+    # round 11: composed CCNet chain — same 1-row T + decision-row
+    # broadcasts as ext_lm_ppl_filter.
+    "ext_ccnet_pipeline": {'bnl_join'},
     "ext_kneser_ney": {'bnl_join'},
     "ext_kneser_ney_holdout": {'bnl_join'},
     "ext_knn_classify": {'bnl_join'},

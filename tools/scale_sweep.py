@@ -197,6 +197,7 @@ SWEEP = [
     "ext_semdedup_kmeans",
     "ext_audio_energy",
     "ext_katz_backoff",
+    "ext_ccnet_pipeline",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
