@@ -94,21 +94,17 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 11 (out: ext_approx_distinct, ext_approx_freq,
-    # ext_approx_quantile, ext_array_ops, src_proto_decode — all
-    # driver-green in CORRECTNESS_r10; they remain locally gated by
-    # oracle_check). In: the staged r11 candidates from ROADMAP.md
-    # "Driver-window rotation" — first four pre-certified at r8 (5/5
-    # oracle-green at sf0.001/0.01/0.1); ext_dedup_embed_lsh
-    # re-certified at r10 at all three SFs. ext_dedup_embed_lsh is
-    # the r10-verdict priority: the ONLY entry whose latest driver
-    # record is an error (no_oracle, r01, predating its oracle) —
-    # this rotation replaces that stale record with a green row.
-    "ext_assortativity",          # degree assortativity (graph mixing)
-    "ext_auc",                    # ROC AUC via rank statistic
-    "ext_audience_overlap",       # pairwise audience Jaccard
-    "ext_autocorr",               # lag-k autocorrelation
-    "ext_dedup_embed_lsh",        # hyperplane-LSH near-dup (r01 repair)
+    # round 12 (out: ext_assortativity, ext_auc, ext_audience_overlap,
+    # ext_autocorr, ext_dedup_embed_lsh — all driver-green in
+    # CORRECTNESS_r11; they remain locally gated by oracle_check).
+    # In: the staged r12 candidates from ROADMAP.md "Driver-window
+    # rotation" — pre-certified at r8 close, 5/5 oracle-green at
+    # sf0.001/0.01/0.1, none previously driver-verified.
+    "ext_benford",                # Benford first-digit law test
+    "ext_best_split",             # best single-feature split (gini)
+    "ext_bigram_lm",              # bigram language model estimates
+    "ext_bitmap_index",           # bitmap-index emulation + AND query
+    "ext_bloom_prune",            # bloom-filter partition pruning
 ]
 
 # VETERAN RE-VERIFICATION POLICY (round-8 verdict #7): once per ~5

@@ -20646,30 +20646,40 @@ def _bpe_apply(symdf: DataFrame, m: DataFrame) -> DataFrame:
 def _bpe_learn(wf: DataFrame) -> list[DataFrame]:
     """The k-iteration trainer over (tok, wc): returns the k 1-row
     merge-rule relations (x, y, freq), in learned order — each
-    eagerly localCheckpoint'ed, which BOTH materializes it and
-    TRUNCATES its logical plan.
+    eagerly materialized via a bounded 1-row collect and re-created
+    as a createDataFrame LEAF, which TRUNCATES its logical plan.
 
-    Why checkpoint and not persist (round 11): m_i's analyzed plan
+    Why truncate and not just persist (round 11): m_i's analyzed plan
     contains sym_i's, which contains m_{i-1}'s, which contains
     sym_{i-1}'s — so |plan| DOUBLES per round (2^k nodes) even though
     a persist makes EXECUTION linear; at k=8 Catalyst re-analyzes a
     ~256× plan on every downstream action, and the measured cost was
     ~7 s of pure driver-side planning per action on a CACHED 155-row
     result (round-10's persist fixed execution, not planning).
-    localCheckpoint freezes the 1-row rule on the executors and
-    replaces its plan with a leaf, making plan size linear in k too
-    (measured: ext_bpe_encode 12.5 s → ~3 s at sf0.001). Training is
-    inherently sequential (rule i feeds round i+1), so the k eager
-    jobs add no wall-clock that lazy evaluation wouldn't."""
+
+    Why collect+createDataFrame and not localCheckpoint (round 12):
+    localCheckpoint truncates the same way but stores the blocks
+    EXECUTOR-LOCAL and non-replicated — on any executor loss (dynamic
+    allocation, spot nodes; plausible at the 100 TB posture) the
+    merge rules are unrecoverable and the whole job fails, with no
+    lineage to recompute from. Collecting the 1-row argmax to the
+    driver and re-creating it as a LocalRelation gives the identical
+    plan truncation (measured: ext_bpe_encode still ~3 s at sf0.001
+    vs 12.5 s pre-fix) with the rule held driver-side, immune to
+    executor churn. The collect is k rows TOTAL (k=8), the audited
+    bounded-collect shape. Training is inherently sequential (rule i
+    feeds round i+1), so the k eager jobs add no wall-clock that lazy
+    evaluation wouldn't."""
+    spark = wf.sparkSession
     sym = wf.select(_bpe_symbolize("tok").alias("sym"), "wc")
     merges = []
     for i in range(_BPE_STEPS):
-        m = (
+        top = (
             _bpe_pair_counts(sym)
             .orderBy(F.desc("freq"), F.asc("x"), F.asc("y"))
             .limit(1)
-            .localCheckpoint()
         )
+        m = spark.createDataFrame(top.collect(), top.schema)
         merges.append(m)
         if i < _BPE_STEPS - 1:
             sym = _bpe_apply(sym, m)
@@ -20715,8 +20725,9 @@ def q_ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — independent of corpus token count), takes top-1 as
     TakeOrderedAndProject, and applies the merge map-side via a
     broadcast 1-row rule (the allowlisted stat-join shape). No
-    iteration re-reads text; nothing ever collects to the driver —
-    the argmax chains through the plan as data. Production note: real
+    iteration re-reads text; the only driver traffic is the k 1-row
+    argmax collects (_bpe_learn — plan truncation without
+    localCheckpoint's executor-block-loss exposure). Production note: real
     trainers run k~30k with incremental pair-delta maintenance; the
     k-pass formulation here keeps every step independently
     SQL-checkable (chained CTEs, same shape as ext_kmeans)."""
@@ -21604,10 +21615,17 @@ def _lm_ppl_filter_oracle() -> str:
              {avg} AS avg_neg_lp_micro
       FROM sc
     ),
-    stat AS (SELECT COUNT(*) AS nd, SUM(CAST(avg_neg_lp_micro AS HUGEINT)) AS tot FROM per)
+    stat AS (SELECT COUNT(*) AS nd, SUM(CAST(avg_neg_lp_micro AS HUGEINT)) AS tot FROM per),
+    shortd AS (
+      SELECT doc_id, lang, CAST(0 AS BIGINT) AS n_bigrams,
+             CAST(NULL AS BIGINT) AS avg_neg_lp_micro
+      FROM arrs WHERE len(a) < 2
+    )
     SELECT doc_id, lang, n_bigrams, avg_neg_lp_micro
     FROM per, stat
     WHERE CAST(avg_neg_lp_micro AS HUGEINT) * nd < tot
+    UNION ALL
+    SELECT doc_id, lang, n_bigrams, avg_neg_lp_micro FROM shortd
     ORDER BY doc_id"""
 
 
@@ -21632,6 +21650,17 @@ def q_ext_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     that score them (CCNet trains on a disjoint Wikipedia dump); at
     corpus scale the effect of any single document on the model is
     O(1/N), and determinism is what the oracle certifies.
+
+    Short-doc policy (round 12): a document with fewer than 2 tokens
+    produces no bigrams and CANNOT be perplexity-scored. Such docs are
+    KEPT explicitly — emitted with n_bigrams = 0 and a NULL
+    avg_neg_lp_micro — and are EXCLUDED from the corpus-mean decision
+    statistic (an unscored doc must not shift the cut). A curation
+    pipeline wanting them gone should drop them at a length filter,
+    not lose them silently inside the perplexity stage. Pinned
+    cross-engine on a synthetic short-doc fixture in
+    tests/test_lm_quality.py (the stock testdata has no <2-token
+    docs, so the sf gates alone cannot distinguish this branch).
 
     Scale shape at 100 TB: ONE tokenize pass partial-aggregates
     (doc_id, lang, v, w, cnt) map-side — the only corpus-scale
@@ -21714,15 +21743,23 @@ def q_ext_lm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nd"),
         F.sum(F.col("avg_neg_lp_micro").cast("decimal(38,0)")).alias("tot"),
     )
-    return (
+    kept = (
         per.crossJoin(F.broadcast(stat))
         .where(
             F.col("avg_neg_lp_micro").cast("decimal(38,0)") * F.col("nd")
             < F.col("tot")
         )
         .select("doc_id", "lang", "n_bigrams", "avg_neg_lp_micro")
-        .orderBy("doc_id")
     )
+    # Short-doc policy: <2-token docs have no bigrams — keep them
+    # explicitly (n_bigrams 0, NULL perplexity), outside the mean stat.
+    short = arrs.where(F.size("a") < 2).select(
+        "doc_id",
+        "lang",
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("long").alias("avg_neg_lp_micro"),
+    )
+    return kept.unionByName(short).orderBy("doc_id")
 
 
 # ===========================================================================
@@ -21785,36 +21822,45 @@ def q_ext_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_audio_energy",
     """WITH hx AS (
-      SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+      SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h,
+             4 + event_id % 5 AS n_samp
+      FROM events),
     s AS (
       SELECT event_id, j // 4 AS win,
              CAST('0x' || substr(h, 4 * j + 1, 2) AS INTEGER)
              + 256 * CAST('0x' || substr(h, 4 * j + 3, 2) AS INTEGER) AS u
-      FROM hx, (SELECT unnest(generate_series(0, 7)) AS j)),
+      FROM hx, (SELECT unnest(generate_series(0, 7)) AS j)
+      WHERE j < n_samp),
     sg AS (
       SELECT event_id, win,
              CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS x
       FROM s)
     SELECT event_id, CAST(win AS INTEGER) AS win,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
            CAST(SUM(x * x) AS BIGINT) AS sum_sq,
            CAST(CASE WHEN SUM(x * x) < 1200000000 THEN 1 ELSE 0 END AS INTEGER) AS is_silent
     FROM sg GROUP BY event_id, win
     ORDER BY event_id, win""",
 )
 def q_ext_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio windowed energy + silence flag: deterministic synthetic
-    PCM (md5(event_id) = 16 bytes = 8 little-endian int16 samples,
-    codec-free like ext_multimodal_resize's synthetic images), split
-    into 2 windows of 4 samples; per window the exact integer sum of
-    squares and a silence verdict (energy < 1.2e9 ≈ the uniform-int16
-    expected window energy, so both verdicts occur). The numpy kernel
-    (operators/multimodal.py:audio_window_energy) is REAL — frombuffer
-    + vectorized squared-sum per Arrow batch; a codec decode (mp3 →
-    PCM) would swap only the frombuffer line. The oracle re-derives
-    the samples from the same hex bytes with signed int16 arithmetic,
-    so the gate proves bytes crossed the Arrow boundary uncorrupted
-    AND the window algebra — the audio twin of the
-    ext_multimodal_features methodology.
+    """Audio windowed energy + silence flag over RAGGED payloads:
+    deterministic synthetic PCM (the first 4 + event_id % 5 ∈ [4, 8]
+    little-endian int16 samples of md5(event_id) — codec-free like
+    ext_multimodal_resize's synthetic images, and per-row VARIABLE
+    length since round 12, exercising the kernel's ragged contract),
+    split into windows of 4 samples; per window the exact integer sum
+    of squares, the window's actual sample count (trailing partial
+    windows — lengths 5..7 here — are emitted with n_samples < 4, not
+    silently truncated), and a silence verdict (energy < 1.2e9 ≈ the
+    uniform-int16 expected window energy, so both verdicts occur). The
+    numpy kernel (operators/multimodal.py:audio_window_energy) is
+    REAL — one frombuffer over the concatenated batch + segmented
+    cumsum windowing; a codec decode (mp3 → PCM) would swap only the
+    frombuffer line. The oracle re-derives the samples from the same
+    hex bytes with signed int16 arithmetic, so the gate proves bytes
+    crossed the Arrow boundary uncorrupted AND the ragged window
+    algebra — the audio twin of the ext_multimodal_features
+    methodology.
 
     Scale shape at 100 TB: one narrow Python pass (payloads enter
     Arrow once per batch), typed scalar output, zero shuffles;
@@ -21822,7 +21868,12 @@ def q_ext_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as the other multimodal entries do."""
     ev = ensure_min_parallelism(read_table(spark, sf_dir, "events")).select(
         "event_id",
-        F.unhex(F.md5(F.col("event_id").cast("string"))).alias("payload"),
+        F.unhex(
+            F.expr(
+                "substr(md5(cast(event_id as string)),"
+                " 1, 4 * (4 + pmod(event_id, 5)))"
+            )
+        ).alias("payload"),
     )
     return MM.audio_window_energy(ev).orderBy("event_id", "win")
 
@@ -22155,10 +22206,17 @@ def _ccnet_oracle() -> str:
              {avg} AS avg_neg_lp_micro
       FROM sc),
     stat AS (SELECT COUNT(*) AS nd,
-                    SUM(CAST(avg_neg_lp_micro AS HUGEINT)) AS tot FROM per)
+                    SUM(CAST(avg_neg_lp_micro AS HUGEINT)) AS tot FROM per),
+    shortd AS (
+      SELECT doc_id, quality, CAST(n_tokens AS INTEGER) AS n_tokens,
+             CAST(0 AS BIGINT) AS n_bigrams,
+             CAST(NULL AS BIGINT) AS avg_neg_lp_micro
+      FROM arrs WHERE len(a) < 2)
     SELECT doc_id, quality, n_tokens, n_bigrams, avg_neg_lp_micro
     FROM per, stat
     WHERE CAST(avg_neg_lp_micro AS HUGEINT) * nd < tot
+    UNION ALL
+    SELECT doc_id, quality, n_tokens, n_bigrams, avg_neg_lp_micro FROM shortd
     ORDER BY doc_id"""
 
 
@@ -22181,6 +22239,12 @@ def q_ext_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet §4's ordering — so duplicate and off-language text cannot
     contaminate the perplexity model that judges the survivors. A
     per-stage oracle cannot catch a pipeline wired the other way.
+
+    Short-doc policy (round 12, shared with ext_lm_ppl_filter):
+    cleaned docs with <2 tokens produce no bigrams and cannot be
+    scored — they are KEPT explicitly with n_bigrams = 0 and NULL
+    avg_neg_lp_micro, excluded from the mean statistic, instead of
+    silently vanishing from the surviving corpus.
 
     Scale shape at 100 TB: clean_corpus's narrow-projection dedup
     (text never shuffles; (hash, id, scores) only) + ONE tokenize pass
@@ -22273,12 +22337,21 @@ def q_ext_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nd"),
         F.sum(F.col("avg_neg_lp_micro").cast("decimal(38,0)")).alias("tot"),
     )
-    return (
+    kept = (
         per.crossJoin(F.broadcast(stat))
         .where(
             F.col("avg_neg_lp_micro").cast("decimal(38,0)") * F.col("nd")
             < F.col("tot")
         )
         .select("doc_id", "quality", "n_tokens", "n_bigrams", "avg_neg_lp_micro")
-        .orderBy("doc_id")
     )
+    # Short-doc policy (see q_ext_lm_ppl_filter): cleaned docs with
+    # <2 tokens are kept explicitly, outside the mean statistic.
+    short = arrs.where(F.size("a") < 2).select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("long").alias("avg_neg_lp_micro"),
+    )
+    return kept.unionByName(short).orderBy("doc_id")

@@ -262,46 +262,72 @@ def audio_window_energy(
     squares over ``window`` samples) and a silence flag (energy <
     threshold) — the voice-activity-detection / silence-trim primitive
     an audio curation pass runs before transcription. The kernel is a
-    REAL vectorized computation (one numpy frombuffer + squared-sum
-    per Arrow batch inside mapInPandas); a codec-backed decoder (mp3 →
-    PCM) would swap only the frombuffer line (the documented
-    decode_image stub posture). All-integer output, so the DuckDB
-    oracle re-derives the samples from the same hex bytes and the
-    energies compare exactly.
+    REAL vectorized computation (one numpy frombuffer + segmented
+    cumulative-sum windowing per Arrow batch inside mapInPandas); a
+    codec-backed decoder (mp3 → PCM) would swap only the frombuffer
+    line (the documented decode_image stub posture). All-integer
+    output, so the DuckDB oracle re-derives the samples from the same
+    hex bytes and the energies compare exactly.
 
-    Payloads within one call must share a length that is a multiple of
-    2·window (the fixed-frame contract of the synthetic testdata;
-    production audio would pre-chunk — ext_frame_sample's shape).
+    Ragged-payload contract (round 12 — previously fixed-frame):
+    payloads may have ANY per-row even byte length. Each payload's
+    byte count must be even (int16 samples) — an odd length raises a
+    ValueError naming the offending id, not an opaque numpy error. A
+    trailing group of fewer than ``window`` samples is emitted as its
+    own PARTIAL window row rather than silently truncated; the
+    ``n_samples`` column carries each window's actual sample count so
+    a strict VAD consumer can filter ``n_samples = window``. A
+    zero-length payload emits no window rows (nothing to score).
 
     Scale shape at 100 TB: one narrow Python pass, binary payloads
-    cross into Arrow once per batch (never per row), output is typed
-    scalar columns, no shuffle at all until a downstream aggregate."""
+    cross into Arrow once per batch (never per row); per batch the
+    samples are decoded with ONE frombuffer over the concatenated
+    payloads and windowed via a single cumsum + boundary gather (no
+    per-row Python), output is typed scalar columns, no shuffle at
+    all until a downstream aggregate."""
     import numpy as np
 
-    out_schema = f"{id_col} long, win int, sum_sq long, is_silent int"
+    out_schema = (
+        f"{id_col} long, win int, n_samples int, sum_sq long, is_silent int"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            arr = np.stack(
-                [np.frombuffer(p, dtype="<i2") for p in pdf[payload_col]]
-            ).astype(np.int64)
-            sq = arr * arr
-            nwin = arr.shape[1] // window
-            frames = []
-            for w in range(nwin):
-                s = sq[:, w * window : (w + 1) * window].sum(axis=1)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_col: pdf[id_col].to_numpy(),
-                            "win": np.full(len(pdf), w, dtype="int32"),
-                            "sum_sq": s,
-                            "is_silent": (s < threshold).astype("int32"),
-                        }
-                    )
+            payloads = list(pdf[payload_col])
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            odd = lens % 2 != 0
+            if odd.any():
+                i = int(np.argmax(odd))
+                raise ValueError(
+                    "audio_window_energy: int16 PCM payloads must have an"
+                    f" even byte length; {id_col}="
+                    f"{pdf[id_col].iloc[i]!r} has {lens[i]} bytes"
                 )
-            yield pd.concat(frames, ignore_index=True)
+            sq = np.frombuffer(b"".join(payloads), dtype="<i2").astype(
+                np.int64
+            )
+            sq *= sq
+            nsamp = lens // 2
+            row_starts = np.concatenate(([0], np.cumsum(nsamp)))[:-1]
+            nwin = -(-nsamp // window)  # ceil; 0 for empty payloads
+            total = int(nwin.sum())
+            rows = np.repeat(np.arange(len(pdf)), nwin)
+            win_offsets = np.concatenate(([0], np.cumsum(nwin)))[:-1]
+            wins = np.arange(total) - np.repeat(win_offsets, nwin)
+            starts = row_starts[rows] + wins * window
+            ends = np.minimum(starts + window, (row_starts + nsamp)[rows])
+            cs = np.concatenate(([0], np.cumsum(sq)))
+            s = cs[ends] - cs[starts]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[rows],
+                    "win": wins.astype("int32"),
+                    "n_samples": (ends - starts).astype("int32"),
+                    "sum_sq": s,
+                    "is_silent": (s < threshold).astype("int32"),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -315,7 +315,7 @@ def semantic_dedup_cells(
     cell_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.2,
+    threshold: float = 0.95,
     salt: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -323,7 +323,11 @@ def semantic_dedup_cells(
     cosine is computed ONLY within a cell, and of any pair with
     cos ≥ threshold the higher id is dropped (greedy lower-id-wins —
     the paper's keep-one-per-ε-ball simplification; no transitive
-    closure needed, unlike ext_dedup_cluster).
+    closure needed, unlike ext_dedup_cluster). The default threshold
+    0.95 matches the paper's near-1.0 ε regime (duplicates, not
+    merely related content); the ext_semdedup registration passes a
+    testdata-shaped 0.2 explicitly because the synthetic embeddings
+    have no near-identical pairs.
 
     ``cell_col`` is the scale knob: the oracle-able entry uses the
     deterministic ``label`` column as the cell; at corpus scale you
@@ -833,7 +837,7 @@ def pq_adc_topk_int(
 
 def semdedup(
     embeddings: DataFrame,
-    threshold: float = 0.2,
+    threshold: float = 0.95,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
@@ -846,6 +850,9 @@ def semdedup(
     duplicates a lower-id clustermate (greedy keep-first, the paper's
     keep-one-per-group policy made deterministic). Returns every input
     vector as (id, cell, is_dup 0/1); downstream keeps is_dup = 0.
+    Default threshold 0.95 per the paper's near-1.0 ε regime; the
+    ext_semdedup_kmeans registration passes a testdata-shaped 0.2
+    explicitly (synthetic embeddings have no near-identical pairs).
 
     vs ext_dedup_embed_lsh: hyperplane buckets guarantee recall only
     for NEAR-IDENTICAL vectors; k-means cells follow the data's actual

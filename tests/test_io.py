@@ -85,7 +85,10 @@ class TestMultimodalPlumbing:
 
     def test_audio_energy_matches_python(self, spark):
         """Third implementation of the audio kernel: struct-unpack PCM
-        and sum squares in plain Python, compare every output row."""
+        and sum squares in plain Python, compare every output row.
+        Covers the round-12 ragged contract: per-event sample counts
+        4 + event_id % 5 ∈ [4, 8], trailing partial windows emitted
+        with their actual n_samples."""
         import hashlib
         import struct
 
@@ -102,19 +105,59 @@ class TestMultimodalPlumbing:
         ]
         expect = {}
         for eid in ids:
-            pcm = hashlib.md5(str(eid).encode()).digest()
-            samples = struct.unpack("<8h", pcm)
-            for w in range(2):
-                ss = sum(x * x for x in samples[4 * w : 4 * w + 4])
-                expect[(eid, w)] = (ss, 1 if ss < 1_200_000_000 else 0)
+            n = 4 + eid % 5
+            pcm = hashlib.md5(str(eid).encode()).digest()[: 2 * n]
+            samples = struct.unpack(f"<{n}h", pcm)
+            for w in range(-(-n // 4)):
+                chunk = samples[4 * w : 4 * w + 4]
+                ss = sum(x * x for x in chunk)
+                expect[(eid, w)] = (
+                    len(chunk),
+                    ss,
+                    1 if ss < 1_200_000_000 else 0,
+                )
         got = {
-            (r["event_id"], r["win"]): (r["sum_sq"], r["is_silent"])
+            (r["event_id"], r["win"]): (r["n_samples"], r["sum_sq"], r["is_silent"])
             for r in QUERIES["ext_audio_energy"](spark, sf).collect()
         }
         assert got == expect
         # Both verdicts occur on the synthetic corpus.
-        flags = {v[1] for v in got.values()}
+        flags = {v[2] for v in got.values()}
         assert flags == {0, 1}
+        # Ragged coverage: full AND partial trailing windows occur.
+        assert {v[0] for v in got.values()} > {4}
+
+    def test_audio_energy_ragged_contract(self, spark):
+        """Kernel-direct pins of the round-12 ragged contract: mixed
+        per-row lengths in ONE batch, a zero-length payload emitting
+        no rows, and the explicit odd-byte-length ValueError."""
+        import pytest
+
+        from proto_to_avro_ql_spark.operators.multimodal import (
+            audio_window_energy,
+        )
+
+        # 3 samples (partial-only), 6 samples (full+partial), empty.
+        rows = [
+            (1, b"\x01\x00\x02\x00\x03\x00"),
+            (2, b"\x01\x00" * 6),
+            (3, b""),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, payload binary")
+        got = {
+            (r.event_id, r.win): (r.n_samples, r.sum_sq)
+            for r in audio_window_energy(df, window=4).collect()
+        }
+        assert got == {
+            (1, 0): (3, 1 + 4 + 9),
+            (2, 0): (4, 4),
+            (2, 1): (2, 2),
+        }
+        bad = spark.createDataFrame(
+            [(7, b"\x01\x00\x02")], "event_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="even byte length"):
+            audio_window_energy(bad, window=4).collect()
 
     def test_frame_sampling_reassembles(self, spark):
         from proto_to_avro_ql_spark.operators.multimodal import pack_blob, sample_frames

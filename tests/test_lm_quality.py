@@ -314,3 +314,48 @@ def test_ccnet_pipeline_matches_python_reference(spark):
     assert got == expect
     # The composed chain actually narrows at both stages.
     assert 0 < len(got) < len(avgs) <= len(clean)
+
+
+def test_lm_ppl_filter_short_doc_policy(spark, tmp_path):
+    """Round-12 short-doc policy, cross-engine on a fixture that
+    actually exercises it (the stock testdata has no <2-token docs):
+    documents with 0 or 1 tokens cannot be perplexity-scored — both
+    engines must KEEP them with n_bigrams = 0 and NULL
+    avg_neg_lp_micro, and exclude them from the corpus-mean cut."""
+    import glob
+    import os
+    import shutil
+
+    from proto_to_avro_ql_spark.entry_queries import ORACLES
+    from tests.oracle_check import compare
+
+    fx = tmp_path / "sf_short"
+    fx.mkdir()
+    for p in glob.glob(f"{SF}/*.parquet"):
+        shutil.copy(p, fx / os.path.basename(p))
+    duckdb.connect().execute(
+        f"""COPY (
+          SELECT * FROM '{SF}/documents.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, 'hello', 'en', 'synthetic', 5),
+            (900002, '', 'en', 'synthetic', 0),
+            (900003, 'bonjour', 'fr', 'synthetic', 7)
+          ) AS t(doc_id, text, lang, source, n_chars)
+        ) TO '{fx}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    res = compare(
+        spark,
+        str(fx),
+        "ext_lm_ppl_filter",
+        QUERIES["ext_lm_ppl_filter"],
+        ORACLES["ext_lm_ppl_filter"],
+    )
+    assert res["ok"], res
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["ext_lm_ppl_filter"](spark, str(fx)).collect()
+    }
+    for d in (900001, 900002, 900003):
+        assert out[d]["n_bigrams"] == 0, d
+        assert out[d]["avg_neg_lp_micro"] is None, d

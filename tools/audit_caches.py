@@ -187,11 +187,13 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:_bpe_word_freq":
         "distinct-word frequency relation (all k merge iterations train "
         "on it — the corpus is read once)",
-# _bpe_learn's former persist is now an eager localCheckpoint (round
-# 11): persist made EXECUTION linear in k but left the analyzed plan
+# _bpe_learn's former persist is now a bounded 1-row collect +
+# createDataFrame leaf (round 12; round 11 used localCheckpoint):
+# persist made EXECUTION linear in k but left the analyzed plan
 # 2^k nodes (m_i's plan nests sym_i's nests m_{i-1}'s...), costing
 # seconds of Catalyst re-analysis per downstream action; the
-# checkpoint truncates the plan to a leaf. Not a cache site anymore.
+# driver-side leaf truncates the plan without localCheckpoint's
+# executor-block-loss exposure. Not a cache site anymore.
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_bpe_encode":
         "per-(lang, word) counts (the one corpus pass; the global "
         "word-frequency relation and the encode chain both derive "
