@@ -377,6 +377,39 @@ HEADLINE = [
     "ext_audio_energy",          # audio windowed-energy / silence VAD kernel
     "ext_katz_backoff",          # held-out Katz GT-discount backoff LM
     "ext_ccnet_pipeline",        # composed CCNet clean->LM->ppl-cut chain
+    # round 12 (r11 verdict #4): the next-heaviest unbenched tail by a
+    # single-pass sf0.01 sweep (151 entries probed; all remaining
+    # unbenched entries are < ~0.7 s, fixed-overhead-dominated).
+    "proj_const",                # constant-column projection (§2)
+    "compile_schema_infer",      # schema inference compile path (§2)
+    "ext_vocab_coverage",        # vocab coverage vs reference list
+    "src_cache_replay",          # result-cache replay source (§2)
+    "ext_gini",                  # Gini coefficient (banded rank)
+    "filter_range",              # date-range filter pushdown (§2)
+    "filter_conj",               # conjunctive filter pushdown (§2)
+    "sink_orc",                  # ORC sink round-trip
+    "ext_t_closeness",           # t-closeness privacy audit
+    "ext_uplift_deciles",        # uplift-by-decile table
+    "ext_mann_kendall",          # Mann-Kendall trend test
+    "proj_reorder",              # column-reorder projection (§2)
+    "agg_derived_ratio",         # derived-ratio aggregate (§2)
+    "sink_avro",                 # Avro sink (py4j DataFileWriter)
+    "ext_cusum",                 # CUSUM changepoint statistic
+    "ext_cramers_v",             # Cramér's V association matrix
+    "ext_degree_dist",           # graph degree distribution
+    "gaql_implicit_agg",         # GAQL implicit-aggregation surface
+    "join_semi_anti",            # semi/anti join surface
+    "ext_zipf_fit",              # Zipf rank-frequency fit
+    "ext_skew_join_salted",      # salt-replicated skew join
+    "sink_variant_parquet",      # VARIANT-column parquet sink
+    "compile_field_bind",        # field-binding compile path (§2)
+    "ext_chi_residuals",         # chi-square standardized residuals
+    "ext_observe_metrics",       # observe()/metrics surface
+    # round 12: new operators claimed done this round
+    "ext_katz_vs_kn",            # Katz-vs-KN held-out comparison (one plan)
+    "ext_trigram_kn",            # held-out interpolated trigram KN
+    "ext_span_scrub",            # Lee et al. repeated-span removal
+    "ext_selfbleu",              # Self-BLEU-2 corpus diversity (top-2 clip)
 ]
 
 

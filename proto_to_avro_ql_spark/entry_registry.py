@@ -22355,3 +22355,873 @@ def q_ext_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("avg_neg_lp_micro"),
     )
     return kept.unionByName(short).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 12: the Katz-vs-KN smoothing comparison as ONE query (r11
+# verdict #7) — ext_kneser_ney_holdout and ext_katz_backoff share a
+# split and output shape by design; this entry joins the two held-out
+# scorers over a single shared bigram relation so the classic
+# comparison (Chen & Goodman 1999 §5: KN beats Katz on held-out data)
+# is directly consumable as data, not as two results a human diffs.
+# ===========================================================================
+
+
+def _katz_vs_kn_oracle() -> str:
+    mix = PK.mix31_duckdb_sql("doc_id")
+    kn_avg = PK.fdiv_sql(
+        "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+    )
+    return rf"""WITH arrs AS (
+      SELECT CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END AS is_eval, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    occ AS (
+      SELECT is_eval, lang, v, w, COUNT(*) AS cnt FROM (
+        SELECT is_eval, lang, unnest(a[1:len(a)-1]) AS v, unnest(a[2:len(a)]) AS w
+        FROM arrs
+      ) GROUP BY 1, 2, 3, 4
+    ),
+    bc AS (SELECT v, w, CAST(SUM(cnt) AS BIGINT) AS c_vw FROM occ WHERE is_eval = 0 GROUP BY 1, 2),
+    ev AS (SELECT lang, v, w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM occ WHERE is_eval = 1 GROUP BY 1, 2, 3),
+    cvk AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v, COUNT(*) AS n1v FROM bc GROUP BY 1),
+    nw AS (SELECT w, COUNT(*) AS n1w FROM bc GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM bc),
+    knlp AS (
+      SELECT ev.lang, ev.cnt, {_KN_HOLDOUT_LP} AS lpm
+      FROM ev
+      LEFT JOIN bc USING (v, w)
+      LEFT JOIN cvk USING (v)
+      LEFT JOIN nw USING (w), tt
+    ),
+    knsc AS (
+      SELECT lang, SUM(cnt) AS n_bigrams,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM knlp GROUP BY 1
+    ),
+    kn AS (SELECT lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                  {kn_avg} AS kn_avg FROM knsc),
+    cv AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v FROM bc GROUP BY 1),
+    uni AS (SELECT w, CAST(SUM(c_vw) AS BIGINT) AS c_w FROM bc GROUP BY 1),
+    nn0 AS (SELECT CAST(SUM(c_w) AS BIGINT) AS nn FROM uni),
+    ff AS (SELECT c_vw AS r, COUNT(*) AS n_r FROM bc GROUP BY 1),
+    kc AS (SELECT
+             CAST((SELECT n_r FROM ff WHERE r = 1) AS BIGINT) AS n1,
+             CAST((SELECT n_r FROM ff WHERE r = 6) AS BIGINT) AS n6),
+    pm AS (SELECT w, {_KATZ_PM} AS pm FROM uni, nn0),
+    pdrel AS (
+      SELECT v, w, pd FROM (
+        SELECT bc.v, bc.w, {_KATZ_PD} AS pd
+        FROM bc JOIN cv USING (v)
+        JOIN (SELECT r, n_r AS nf FROM ff) f1 ON f1.r = bc.c_vw
+        LEFT JOIN (SELECT r - 1 AS r, n_r AS nf_next FROM ff) fn ON fn.r = bc.c_vw, kc
+      )
+    ),
+    ctx AS (
+      SELECT p.v,
+             CAST(1000000000000 - SUM(p.pd) AS BIGINT) AS av_num,
+             CAST(1000000000000 - SUM(m.pm) AS BIGINT) AS av_den
+      FROM pdrel p JOIN pm m ON m.w = p.w
+      GROUP BY p.v
+    ),
+    kzlp AS (
+      SELECT ev.lang, ev.cnt, p.pd, {_KATZ_LP} AS lpm
+      FROM ev
+      LEFT JOIN pdrel p ON p.v = ev.v AND p.w = ev.w
+      LEFT JOIN ctx ON ctx.v = ev.v
+      LEFT JOIN pm ON pm.w = ev.w
+    ),
+    kzsc AS (
+      SELECT lang, SUM(cnt) AS n_bigrams,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM kzlp GROUP BY 1
+    ),
+    kz AS (SELECT lang, {kn_avg} AS katz_avg FROM kzsc)
+    SELECT kn.lang AS lang, kn.n_bigrams AS n_bigrams,
+           kn.kn_avg AS kn_avg_neg_lp_micro,
+           kz.katz_avg AS katz_avg_neg_lp_micro,
+           kz.katz_avg - kn.kn_avg AS delta_micro,
+           CASE WHEN kz.katz_avg < kn.kn_avg THEN 'katz'
+                WHEN kz.katz_avg > kn.kn_avg THEN 'kn'
+                ELSE 'tie' END AS better
+    FROM kn JOIN kz USING (lang) ORDER BY lang"""
+
+
+@register("ext_katz_vs_kn", _katz_vs_kn_oracle())
+def q_ext_katz_vs_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz-vs-Kneser-Ney held-out comparison, one query: both
+    smoothers trained on the SAME 80% mix31(doc_id) split and scored
+    on the SAME held-out 20%, per language — avg negative
+    log-probability micros side by side, their signed delta, and a
+    'better' verdict (lower held-out avg wins; Chen & Goodman 1999
+    find KN ahead, and this entry turns that claim into checkable
+    data for this corpus). Every probability is the EXACT frozen
+    transport its parent entry certifies (_KN_HOLDOUT_LP /
+    _KATZ_PD+_KATZ_LP — identical expression text), so each side of
+    the comparison is bit-equal to ext_kneser_ney_holdout /
+    ext_katz_backoff respectively (pinned in tests/test_lm_quality.py);
+    the delta column is pure integer subtraction.
+
+    Scale shape at 100 TB: ONE tokenize pass partial-aggregates
+    (is_eval, lang, v, w, cnt) map-side — the only corpus-scale
+    shuffle (persisted: BOTH model branches and both scoring passes
+    slice it; so does the shared train bigram relation bc). All model
+    statistics are vocab-bounded; the two scoring chains are
+    vocab-bounded LEFT joins; the final join is #langs rows. Running
+    the pair as one plan HALVES the corpus work vs running the two
+    parent entries separately — the tokenize pass and the train
+    bigram aggregate are shared, which is the point of a composed
+    comparison entry."""
+    mix = PK.mix31_spark_sql("doc_id")
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        F.expr(f"CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END").alias(
+            "is_eval"
+        ),
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    )
+    pr = arrs.select(
+        "is_eval",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2"
+                " THEN CAST(array() AS array<struct<v:string,w:string>>)"
+                " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                "               slice(a, 2, size(a) - 1),"
+                "               (x, y) -> named_struct('v', x, 'w', y)) END"
+            )
+        ).alias("p"),
+    )
+    occ = (
+        pr.select(
+            "is_eval",
+            "lang",
+            F.col("p.v").alias("v"),
+            F.col("p.w").alias("w"),
+        )
+        .groupBy("is_eval", "lang", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    bc = (
+        occ.where(F.col("is_eval") == 0)
+        .groupBy("v", "w")
+        .agg(F.sum("cnt").cast("long").alias("c_vw"))
+        .persist()
+    )
+    ev = (
+        occ.where(F.col("is_eval") == 1)
+        .groupBy("lang", "v", "w")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .persist()
+    )
+    # --- KN branch (ext_kneser_ney_holdout's chain verbatim) ---
+    cvk = bc.groupBy("v").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count(F.lit(1)).alias("n1v"),
+    )
+    nw = bc.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    tt = bc.agg(F.count(F.lit(1)).alias("t"))
+    knlp = (
+        ev.join(bc, ["v", "w"], "left")
+        .join(cvk, "v", "left")
+        .join(nw, "w", "left")
+        .crossJoin(F.broadcast(tt))
+        .select("lang", "cnt", F.expr(_KN_HOLDOUT_LP).alias("lpm"))
+    )
+    kn = (
+        knlp.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("lpm")
+            ).alias("sum_lp"),
+        )
+        .select(
+            "lang",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.expr(
+                PK.fdiv_sql(
+                    "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+                )
+            ).alias("kn_avg"),
+        )
+    )
+    # --- Katz branch (ext_katz_backoff's chain verbatim) ---
+    cv = bc.groupBy("v").agg(F.sum("c_vw").cast("long").alias("c_v"))
+    uni = bc.groupBy("w").agg(F.sum("c_vw").cast("long").alias("c_w"))
+    nn0 = uni.agg(F.sum("c_w").cast("long").alias("nn"))
+    ff = bc.groupBy(F.col("c_vw").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    kc = ff.agg(
+        F.sum(F.when(F.col("r") == 1, F.col("n_r"))).cast("long").alias("n1"),
+        F.sum(F.when(F.col("r") == 6, F.col("n_r"))).cast("long").alias("n6"),
+    )
+    pm = uni.crossJoin(F.broadcast(nn0)).select(
+        "w", F.expr(_KATZ_PM).alias("pm")
+    )
+    pdrel = (
+        bc.join(cv, "v")
+        .join(ff.select(F.col("r"), F.col("n_r").alias("nf")),
+              F.col("c_vw") == F.col("r"))
+        .drop("r")
+        .join(
+            ff.select((F.col("r") - 1).alias("r2"),
+                      F.col("n_r").alias("nf_next")),
+            F.col("c_vw") == F.col("r2"),
+            "left",
+        )
+        .drop("r2")
+        .crossJoin(F.broadcast(kc))
+        .select("v", "w", F.expr(_KATZ_PD).alias("pd"))
+        .persist()
+    )
+    ctx = (
+        pdrel.join(pm, "w")
+        .groupBy("v")
+        .agg(
+            (F.lit(1_000_000_000_000) - F.sum("pd")).cast("long").alias("av_num"),
+            (F.lit(1_000_000_000_000) - F.sum("pm")).cast("long").alias("av_den"),
+        )
+    )
+    kzlp = (
+        ev.join(pdrel, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(pm, "w", "left")
+        .select("lang", "cnt", F.expr(_KATZ_LP).alias("lpm"))
+    )
+    kz = (
+        kzlp.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("lpm")
+            ).alias("sum_lp"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                PK.fdiv_sql(
+                    "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_bigrams AS BIGINT)"
+                )
+            ).alias("katz_avg"),
+        )
+    )
+    return (
+        kn.join(kz, "lang")
+        .select(
+            "lang",
+            "n_bigrams",
+            F.col("kn_avg").alias("kn_avg_neg_lp_micro"),
+            F.col("katz_avg").alias("katz_avg_neg_lp_micro"),
+            (F.col("katz_avg") - F.col("kn_avg")).alias("delta_micro"),
+            F.when(F.col("katz_avg") < F.col("kn_avg"), "katz")
+            .when(F.col("katz_avg") > F.col("kn_avg"), "kn")
+            .otherwise("tie")
+            .alias("better"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Round 12: held-out interpolated TRIGRAM Kneser-Ney (Chen & Goodman
+# 1999 §3 — the order the KN recursion was designed for; CCNet-grade
+# pipelines run order-5 KN, and order 3 exercises every rung of the
+# recursion: raw-count top level, continuation-count middle level,
+# continuation-unigram base). Completes the smoothing family one
+# order up from ext_kneser_ney_holdout.
+# ===========================================================================
+
+# Per-eval-trigram interpolated-KN log-probability, identical SQL text
+# in both engines. Inputs are INTEGER columns from vocab-bounded train
+# aggregates: c_uvw (trigram count), c_uv (context total), n1_uv
+# (distinct continuations of (u,v)), n_ctx_vw (= N1+(.vw), distinct u
+# preceding (v,w)), n_ctx_v (= N1+(.v.), total distinct (u,w) around
+# v), n1_v (= N1+(v.), distinct w after middle v), n_prec_w
+# (= N1+(..w) over trigram-derived (v,w) types), t2 (= N1+(..), total
+# distinct (v,w) types). D = 0.75 at both levels. The whole value is
+# fixed-order double arithmetic over exact integers — no
+# order-dependent double summation (the _KN_HOLDOUT_LP transport, one
+# recursion rung deeper).
+_KN3_CONT = (
+    "CASE WHEN n_ctx_v IS NULL"
+    " THEN CAST(COALESCE(n_prec_w, 0) AS DOUBLE) / CAST(t2 AS DOUBLE)"
+    " ELSE GREATEST(CAST(COALESCE(n_ctx_vw, 0) AS DOUBLE) - 0.75e0, 0.0e0)"
+    "      / CAST(n_ctx_v AS DOUBLE)"
+    "      + 0.75e0 * CAST(n1_v AS DOUBLE) / CAST(n_ctx_v AS DOUBLE)"
+    "      * CAST(COALESCE(n_prec_w, 0) AS DOUBLE) / CAST(t2 AS DOUBLE)"
+    " END"
+)
+
+_KN3_LP = (
+    "CAST(ROUND(LN(GREATEST("
+    "CASE WHEN c_uv IS NULL"
+    f" THEN {_KN3_CONT}"
+    " ELSE GREATEST(CAST(COALESCE(c_uvw, 0) AS DOUBLE) - 0.75e0, 0.0e0)"
+    "      / CAST(c_uv AS DOUBLE)"
+    "      + 0.75e0 * CAST(n1_uv AS DOUBLE) / CAST(c_uv AS DOUBLE)"
+    f"      * ({_KN3_CONT})"
+    " END, 1.0e-9)) * 1000000) AS BIGINT)"
+)
+
+
+def _kn3_oracle() -> str:
+    mix = PK.mix31_duckdb_sql("doc_id")
+    avg = PK.fdiv_sql(
+        "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_trigrams AS BIGINT)"
+    )
+    return rf"""WITH arrs AS (
+      SELECT CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END AS is_eval, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    occ AS (
+      SELECT is_eval, lang, u, v, w, COUNT(*) AS cnt FROM (
+        SELECT is_eval, lang,
+               unnest(a[1:len(a)-2]) AS u,
+               unnest(a[2:len(a)-1]) AS v,
+               unnest(a[3:len(a)]) AS w
+        FROM arrs WHERE len(a) >= 3
+      ) GROUP BY 1, 2, 3, 4, 5
+    ),
+    tc AS (SELECT u, v, w, CAST(SUM(cnt) AS BIGINT) AS c_uvw
+           FROM occ WHERE is_eval = 0 GROUP BY 1, 2, 3),
+    ctx2 AS (SELECT u, v, CAST(SUM(c_uvw) AS BIGINT) AS c_uv,
+                    COUNT(*) AS n1_uv
+             FROM tc GROUP BY 1, 2),
+    mid AS (SELECT v, w, COUNT(*) AS n_ctx_vw FROM tc GROUP BY 1, 2),
+    midv AS (SELECT v, CAST(SUM(n_ctx_vw) AS BIGINT) AS n_ctx_v,
+                    COUNT(*) AS n1_v
+             FROM mid GROUP BY 1),
+    wl AS (SELECT w, COUNT(*) AS n_prec_w FROM mid GROUP BY 1),
+    t2r AS (SELECT COUNT(*) AS t2 FROM mid),
+    ev AS (SELECT lang, u, v, w, CAST(SUM(cnt) AS BIGINT) AS cnt
+           FROM occ WHERE is_eval = 1 GROUP BY 1, 2, 3, 4),
+    lp AS (
+      SELECT ev.lang, ev.cnt, tc.c_uvw, {_KN3_LP} AS lpm
+      FROM ev
+      LEFT JOIN tc USING (u, v, w)
+      LEFT JOIN ctx2 USING (u, v)
+      LEFT JOIN mid USING (v, w)
+      LEFT JOIN midv USING (v)
+      LEFT JOIN wl USING (w), t2r
+    ),
+    sc AS (
+      SELECT lang, SUM(cnt) AS n_trigrams,
+             SUM(CASE WHEN c_uvw IS NULL THEN cnt ELSE 0 END) AS n_unseen,
+             SUM(CAST(cnt AS HUGEINT) * lpm) AS sum_lp
+      FROM lp GROUP BY 1
+    )
+    SELECT lang, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           CAST(n_unseen AS BIGINT) AS n_unseen_trigrams,
+           CAST(sum_lp AS BIGINT) AS sum_lp_micro,
+           {avg} AS avg_neg_lp_micro
+    FROM sc ORDER BY lang"""
+
+
+@register("ext_trigram_kn", _kn3_oracle())
+def q_ext_trigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated TRIGRAM Kneser-Ney: train on the 80%
+    mix31(doc_id) % 5 != 0 split, score the held-out 20%'s trigrams
+    per language. The full Chen & Goodman recursion engages: the top
+    level discounts RAW trigram counts (max(c(uvw) − D, 0)/c(uv·) +
+    back-off weight D·N1+(uv·)/c(uv·)); the bigram level uses
+    CONTINUATION counts (N1+(·vw)/N1+(·v·) — how many distinct
+    contexts a bigram completes, not how often it occurs: KN's
+    defining idea); the base level is the continuation unigram
+    N1+(··w)/N1+(··). Unseen (u,v) contexts back off to the
+    continuation bigram; an unseen middle v backs off to the
+    continuation unigram; a never-seen w bottoms out at the 1e-9 OOV
+    floor. Directly comparable to ext_kneser_ney_holdout (same split,
+    same output shape, one n-gram order up): the trigram model's
+    avg_neg_lp on held-out data quantifies what the longer context
+    buys — and its HIGHER unseen rate shows the data-sparsity cost,
+    the classic order-selection trade as data.
+
+    Scale shape at 100 TB: ONE tokenize pass partial-aggregates
+    (is_eval, lang, u, v, w, cnt) map-side — the only corpus-scale
+    shuffle (persisted: train statistics and the eval scoring both
+    slice it). Every model relation is trigram-TYPE-bounded (Heaps-law
+    vocab growth, independent of corpus token count): trigram counts,
+    (u,v) context totals, (v,w) continuation counts, per-v totals,
+    continuation unigrams, and the 1-row N1+(··) total (broadcast
+    stat-join shape). Scoring is five vocab-bounded LEFT joins;
+    per-language totals are exact integer sums in 128-bit
+    accumulators."""
+    mix = PK.mix31_spark_sql("doc_id")
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        F.expr(f"CASE WHEN ({mix}) % 5 = 0 THEN 1 ELSE 0 END").alias(
+            "is_eval"
+        ),
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    )
+    pr = arrs.select(
+        "is_eval",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 3"
+                " THEN CAST(array() AS"
+                "      array<struct<u:string,v:string,w:string>>)"
+                " ELSE transform(sequence(0, size(a) - 3),"
+                "      i -> named_struct('u', a[i], 'v', a[i + 1],"
+                "                        'w', a[i + 2])) END"
+            )
+        ).alias("p"),
+    )
+    occ = (
+        pr.select(
+            "is_eval",
+            "lang",
+            F.col("p.u").alias("u"),
+            F.col("p.v").alias("v"),
+            F.col("p.w").alias("w"),
+        )
+        .groupBy("is_eval", "lang", "u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    tc = (
+        occ.where(F.col("is_eval") == 0)
+        .groupBy("u", "v", "w")
+        .agg(F.sum("cnt").cast("long").alias("c_uvw"))
+        .persist()
+    )
+    ctx2 = tc.groupBy("u", "v").agg(
+        F.sum("c_uvw").cast("long").alias("c_uv"),
+        F.count(F.lit(1)).alias("n1_uv"),
+    )
+    mid = tc.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n_ctx_vw"))
+    midv = mid.groupBy("v").agg(
+        F.sum("n_ctx_vw").cast("long").alias("n_ctx_v"),
+        F.count(F.lit(1)).alias("n1_v"),
+    )
+    wl = mid.groupBy("w").agg(F.count(F.lit(1)).alias("n_prec_w"))
+    t2r = mid.agg(F.count(F.lit(1)).alias("t2"))
+    ev = (
+        occ.where(F.col("is_eval") == 1)
+        .groupBy("lang", "u", "v", "w")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    lp = (
+        ev.join(tc, ["u", "v", "w"], "left")
+        .join(ctx2, ["u", "v"], "left")
+        .join(mid, ["v", "w"], "left")
+        .join(midv, "v", "left")
+        .join(wl, "w", "left")
+        .crossJoin(F.broadcast(t2r))
+        .select("lang", "cnt", "c_uvw", F.expr(_KN3_LP).alias("lpm"))
+    )
+    sc = lp.groupBy("lang").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        F.sum(
+            F.when(F.col("c_uvw").isNull(), F.col("cnt")).otherwise(0)
+        ).alias("n_unseen"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("lpm")
+        ).alias("sum_lp"),
+    )
+    return sc.select(
+        "lang",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.col("n_unseen").cast("long").alias("n_unseen_trigrams"),
+        F.col("sum_lp").cast("long").alias("sum_lp_micro"),
+        F.expr(
+            PK.fdiv_sql(
+                "CAST(-sum_lp AS BIGINT) * 1", "CAST(n_trigrams AS BIGINT)"
+            )
+        ).alias("avg_neg_lp_micro"),
+    ).orderBy("lang")
+
+
+# ===========================================================================
+# Round 12: repeated-span REMOVAL — ext_dedup_span detects the
+# corpus's repeated passages; this entry applies Lee et al. (2022)'s
+# actual fix (cut the repeated span out of every document, keep the
+# rest), completing the substring-dedup pair detection → scrub.
+# ===========================================================================
+
+
+@register(
+    "ext_span_scrub",
+    r"""WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+               THEN range(1, len(t) - 6) ELSE []::BIGINT[] END) AS i,
+             unnest(CASE WHEN len(t) >= 8
+               THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+               ELSE []::VARCHAR[] END) AS span
+      FROM toks
+    ), dup AS (
+      SELECT span FROM w GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT w.doc_id, w.i + k.k AS j
+      FROM w JOIN dup USING (span),
+           (SELECT unnest(generate_series(0, 7)) AS k) k
+    ), tk AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) + 1)) AS j,
+             unnest(t) AS tok
+      FROM toks
+    ), kept AS (
+      SELECT tk.doc_id, tk.j, tk.tok
+      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.j = tk.j
+      WHERE cov.j IS NULL
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY j) AS scrubbed
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id AS doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           COALESCE(scrubbed, '') AS scrubbed_text
+    FROM toks LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id""",
+)
+def q_ext_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span scrubbing (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better' — their fix is to cut
+    the repeated SPAN, not drop the document): every 8-token window
+    whose text occurs in ≥2 DISTINCT documents is a boilerplate
+    passage (headers, footers, license blocks); every token covered by
+    any such window is removed from every document carrying it, and
+    the entry returns the full surviving corpus — (doc_id, n_tokens,
+    n_tokens_removed, scrubbed_text). Within-document repeats
+    (n_docs = 1) are NOT scrubbed — repetition inside one doc is
+    ext_repetition_score's signal, not cross-doc boilerplate. Docs
+    shorter than the window emit unchanged. Completes the pair with
+    ext_dedup_span (detection → removal); the SHAPE difference is the
+    point: detection is a top-k diagnostic, removal rewrites the
+    corpus.
+
+    Scale shape at 100 TB: window hashes aggregate on (span_hash) —
+    corpus-scale but key-only (never text; md5-prefix keys, 16 chars);
+    the dup set (windows in ≥2 docs) is the sparse boilerplate
+    inventory, joined back hash-keyed; coverage explodes ONLY
+    duplicated window starts (8 ids each, sparse) and dedups on
+    (doc_id, j); the rebuild carries (doc_id, j, tok) once — one
+    tokenize-pass-equivalent shuffle, anti-joins the coverage set,
+    and re-assembles per doc (collect_list bounded by document
+    length, the ext_doc_chunk posture). Nothing is ever all-pairs;
+    no text crosses a shuffle except the one rebuild pass."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.split(TX.normalize_text(F.col("text")), " ").alias("a")
+    ).persist()
+    idx = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.expr("size(a) >= 8"), F.expr("sequence(1, size(a) - 7)")
+            ).otherwise(F.expr("cast(array() as array<int>)"))
+        ).alias("i"),
+        "a",
+    ).select(
+        "doc_id",
+        "i",
+        F.substring(
+            F.md5(F.expr("array_join(slice(a, i, 8), ' ')")), 1, 16
+        ).alias("span_hash"),
+    )
+    dup = (
+        idx.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("span_hash")
+    )
+    cov = (
+        idx.join(dup, "span_hash")
+        .select("doc_id", F.explode(F.expr("sequence(i, i + 7)")).alias("j"))
+        .distinct()
+    )
+    tk = t.select(
+        "doc_id", F.posexplode("a").alias("p", "tok")
+    ).select("doc_id", (F.col("p") + 1).alias("j"), "tok")
+    kept = tk.join(cov, ["doc_id", "j"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(j, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("scrubbed"),
+    )
+    return (
+        t.select("doc_id", F.size("a").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Round 12: Self-BLEU corpus-diversity metric (Zhu et al. 2018,
+# Texygen, arXiv:1802.01886 — the standard diversity readout for
+# generated corpora: score each document as a BLEU hypothesis against
+# every OTHER same-language document as references; high self-BLEU =
+# mode collapse / low diversity). A curation pipeline tracks it on
+# synthetic-data pools before mixing them into training data.
+# ===========================================================================
+
+# Per-doc BLEU-2 from integer components, identical SQL text in both
+# engines: clip1/tot1 and clip2/tot2 are the modified unigram/bigram
+# precisions (clipped against the max count in any OTHER same-lang
+# doc — the exact multi-reference clipping, via per-gram top-2), r_len
+# is the closest other-doc length (nltk convention: min |r−c|, ties →
+# smaller r), and the brevity penalty is exp(1 − r/c) when c ≤ r.
+# Zero-precision docs (or singleton-language docs, r_len NULL) emit
+# bleu2_micro = 0 — the standard unsmoothed-BLEU convention,
+# documented rather than silently smoothed.
+_SELFBLEU2 = (
+    "CASE WHEN r_len IS NULL OR tot2 = 0 OR clip1 = 0 OR clip2 = 0"
+    " THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(ROUND("
+    "(CASE WHEN n_tokens > r_len THEN 1.0e0"
+    " ELSE EXP(1.0e0 - CAST(r_len AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+    " END)"
+    " * EXP(0.5e0 *"
+    "   (LN(CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))"
+    "  + LN(CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE))))"
+    " * 1000000) AS BIGINT) END"
+)
+
+
+def _selfbleu_oracle() -> str:
+    return rf"""WITH arrs AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, lang, CAST(len(a) AS BIGINT) AS n_tokens FROM arrs),
+    u1 AS (
+      SELECT lang, doc_id, g, COUNT(*) AS c FROM (
+        SELECT lang, doc_id, unnest(a) AS g FROM arrs
+      ) GROUP BY 1, 2, 3),
+    u2 AS (
+      SELECT lang, doc_id, g, COUNT(*) AS c FROM (
+        SELECT lang, doc_id, unnest(a[1:len(a)-1]) || ' ' || unnest(a[2:len(a)]) AS g
+        FROM arrs WHERE len(a) >= 2
+      ) GROUP BY 1, 2, 3),
+    m1 AS (SELECT lang, g, MAX(c) AS mx FROM u1 GROUP BY 1, 2),
+    s1 AS (
+      SELECT u1.lang, u1.g, m1.mx,
+             SUM(CASE WHEN u1.c = m1.mx THEN 1 ELSE 0 END) AS n_at_max,
+             MAX(CASE WHEN u1.c < m1.mx THEN u1.c END) AS mx2
+      FROM u1 JOIN m1 USING (lang, g) GROUP BY 1, 2, 3),
+    c1 AS (
+      SELECT u1.doc_id,
+             SUM(LEAST(u1.c,
+                 CASE WHEN u1.c < s1.mx OR s1.n_at_max >= 2 THEN s1.mx
+                      ELSE COALESCE(s1.mx2, 0) END)) AS clip1,
+             SUM(u1.c) AS tot1
+      FROM u1 JOIN s1 USING (lang, g) GROUP BY 1),
+    m2 AS (SELECT lang, g, MAX(c) AS mx FROM u2 GROUP BY 1, 2),
+    s2 AS (
+      SELECT u2.lang, u2.g, m2.mx,
+             SUM(CASE WHEN u2.c = m2.mx THEN 1 ELSE 0 END) AS n_at_max,
+             MAX(CASE WHEN u2.c < m2.mx THEN u2.c END) AS mx2
+      FROM u2 JOIN m2 USING (lang, g) GROUP BY 1, 2, 3),
+    c2 AS (
+      SELECT u2.doc_id,
+             SUM(LEAST(u2.c,
+                 CASE WHEN u2.c < s2.mx OR s2.n_at_max >= 2 THEN s2.mx
+                      ELSE COALESCE(s2.mx2, 0) END)) AS clip2,
+             SUM(u2.c) AS tot2
+      FROM u2 JOIN s2 USING (lang, g) GROUP BY 1),
+    lcand AS (SELECT lang, n_tokens AS rl, COUNT(*) AS ndocs
+              FROM lens GROUP BY 1, 2),
+    rsel AS (
+      SELECT doc_id, rl AS r_len FROM (
+        SELECT l.doc_id, c.rl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l.doc_id
+                 ORDER BY ABS(c.rl - l.n_tokens), c.rl) AS rk
+        FROM lens l JOIN lcand c
+          ON c.lang = l.lang
+         AND (c.rl <> l.n_tokens OR c.ndocs >= 2)
+      ) WHERE rk = 1),
+    parts AS (
+      SELECT lens.doc_id, lens.lang, lens.n_tokens,
+             CAST(COALESCE(c1.clip1, 0) AS BIGINT) AS clip1,
+             CAST(COALESCE(c1.tot1, 0) AS BIGINT) AS tot1,
+             CAST(COALESCE(c2.clip2, 0) AS BIGINT) AS clip2,
+             CAST(COALESCE(c2.tot2, 0) AS BIGINT) AS tot2,
+             rsel.r_len AS r_len
+      FROM lens
+      LEFT JOIN c1 USING (doc_id)
+      LEFT JOIN c2 USING (doc_id)
+      LEFT JOIN rsel USING (doc_id))
+    SELECT doc_id, lang, n_tokens, clip1, tot1, clip2, tot2,
+           CAST(COALESCE(r_len, 0) AS BIGINT) AS r_len,
+           {_SELFBLEU2} AS bleu2_micro
+    FROM parts ORDER BY doc_id"""
+
+
+@register("ext_selfbleu", _selfbleu_oracle())
+def q_ext_selfbleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Self-BLEU-2 (Zhu et al. 2018): each doc scored as
+    a BLEU hypothesis against every OTHER same-language document as
+    the reference set — geometric mean of the modified unigram and
+    bigram precisions times the brevity penalty against the
+    closest-length other doc. The multi-reference clipping max
+    (max count of gram g in any OTHER doc) is computed EXACTLY without
+    an all-pairs join via the per-gram top-2 trick: per (lang, gram)
+    keep (max, #docs-at-max, second-max); for a doc holding the unique
+    max, the others-max is the second-max, else it is the max.
+    Integer components (clip/total per order, closest ref length) are
+    emitted alongside the final micros so the oracle pins the whole
+    decomposition, not just the scalar. Conventions documented in
+    _SELFBLEU2: unsmoothed (any zero precision → 0), singleton-lang
+    docs → 0, nltk closest-ref-length tie-break (smaller r wins).
+
+    Scale shape at 100 TB: gram counting is ONE tokenize pass
+    partial-aggregated on (lang, doc_id, gram); the top-2 statistics
+    are (lang, gram)-keyed — vocab-bounded, never pairwise; clipping
+    re-joins counts to statistics gram-keyed; the ref-length pick
+    joins per-doc lengths to the (lang, DISTINCT length) relation —
+    bounded by length diversity, not corpus size — and takes row 1 of
+    a per-doc window (partitioned by doc_id, never global). No
+    all-pairs anything; self-BLEU's naive formulation is O(n²) per
+    language and this plan is O(n·vocab-bounded)."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    arrs = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    ).persist()
+    lens = arrs.select(
+        "doc_id", "lang", F.size("a").cast("long").alias("n_tokens")
+    )
+
+    def gram_counts(order: int) -> DataFrame:
+        if order == 1:
+            g = arrs.select(
+                "lang", "doc_id", F.explode("a").alias("g")
+            )
+        else:
+            g = arrs.select(
+                "lang",
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(a) < 2 THEN"
+                        " CAST(array() AS array<string>)"
+                        " ELSE zip_with(slice(a, 1, size(a) - 1),"
+                        "   slice(a, 2, size(a) - 1),"
+                        "   (x, y) -> concat(x, ' ', y)) END"
+                    )
+                ).alias("g"),
+            )
+        return g.groupBy("lang", "doc_id", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def clipped(u: DataFrame, cl: str, tot: str) -> DataFrame:
+        m = u.groupBy("lang", "g").agg(F.max("c").alias("mx"))
+        s = (
+            u.join(m, ["lang", "g"])
+            .groupBy("lang", "g", "mx")
+            .agg(
+                F.sum(
+                    F.when(F.col("c") == F.col("mx"), 1).otherwise(0)
+                ).alias("n_at_max"),
+                F.max(
+                    F.when(F.col("c") < F.col("mx"), F.col("c"))
+                ).alias("mx2"),
+            )
+        )
+        return (
+            u.join(s, ["lang", "g"])
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.least(
+                        F.col("c"),
+                        F.when(
+                            (F.col("c") < F.col("mx"))
+                            | (F.col("n_at_max") >= 2),
+                            F.col("mx"),
+                        ).otherwise(F.coalesce(F.col("mx2"), F.lit(0))),
+                    )
+                ).alias(cl),
+                F.sum("c").alias(tot),
+            )
+        )
+
+    u1 = gram_counts(1).persist()
+    u2 = gram_counts(2).persist()
+    c1 = clipped(u1, "clip1", "tot1")
+    c2 = clipped(u2, "clip2", "tot2")
+    from pyspark.sql.window import Window
+
+    lcand = lens.groupBy("lang", F.col("n_tokens").alias("rl")).agg(
+        F.count(F.lit(1)).alias("ndocs")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.abs(F.col("rl") - F.col("n_tokens")), F.col("rl")
+    )
+    rsel = (
+        lens.join(lcand, "lang")
+        .where(
+            (F.col("rl") != F.col("n_tokens")) | (F.col("ndocs") >= 2)
+        )
+        .withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("rl").alias("r_len"))
+    )
+    parts = (
+        lens.join(c1, "doc_id", "left")
+        .join(c2, "doc_id", "left")
+        .join(rsel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.coalesce(F.col("clip1"), F.lit(0)).cast("long").alias("clip1"),
+            F.coalesce(F.col("tot1"), F.lit(0)).cast("long").alias("tot1"),
+            F.coalesce(F.col("clip2"), F.lit(0)).cast("long").alias("clip2"),
+            F.coalesce(F.col("tot2"), F.lit(0)).cast("long").alias("tot2"),
+            F.col("r_len"),
+        )
+    )
+    return parts.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "clip1",
+        "tot1",
+        "clip2",
+        "tot2",
+        F.coalesce(F.col("r_len"), F.lit(0)).cast("long").alias("r_len"),
+        F.expr(_SELFBLEU2).alias("bleu2_micro"),
+    ).orderBy("doc_id")

@@ -135,3 +135,50 @@ class TestContamination:
         }
         assert 1 in out and out[1] >= 1
         assert 2 not in out
+
+
+class TestSpanScrub:
+    def test_cross_doc_boilerplate_removed_exactly(self, spark, tmp_path):
+        """Round-12 scrub semantics on a hand-built corpus: an 8-token
+        passage shared by two docs is cut from both (plus every token
+        any covering window reaches); a within-doc-only repeat and a
+        short doc are untouched."""
+        import duckdb as _d
+
+        boiler = "the quick brown fox jumps over the lazy"  # 8 tokens
+        rows = [
+            (1, f"alpha {boiler} omega", "en", "s", 0),
+            (2, f"{boiler} tail words here", "en", "s", 0),
+            # within-doc repeat only: kept (n_docs = 1)
+            (3, "x y z x y z x y z x y z x y z x y", "en", "s", 0),
+            (4, "short doc", "en", "s", 0),
+        ]
+        fx = tmp_path / "fx"
+        fx.mkdir()
+        con = _d.connect()
+        con.execute(
+            "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+            " source VARCHAR, n_chars BIGINT)"
+        )
+        con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+        con.execute(f"COPY d TO '{fx}/documents.parquet' (FORMAT PARQUET)")
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["ext_span_scrub"](spark, str(fx)).collect()
+        }
+        # doc 1: tokens alpha + 8 boiler + omega = 10; the one shared
+        # window covers exactly the boiler tokens.
+        assert got[1]["n_tokens"] == 10
+        assert got[1]["n_tokens_removed"] == 8
+        assert got[1]["scrubbed_text"] == "alpha omega"
+        # doc 2: boiler is its PREFIX; same 8 tokens cut.
+        assert got[2]["n_tokens_removed"] == 8
+        assert got[2]["scrubbed_text"] == "tail words here"
+        # doc 3: repeats only within itself -> untouched.
+        assert got[3]["n_tokens_removed"] == 0
+        assert got[3]["scrubbed_text"].startswith("x y z")
+        # doc 4: shorter than the window -> unchanged.
+        assert got[4]["n_tokens_removed"] == 0
+        assert got[4]["scrubbed_text"] == "short doc"

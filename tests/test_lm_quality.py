@@ -359,3 +359,195 @@ def test_lm_ppl_filter_short_doc_policy(spark, tmp_path):
     for d in (900001, 900002, 900003):
         assert out[d]["n_bigrams"] == 0, d
         assert out[d]["avg_neg_lp_micro"] is None, d
+
+
+def test_katz_vs_kn_matches_parent_entries(spark):
+    """The comparison entry must be bit-equal to its parents: per
+    language, kn_avg == ext_kneser_ney_holdout's avg, katz_avg ==
+    ext_katz_backoff's avg, delta is their integer difference, and
+    the verdict follows the sign."""
+    kn = {
+        r["lang"]: r["avg_neg_lp_micro"]
+        for r in QUERIES["ext_kneser_ney_holdout"](spark, SF).collect()
+    }
+    kz = {
+        r["lang"]: r["avg_neg_lp_micro"]
+        for r in QUERIES["ext_katz_backoff"](spark, SF).collect()
+    }
+    cmp_rows = QUERIES["ext_katz_vs_kn"](spark, SF).collect()
+    assert {r["lang"] for r in cmp_rows} == set(kn) == set(kz)
+    for r in cmp_rows:
+        assert r["kn_avg_neg_lp_micro"] == kn[r["lang"]], r
+        assert r["katz_avg_neg_lp_micro"] == kz[r["lang"]], r
+        assert r["delta_micro"] == kz[r["lang"]] - kn[r["lang"]], r
+        want = (
+            "katz"
+            if r["delta_micro"] < 0
+            else ("kn" if r["delta_micro"] > 0 else "tie")
+        )
+        assert r["better"] == want, r
+    # The comparison is contentful: the two smoothers actually differ
+    # on this corpus (a zero-delta everywhere would mean the Katz
+    # branch degenerated into KN or vice versa).
+    assert any(r["delta_micro"] != 0 for r in cmp_rows)
+
+
+def test_trigram_kn_matches_python_reference(spark):
+    """Third implementation of the held-out interpolated trigram KN:
+    dict counts for every rung of the recursion (raw trigram top
+    level, continuation-bigram middle, continuation-unigram base),
+    float interpolation in the published fixed order, no SQL."""
+    from tests.test_kneser_ney import _ref_mix31
+
+    rows = (
+        duckdb.connect()
+        .execute(f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'")
+        .fetchall()
+    )
+    tc: dict[tuple[str, str, str], int] = {}
+    ev: dict[tuple[str, str, str, str], int] = {}
+    for doc_id, lang, t in rows:
+        is_eval = _ref_mix31(doc_id) % 5 == 0
+        toks = _norm_tokens(t)
+        for u, v, w in zip(toks, toks[1:], toks[2:]):
+            if is_eval:
+                ev[(lang, u, v, w)] = ev.get((lang, u, v, w), 0) + 1
+            else:
+                tc[(u, v, w)] = tc.get((u, v, w), 0) + 1
+    c_uv: dict[tuple[str, str], int] = {}
+    n1_uv: dict[tuple[str, str], int] = {}
+    mid: dict[tuple[str, str], int] = {}  # (v, w) -> N1+(.vw)
+    for (u, v, w), c in tc.items():
+        c_uv[(u, v)] = c_uv.get((u, v), 0) + c
+        n1_uv[(u, v)] = n1_uv.get((u, v), 0) + 1
+        mid[(v, w)] = mid.get((v, w), 0) + 1
+    n_ctx_v: dict[str, int] = {}
+    n1_v: dict[str, int] = {}
+    n_prec_w: dict[str, int] = {}
+    for (v, w), n in mid.items():
+        n_ctx_v[v] = n_ctx_v.get(v, 0) + n
+        n1_v[v] = n1_v.get(v, 0) + 1
+        n_prec_w[w] = n_prec_w.get(w, 0) + 1
+    t2 = len(mid)
+    D = 0.75
+
+    def p_cont(v: str, w: str) -> float:
+        if v not in n_ctx_v:
+            return n_prec_w.get(w, 0) / t2
+        return max(mid.get((v, w), 0) - D, 0.0) / n_ctx_v[v] + D * n1_v[
+            v
+        ] / n_ctx_v[v] * n_prec_w.get(w, 0) / t2
+
+    ref: dict[str, tuple[int, int, int]] = {}
+    for (lang, u, v, w), cnt in ev.items():
+        if (u, v) in c_uv:
+            p = max(tc.get((u, v, w), 0) - D, 0.0) / c_uv[(u, v)] + D * n1_uv[
+                (u, v)
+            ] / c_uv[(u, v)] * p_cont(v, w)
+        else:
+            p = p_cont(v, w)
+        lpm = _round_half_away(math.log(max(p, 1.0e-9)) * 1e6)
+        n, uu, s = ref.get(lang, (0, 0, 0))
+        ref[lang] = (
+            n + cnt,
+            uu + (cnt if (u, v, w) not in tc else 0),
+            s + cnt * lpm,
+        )
+    expect = {
+        lang: (n, u, s, (-s) // n) for lang, (n, u, s) in ref.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_trigrams"],
+            r["n_unseen_trigrams"],
+            r["sum_lp_micro"],
+            r["avg_neg_lp_micro"],
+        )
+        for r in QUERIES["ext_trigram_kn"](spark, SF).collect()
+    }
+    assert got == expect
+    # The recursion's back-off rungs actually engage: some evaluated
+    # trigrams are train-unseen in every language, and the trigram
+    # unseen RATE exceeds the bigram model's (data sparsity one order
+    # up — the readout the order-selection trade is about).
+    assert all(u > 0 for (_, u, _, _) in got.values())
+    kn2 = {
+        r["lang"]: (r["n_bigrams"], r["n_unseen_bigrams"])
+        for r in QUERIES["ext_kneser_ney_holdout"](spark, SF).collect()
+    }
+    for lang, (n3, u3, _, _) in got.items():
+        n2, u2 = kn2[lang]
+        assert u3 * n2 > u2 * n3, (lang, u3, n3, u2, n2)
+
+
+def test_selfbleu_matches_naive_python(spark):
+    """Third implementation of Self-BLEU-2: the NAIVE O(n²) multi-
+    reference formulation (per doc, clip each gram count against the
+    explicit max over every other same-lang doc; closest-length BP) —
+    validating the top-2 decomposition the Spark/DuckDB plans use."""
+    rows = (
+        duckdb.connect()
+        .execute(f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'")
+        .fetchall()
+    )
+    from collections import Counter, defaultdict
+
+    toks = {d: _norm_tokens(t) for d, _, t in rows}
+    lang_of = {d: lg for d, lg, _ in rows}
+    by_lang = defaultdict(list)
+    for d, lg, _ in rows:
+        by_lang[lg].append(d)
+    g1 = {d: Counter(a) for d, a in toks.items()}
+    g2 = {
+        d: Counter(" ".join(p) for p in zip(a, a[1:]))
+        for d, a in toks.items()
+    }
+    expect = {}
+    for d, a in toks.items():
+        pool = [o for o in by_lang[lang_of[d]] if o != d]
+        clip1 = sum(
+            min(c, max((g1[o].get(g, 0) for o in pool), default=0))
+            for g, c in g1[d].items()
+        )
+        clip2 = sum(
+            min(c, max((g2[o].get(g, 0) for o in pool), default=0))
+            for g, c in g2[d].items()
+        )
+        tot1, tot2 = len(a), max(len(a) - 1, 0)
+        n = len(a)
+        r = min(
+            (len(toks[o]) for o in pool),
+            key=lambda L: (abs(L - n), L),
+            default=None,
+        )
+        if r is None or tot2 == 0 or clip1 == 0 or clip2 == 0:
+            b = 0
+        else:
+            bp = 1.0 if n > r else math.exp(1.0 - r / n)
+            b = _round_half_away(
+                bp
+                * math.exp(
+                    0.5
+                    * (math.log(clip1 / tot1) + math.log(clip2 / tot2))
+                )
+                * 1e6
+            )
+        expect[d] = (n, clip1, tot1, clip2, tot2, r or 0, b)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["clip1"],
+            r["tot1"],
+            r["clip2"],
+            r["tot2"],
+            r["r_len"],
+            r["bleu2_micro"],
+        )
+        for r in QUERIES["ext_selfbleu"](spark, SF).collect()
+    }
+    assert got == expect
+    # Contentful: nonzero scores exist, values spread (the corpus's
+    # planted near-dups legitimately reach bleu = 1.0 exactly).
+    vals = [v[6] for v in got.values()]
+    assert any(v > 0 for v in vals) and len(set(vals)) > 10
+    assert all(0 <= v <= 1_000_000 for v in vals)

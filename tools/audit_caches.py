@@ -169,6 +169,26 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney_holdout":
         "(is_eval, lang, v, w, cnt) bigram partials (train statistics "
         "and the eval scoring both slice it — one tokenize pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_selfbleu":
+        "tokenized doc relation (unigram pass, bigram pass, and the "
+        "length spine all read it) and the two per-order gram-count "
+        "relations (each feeds its top-2 statistics AND the clipping "
+        "re-join)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_span_scrub":
+        "tokenized doc relation (window hashing, token explode, and "
+        "the doc spine all read it — one tokenize, three consumers)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_trigram_kn":
+        "(is_eval, lang, u, v, w, cnt) trigram partials (one tokenize "
+        "pass; train statistics and eval scoring both slice it) and "
+        "the train trigram-count relation (five vocab-bounded "
+        "aggregates + the scoring join derive from it)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_katz_vs_kn":
+        "(is_eval, lang, v, w, cnt) bigram partials (one tokenize pass "
+        "shared by BOTH model branches), the train bigram relation bc "
+        "(seven downstream aggregates across the two branches slice "
+        "it), the eval relation (both scoring chains read it), and the "
+        "frozen per-bigram pico relation (context-mass build + Katz "
+        "scoring)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney":
         "(lang, v, w, cnt) bigram partials (bigram/context/continuation "
         "counts, T, and the scoring join all derive from it)",

@@ -169,11 +169,18 @@ ALLOWED: dict[str, set[str]] = {
     # round 11: Katz adds the 1-row unigram total and the 1-row
     # (N_1, N_6) GT-constant relation, same broadcast stat shape.
     "ext_katz_backoff": {'bnl_join'},
+    # round 12: the Katz-vs-KN comparison inherits BOTH parents'
+    # 1-row broadcast stat attaches (KN's T total; Katz's unigram
+    # total and GT-constant row).
+    "ext_katz_vs_kn": {'bnl_join'},
     # round 11: composed CCNet chain — same 1-row T + decision-row
     # broadcasts as ext_lm_ppl_filter.
     "ext_ccnet_pipeline": {'bnl_join'},
     "ext_kneser_ney": {'bnl_join'},
     "ext_kneser_ney_holdout": {'bnl_join'},
+    # round 12: trigram KN — the 1-row N1+(..) continuation total
+    # crossJoined onto the scoring relation (broadcast stat shape).
+    "ext_trigram_kn": {'bnl_join'},
     "ext_knn_classify": {'bnl_join'},
     "ext_ks_test": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_lift_table": {'global_window', 'single_part_exchange'},

@@ -198,6 +198,11 @@ SWEEP = [
     "ext_audio_energy",
     "ext_katz_backoff",
     "ext_ccnet_pipeline",
+    # round 12
+    "ext_katz_vs_kn",
+    "ext_trigram_kn",
+    "ext_span_scrub",
+    "ext_selfbleu",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
