@@ -410,6 +410,8 @@ HEADLINE = [
     "ext_trigram_kn",            # held-out interpolated trigram KN
     "ext_span_scrub",            # Lee et al. repeated-span removal
     "ext_selfbleu",              # Self-BLEU-2 corpus diversity (top-2 clip)
+    "ext_winnowing",             # MOSS winnowing fingerprint selection
+    "ext_mmr_select",            # MMR diverse top-k re-ranking (greedy k=8)
 ]
 
 

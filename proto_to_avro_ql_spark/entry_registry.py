@@ -23225,3 +23225,325 @@ def q_ext_selfbleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("r_len"), F.lit(0)).cast("long").alias("r_len"),
         F.expr(_SELFBLEU2).alias("bleu2_micro"),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 12: winnowing fingerprint selection (Schleimer, Wilkerson &
+# Aiken 2003, "Winnowing: Local Algorithms for Document
+# Fingerprinting" — the MOSS scheme). ext_fingerprint rolls a hash
+# over every k-gram; winnowing SELECTS the guaranteed-coverage subset
+# (per window of w consecutive k-gram hashes keep the minimum,
+# rightmost on ties), the fingerprint set real plagiarism/overlap
+# detectors actually store. Completes the fingerprint pair
+# compute-all → select-representatives.
+# ===========================================================================
+
+
+def _winnow_oracle() -> str:
+    code = PK.str_code_duckdb_sql("g")
+    h = PK.mix31_duckdb_sql(code)
+    dens = PK.fdiv_sql("n_fp * 1000000", "n_windows")
+    return rf"""WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(a) >= 3 THEN range(1, len(a) - 1)
+                    ELSE []::BIGINT[] END) AS p,
+             unnest(CASE WHEN len(a) >= 3
+               THEN [array_to_string(a[i:i+2], ' ') FOR i IN range(1, len(a) - 1)]
+               ELSE []::VARCHAR[] END) AS g
+      FROM arrs
+    ),
+    ph AS (SELECT doc_id, p, {h} AS hh FROM grams),
+    nrel AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams
+             FROM ph GROUP BY doc_id),
+    wexp AS (
+      SELECT ph.doc_id, ph.p, ph.hh, e.e
+      FROM ph JOIN nrel USING (doc_id),
+           LATERAL unnest(generate_series(ph.p, LEAST(ph.p + 3, nrel.n_kgrams))) AS e(e)
+      WHERE e.e >= 4
+    ),
+    a1 AS (SELECT doc_id, e, MIN(hh) AS mh FROM wexp GROUP BY 1, 2),
+    a2 AS (
+      SELECT w.doc_id, w.e, a1.mh, MAX(w.p) AS sel_p
+      FROM wexp w JOIN a1 ON a1.doc_id = w.doc_id AND a1.e = w.e
+                         AND w.hh = a1.mh
+      GROUP BY 1, 2, 3
+    ),
+    fp AS (SELECT DISTINCT doc_id, sel_p, mh FROM a2),
+    fpc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+    docfp AS (SELECT DISTINCT doc_id, mh FROM fp),
+    sh AS (SELECT mh FROM docfp GROUP BY mh HAVING COUNT(DISTINCT doc_id) >= 2),
+    shc AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+      FROM docfp d JOIN sh USING (mh) GROUP BY 1
+    ),
+    parts AS (
+      SELECT a.doc_id,
+             COALESCE(n.n_kgrams, 0) AS n_kgrams,
+             GREATEST(COALESCE(n.n_kgrams, 0) - 3, 0) AS n_windows,
+             COALESCE(f.n_fp, 0) AS n_fp,
+             COALESCE(s.n_shared_fp, 0) AS n_shared_fp
+      FROM arrs a
+      LEFT JOIN nrel n USING (doc_id)
+      LEFT JOIN fpc f USING (doc_id)
+      LEFT JOIN shc s USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_shared_fp AS BIGINT) AS n_shared_fp,
+           CASE WHEN n_windows > 0 THEN {dens}
+                ELSE CAST(0 AS BIGINT) END AS density_micro
+    FROM parts ORDER BY doc_id"""
+
+
+@register("ext_winnowing", _winnow_oracle())
+def q_ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): hash every
+    3-token k-gram (portable str_code → mix31, the DSIR hash family),
+    slide a window of w = 4 consecutive k-gram hashes, and in each
+    window select the MINIMUM hash — rightmost position on ties, the
+    paper's rule that makes selection a local function of the window.
+    The union of selections is the document's fingerprint set: the
+    paper guarantees density ≈ 2/(w+1) and that any shared substring
+    of ≥ k + w − 1 tokens yields at least one shared fingerprint
+    (their Theorem: winnowing is a LOCAL algorithm with guaranteed
+    coverage — the property a sampled fingerprint scheme needs for
+    plagiarism detection). Per doc: k-gram count, fingerprints
+    selected, fingerprints shared with ≥1 other document (the overlap
+    signal MOSS reports), and selection density in micros. Docs with
+    fewer than k + w − 1 tokens have no full window and emit n_fp = 0
+    (documented, not an error). The rightmost-min rule is computed
+    portably as two aggregates (per-window MIN, then MAX position
+    among frame rows equal to it) instead of an engine-specific
+    argmin.
+
+    Scale shape at 100 TB: k-gram hashing is ONE tokenize-pass
+    projection; the window expansion multiplies the position relation
+    by the CONSTANT w = 4 (never corpus²) and aggregates on
+    (doc_id, window-end) — doc-bucketed keys; fingerprint sharing
+    aggregates hash-keyed on the SELECTED subset (≈ 2/(w+1) of
+    k-grams, the whole point of winnowing at scale: store/shuffle the
+    sample, not the corpus); the final assembly is doc-keyed LEFT
+    joins off the doc spine."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    code = PK.str_code_spark_sql("g")
+    h = PK.mix31_spark_sql(code)
+    arrs = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("a"),
+    ).persist()
+    grams = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 3 THEN"
+                " CAST(array() AS array<struct<p:int,g:string>>)"
+                " ELSE transform(sequence(1, size(a) - 2),"
+                "      i -> named_struct('p', i,"
+                "           'g', concat(a[i-1], ' ', a[i], ' ', a[i+1])))"
+                " END"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.p").alias("p"), F.col("x.g").alias("g"))
+    ph = grams.select("doc_id", "p", F.expr(h).alias("hh")).persist()
+    nrel = ph.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kgrams")
+    )
+    wexp = (
+        ph.join(nrel, "doc_id")
+        .select(
+            "doc_id",
+            "p",
+            "hh",
+            F.explode(
+                F.expr("sequence(p, least(p + 3, n_kgrams))")
+            ).alias("e"),
+        )
+        .where(F.col("e") >= 4)
+        .persist()
+    )
+    a1 = wexp.groupBy("doc_id", "e").agg(F.min("hh").alias("mh"))
+    a2 = (
+        wexp.join(a1, ["doc_id", "e"])
+        .where(F.col("hh") == F.col("mh"))
+        .groupBy("doc_id", "e", "mh")
+        .agg(F.max("p").alias("sel_p"))
+    )
+    fp = a2.select("doc_id", "sel_p", "mh").distinct().persist()
+    fpc = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    docfp = fp.select("doc_id", "mh").distinct()
+    sh = (
+        docfp.groupBy("mh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("mh")
+    )
+    shc = docfp.join(sh, "mh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_fp")
+    )
+    parts = (
+        arrs.select("doc_id")
+        .join(nrel, "doc_id", "left")
+        .join(fpc, "doc_id", "left")
+        .join(shc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kgrams", F.lit(0)).cast("long").alias("n_kgrams"),
+            F.greatest(
+                F.coalesce("n_kgrams", F.lit(0)) - 3, F.lit(0)
+            ).cast("long").alias("n_windows"),
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.coalesce("n_shared_fp", F.lit(0))
+            .cast("long")
+            .alias("n_shared_fp"),
+        )
+    )
+    dens = PK.fdiv_sql("n_fp * 1000000", "n_windows")
+    return parts.select(
+        "doc_id",
+        "n_kgrams",
+        "n_fp",
+        "n_shared_fp",
+        F.when(F.col("n_windows") > 0, F.expr(dens))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("density_micro"),
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Round 12: Maximal Marginal Relevance selection (Carbonell &
+# Goldstein 1998 — the classic relevance-vs-redundancy greedy used to
+# pick a DIVERSE top-k: RAG context assembly, dedup-aware retrieval,
+# few-shot example selection). Completes the retrieval family: ANN
+# entries rank by pure similarity; MMR re-ranks against what is
+# already selected.
+# ===========================================================================
+
+_MMR_K = 8
+
+
+def _mmr_oracle() -> str:
+    l2 = PK.l2sq_duckdb_sql
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, "
+        f"{PK.vec_quant_duckdb_sql('embedding')} AS v FROM embeddings)",
+        "qq AS (SELECT v AS qv FROM q WHERE vec_id = 0)",
+        f"c0 AS MATERIALIZED (SELECT vec_id, v, {l2('v', 'qv')} AS rel "
+        "FROM q, qq WHERE vec_id <> 0)",
+        "s1 AS MATERIALIZED (SELECT vec_id, v, rel FROM c0 "
+        "ORDER BY rel, vec_id LIMIT 1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        p, s = f"d{i - 1}", f"s{i - 1}"
+        prev = "c0" if i == 2 else f"d{i - 2}"
+        dexpr = l2(f"{prev}.v", f"{s}.v")
+        div = (
+            dexpr
+            if i == 2
+            else f"LEAST({prev}.div, {dexpr})"
+        )
+        parts.append(
+            f"{p} AS MATERIALIZED (SELECT {prev}.vec_id, {prev}.v, "
+            f"{prev}.rel, {div} AS div FROM {prev}, {s} "
+            f"WHERE {prev}.vec_id <> {s}.vec_id)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT vec_id, v, rel, div FROM {p} "
+            "ORDER BY (div - rel) DESC, vec_id LIMIT 1)"
+        )
+    rows = ["SELECT 1 AS sel_rank, vec_id, rel AS rel_d2, "
+            "CAST(NULL AS BIGINT) AS div_d2 FROM s1"]
+    rows += [
+        f"SELECT {i} AS sel_rank, vec_id, rel AS rel_d2, "
+        f"CAST(div AS BIGINT) AS div_d2 FROM s{i}"
+        for i in range(2, _MMR_K + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id,"
+        " CAST(rel_d2 AS BIGINT) AS rel_d2, div_d2 FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY sel_rank"
+    )
+
+
+@register("ext_mmr_select", _mmr_oracle())
+def q_ext_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance top-k (Carbonell & Goldstein 1998,
+    λ = 0.5): greedily select k = 8 vectors where each pick maximizes
+    relevance-minus-redundancy — with similarity = −squared-L2 on the
+    integer-grid quantized vectors (the ext_kmeans transport), the
+    λ = 0.5 argmax reduces to the EXACT INTEGER objective
+    max(min-dist²-to-selected − dist²-to-query), ties broken by
+    vec_id. The first pick is pure relevance (nearest to the query,
+    vec 0); every later pick trades closeness to the query against
+    distance to the already-selected set — the redundancy-aware
+    re-ranking a RAG context assembler or few-shot example picker
+    runs after ANN retrieval. Output: selection order, each pick's
+    dist² to the query, and its min dist² to the prior picks (NULL
+    for the first — nothing selected yet). The oracle unrolls all 8
+    greedy steps as MATERIALIZED CTEs, so the sequential-dependence
+    structure itself is cross-engine-verified.
+
+    Scale shape at 100 TB: the candidate relation is scanned once per
+    step with a 1-row broadcast of the latest pick (k·O(n) total —
+    MMR's inherent cost; the paper's algorithm is sequential in k);
+    the running min-dist column updates incrementally (no
+    re-computation against the whole selected set). Each step's
+    argmax is TakeOrderedAndProject collected as ONE driver row
+    (bounded k = 8 rows total — the _bpe_learn leaf pattern: plan
+    stays linear in k, no executor-block-loss exposure). In
+    production the candidate set is the ANN top-N (ext_sim_search_*),
+    not the corpus — the composition this entry's contract assumes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.expr(PK.vec_quant_spark_sql("embedding")).alias("v")
+    )
+    qrow = q.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        q.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(PK.l2sq_spark_sql("v", "qv")).alias("rel"),
+        )
+        .persist()
+    )
+    picks: list[tuple[int, int, int, int | None]] = []
+    state = cand.withColumn("div", F.lit(None).cast("long"))
+    for i in range(1, _MMR_K + 1):
+        if i == 1:
+            top = state.orderBy(F.asc("rel"), F.asc("vec_id")).limit(1)
+        else:
+            top = state.orderBy(
+                F.desc(F.col("div") - F.col("rel")), F.asc("vec_id")
+            ).limit(1)
+        r = top.collect()[0]
+        picks.append((i, r["vec_id"], int(r["rel"]),
+                      None if r["div"] is None else int(r["div"])))
+        if i < _MMR_K:
+            lit_v = "array({})".format(
+                ", ".join(f"CAST({x} AS BIGINT)" for x in r["v"])
+            )
+            nd = F.expr(PK.l2sq_spark_sql("v", lit_v))
+            state = state.where(F.col("vec_id") != r["vec_id"]).withColumn(
+                "div",
+                F.when(F.col("div").isNull(), nd).otherwise(
+                    F.least(F.col("div"), nd)
+                ),
+            )
+    return spark.createDataFrame(
+        picks, "sel_rank int, vec_id long, rel_d2 long, div_d2 long"
+    ).orderBy("sel_rank")

@@ -182,3 +182,77 @@ class TestSpanScrub:
         # doc 4: shorter than the window -> unchanged.
         assert got[4]["n_tokens_removed"] == 0
         assert got[4]["scrubbed_text"] == "short doc"
+
+
+class TestWinnowing:
+    def test_matches_sequential_textbook_algorithm(self, spark):
+        """Third implementation of winnowing: the paper's sequential
+        formulation (slide the window, pick min hash, rightmost on
+        ties, union the picks) in plain Python over the same portable
+        hash chain — validating the two-aggregate (per-window MIN,
+        then MAX position at MIN) decomposition."""
+        import re
+        from collections import defaultdict
+
+        import duckdb as _d
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+        from tests.test_kneser_ney import _ref_mix31
+        from tests.test_portable_reference import ref_str_code
+
+        SF = "/root/testdata/sf0.001"
+        rows = (
+            _d.connect()
+            .execute(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+            .fetchall()
+        )
+        K, W = 3, 4
+        fps = {}
+        for doc_id, t in rows:
+            a = [
+                x
+                for x in re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+                if x
+            ]
+            hs = [
+                _ref_mix31(ref_str_code(" ".join(a[i : i + K])))
+                for i in range(len(a) - K + 1)
+            ]
+            sel = set()
+            for e in range(W, len(hs) + 1):  # window hs[e-W : e]
+                win = hs[e - W : e]
+                m = min(win)
+                # rightmost position of the min within the window
+                p = max(i for i in range(e - W, e) if hs[i] == m)
+                sel.add((p + 1, hs[p]))  # 1-based position
+            fps[doc_id] = (len(hs), sel)
+        shared_of = defaultdict(set)
+        for d, (_, sel) in fps.items():
+            for _, h in sel:
+                shared_of[h].add(d)
+        expect = {}
+        for d, (nk, sel) in fps.items():
+            hset = {h for _, h in sel}
+            nsh = sum(1 for h in hset if len(shared_of[h]) >= 2)
+            nw = max(nk - W + 1, 0)
+            dens = (len(sel) * 1_000_000) // nw if nw > 0 else 0
+            expect[d] = (nk, len(sel), nsh, dens)
+        got = {
+            r["doc_id"]: (
+                r["n_kgrams"],
+                r["n_fp"],
+                r["n_shared_fp"],
+                r["density_micro"],
+            )
+            for r in QUERIES["ext_winnowing"](spark, SF).collect()
+        }
+        assert got == expect
+        # Paper guarantee: expected density ~ 2/(w+1) = 0.4; the
+        # corpus-wide mean selection density sits near it.
+        dens = [v[3] for v in got.values() if v[0] >= W]
+        mean = sum(dens) / len(dens) / 1e6
+        assert 0.3 < mean < 0.55, mean
+        # The overlap signal is contentful: some docs share
+        # fingerprints (planted near-dups), some don't.
+        assert any(v[2] > 0 for v in got.values())
+        assert any(v[2] == 0 for v in got.values())

@@ -206,3 +206,70 @@ class TestSemDedup:
         # The bucketing must actually dedup something and keep something.
         n_dup = sum(d for _, d in got.values())
         assert 0 < n_dup < len(got)
+
+
+class TestMMRSelect:
+    def test_matches_sequential_python_greedy(self, spark):
+        """Third implementation of MMR: the paper's sequential greedy
+        in plain Python over the same quantized vectors — and the
+        diversity property (MMR's picks are pairwise farther apart
+        than plain top-k's)."""
+        import math
+
+        import duckdb as _d
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        SF = "/root/testdata/sf0.001"
+        rows = (
+            _d.connect()
+            .execute(
+                f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+            )
+            .fetchall()
+        )
+        from proto_to_avro_ql_spark.functions.portable import VEC_SCALE
+
+        vq = {
+            vid: [int(math.floor(float(x) * VEC_SCALE)) for x in emb]
+            for vid, emb in rows
+        }
+        qv = vq[0]
+
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        cand = {vid: d2(v, qv) for vid, v in vq.items() if vid != 0}
+        picks, div = [], {}
+        for i in range(1, 9):
+            if i == 1:
+                vid = min(cand, key=lambda d: (cand[d], d))
+                picks.append((i, vid, cand[vid], None))
+            else:
+                vid = max(cand, key=lambda d: (div[d] - cand[d], -d))
+                picks.append((i, vid, cand[vid], div[vid]))
+            sel_v = vq[vid]
+            del cand[vid]
+            div.pop(vid, None)
+            for d in cand:
+                nd = d2(vq[d], sel_v)
+                div[d] = nd if d not in div else min(div[d], nd)
+        expect = {p[0]: p[1:] for p in picks}
+        got = {
+            r["sel_rank"]: (r["vec_id"], r["rel_d2"], r["div_d2"])
+            for r in QUERIES["ext_mmr_select"](spark, SF).collect()
+        }
+        assert got == expect
+        # Diversity property: MMR's min pairwise distance beats the
+        # plain relevance top-8's.
+        mmr_ids = [v[0] for v in expect.values()]
+        top8 = sorted(vq, key=lambda d: (d2(vq[d], qv), d))[1:9]
+
+        def min_pair(ids):
+            return min(
+                d2(vq[a], vq[b])
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+            )
+
+        assert min_pair(mmr_ids) > min_pair(top8)

@@ -169,6 +169,16 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney_holdout":
         "(is_eval, lang, v, w, cnt) bigram partials (train statistics "
         "and the eval scoring both slice it — one tokenize pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_mmr_select":
+        "quantized candidate relation with query distances (scanned "
+        "once per greedy step, k = 8 steps; each step's argmax is a "
+        "1-row driver collect)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_winnowing":
+        "tokenized doc relation (gram pass + doc spine), the k-gram "
+        "hash relation (window expansion + per-doc counts), the "
+        "window expansion (per-window MIN and the rightmost-at-MIN "
+        "re-join both read it), and the fingerprint set (per-doc "
+        "counts + the sharing aggregate)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_selfbleu":
         "tokenized doc relation (unigram pass, bigram pass, and the "
         "length spine all read it) and the two per-order gram-count "

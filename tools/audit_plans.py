@@ -181,6 +181,8 @@ ALLOWED: dict[str, set[str]] = {
     # round 12: trigram KN — the 1-row N1+(..) continuation total
     # crossJoined onto the scoring relation (broadcast stat shape).
     "ext_trigram_kn": {'bnl_join'},
+    # round 12: MMR — the 1-row query-vector broadcast attach.
+    "ext_mmr_select": {'bnl_join'},
     "ext_knn_classify": {'bnl_join'},
     "ext_ks_test": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_lift_table": {'global_window', 'single_part_exchange'},

@@ -203,6 +203,8 @@ SWEEP = [
     "ext_trigram_kn",
     "ext_span_scrub",
     "ext_selfbleu",
+    "ext_winnowing",
+    "ext_mmr_select",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
