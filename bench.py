@@ -412,6 +412,9 @@ HEADLINE = [
     "ext_selfbleu",              # Self-BLEU-2 corpus diversity (top-2 clip)
     "ext_winnowing",             # MOSS winnowing fingerprint selection
     "ext_mmr_select",            # MMR diverse top-k re-ranking (greedy k=8)
+    "ext_audio_zcr",             # audio zero-crossing rate + silence trim
+    "ext_soft_dedup",            # SoftDeDup span-commonness reweighting
+    "ext_nb_quality",            # seed-trained NB quality filter
 ]
 
 

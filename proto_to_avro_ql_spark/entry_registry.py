@@ -23547,3 +23547,468 @@ def q_ext_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "sel_rank int, vec_id long, rel_d2 long, div_d2 long"
     ).orderBy("sel_rank")
+
+
+# ===========================================================================
+# Round 12: audio zero-crossing rate + silence trim — the second audio
+# VAD primitive (ext_audio_energy is windowed energy; this is the
+# per-payload ZCR + leading/trailing quiet-run measurement a
+# silence-trim pass cuts on before transcription).
+# ===========================================================================
+
+
+@register(
+    "ext_audio_zcr",
+    """WITH hx AS (
+      SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h,
+             4 + event_id % 5 AS n_samp
+      FROM events),
+    s AS (
+      SELECT event_id, n_samp, j,
+             CAST('0x' || substr(h, 4 * j + 1, 2) AS INTEGER)
+             + 256 * CAST('0x' || substr(h, 4 * j + 3, 2) AS INTEGER) AS u
+      FROM hx, (SELECT unnest(generate_series(0, 7)) AS j)
+      WHERE j < n_samp),
+    sg AS (
+      SELECT event_id, n_samp, j,
+             CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT) AS x
+      FROM s),
+    nx AS (
+      SELECT event_id, n_samp, j, x,
+             LEAD(x) OVER (PARTITION BY event_id ORDER BY j) AS x1
+      FROM sg),
+    agg AS (
+      SELECT event_id,
+             MAX(n_samp) AS n_samples,
+             COALESCE(SUM(CASE WHEN x1 IS NOT NULL
+                                AND (x >= 0) <> (x1 >= 0)
+                          THEN 1 ELSE 0 END), 0) AS n_crossings,
+             MIN(CASE WHEN abs(x) >= 8192 THEN j END) AS first_loud,
+             MAX(CASE WHEN abs(x) >= 8192 THEN j END) AS last_loud
+      FROM nx GROUP BY event_id)
+    SELECT event_id,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(n_crossings AS INTEGER) AS n_crossings,
+           CAST(n_crossings * 1000000 // GREATEST(n_samples - 1, 1) AS BIGINT)
+             AS zcr_micro,
+           CAST(COALESCE(first_loud, n_samples) AS INTEGER) AS lead_silent,
+           CAST(CASE WHEN last_loud IS NULL THEN n_samples
+                ELSE n_samples - 1 - last_loud END AS INTEGER) AS trail_silent
+    FROM agg ORDER BY event_id""",
+)
+def q_ext_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio zero-crossing rate + silence trim over the same ragged
+    synthetic PCM fixture as ext_audio_energy (first 4 + event_id % 5
+    little-endian int16 samples of md5(event_id)): per payload the
+    sign-change count between consecutive samples, ZCR in micros
+    (exact floor division by n_samples - 1), and the leading/trailing
+    run lengths of samples quieter than |x| < 8192 — the spans a
+    silence trimmer cuts. The numpy kernel
+    (operators/multimodal.py:audio_zcr) is fully vectorized: one
+    frombuffer per Arrow batch, sign changes via a masked compare +
+    cumsum gather, first/last loud sample per row via flatnonzero +
+    searchsorted (no per-row Python). The oracle re-derives the
+    samples from the same hex bytes with signed int16 arithmetic and
+    a LEAD window partitioned per payload, so the gate again proves
+    the Arrow-boundary byte round-trip plus the boundary-masked pair
+    algebra (a cross-payload sample pair counted as a crossing would
+    hash-mismatch).
+
+    Scale shape at 100 TB: one narrow Python pass, zero shuffles;
+    the oracle's per-payload window is doc-partitioned (never
+    global). ensure_min_parallelism splits the single-row-group
+    testdata scan as in every multimodal entry."""
+    ev = ensure_min_parallelism(read_table(spark, sf_dir, "events")).select(
+        "event_id",
+        F.unhex(
+            F.expr(
+                "substr(md5(cast(event_id as string)),"
+                " 1, 4 * (4 + pmod(event_id, 5)))"
+            )
+        ).alias("payload"),
+    )
+    return MM.audio_zcr(ev).orderBy("event_id")
+
+
+# ===========================================================================
+# Round 12: soft deduplication — reweight instead of remove (SoftDeDup,
+# He et al. 2024: down-weight duplicated content in the sampling
+# distribution rather than hard-deleting it; commonness here is
+# measured at the 8-token-span level, the Lee et al. 2022 granularity
+# ext_dedup_span detects and ext_span_scrub removes — this entry is
+# the third, SOFT member of that span family).
+# ===========================================================================
+
+
+def _soft_dedup_oracle() -> str:
+    cm = PK.fdiv_sql("n_common * 1000000", "n_spans")
+    wm = PK.fdiv_sql("1000000000000", "1000000 + 9 * cm")
+    dr = PK.fdiv_sql("total_tokens * 1000000 - eff_tokens_micro", "total_tokens")
+    return rf"""WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, lang, len(t) AS n_tok, t FROM toks),
+    spans AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+               THEN [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]
+               ELSE []::VARCHAR[] END) AS s
+      FROM base
+    ),
+    sc AS (SELECT s FROM spans GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+    pd AS (
+      SELECT spans.doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN sc.s IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+      FROM spans LEFT JOIN sc USING (s) GROUP BY spans.doc_id
+    ),
+    perdoc AS (
+      SELECT b.doc_id, b.lang, b.n_tok,
+             COALESCE(pd.n_spans, 0) AS n_spans,
+             COALESCE(pd.n_common, 0) AS n_common
+      FROM base b LEFT JOIN pd USING (doc_id)
+    ),
+    wts AS (
+      SELECT doc_id, lang, n_tok, n_common,
+             CASE WHEN n_spans > 0 THEN {cm} ELSE CAST(0 AS BIGINT) END AS cm
+      FROM perdoc
+    ),
+    wts2 AS (SELECT *, {wm} AS wm FROM wts),
+    agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_common > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_tok * wm) AS BIGINT) AS eff_tokens_micro
+      FROM wts2 GROUP BY lang
+    )
+    SELECT lang, n_docs, n_common_docs, total_tokens, eff_tokens_micro,
+           {dr} AS softdedup_ratio_micro
+    FROM agg ORDER BY lang"""
+
+
+@register("ext_soft_dedup", _soft_dedup_oracle())
+def q_ext_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDeDup, He et al. 2024): instead of removing
+    duplicated content, DOWN-WEIGHT it in the sampling distribution.
+    Per-doc commonness = share of the doc's 8-token spans that occur
+    in ≥2 documents (micros, exact floor division); sampling weight =
+    1e6 / (1 + 9·commonness) in micros — weight 1.0 for fully-unique
+    docs falling to 0.1 for fully-boilerplate docs (the paper's
+    "sharpness" knob, here fixed at 9). Per language: doc counts,
+    docs carrying any common span, raw token total, EFFECTIVE token
+    total under the weights (Σ n_tok·w, exact integer micros — the
+    number a token-budget planner would use in place of the raw
+    count), and the mass removed by the reweighting in micros. Docs
+    with fewer than 8 tokens have no spans → commonness 0, full
+    weight (explicit, not dropped — the r11 ppl-filter short-doc
+    policy). All divisions are single exact floor divisions of
+    integer counts (PK.fdiv_sql shared text), so sums stay
+    integer-exact in both engines.
+
+    Scale shape at 100 TB: span hashing is ONE tokenize-pass
+    projection (span text leaves the executor only in the oracle; the
+    Spark side shuffles (span_hash, doc_id) — never text, the
+    ext_dedup_span discipline); the common-span set join reuses the
+    span-key partitioning; per-doc and per-lang aggregates are
+    doc-keyed / L-bounded; the doc spine LEFT-joins weights back so
+    span-less docs survive. No windows, no driver collects."""
+    docs = ensure_min_parallelism(read_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(TX.normalize_text(F.col("text")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("t"),
+    ).select("doc_id", "lang", F.size("t").alias("n_tok"), "t")
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 8 THEN CAST(array() AS array<string>)"
+                " ELSE transform(sequence(0, size(t) - 8),"
+                "      i -> md5(concat_ws(' ', slice(t, i + 1, 8)))) END"
+            )
+        ).alias("k"),
+    ).persist()
+    common = (
+        spans.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("k")
+    )
+    pd_rel = (
+        spans.join(common.withColumn("_c", F.lit(1)), "k", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("_c", F.lit(0))).alias("n_common"),
+        )
+    )
+    cm = PK.fdiv_sql("n_common * 1000000", "n_spans")
+    wm = PK.fdiv_sql("1000000000000", "1000000 + 9 * cm")
+    wts = (
+        base.select("doc_id", "lang", "n_tok")
+        .join(pd_rel, "doc_id", "left")
+        .select(
+            "lang",
+            "n_tok",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+        .withColumn(
+            "cm",
+            F.when(F.col("n_spans") > 0, F.expr(cm)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .withColumn("wm", F.expr(wm))
+    )
+    dr = PK.fdiv_sql(
+        "total_tokens * 1000000 - eff_tokens_micro", "total_tokens"
+    )
+    return (
+        wts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_common") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_common_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("n_tok") * F.col("wm"))
+            .cast("long")
+            .alias("eff_tokens_micro"),
+        )
+        .withColumn("softdedup_ratio_micro", F.expr(dr))
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Round 12: learned quality filter — the fastText-classifier pattern
+# from the GPT-3 / LLaMA / CCNet data pipelines (Brown et al. 2020
+# App. A; Touvron et al. 2023: train a cheap classifier on seed labels,
+# score the whole corpus, keep above threshold). ext_nb_langid is the
+# same NB machinery with the LANGUAGE label; this swaps in a binary
+# quality seed derived from the heuristic score — the distillation
+# step that turns hand rules into a statistical filter.
+# ===========================================================================
+
+
+def _nb_quality_oracle() -> str:
+    mix_doc = PK.mix31_duckdb_sql("doc_id")
+    code = PK.str_code_duckdb_sql("tok")
+    mix = PK.mix31_duckdb_sql("code")
+    b = _NB_B
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    stop = "x -> x IN ('the', 'a', 'and', 'of', 'to')"
+    return rf"""WITH lab AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN ({mix_doc}) % 5 = 0 THEN 1 ELSE 0 END AS is_eval,
+             CASE WHEN q > 0.95 THEN 1 WHEN q < 0.75 THEN 0 ELSE NULL END AS lbl
+      FROM (
+        SELECT doc_id, lang, text,
+          ROUND(CAST((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                            / length(text), 6) END) < 0.1 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN {norm} = '' THEN 0.0
+                 ELSE ROUND(CAST(len(list_filter(string_split({norm}, ' '), {stop})) AS DOUBLE)
+                            / len(string_split({norm}, ' ')), 6) END) > 0.01
+               THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS q
+        FROM documents)
+    ),
+    toks AS (
+      SELECT doc_id, is_eval, lbl, tok FROM (
+        SELECT doc_id, is_eval, lbl,
+               unnest(string_split({norm}, ' ')) AS tok
+        FROM lab
+      ) WHERE tok <> ''
+    ),
+    bkt AS (SELECT doc_id, is_eval, lbl,
+                   ({PK.mix31_duckdb_sql(PK.str_code_duckdb_sql("tok"))}) % {b} AS b
+            FROM toks),
+    db AS (SELECT doc_id, is_eval, lbl, b, COUNT(*) AS c
+           FROM bkt GROUP BY 1, 2, 3, 4),
+    tr AS (
+      SELECT b,
+             SUM(CASE WHEN lbl = 1 THEN c ELSE 0 END) AS c1,
+             SUM(CASE WHEN lbl = 0 THEN c ELSE 0 END) AS c0
+      FROM db WHERE is_eval = 0 AND lbl IS NOT NULL GROUP BY b
+    ),
+    grid AS (
+      SELECT g.b, COALESCE(tr.c1, 0) AS c1, COALESCE(tr.c0, 0) AS c0
+      FROM range({b}) g(b) LEFT JOIN tr ON tr.b = g.b
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM grid),
+    llm AS (
+      SELECT b,
+             CAST(ROUND(LN(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + {b} AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(ROUND(LN(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + {b} AS DOUBLE)) * 1000000) AS BIGINT)
+               AS dlpm
+      FROM grid, tot
+    ),
+    dseed AS (
+      SELECT SUM(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS d0
+      FROM lab WHERE is_eval = 0 AND lbl IS NOT NULL
+    ),
+    dprm AS (
+      SELECT CAST(ROUND(LN(CAST(d1 AS DOUBLE) / CAST(d1 + d0 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(ROUND(LN(CAST(d0 AS DOUBLE) / CAST(d1 + d0 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS dpr
+      FROM dseed
+    ),
+    sco AS (
+      SELECT db.doc_id, SUM(db.c * llm.dlpm) AS s
+      FROM db JOIN llm USING (b) GROUP BY db.doc_id
+    )
+    SELECT lab.doc_id, lab.lang,
+           CAST(COALESCE(lab.lbl, -1) AS INTEGER) AS seed_label,
+           CAST(lab.is_eval AS INTEGER) AS is_eval,
+           CAST(dprm.dpr + COALESCE(sco.s, 0) AS BIGINT) AS margin_micro,
+           CAST(CASE WHEN dprm.dpr + COALESCE(sco.s, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM lab LEFT JOIN sco ON sco.doc_id = lab.doc_id CROSS JOIN dprm
+    ORDER BY lab.doc_id"""
+
+
+@register("ext_nb_quality", _nb_quality_oracle())
+def q_ext_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-trained quality filter: binary multinomial Naive Bayes over
+    B=64 hashed token buckets, seeded by the HEURISTIC quality score
+    (pos = score 1.0, neg ≤ 0.7 — the hand rules become training
+    labels, fastText-classifier style as in the GPT-3/LLaMA pipelines),
+    trained on the 80% mix31(doc_id) split's seeds, then scoring the
+    ENTIRE corpus (train + eval, labeled or not). Per doc: seed label
+    (−1 = unlabeled), split flag, the integer log-odds margin
+    log P(good|d) − log P(bad|d) in micros, and the keep verdict
+    (margin > 0) — the corpus-filter readout. All-integer transport:
+    per-bucket log-likelihood DIFFERENCES and the prior difference are
+    frozen to micros from single divisions of exact counts (add-one
+    smoothing), so per-doc margins are exact integer dot products —
+    deterministic in both engines.
+
+    Scale shape at 100 TB: ONE tokenize pass partial-aggregates
+    (doc_id, is_eval, lbl, bucket, count) map-side (≤B rows per doc,
+    the shared NB/DSIR shape — the only corpus-scale shuffle); the
+    model collapses to a B-row dlpm relation + a 1-row prior diff,
+    both broadcast; scoring joins per-doc bucket counts to the B-row
+    model on the bucket key and aggregates BY DOC; the doc spine
+    LEFT-joins scores back so token-less docs keep the prior-only
+    margin. No global windows, no driver collects."""
+    mix_doc = PK.mix31_spark_sql("doc_id")
+    b = _NB_B
+    docs = read_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    lab = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(f"CASE WHEN ({mix_doc}) % 5 = 0 THEN 1 ELSE 0 END").alias(
+            "is_eval"
+        ),
+        F.when(q > 0.95, 1).when(q < 0.75, 0).alias("lbl"),
+    ).persist()
+    toks = lab.select(
+        "doc_id",
+        "is_eval",
+        "lbl",
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    bkt = toks.select(
+        "doc_id",
+        "is_eval",
+        "lbl",
+        (
+            F.expr(PK.mix31_spark_sql(PK.str_code_spark_sql("tok"))) % b
+        ).alias("b"),
+    )
+    db = (
+        bkt.groupBy("doc_id", "is_eval", "lbl", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tr = (
+        db.where((F.col("is_eval") == 0) & F.col("lbl").isNotNull())
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lbl") == 1, F.col("c")).otherwise(0)).alias(
+                "c1"
+            ),
+            F.sum(F.when(F.col("lbl") == 0, F.col("c")).otherwise(0)).alias(
+                "c0"
+            ),
+        )
+    )
+    grid = (
+        spark.range(b)
+        .select(F.col("id").cast("long").alias("b"))
+        .join(tr, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+        )
+    )
+    tot = grid.agg(
+        F.sum("c1").alias("n1"), F.sum("c0").alias("n0")
+    )
+    llm = grid.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.expr(
+                f"CAST(ROUND(LN(CAST(c1 + 1 AS DOUBLE)"
+                f" / CAST(n1 + {b} AS DOUBLE)) * 1000000) AS BIGINT)"
+            )
+            - F.expr(
+                f"CAST(ROUND(LN(CAST(c0 + 1 AS DOUBLE)"
+                f" / CAST(n0 + {b} AS DOUBLE)) * 1000000) AS BIGINT)"
+            )
+        ).alias("dlpm"),
+    )
+    dseed = (
+        lab.where((F.col("is_eval") == 0) & F.col("lbl").isNotNull())
+        .agg(
+            F.sum(F.when(F.col("lbl") == 1, 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("lbl") == 0, 1).otherwise(0)).alias("d0"),
+        )
+    )
+    dprm = dseed.select(
+        (
+            F.expr(
+                "CAST(ROUND(LN(CAST(d1 AS DOUBLE)"
+                " / CAST(d1 + d0 AS DOUBLE)) * 1000000) AS BIGINT)"
+            )
+            - F.expr(
+                "CAST(ROUND(LN(CAST(d0 AS DOUBLE)"
+                " / CAST(d1 + d0 AS DOUBLE)) * 1000000) AS BIGINT)"
+            )
+        ).alias("dpr")
+    )
+    sco = (
+        db.join(F.broadcast(llm), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("dlpm")).alias("s"))
+    )
+    return (
+        lab.select("doc_id", "lang", "lbl", "is_eval")
+        .join(sco, "doc_id", "left")
+        .crossJoin(F.broadcast(dprm))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("lbl", F.lit(-1)).cast("int").alias("seed_label"),
+            F.col("is_eval").cast("int").alias("is_eval"),
+            (F.col("dpr") + F.coalesce("s", F.lit(0)))
+            .cast("long")
+            .alias("margin_micro"),
+            F.when(F.col("dpr") + F.coalesce("s", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

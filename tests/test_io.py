@@ -383,3 +383,93 @@ class TestSessionTmpdirs:
         before = len(ER._SESSION_TMPDIRS)
         QUERIES["sink_json"](spark, sf_dir).collect()
         assert len(ER._SESSION_TMPDIRS) > before
+
+    def test_audio_zcr_matches_python(self, spark):
+        """Third implementation of the ZCR/silence-trim kernel:
+        struct-unpack PCM and compute crossings + lead/trail quiet
+        runs in plain Python, compare every output row."""
+        import hashlib
+        import struct
+
+        import duckdb
+
+        from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        ids = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(f"SELECT event_id FROM '{sf}/events.parquet'")
+            .fetchall()
+        ]
+        expect = {}
+        for eid in ids:
+            n = 4 + eid % 5
+            pcm = hashlib.md5(str(eid).encode()).digest()[: 2 * n]
+            x = struct.unpack(f"<{n}h", pcm)
+            cross = sum(
+                1 for i in range(n - 1) if (x[i] >= 0) != (x[i + 1] >= 0)
+            )
+            lead = 0
+            while lead < n and abs(x[lead]) < 8192:
+                lead += 1
+            trail = 0
+            while trail < n and abs(x[n - 1 - trail]) < 8192:
+                trail += 1
+            expect[eid] = (
+                n,
+                cross,
+                cross * 1_000_000 // max(n - 1, 1),
+                lead,
+                trail,
+            )
+        got = {
+            r["event_id"]: (
+                r["n_samples"],
+                r["n_crossings"],
+                r["zcr_micro"],
+                r["lead_silent"],
+                r["trail_silent"],
+            )
+            for r in QUERIES["ext_audio_zcr"](spark, sf).collect()
+        }
+        assert got == expect
+        # Contentful: some payloads have nonzero lead or trail trims.
+        assert any(v[3] > 0 for v in got.values())
+        assert any(v[4] > 0 for v in got.values())
+
+    def test_audio_zcr_ragged_contract(self, spark):
+        """Kernel-direct pins: mixed lengths incl. empty and 1-sample
+        payloads in one batch; boundary pairs never counted; odd byte
+        length raises the contract ValueError."""
+        import pytest
+
+        from proto_to_avro_ql_spark.operators.multimodal import audio_zcr
+
+        rows = [
+            # +1 then -1: one crossing; both loud
+            (1, b"\x10\x20\xf0\xdf"),
+            (2, b""),
+            (3, b"\xff\x7f"),  # single loud sample: 0 crossings
+            # quiet, quiet: 0 crossings, fully silent
+            (4, b"\x01\x00\xff\xff"),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, payload binary")
+        got = {
+            r.event_id: (
+                r.n_samples,
+                r.n_crossings,
+                r.lead_silent,
+                r.trail_silent,
+            )
+            for r in audio_zcr(df).collect()
+        }
+        assert got[1] == (2, 1, 0, 0)
+        assert got[2] == (0, 0, 0, 0)
+        assert got[3] == (1, 0, 0, 0)
+        assert got[4] == (2, 1, 2, 2)  # +1 → -1 crosses; both quiet
+        bad = spark.createDataFrame(
+            [(7, b"\x01\x00\x02")], "event_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="even byte length"):
+            audio_zcr(bad).collect()

@@ -179,6 +179,14 @@ ALLOWED: dict[str, str] = {
         "window expansion (per-window MIN and the rightmost-at-MIN "
         "re-join both read it), and the fingerprint set (per-doc "
         "counts + the sharing aggregate)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_soft_dedup":
+        "span-hash relation (common-span set aggregate and the "
+        "per-doc commonness counts both read it — one tokenize pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_nb_quality":
+        "labeled doc spine (tokenize branch, seed prior aggregate, "
+        "and the final doc-spine join all read it) and the (doc_id, "
+        "is_eval, lbl, b, c) bucket partials (train statistics and "
+        "all-corpus scoring both slice it — the NB/DSIR shape)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_selfbleu":
         "tokenized doc relation (unigram pass, bigram pass, and the "
         "length spine all read it) and the two per-order gram-count "

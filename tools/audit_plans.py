@@ -194,6 +194,7 @@ ALLOWED: dict[str, set[str]] = {
     "ext_mutual_information": {'bnl_join'},
     "ext_ndcg": {'bnl_join'},
     "ext_nb_langid": {'bnl_join'},
+    "ext_nb_quality": {'bnl_join'},
     "ext_negative_sampling": {'bnl_join'},
     "ext_pareto_frontier": {'global_window', 'single_part_exchange'},
     "ext_pca_power": {'bnl_join'},
