@@ -415,6 +415,9 @@ HEADLINE = [
     "ext_audio_zcr",             # audio zero-crossing rate + silence trim
     "ext_soft_dedup",            # SoftDeDup span-commonness reweighting
     "ext_nb_quality",            # seed-trained NB quality filter
+    "ext_heaps_law",             # Heaps'-law vocab growth + OLS fit
+    "ext_rake_keywords",         # RAKE keyword extraction per language
+    "ext_curriculum_order",      # easy->hard curriculum global ordering
 ]
 
 

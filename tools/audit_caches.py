@@ -179,6 +179,17 @@ ALLOWED: dict[str, str] = {
         "window expansion (per-window MIN and the rightmost-at-MIN "
         "re-join both read it), and the fingerprint set (per-doc "
         "counts + the sharing aggregate)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_heaps_law":
+        "tokenized doc-array relation (doc-level count branch for the "
+        "banded cumsum and the position explode both read it)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_rake_keywords":
+        "non-stopword token relation with phrase group ids (phrase "
+        "assembly, member stats, and occurrence scoring all read it) "
+        "and the candidate-phrase relation (member join + keyword "
+        "aggregate)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_curriculum_order":
+        "tokenized (doc_id, lang, tok) relation (vocab aggregate and "
+        "the per-doc scoring join both read it — one tokenize pass)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_soft_dedup":
         "span-hash relation (common-span set aggregate and the "
         "per-doc commonness counts both read it — one tokenize pass)",

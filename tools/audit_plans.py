@@ -144,7 +144,9 @@ ALLOWED: dict[str, set[str]] = {
     # its global window/exchange is the weight-band offset relation,
     # ≤ ~977 rows at any corpus size (weight saturates at 1,000,001,
     # band = weight div 1024) — plus the 1-row budget broadcast.
+    "ext_curriculum_order": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_dsir_pipeline": {'bnl_join', 'global_window', 'single_part_exchange'},
+    "ext_heaps_law": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_dsir_resample": {'bnl_join', 'global_window', 'single_part_exchange'},
     "ext_dsir_weights": {'bnl_join'},
     "ext_dtw": {'bnl_join'},
