@@ -1,0 +1,206 @@
+"""Third-implementation / property tests for the round-12 session-2
+entries: ext_soft_dedup, ext_nb_quality, ext_heaps_law,
+ext_rake_keywords, ext_curriculum_order.
+
+The DuckDB oracles pin Spark↔DuckDB equality; these re-derive key
+results sequentially in plain Python from the published formulas, so a
+spec-level mistake mirrored into both engines cannot survive."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+
+from proto_to_avro_ql_spark.entry_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+_RAKE_STOP = {
+    "the", "and", "of", "is", "was", "with", "a", "to", "in", "for",
+    "on", "that", "der", "die", "das", "und", "ist", "nicht", "ein",
+    "zu", "el", "la", "los", "las", "es", "para", "un", "una", "y",
+    "de", "le", "les", "des", "est", "une", "avec", "et", "du",
+}
+
+
+def _norm_tokens(t: str) -> list[str]:
+    return [x for x in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if x]
+
+
+def _docs():
+    return duckdb.connect().execute(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_soft_dedup_matches_python_reference(spark):
+    """Sequential re-derivation: span sharing, commonness and weight
+    floor divisions, per-lang exact sums."""
+    docs = _docs()
+    span_docs: dict[str, set[int]] = {}
+    per_doc = []
+    for doc_id, lang, text in docs:
+        t = _norm_tokens(text)
+        spans = [" ".join(t[i : i + 8]) for i in range(len(t) - 7)]
+        for s in set(spans):
+            span_docs.setdefault(s, set()).add(doc_id)
+        per_doc.append((doc_id, lang, t, spans))
+    agg: dict[str, list[int]] = {}
+    for doc_id, lang, t, spans in per_doc:
+        n_common = sum(1 for s in spans if len(span_docs[s]) >= 2)
+        cm = (n_common * 1_000_000) // len(spans) if spans else 0
+        wm = 1_000_000_000_000 // (1_000_000 + 9 * cm)
+        row = agg.setdefault(lang, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if n_common > 0 else 0
+        row[2] += len(t)
+        row[3] += len(t) * wm
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_common_docs"],
+            r["total_tokens"],
+            r["eff_tokens_micro"],
+        )
+        for r in QUERIES["ext_soft_dedup"](spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # Reweighting is contentful and never exceeds the raw mass.
+    assert any(v[1] > 0 for v in got.values())
+    assert all(v[3] <= v[2] * 1_000_000 for v in got.values())
+
+
+def test_nb_quality_seed_and_margin_properties(spark):
+    """Classifier invariants: every doc scored exactly once; seed
+    labels partition by the heuristic thresholds; both verdicts occur;
+    margins are integers dominated by + for pos-seeded docs overall."""
+    rows = QUERIES["ext_nb_quality"](spark, SF).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows}) == 500
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {0, 1}
+    # seed agreement: the learned filter reproduces most seed labels
+    # (it trained on them) — a collapsed model would miss this.
+    lab = [r for r in rows if r["seed_label"] >= 0]
+    agree = sum(1 for r in lab if r["keep"] == r["seed_label"])
+    assert agree / len(lab) > 0.9
+
+
+def test_heaps_law_matches_python_reference(spark):
+    """Sequential re-derivation of the bigram stream, log-spaced
+    checkpoints, type growth, and the integer-frozen OLS fit. Also
+    pins WHY the entry is bigram-level: the unigram inventory
+    saturates (degenerate beta = 0 on this corpus)."""
+    docs = _docs()
+    stream: list[tuple[str, str]] = []
+    words: list[str] = []
+    for _doc_id, _lang, text in docs:
+        toks = _norm_tokens(text)
+        words.extend(toks)
+        stream.extend(zip(toks, toks[1:]))
+    n = len(stream)
+    first: dict[tuple[str, str], int] = {}
+    for i, bg in enumerate(stream):
+        first.setdefault(bg, i)
+    pts = []
+    for i in range(1, 11):
+        np_ = max(n >> (10 - i), 1)
+        v = sum(1 for fp in first.values() if fp < np_)
+        pts.append((i, np_, v))
+    xs = [round(math.log(np_) * 1_000_000) for _, np_, _ in pts]
+    ys = [round(math.log(v) * 1_000_000) for _, _, v in pts]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = (10 * sxy - sx * sy) / (10 * sxx - sx * sx)
+    beta_micro = round(beta * 1_000_000)
+    lnk_micro = round((sy - beta * sx) / 10)
+    got = QUERIES["ext_heaps_law"](spark, SF).collect()
+    assert [
+        (r["ckpt"], r["n_prefix_bigrams"], r["type_count"]) for r in got
+    ] == pts
+    assert got[0]["beta_micro"] == beta_micro
+    assert got[0]["lnk_micro"] == lnk_micro
+    # Heaps' law sanity: beta strictly inside (0, 1), types monotone,
+    # and the curve is contentful (growth spans the decades).
+    assert 0 < beta < 1
+    vs = [r["type_count"] for r in got]
+    assert vs == sorted(vs)
+    assert vs[-1] > 2 * vs[0]
+    # The word-level process this corpus CANNOT fit: saturated vocab.
+    assert len(set(words[: len(words) // 8])) == len(set(words))
+
+
+def test_rake_matches_python_reference(spark):
+    """Sequential RAKE: stopword segmentation, degree/freq scores,
+    per-language top-10 — row-for-row."""
+    docs = _docs()
+    # phrase occurrences per lang: (lang, phrase tuple)
+    occs: dict[str, list[tuple[str, ...]]] = {}
+    for _doc_id, lang, text in docs:
+        t = _norm_tokens(text)
+        run: list[str] = []
+        runs = []
+        for tok in t:
+            if tok in _RAKE_STOP:
+                if run:
+                    runs.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            runs.append(tuple(run))
+        occs.setdefault(lang, []).extend(
+            r for r in runs if len(r) <= 4
+        )
+    expect = {}
+    for lang, phrases in occs.items():
+        freq: dict[str, int] = {}
+        degree: dict[str, int] = {}
+        for ph in phrases:
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                degree[w] = degree.get(w, 0) + len(ph)
+        wsm = {w: (degree[w] * 1_000_000) // freq[w] for w in freq}
+        kw: dict[str, list[int]] = {}
+        for ph in phrases:
+            s = sum(wsm[w] for w in ph)
+            row = kw.setdefault(" ".join(ph), [0, s])
+            row[0] += 1
+        top = sorted(kw.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+        expect[lang] = [
+            (i + 1, p, c[0], c[1]) for i, (p, c) in enumerate(top)
+        ]
+    got: dict[str, list] = {}
+    for r in QUERIES["ext_rake_keywords"](spark, SF).collect():
+        got.setdefault(r["lang"], []).append(
+            (r["rank"], r["phrase"], r["n_occ"], r["score_micro"])
+        )
+    assert got == expect
+    # No stopword ever appears inside a selected phrase.
+    for rows in got.values():
+        for _rank, phrase, _n, _s in rows:
+            assert not (set(phrase.split(" ")) & _RAKE_STOP)
+
+
+def test_curriculum_order_properties(spark):
+    """Rank is a 0..n-1 permutation, monotone in (difficulty, doc_id);
+    phases are balanced quartiles in rank order."""
+    rows = QUERIES["ext_curriculum_order"](spark, SF).collect()
+    n = len(rows)
+    ranks = sorted(r["cur_rank"] for r in rows)
+    assert ranks == list(range(n))
+    by_rank = sorted(rows, key=lambda r: r["cur_rank"])
+    keys = [(r["difficulty_micro"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    # ntile(4): first n%4 tiles take ceil(n/4), the rest floor(n/4);
+    # phase must be non-decreasing along the rank order.
+    phases = [r["phase"] for r in by_rank]
+    assert phases == sorted(phases)
+    import collections
+
+    sizes = collections.Counter(phases)
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1

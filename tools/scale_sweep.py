@@ -205,16 +205,30 @@ SWEEP = [
     "ext_selfbleu",
     "ext_winnowing",
     "ext_mmr_select",
+    # round 12, session 2
+    "ext_audio_zcr",
+    "ext_soft_dedup",
+    "ext_nb_quality",
+    "ext_heaps_law",
+    "ext_rake_keywords",
+    "ext_curriculum_order",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
 
 def main() -> None:
+    # Optional args: query names — sweep only that subset (new-entry
+    # certification runs); no args = the full list.
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sweep = subset or SWEEP
+    unknown = [n for n in sweep if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     spark = get_spark("scale_sweep")
     spark.range(1).count()
     for sf in SFS:
         sf_dir = f"/root/testdata/sf{sf}"
-        for name in SWEEP:
+        for name in sweep:
             fn = QUERIES[name]
             fn(spark, sf_dir).count()  # warm (JIT + codegen)
             # r6 honest-median policy (same as bench.py): the warm
