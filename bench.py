@@ -418,6 +418,10 @@ HEADLINE = [
     "ext_heaps_law",             # Heaps'-law vocab growth + OLS fit
     "ext_rake_keywords",         # RAKE keyword extraction per language
     "ext_curriculum_order",      # easy->hard curriculum global ordering
+    "ext_vad_segments",          # VAD gaps-and-islands segmentation
+    "ext_distinct_n",            # distinct-1/2 corpus diversity
+    "ext_dataset_card",          # per-language datasheet summary
+    "ext_blockhash",             # perceptual aHash banded image dedup
 ]
 
 

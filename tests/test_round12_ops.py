@@ -204,3 +204,119 @@ def test_curriculum_order_properties(spark):
     sizes = collections.Counter(phases)
     assert set(sizes) == {0, 1, 2, 3}
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_vad_segments_matches_python_reference(spark):
+    """Sequential islands re-derivation from the PCM fixture."""
+    import hashlib
+    import struct
+
+    rows = QUERIES["ext_vad_segments"](spark, SF).collect()
+    ids = [r["event_id"] for r in rows]
+    expect = {}
+    for eid in ids:
+        n = 4 + eid % 5
+        pcm = hashlib.md5(str(eid).encode()).digest()[: 2 * n]
+        x = struct.unpack(f"<{n}h", pcm)
+        flags = []
+        for w in range(-(-n // 4)):
+            chunk = x[4 * w : 4 * w + 4]
+            flags.append(sum(v * v for v in chunk) < 1_200_000_000)
+        runs = []
+        cur = 0
+        for i, silent in enumerate(flags):
+            if silent:
+                if cur:
+                    runs.append((i - cur, cur))
+                cur = 0
+            else:
+                cur += 1
+        if cur:
+            runs.append((len(flags) - cur, cur))
+        expect[eid] = (
+            len(flags),
+            sum(1 for s in flags if not s),
+            len(runs),
+            max((ln for _s, ln in runs), default=0),
+            runs[0][0] if runs else -1,
+        )
+    got = {
+        r["event_id"]: (
+            r["n_windows"],
+            r["n_voiced"],
+            r["n_segments"],
+            r["longest_voiced"],
+            r["first_voiced"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    # Contentful: voiced payloads AND fully-silent payloads both occur
+    # (payloads here have ≤2 windows, so ≥2 segments is impossible —
+    # the island split itself is pinned by the mixed flags below).
+    assert {v[2] for v in got.values()} == {0, 1}
+    assert any(v[1] < v[0] for v in got.values())
+    assert all(v[4] == -1 for v in got.values() if v[2] == 0)
+
+
+def test_blockhash_matches_python_reference(spark):
+    """Sequential aHash + pairwise hamming re-derivation (true
+    all-pairs — verifies the banded candidate join misses nothing at
+    this scale)."""
+    import hashlib
+
+    rows = QUERIES["ext_blockhash"](spark, SF).collect()
+    ids = [r["event_id"] for r in rows]
+
+    def bands(eid):
+        seed, jitter = eid // 4, 16 * (eid % 2)
+        px = []
+        for r in range(4):
+            px.extend(hashlib.md5(f"{seed}:{r}".encode()).digest())
+        px = list(px)
+        px[0] = min(px[0] + jitter, 255)
+        m = sum(px) // 64
+        bits = [1 if p >= m else 0 for p in px]
+        return [
+            sum(bits[16 * b + c] << c for c in range(16)) for b in range(4)
+        ]
+
+    hs = {eid: bands(eid) for eid in ids}
+    got = {r["event_id"]: r for r in rows}
+    for eid in ids:
+        assert [got[eid][f"h{i}"] for i in range(4)] == hs[eid]
+    # all-pairs hamming ground truth
+    exact = {eid: 0 for eid in ids}
+    near = {eid: 0 for eid in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = sum(
+                bin(x ^ y).count("1") for x, y in zip(hs[a], hs[b])
+            )
+            if d <= 3:
+                near[a] += 1
+                near[b] += 1
+                if d == 0:
+                    exact[a] += 1
+                    exact[b] += 1
+    for eid in ids:
+        assert got[eid]["n_exact"] == exact[eid], eid
+        assert got[eid]["n_near"] == near[eid], eid
+    # Contentful: exact dups, near-but-not-exact dups both occur.
+    assert any(v > 0 for v in exact.values())
+    assert any(near[e] > exact[e] for e in ids)
+
+
+def test_distinct_n_and_dataset_card_consistency(spark):
+    """Cross-entry invariants: the two summaries agree on shared
+    quantities (token totals per language), and ratios are sane."""
+    dn = {r["lang"]: r for r in QUERIES["ext_distinct_n"](spark, SF).collect()}
+    dc = {r["lang"]: r for r in QUERIES["ext_dataset_card"](spark, SF).collect()}
+    assert set(dn) == set(dc)
+    for lang in dn:
+        assert dn[lang]["n_tokens"] == dc[lang]["n_tokens"]
+        assert dn[lang]["n_types1"] == dc[lang]["n_types"]
+        assert 0 < dn[lang]["distinct1_micro"] <= 1_000_000
+        assert dn[lang]["distinct2_micro"] >= dn[lang]["distinct1_micro"] // 2
+        assert dc[lang]["dup_span_docs"] <= dc[lang]["n_docs"]
+        assert dc[lang]["quality_pass_docs"] <= dc[lang]["n_docs"]

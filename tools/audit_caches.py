@@ -190,6 +190,20 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_curriculum_order":
         "tokenized (doc_id, lang, tok) relation (vocab aggregate and "
         "the per-doc scoring join both read it — one tokenize pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_vad_segments":
+        "kernel silence-flag relation (island window branch and the "
+        "per-event totals both read it — one Python pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_distinct_n":
+        "normalized token-array relation (unigram and bigram "
+        "aggregates both explode it — one tokenize pass)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_dataset_card":
+        "doc base relation (token/type branch, span branch, and the "
+        "per-lang assembly all read it) and the span-hash relation "
+        "(common-span set + the doc-flag join)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_blockhash":
+        "pixel relation (mean aggregate and the banded-bit aggregate "
+        "both read it) and the wide 4-band hash relation (4 band "
+        "self-join sides + verification + the output spine)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_soft_dedup":
         "span-hash relation (common-span set aggregate and the "
         "per-doc commonness counts both read it — one tokenize pass)",

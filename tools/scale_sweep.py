@@ -212,6 +212,11 @@ SWEEP = [
     "ext_heaps_law",
     "ext_rake_keywords",
     "ext_curriculum_order",
+    # round 12, session 3
+    "ext_vad_segments",
+    "ext_distinct_n",
+    "ext_dataset_card",
+    "ext_blockhash",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
