@@ -422,6 +422,8 @@ HEADLINE = [
     "ext_distinct_n",            # distinct-1/2 corpus diversity
     "ext_dataset_card",          # per-language datasheet summary
     "ext_blockhash",             # perceptual aHash banded image dedup
+    "ext_minhash_est_error",     # MinHash estimator calibration table
+    "ext_entropy_rate",          # conditional bigram entropy + MI
 ]
 
 

@@ -320,3 +320,92 @@ def test_distinct_n_and_dataset_card_consistency(spark):
         assert dn[lang]["distinct2_micro"] >= dn[lang]["distinct1_micro"] // 2
         assert dc[lang]["dup_span_docs"] <= dc[lang]["n_docs"]
         assert dc[lang]["quality_pass_docs"] <= dc[lang]["n_docs"]
+
+
+def test_minhash_est_error_matches_python_reference(spark):
+    """Sequential recompute of BOTH sides of the calibration table:
+    exact shingle Jaccard and the portable 32-permutation estimate."""
+    M31 = 1 << 31  # the portable_kernels hash ring (2^31)
+
+    def str_code(s: str) -> int:
+        h = 7
+        for ch in s:
+            h = (h * 31 + ord(ch)) % M31
+        return h
+
+    def mix31(e: int) -> int:
+        h = (e % M31 + M31) % M31
+        h ^= h >> 15
+        h = (h * 0x27D4EB2F) % M31
+        h ^= h >> 13
+        h = (h * 0x165667B1) % M31
+        h ^= h >> 16
+        return h
+
+    docs = _docs()
+    shingles = {}
+    for doc_id, _lang, text in docs:
+        t = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(t) >= 3:
+            ss = {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        else:
+            ss = {" ".join(t)}
+        shingles[doc_id] = ss
+    sigs = {
+        d: [
+            min(mix31(str_code(s) + i * 1000003) for s in ss)
+            for i in range(32)
+        ]
+        for d, ss in shingles.items()
+    }
+    rows = QUERIES["ext_minhash_est_error"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        a, b = r["id_a"], r["id_b"]
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a] | shingles[b])
+        assert r["exact_micro"] == (inter * 1_000_000) // union
+        matches = sum(1 for i in range(32) if sigs[a][i] == sigs[b][i])
+        assert r["est_micro"] == matches * 31250
+        assert r["abs_err_micro"] == abs(r["est_micro"] - r["exact_micro"])
+    # Calibration sanity: the mean absolute error of a k=32 sketch on
+    # near-1 similarities stays well under 1/sqrt(k) ~ 177k micros.
+    mae = sum(r["abs_err_micro"] for r in rows) / len(rows)
+    assert mae < 120_000
+
+
+def test_entropy_rate_matches_python_reference(spark):
+    """Sequential Shannon computation per language; information
+    inequalities pinned: 0 <= H(W|V) <= H(W), MI = H(W) - H(W|V)."""
+    import collections
+
+    docs = _docs()
+    uni = collections.defaultdict(collections.Counter)
+    bi = collections.defaultdict(collections.Counter)
+    for _doc_id, lang, text in docs:
+        t = _norm_tokens(text)
+        uni[lang].update(t)
+        bi[lang].update(zip(t, t[1:]))
+    got = {r["lang"]: r for r in QUERIES["ext_entropy_rate"](spark, SF).collect()}
+    assert set(got) == set(uni)
+    for lang in uni:
+        n1 = sum(uni[lang].values())
+        s1 = sum(
+            c * round(math.log(c / n1) * 1_000_000)
+            for c in uni[lang].values()
+        )
+        n2 = sum(bi[lang].values())
+        cv = collections.Counter()
+        for (v, _w), c in bi[lang].items():
+            cv[v] += c
+        s2 = sum(
+            c * round(math.log(c / cv[v]) * 1_000_000)
+            for (v, _w), c in bi[lang].items()
+        )
+        r = got[lang]
+        assert r["n_tokens"] == n1 and r["n_bigrams"] == n2
+        assert r["h1_micro"] == -s1 // n1
+        assert r["h_cond_micro"] == -s2 // n2
+        assert r["mi_micro"] == r["h1_micro"] - r["h_cond_micro"]
+        assert 0 <= r["h_cond_micro"] <= r["h1_micro"]
+        assert r["mi_micro"] > 0

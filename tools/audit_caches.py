@@ -204,6 +204,15 @@ ALLOWED: dict[str, str] = {
         "pixel relation (mean aggregate and the banded-bit aggregate "
         "both read it) and the wide 4-band hash relation (4 band "
         "self-join sides + verification + the output spine)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_minhash_est_error":
+        "exploded shingle relation (signature build + both inverted-"
+        "index pair-join sides) and the (doc, i) signature relation "
+        "(both pair sides of the estimate join)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_entropy_rate":
+        "token-array relation (unigram and bigram type aggregates), "
+        "the unigram type relation (totals + weighted-sum branches), "
+        "and the bigram type relation (context counts, totals, and "
+        "the conditional weighted sum)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_soft_dedup":
         "span-hash relation (common-span set aggregate and the "
         "per-doc commonness counts both read it — one tokenize pass)",

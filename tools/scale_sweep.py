@@ -217,6 +217,8 @@ SWEEP = [
     "ext_distinct_n",
     "ext_dataset_card",
     "ext_blockhash",
+    "ext_minhash_est_error",
+    "ext_entropy_rate",
 ]
 SFS = ["0.001", "0.01", "0.1"]
 
