@@ -89,6 +89,11 @@ ALLOWED: dict[str, set[str]] = {
     "ext_contribution_analysis": {"sum(_w0"},
     # banded_global_cumsum offsets: #bands-row relation (docs/4096)
     "ext_dsir_resample": {"sum(_bs"},
+    # round 12: the same banded-helper offset windows — #bands rows
+    # (heaps: doc_id div 1024 bands via banded_global_cumsum;
+    # curriculum: ~20 one-nat difficulty bands via banded_global_rank).
+    "ext_heaps_law": {"sum(_bs"},
+    "ext_curriculum_order": {"sum(_bn"},
     # the composed pipeline's two banded cumsums: doc-id bands
     # (docs/4096) + weight bands (≤ ~977 rows, weight div 1024)
     "ext_dsir_pipeline": {"sum(_bs"},
