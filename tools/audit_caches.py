@@ -150,11 +150,16 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_ccnet_pipeline":
         "(doc_id, quality, n_tokens, v, w, cnt) bigram partials over "
         "the CLEANED corpus (train statistics, scoring, and both "
-        "decision-row branches derive from it — one tokenize pass)",
+        "decision-row branches derive from it — one tokenize pass); "
+        "r12 adds: cleaned-corpus spine (the short-doc branch "
+        "otherwise re-runs clean_corpus's dedup), train counts bc "
+        "(4 branches), per-doc perplexity relation per (2 branches)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_lm_ppl_filter":
         "(doc_id, lang, v, w, cnt) bigram partials (en-slice train "
         "statistics, the all-docs scoring, and both decision-row "
-        "branches all derive from it — one tokenize pass)",
+        "branches all derive from it — one tokenize pass); r12 adds: "
+        "train counts bc (4 branches) and per-doc perplexity "
+        "relation per (2 branches)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_good_turing":
         "count-of-counts relation (≤ #distinct frequencies rows; read "
         "three ways: the r band, the shifted r+1 join side, the totals)",
@@ -168,7 +173,8 @@ ALLOWED: dict[str, str] = {
         "context-mass build and the eval scoring both read it)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney_holdout":
         "(is_eval, lang, v, w, cnt) bigram partials (train statistics "
-        "and the eval scoring both slice it — one tokenize pass)",
+        "and the eval scoring both slice it — one tokenize pass); "
+        "r12 adds: train counts bc (4 branches)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_mmr_select":
         "quantized candidate relation with query distances (scanned "
         "once per greedy step, k = 8 steps; each step's argmax is a "
@@ -243,7 +249,8 @@ ALLOWED: dict[str, str] = {
         "scoring)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney":
         "(lang, v, w, cnt) bigram partials (bigram/context/continuation "
-        "counts, T, and the scoring join all derive from it)",
+        "counts, T, and the scoring join all derive from it); r12 "
+        "adds: train counts bc (4 branches)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_cluster_quality":
         "deviations + the centroid-pair relation share it",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_clustering_coeff":
@@ -274,6 +281,14 @@ ALLOWED: dict[str, str] = {
         "per-doc bucket counts (raw/target histograms + totals + scoring "
         "all derive from it — one featurize pass; shared by the DSIR "
         "weights/bigram/resample entries)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_dsir_resample":
+        "scored weight relation (banded cumsum's two branches + the "
+        "corpus-total aggregate; r12 — the scored aggregation subtree "
+        "otherwise repeats 3x in one plan)",
+    "proto_to_avro_ql_spark/entry_registry.py:q_ext_dsir_pipeline":
+        "scored weight relation and selected-docs relation (each feeds "
+        "a banded cumsum + a 1-row aggregate, and sel nests wts; r12 — "
+        "the scored subtree otherwise repeats 9x in one plan)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_eb_shrinkage":
         "global moments + the per-day report share it",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_fleiss_kappa": _SHARED,
