@@ -15,6 +15,7 @@ partial aggregation, identical to the batch plan.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +23,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from proto_to_avro_ql_spark.functions.stable import dec_avg, dec_sum
+
+# Stateful streaming queries pin their state-partition count from
+# spark.sql.shuffle.partitions at first start (it is burned into the
+# checkpoint), and AQE never coalesces a stateful stream's exchanges —
+# partition coalescing is disabled for stateful operators so state
+# placement stays stable across batches. Every state partition then
+# carries FIXED per-micro-batch overhead: the HDFS-backed provider
+# commits a delta file per store instance per batch (a stream-stream
+# join holds four store instances per partition), plus provider init,
+# snapshot maintenance and coordinator RPC. With watermark-bounded
+# MB-scale state, 32 partitions = 128 join-store instances whose
+# per-batch fixed costs ARE the runtime (measured r12: stream-stream
+# join 20.7 s -> 2.3 s, dedup 5.1 -> 1.1 s at 8 partitions, identical
+# results). Size state partitions to STATE VOLUME (~100 MB-1 GB per
+# partition, the usual shuffle-partition sizing), not to core count:
+# the default 8 suits the bench's MB-scale state at any core count;
+# a production job with TB-scale state sets the env var to hundreds+.
+STREAM_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+
+
+@contextlib.contextmanager
+def stream_state_partitions(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to the state-volume-sized
+    streaming value while a streaming query is defined and started;
+    restore the batch setting after. The running query keeps its own
+    conf snapshot, so restoring post-start is safe."""
+    n = os.environ.get(STREAM_STATE_PARTITIONS_ENV, "8")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -88,15 +122,16 @@ def run_stream_to_memory(
     currently available, then stop) into an in-memory sink; returns the
     materialized result. Complete mode: windowed agg without append
     finalization dependency."""
-    q = (
-        stream_tumbling_window_agg(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            stream_tumbling_window_agg(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(table_name)
 
 
@@ -156,15 +191,16 @@ def run_stream_join_to_memory(
 ) -> DataFrame:
     """Execute the stream-stream join with availableNow into a memory
     sink (append mode — inner joins emit rows as matches arrive)."""
-    q = (
-        stream_click_attribution(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        q = (
+            stream_click_attribution(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(table_name)
 
 
@@ -177,20 +213,21 @@ def run_stream_dedup_to_memory(
     event id emits each exactly once. State for an id is dropped once
     the watermark passes its event time — bounded state, unlike a plain
     dropDuplicates which remembers every key forever."""
-    a = stream_events(spark, sf_dir)
-    b = stream_events(spark, sf_dir)
-    ev = a.union(b).withWatermark("ts", "2 hours")
-    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
-        "event_id", "user_id", "event_type"
-    )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_state_partitions(spark):
+        a = stream_events(spark, sf_dir)
+        b = stream_events(spark, sf_dir)
+        ev = a.union(b).withWatermark("ts", "2 hours")
+        deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(table_name)
 
 

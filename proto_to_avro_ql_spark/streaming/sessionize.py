@@ -86,16 +86,19 @@ def run_stream_sessionize_to_memory(
     table_name: str = "stream_sessions",
     gap_minutes: int = 30,
 ) -> DataFrame:
-    q = (
-        stream_sessionize(spark, sf_dir, gap_minutes)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join("/tmp", f"ckpt_{table_name}"))
-        .start()
-    )
-    q.awaitTermination(300)
+    from proto_to_avro_ql_spark.streaming.events import stream_state_partitions
+
+    with stream_state_partitions(spark):
+        q = (
+            stream_sessionize(spark, sf_dir, gap_minutes)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join("/tmp", f"ckpt_{table_name}"))
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(table_name)
 
 

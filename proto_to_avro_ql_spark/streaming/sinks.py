@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from proto_to_avro_ql_spark.functions.stable import dec_sum
-from proto_to_avro_ql_spark.streaming.events import stream_events
+from proto_to_avro_ql_spark.streaming.events import (
+    stream_events,
+    stream_state_partitions,
+)
 
 
 def windowed_agg(ev: DataFrame, duration: str = "1 hour") -> DataFrame:
@@ -152,35 +155,36 @@ def run_stream_append_parquet(
         for f in glob.glob(os.path.join(part_dir, "*.parquet")):
             os.utime(f, (mt, mt))
 
-    ev = (
-        spark.readStream.schema(ev_batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(staging)
-        .withWatermark("ts", watermark)
-    )
-    agg = (
-        ev.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dec_sum("value", 4).alias("sum_value"),
+    with stream_state_partitions(spark):
+        ev = (
+            spark.readStream.schema(ev_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(staging)
+            .withWatermark("ts", watermark)
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "sum_value",
+        agg = (
+            ev.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dec_sum("value", 4).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
-    )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(out_path)
