@@ -340,7 +340,14 @@ def contamination_check(
         eval_pred.alias("_is_eval"),
         shingles(F.col(text_col), n).alias("_sh"),
     )
-    ex = base.select(id_col, "_is_eval", F.explode("_sh").alias("shingle"))
+    # explode_outer, not explode: plain explode lets the optimizer
+    # infer `size(_sh) > 0 AND isnotnull(_sh)` and push that filter
+    # below the parallelizing exchange, re-evaluating the whole
+    # 8-gram shingle chain twice more on the single-partition scan
+    # stage (measured 4.1 s -> 0.8 s on ext_contamination at sf0.1).
+    # shingles() always yields a non-null, non-empty array (its
+    # otherwise-branch emits a 1-element array), so rows are identical.
+    ex = base.select(id_col, "_is_eval", F.explode_outer("_sh").alias("shingle"))
     ev = ex.where(F.col("_is_eval")).select("shingle").distinct()
     corpus = ex.where(~F.col("_is_eval"))
     return (
