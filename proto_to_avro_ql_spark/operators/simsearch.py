@@ -775,6 +775,11 @@ def kmeans_cells_int(
     qv, cents = kmeans_train_int(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    # cents is k tiny rows with the full Lloyd's chain as lineage;
+    # persist so the final assignment and the centroid join don't each
+    # re-run training (the ivf_topk_int pattern) — allowlisted in
+    # tools/audit_caches, dropped by the session-hygiene sweep.
+    cents = cents.persist()
     return _assign_cells_int(qv, cents, ["vec_id"]).join(F.broadcast(cents), "cell")
 
 
@@ -892,6 +897,12 @@ def pq_adc_topk_int(
     for _ in range(iters):
         assigned = _assign_cells_int(sv, books, ["vec_id", "sub"])
         books = _mean_vectors_int(assigned, ["sub"])
+    # books is m*k_codes tiny rows but its lineage is the full Lloyd's
+    # chain; persist so the corpus encoding and the query LUT both read
+    # the materialized codebooks instead of re-running training twice
+    # (the ivf_topk_int cents.persist() pattern) — allowlisted in
+    # tools/audit_caches, dropped by the session-hygiene sweep.
+    books = books.persist()
     codes = _assign_cells_int(sv, books, ["vec_id", "sub"]).select(
         F.col("vec_id").alias("neighbor_id"), "sub", "cell"
     )

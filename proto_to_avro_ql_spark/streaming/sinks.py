@@ -123,13 +123,15 @@ def run_stream_append_parquet(
         F.floor((F.unix_timestamp("ts") - lo_epoch) / (span_s / n_files)),
     )
     base_mtime = int(os.path.getmtime(staging)) - 2 * (n_files + flush_sentinels)
-    for i in range(n_files):
-        part_dir = os.path.join(staging, f"slice={i}")
-        ev_batch.where(slice_expr == i).coalesce(1).write.mode("overwrite").parquet(
-            part_dir
-        )
-        for f in glob.glob(os.path.join(part_dir, "*.parquet")):
-            os.utime(f, (base_mtime + 2 * i, base_mtime + 2 * i))
+    # All slices + sentinels staged in ONE job: a single dynamic-
+    # partition write from one task yields exactly one file per
+    # slice=i dir (the old per-slice loop ran n_files+k sequential
+    # driver jobs, each a full events scan — 6 scans and 6 job
+    # latencies for 4+2 slices). Row order within a file differs from
+    # the old coalesce(1) writes, but the windowed aggregate is
+    # order-insensitive and the watermark sequence depends only on the
+    # per-slice file mtimes set below.
+    staged = ev_batch.withColumn("slice", slice_expr.cast("int"))
     for j in range(flush_sentinels):
         # one future event per sentinel slice: ts beyond watermark +
         # duration past the real max, each an hour apart so every
@@ -138,21 +140,22 @@ def run_stream_append_parquet(
             f"INTERVAL {watermark} + INTERVAL {duration} "
             f"+ INTERVAL {j + 1} HOUR"
         )
-        sent = (
-            ev_batch.limit(1)
-            .select(
-                F.lit(-1 - j).cast("long").alias("event_id"),
-                sent_ts.alias("ts"),
-                F.lit(-1).cast("long").alias("user_id"),
-                F.lit("sentinel").alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit("{}").alias("props"),
-            )
+        sent = spark.range(1).select(
+            F.lit(-1 - j).cast("long").alias("event_id"),
+            sent_ts.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+            F.lit(n_files + j).cast("int").alias("slice"),
         )
-        part_dir = os.path.join(staging, f"slice={n_files + j}")
-        sent.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        mt = base_mtime + 2 * (n_files + j)
-        for f in glob.glob(os.path.join(part_dir, "*.parquet")):
+        staged = staged.unionByName(sent)
+    staged.repartition(1).write.mode("overwrite").partitionBy("slice").parquet(
+        staging
+    )
+    for s in range(n_files + flush_sentinels):
+        mt = base_mtime + 2 * s
+        for f in glob.glob(os.path.join(staging, f"slice={s}", "*.parquet")):
             os.utime(f, (mt, mt))
 
     with stream_state_partitions(spark):

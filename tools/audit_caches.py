@@ -131,7 +131,12 @@ ALLOWED: dict[str, str] = {
     "proto_to_avro_ql_spark/operators/simsearch.py:pq_adc_topk":
         "PQ codes (codebook build + ADC scoring branch)",
     "proto_to_avro_ql_spark/operators/simsearch.py:pq_adc_topk_int":
-        "quantized subvectors (codebook training + encoding + query LUT)",
+        "quantized subvectors (codebook training + encoding + query LUT) "
+        "AND the trained codebooks (encoding + query LUT both read them; "
+        "r12 — without it the Lloyd's chain runs twice)",
+    "proto_to_avro_ql_spark/operators/simsearch.py:kmeans_cells_int":
+        "trained centroids (final assignment + centroid join; r12 — "
+        "without it the Lloyd's chain runs twice)",
     # --- entry_registry single-shot entries ------------------------------
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_assoc_rules":
         "baskets: N, marginals, in-task pairs share it",
