@@ -212,9 +212,9 @@ ALLOWED: dict[str, str] = {
         "per-lang assembly all read it) and the span-hash relation "
         "(common-span set + the doc-flag join)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_blockhash":
-        "pixel relation (mean aggregate and the banded-bit aggregate "
-        "both read it) and the wide 4-band hash relation (4 band "
-        "self-join sides + verification + the output spine)",
+        "wide 4-band hash relation (4 band self-join sides + "
+        "verification + the output spine; r12 removed the pixel-"
+        "relation cache — the hash is now one map-side projection)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_minhash_est_error":
         "exploded shingle relation (signature build + both inverted-"
         "index pair-join sides) and the (doc, i) signature relation "
