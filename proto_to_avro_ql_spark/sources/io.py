@@ -101,6 +101,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# ensure_min_parallelism width-probe memo (r12 VERDICT #7):
+# df.rdd.getNumPartitions() forces a plan->RDD conversion PER CALL — a
+# driver-side planning cost paid at every plan build (entries composing
+# several parallelized operators, e.g. ext_ann_recall, paid it 2+
+# times per invocation, and the bench pays it again every pass). The
+# probe's answer for a semantically identical plan in the same Spark
+# application is stable (same files, same split conf), so memoize on
+# (applicationId, semanticHash(plan), target). Bounded: the key space
+# is the registry's distinct scan plans. Correctness: a stale entry
+# could only arise if the SAME application re-read CHANGED input files
+# under an identical plan — the bench/oracle inputs are immutable
+# parquet fixtures, and a miss only costs one extra exchange (or one
+# missing exchange on a plan that already has >= target partitions),
+# never wrong values.
+_WIDTH_MEMO: dict[tuple[str, int, int], bool] = {}
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan currently has fewer
     partitions than the session's core count.
@@ -117,7 +134,15 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     """
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (sess.sparkContext.applicationId, df.semanticHash(), target)
+        needs = _WIDTH_MEMO.get(key)
+        if needs is None:
+            needs = df.rdd.getNumPartitions() < target
+            _WIDTH_MEMO[key] = needs
+    except Exception:  # noqa: BLE001 — probe directly if hashing fails
+        needs = df.rdd.getNumPartitions() < target
+    if needs:
         return df.repartition(target)
     return df
 

@@ -242,16 +242,21 @@ ALLOWED: dict[str, str] = {
         "the doc spine all read it — one tokenize, three consumers)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_trigram_kn":
         "(is_eval, lang, u, v, w, cnt) trigram partials (one tokenize "
-        "pass; train statistics and eval scoring both slice it) and "
+        "pass; train statistics and eval scoring both slice it), "
         "the train trigram-count relation (five vocab-bounded "
-        "aggregates + the scoring join derive from it)",
+        "aggregates + the scoring join derive from it); r13 adds: the "
+        "(v, w) continuation-count relation mid (midv, wl, t2r and "
+        "the scoring join — four consumers)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_katz_vs_kn":
         "(is_eval, lang, v, w, cnt) bigram partials (one tokenize pass "
         "shared by BOTH model branches), the train bigram relation bc "
-        "(seven downstream aggregates across the two branches slice "
-        "it), the eval relation (both scoring chains read it), and the "
-        "frozen per-bigram pico relation (context-mass build + Katz "
-        "scoring)",
+        "(five fused downstream aggregates slice it), the eval "
+        "relation (the single merged scoring pass reads it), and the "
+        "frozen per-bigram pico relation (context-mass build + "
+        "scoring); r13 adds: the fused v-statistics vstats (pdrel "
+        "build + scoring), the fused w-statistics wj (context mass + "
+        "scoring), and the count-of-counts relation ff (kc + the two "
+        "pdrel discount joins — three consumers)",
     "proto_to_avro_ql_spark/entry_registry.py:q_ext_kneser_ney":
         "(lang, v, w, cnt) bigram partials (bigram/context/continuation "
         "counts, T, and the scoring join all derive from it); r12 "
