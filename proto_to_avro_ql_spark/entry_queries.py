@@ -94,17 +94,22 @@ SURVEY2_CONTRACT_IDS: list[str] = [
 # 262 can't fit the 50-entry window otherwise), highest-value first.
 # Rotation log: see ROADMAP.md "Driver-window rotation".
 PRIORITY_EXT_IDS: list[str] = [
-    # round 12 (out: ext_assortativity, ext_auc, ext_audience_overlap,
-    # ext_autocorr, ext_dedup_embed_lsh — all driver-green in
-    # CORRECTNESS_r11; they remain locally gated by oracle_check).
-    # In: the staged r12 candidates from ROADMAP.md "Driver-window
-    # rotation" — pre-certified at r8 close, 5/5 oracle-green at
-    # sf0.001/0.01/0.1, none previously driver-verified.
-    "ext_benford",                # Benford first-digit law test
-    "ext_best_split",             # best single-feature split (gini)
-    "ext_bigram_lm",              # bigram language model estimates
-    "ext_bitmap_index",           # bitmap-index emulation + AND query
-    "ext_bloom_prune",            # bloom-filter partition pruning
+    # round 13 (out: ext_benford, ext_best_split, ext_bigram_lm,
+    # ext_bitmap_index, ext_bloom_prune — all driver-green in
+    # CORRECTNESS_r12; they remain locally gated by oracle_check).
+    # In: the staged r13 candidates from ROADMAP.md "Driver-window
+    # rotation", with ONE substitution ordered by the r12 VERDICT
+    # (#3): ext_dsir_pipeline takes a REPAIR slot — its code changed
+    # in r12 (§B persists) without a driver re-verification — and
+    # displaces ext_calibration to the front of the r14 staging.
+    # ext_dedup_embed_lsh was already the staged repair/veteran entry
+    # (its code also changed in r12 — the salted bucket join — in the
+    # same round the window rotated it out; the VERDICT's gap #2).
+    "ext_assoc_rules",            # association rules (displaced r10)
+    "ext_dedup_embed_lsh",        # REPAIR: r12 salted bucket join
+    "ext_dsir_pipeline",          # REPAIR: r12 §B persists
+    "ext_burn_rate",              # burn-rate / runway report
+    "ext_burstiness",             # token burstiness (Fano factor)
 ]
 
 # VETERAN RE-VERIFICATION POLICY (round-8 verdict #7): once per ~5
